@@ -1,0 +1,188 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for a training-data pipeline over `documents`:
+  * exact (hash-groupBy), MinHash+LSH banding, SimHash, and n-gram Jaccard
+  * verification — the standard near-dup stack (MinHash banding per
+  * Broder '97; SimHash per Charikar '02), built entirely from
+  * shuffle-conscious Spark primitives:
+  *
+  *   - shingling/hashing are per-row column expressions (codegen'd HOFs);
+  *   - candidate generation is a self-join on (band_id, band_hash) — i.e.
+  *     one shuffle keyed on the LSH bucket, never an all-pairs product;
+  *   - at 100 TB the bucket join is the only super-linear step and its key
+  *     cardinality grows with the corpus, so buckets stay small and the
+  *     join stays hash-partitionable; skewed giant buckets (boilerplate
+  *     docs) are capped with a per-bucket limit before pairing.
+  *
+  * Hash function: xxhash64 with per-permutation seeds (Spark-native,
+  * codegen'd). Not oracle-expressible — DuckDB has no xxhash64 — so
+  * MinHash/SimHash correctness is ScalaTest-verified (known near-dup pairs
+  * + Jaccard ground truth), while exact dedup and the Jaccard verifier are
+  * DuckDB-checked.
+  */
+object DedupOps {
+
+  /** Word n-gram shingles as an array column. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    // sliding n-gram join: transform over start indices
+    val starts = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+    transform(starts, i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+  }
+
+  /** MinHash signature: for each of `k` permutations, min over shingle
+    * hashes of xxhash64(shingle, seed). One pass, no shuffle.
+    */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    array((0 until k).map { seed =>
+      array_min(transform(shingleCol, sh => xxhash64(sh, lit(seed))))
+    }: _*)
+
+  /** LSH banding: split the k-length signature into bands of `rowsPerBand`
+    * and hash each band; docs sharing any (band_id, band_hash) are
+    * candidates.
+    */
+  def bands(sig: Column, k: Int, rowsPerBand: Int): Column =
+    array((0 until k / rowsPerBand).map { b =>
+      struct(
+        lit(b).as("band_id"),
+        xxhash64(concat_ws(",", slice(sig, b * rowsPerBand + 1, rowsPerBand).cast("array<string>")))
+          .as("band_hash"))
+    }: _*)
+
+  /** 64-bit SimHash over word shingles: sign-sum of per-bit contributions.
+    * Computed as a column expression: for each bit, sum(+1/-1) over
+    * shingle hashes, then pack.
+    */
+  def simhash64(shingleCol: Column): Column = {
+    // For each of 64 bits: count shingles with that bit set minus those
+    // without; bit set in result if majority positive.
+    val bits = (0 until 64).map { b =>
+      val bitSum = aggregate(
+        shingleCol,
+        lit(0L),
+        (acc, sh) => acc + when(shiftright(xxhash64(sh), b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(bitSum > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** MinHash-LSH near-duplicate candidate pairs with Jaccard verification.
+    * Returns (doc_a, doc_b, jaccard) for candidates above `threshold`.
+    */
+  def minhashNearDups(
+      docs: DataFrame,
+      n: Int = 3,
+      k: Int = 32,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.5,
+      maxBucket: Int = 64): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), shingles(col("text"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sig = sh.withColumn("sig", minhashSignature(col("sh"), k))
+    val banded = sig
+      .select(col("doc_id"), col("sh"), explode(bands(col("sig"), k, rowsPerBand)).as("band"))
+      .select(col("doc_id"), col("sh"), col("band.band_id"), col("band.band_hash"))
+    // Cap pathological buckets (boilerplate text) before pairing: keeps the
+    // self-join quadratic term bounded per bucket at any scale.
+    val wBucket = Window.partitionBy(col("band_id"), col("band_hash")).orderBy(col("doc_id"))
+    val capped = banded
+      .withColumn("bn", row_number().over(wBucket))
+      .filter(col("bn") <= maxBucket)
+    val a = capped.select(
+      col("band_id"), col("band_hash"),
+      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = capped.select(
+      col("band_id"), col("band_hash"),
+      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val pairs = a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b")
+      .dropDuplicates("doc_a", "doc_b")
+    pairs
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType))
+      .select(col("doc_a"), col("doc_b"), round(col("inter") / col("uni"), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Exact dedup: hash-groupBy on content — one shuffle on the text hash,
+    // min-id winner (first-writer-wins, A5 semantics).
+    QueryDef(
+      "q_dedup_exact",
+      """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+        |  md5(text) AS text_md5,
+        |  CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents
+        |GROUP BY text
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select(col("doc_id"), md5(col("text")).as("text_md5"), col("n_copies"))
+        .orderBy("doc_id")
+    },
+
+    // n-gram Jaccard similarity, exact, for a deterministic candidate set
+    // (adjacent doc pairs from the same source) — the verification kernel
+    // MinHash candidates are fed through.
+    QueryDef(
+      "q_ngram_jaccard",
+      """WITH sh AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+        |    list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, greatest(len(toks) - 2, 0) + 1)]) AS grams
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents)
+        |  WHERE len(toks) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.grams AS ga, b.grams AS gb
+        |  FROM sh a JOIN sh b ON a.source = b.source AND b.rn = a.rn + 1)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(len(list_intersect(ga, gb)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(ga, gb))), 6) AS jaccard
+        |FROM pairs ORDER BY doc_a""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val wSrc = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      val sh = docs
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(
+          col("doc_id"), col("source"),
+          row_number().over(wSrc).as("rn"),
+          array_distinct(shingles(concat_ws(" ", col("toks")), 3)).as("grams"))
+      val a = sh.select(col("doc_id").as("doc_a"), col("source"), col("rn"), col("grams").as("ga"))
+      val b = sh.select(
+        col("doc_id").as("doc_b"), col("source").as("source_b"),
+        col("rn").as("rn_b"), col("grams").as("gb"))
+      a.join(b, col("source") === col("source_b") && col("rn_b") === col("rn") + 1)
+        .select(
+          col("doc_a"), col("doc_b"),
+          round(
+            size(array_intersect(col("ga"), col("gb"))).cast(DoubleType) /
+              size(array_distinct(array_union(col("ga"), col("gb")))).cast(DoubleType),
+            6).as("jaccard"))
+        .orderBy("doc_a")
+    },
+
+    // MinHash+LSH near-dup pairs (xxhash64-based — ScalaTest-verified;
+    // driver records a rows-only check).
+    QueryDef.noOracle("q_minhash_lsh") { (s, d) =>
+      minhashNearDups(Tables.documents(s, d), threshold = 0.3)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // SimHash 64-bit fingerprints (rows-only; bit semantics ScalaTest-verified).
+    QueryDef.noOracle("q_simhash") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), simhash64(shingles(col("text"), 2)).as("simhash"))
+        .orderBy("doc_id")
+    })
+}

@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over the `embeddings` table (Array[Float] column).
+  *
+  * Baseline: brute-force cosine top-k — query side broadcast, candidate
+  * side streamed; per-pair math is `zip_with`+`aggregate` HOFs in double
+  * (sequential fold, bit-identical to DuckDB's list_dot_product, which the
+  * oracle uses).
+  *
+  * Scale path: LSH-bucketed ANN (random-hyperplane signatures; Charikar
+  * '02) — each vector hashed to a `nbits`-bit bucket by the sign of its
+  * dot product with deterministic pseudo-random hyperplanes; search probes
+  * only the query's bucket (+ optional hamming-1 neighbors). At 100 TB the
+  * bucket join replaces the cross product with one shuffle keyed on
+  * bucket id. Recall vs the exact baseline is ScalaTest-verified.
+  */
+object SimilarityOps {
+
+  /** embedding cast float→double (exact widening). */
+  private def embDouble(c: Column): Column = transform(c, _.cast(DoubleType))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Deterministic pseudo-random hyperplane component for (bit, dim):
+    * hash → uniform in [-1, 1). No RNG, reproducible across runs/engines.
+    */
+  private def planeComponent(bit: Int, dim: Column): Column =
+    (pmod(xxhash64(lit(bit), dim), lit(1000000)).cast(DoubleType) / 500000.0) - 1.0
+
+  /** nbits-bit random-hyperplane signature of an embedding. */
+  def lshSignature(emb: Column, nbits: Int): Column = {
+    val dims = sequence(lit(0), size(emb) - 1)
+    val bits = (0 until nbits).map { b =>
+      val proj = aggregate(
+        zip_with(emb, dims, (x, i) => x * planeComponent(b, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bits.reduce((x, y) => x.bitwiseOR(y))
+  }
+
+  /** Brute-force cosine top-k: queries broadcast against all candidates. */
+  def cosineTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val base = emb.select(
+      col("vec_id"),
+      embDouble(col("embedding")).as("emb"))
+      .withColumn("norm", l2norm(col("emb")))
+    val q = base.filter(queryPred).select(
+      col("vec_id").as("q_id"), col("emb").as("q_emb"), col("norm").as("q_norm"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    base.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", round(dot(col("emb"), col("q_emb")) / (col("norm") * col("q_norm")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"), col("cosine"), col("rn").cast(LongType).as("rank"))
+  }
+
+  /** LSH-bucketed ANN: candidates restricted to the query's bucket. */
+  def annLsh(emb: DataFrame, queryPred: Column, k: Int, nbits: Int = 8): DataFrame = {
+    val base = emb.select(col("vec_id"), embDouble(col("embedding")).as("emb"))
+      .withColumn("norm", l2norm(col("emb")))
+      .withColumn("bucket", lshSignature(col("emb"), nbits))
+    val q = base.filter(queryPred).select(
+      col("vec_id").as("q_id"), col("emb").as("q_emb"),
+      col("norm").as("q_norm"), col("bucket").as("q_bucket"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    base.join(broadcast(q), col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", round(dot(col("emb"), col("q_emb")) / (col("norm") * col("q_norm")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"), col("cosine"), col("rn").cast(LongType).as("rank"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Embedding sanity kernel: L2 norm + dimensionality.
+    QueryDef(
+      "q_embed_norm",
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS BIGINT) AS dim,
+        |  round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2
+        |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).cast(LongType).as("dim"),
+          round(l2norm(embDouble(col("embedding"))), 6).as("l2"))
+        .orderBy("vec_id")
+    },
+
+    // Brute-force cosine top-3 for 10 query vectors.
+    QueryDef(
+      "q_cosine_topk",
+      """WITH n AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb AS q_emb, norm AS q_norm FROM n WHERE vec_id < 10),
+        |p AS (
+        |  SELECT q_id, vec_id,
+        |    round(list_dot_product(emb, q_emb) / (norm * q_norm), 6) AS cosine
+        |  FROM n, q WHERE vec_id <> q_id)
+        |SELECT q_id, vec_id, cosine, CAST(rn AS BIGINT) AS rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn FROM p)
+        |WHERE rn <= 3
+        |ORDER BY q_id, rank""".stripMargin) { (s, d) =>
+      cosineTopK(Tables.embeddings(s, d), col("vec_id") < 10, 3)
+        .orderBy("q_id", "rank")
+    },
+
+    // LSH-bucketed ANN (xxhash64 hyperplanes — not DuckDB-expressible;
+    // recall vs exact is ScalaTest-verified).
+    QueryDef.noOracle("q_ann_lsh") { (s, d) =>
+      annLsh(Tables.embeddings(s, d), col("vec_id") < 10, 3)
+        .orderBy("q_id", "rank")
+    },
+
+    // approx_count_distinct (HLL++) — approximate, so no hash oracle;
+    // ScalaTest bounds it against the exact count.
+    QueryDef.noOracle("q_approx_distinct") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy("event_type")
+    })
+}

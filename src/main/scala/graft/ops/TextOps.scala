@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for a training-data pipeline, over the
+  * `documents` table: token counting, quality scoring, language-ID
+  * heuristic, document fingerprinting. All are pure codegen'd column
+  * expressions (split/filter/transform HOFs + md5) — no UDFs, so the ops
+  * scale linearly with input and stay inside whole-stage codegen.
+  */
+object TextOps {
+
+  private val stopwords = Seq("the", "a", "of", "and")
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Token counting: whitespace tokens + distinct tokens.
+    QueryDef(
+      "q_token_count",
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = split(col("text"), " ")
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(toks).cast(LongType).as("n_tokens"),
+          size(array_distinct(toks)).cast(LongType).as("n_distinct_tokens"),
+          length(col("text")).cast(LongType).as("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    // Quality scoring: stopword ratio + mean token length — the
+    // length/stopword heuristics of C4/Gopher-style filters.
+    QueryDef(
+      "q_quality_score",
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  round(CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and'))) AS DOUBLE)
+         |        / len(string_split(text, ' ')), 6) AS stop_ratio,
+         |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         |        / len(string_split(text, ' ')), 6) AS avg_token_len
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = split(col("text"), " ")
+      val nToks = size(toks)
+      val nStop = size(filter(toks, t => t.isin(stopwords: _*)))
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          nToks.cast(LongType).as("n_tokens"),
+          round(nStop.cast(DoubleType) / nToks, 6).as("stop_ratio"),
+          round(length(regexp_replace(col("text"), " ", "")).cast(DoubleType) / nToks, 6)
+            .as("avg_token_len"))
+        .orderBy("doc_id")
+    },
+
+    // Language-ID heuristic: English function-word hit rate. (A richer
+    // char-n-gram profile version lives in graft.functions and is
+    // ScalaTest-verified; this is the oracle-checkable core.)
+    QueryDef(
+      "q_lang_id",
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS en_hits,
+        |  CASE WHEN len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and'))) >= 3 THEN 'en'
+        |       WHEN len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and'))) >= 1 THEN 'en_maybe'
+        |       ELSE 'unk' END AS predicted
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val hits = size(filter(split(col("text"), " "), t => t.isin(stopwords: _*)))
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          hits.cast(LongType).as("en_hits"),
+          when(hits >= 3, "en").when(hits >= 1, "en_maybe").otherwise("unk").as("predicted"))
+        .orderBy("doc_id")
+    },
+
+    // Document fingerprint: md5 over whitespace-normalized lowercased text
+    // — the exact-dup key used by content-defined dedup.
+    QueryDef(
+      "q_doc_fingerprint",
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fingerprint"))
+        .orderBy("doc_id")
+    })
+}
