@@ -35,12 +35,14 @@ object SimilarityOps {
   private def planeComponent(bit: Int, dim: Column): Column =
     (pmod(xxhash64(lit(bit), dim), lit(1000000)).cast(DoubleType) / 500000.0) - 1.0
 
-  /** nbits-bit random-hyperplane signature of an embedding. */
-  def lshSignature(emb: Column, nbits: Int): Column = {
+  /** nbits-bit random-hyperplane signature of an embedding; `table`
+    * offsets the hyperplane seeds so each hash table is independent.
+    */
+  def lshSignature(emb: Column, nbits: Int, table: Int = 0): Column = {
     val dims = sequence(lit(0), size(emb) - 1)
     val bits = (0 until nbits).map { b =>
       val proj = aggregate(
-        zip_with(emb, dims, (x, i) => x * planeComponent(b, i)),
+        zip_with(emb, dims, (x, i) => x * planeComponent(table * nbits + b, i)),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }
@@ -64,16 +66,37 @@ object SimilarityOps {
       .select(col("q_id"), col("vec_id"), col("cosine"), col("rn").cast(LongType).as("rank"))
   }
 
-  /** LSH-bucketed ANN: candidates restricted to the query's bucket. */
-  def annLsh(emb: DataFrame, queryPred: Column, k: Int, nbits: Int = 8): DataFrame = {
+  /** Multi-table LSH ANN: `ntables` independent random-hyperplane hash
+    * tables; a candidate is any vector sharing the query's bucket in ANY
+    * table (standard OR-amplification — recall ≈ 1-(1-p^nbits)^ntables).
+    * The probe join shuffles on (table_id, bucket); candidate set is
+    * deduped before the exact cosine re-rank, so the expensive math runs
+    * once per distinct candidate pair.
+    */
+  def annLsh(
+      emb: DataFrame,
+      queryPred: Column,
+      k: Int,
+      nbits: Int = 4,
+      ntables: Int = 8): DataFrame = {
     val base = emb.select(col("vec_id"), embDouble(col("embedding")).as("emb"))
       .withColumn("norm", l2norm(col("emb")))
-      .withColumn("bucket", lshSignature(col("emb"), nbits))
-    val q = base.filter(queryPred).select(
-      col("vec_id").as("q_id"), col("emb").as("q_emb"),
-      col("norm").as("q_norm"), col("bucket").as("q_bucket"))
+      .withColumn("buckets",
+        array((0 until ntables).map(t => lshSignature(col("emb"), nbits, t)): _*))
+    val tabled = base.select(
+      col("vec_id"), col("emb"), col("norm"),
+      posexplode(col("buckets")).as(Seq("table_id", "bucket")))
+    val q = tabled.filter(queryPred).select(
+      col("vec_id").as("q_id"), col("emb").as("q_emb"), col("norm").as("q_norm"),
+      col("table_id").as("q_table"), col("bucket").as("q_bucket"))
+    val candidates = tabled
+      .join(broadcast(q),
+        col("table_id") === col("q_table") && col("bucket") === col("q_bucket") &&
+          col("vec_id") =!= col("q_id"))
+      .select("q_id", "q_emb", "q_norm", "vec_id", "emb", "norm")
+      .dropDuplicates("q_id", "vec_id")
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
-    base.join(broadcast(q), col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+    candidates
       .withColumn("cosine", round(dot(col("emb"), col("q_emb")) / (col("norm") * col("q_norm")), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
