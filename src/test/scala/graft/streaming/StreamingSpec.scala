@@ -1,0 +1,105 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Streaming pipeline tests: AvailableNow drain + foreachBatch merge
+  * (tier 1, faithful) and watermarked tumbling-window aggregation
+  * (tier 2, idiomatic).
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("AvailableNow drain: files -> silver parquet; second drain of same checkpoint is a no-op; new file merges") {
+    val root = Files.createTempDirectory("graft-stream").toFile.getAbsolutePath
+    val bronzeDir = s"$root/bronze"
+    val silverPath = s"$root/silver"
+    val ckpt = s"$root/ckpt"
+    new java.io.File(bronzeDir).mkdirs()
+
+    Files.writeString(
+      java.nio.file.Paths.get(s"$bronzeDir/batch1.txt"),
+      "1649941817 Voltage 1.34\n1649941818 Voltage 1.35\n1649941817 Current 12.0\n1649941818 Current 14.0\nnot a line\n")
+
+    StreamingPipeline.runBronzeToSilverAvailableNow(spark, bronzeDir, silverPath, ckpt)
+    val s1 = spark.read.parquet(silverPath)
+    assert(s1.count() == 4, "4 valid lines parsed, invalid dropped")
+
+    // drain again with nothing new: checkpoint file-log skips the file
+    StreamingPipeline.runBronzeToSilverAvailableNow(spark, bronzeDir, silverPath, ckpt)
+    assert(spark.read.parquet(silverPath).count() == 4)
+
+    // new file with one new reading + one duplicate of an existing key
+    Files.writeString(
+      java.nio.file.Paths.get(s"$bronzeDir/batch2.txt"),
+      "1649941819 Voltage 1.36\n1649941817 Voltage 9.99\n")
+    StreamingPipeline.runBronzeToSilverAvailableNow(spark, bronzeDir, silverPath, ckpt)
+    val s3 = spark.read.parquet(silverPath)
+    assert(s3.count() == 5, "one new key added, duplicate key merged not appended")
+    // dbt merge semantics (stg_readings.sql:15-17): a re-ingested key
+    // OVERWRITES the stored row — the corrected 9.99 replaces 1.34
+    val v = s3.filter(col("metric_name") === "Voltage" &&
+      col("reading_time") === to_timestamp(lit("2022-04-14 13:10:17")))
+      .collect()(0).getAs[Double]("metric_value")
+    assert(v == 9.99)
+
+    // gold after drain
+    val goldPath = s"$root/gold"
+    StreamingPipeline.goldAfterDrain(spark, silverPath, goldPath)
+    val g = spark.read.parquet(goldPath).collect()
+    assert(g.length == 1)
+    assert(g(0).getAs[String]("metric_name") == "Power")
+  }
+
+  test("tier-2 watermarked daily window produces the same Power value as batch gold") {
+    val root = Files.createTempDirectory("graft-stream2").toFile.getAbsolutePath
+    val parsed = Seq(
+      ("2022-04-14 13:10:17", "Voltage", 1.34),
+      ("2022-04-14 13:10:18", "Voltage", 1.35),
+      ("2022-04-14 13:10:17", "Current", 12.0),
+      ("2022-04-14 13:10:18", "Current", 14.0))
+      .toDF("t", "metric_name", "metric_value")
+      .withColumn("reading_time", to_timestamp(col("t")))
+      .select("reading_time", "metric_name", "metric_value")
+    parsed.write.mode("overwrite").parquet(s"$root/in")
+
+    val stream = spark.readStream.schema(parsed.schema).parquet(s"$root/in")
+    val agg = StreamingPipeline.dailyPowerStreaming(stream)
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("gold_stream")
+      .option("checkpointLocation", s"$root/ckpt")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("gold_stream").collect()
+    assert(rows.length == 1)
+    assert(math.abs(rows(0).getAs[Double]("metric_value") - 17.485) < 1e-9)
+    assert(rows(0).getAs[java.sql.Date]("reading_date").toString == "2022-04-14")
+  }
+
+  test("multimodal: stubbed decode produces deterministic features; corrupt rows flagged not dropped") {
+    import graft.ops.Multimodal
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", "hello world".getBytes("UTF-8"), 1L),
+      Multimodal.MediaRecord(2L, "audio", "hello world".getBytes("UTF-8"), 2L),
+      Multimodal.MediaRecord(3L, "video", Array.emptyByteArray, 3L),
+      Multimodal.MediaRecord(4L, "exotic", "x".getBytes("UTF-8"), 4L)).toDS()
+    val f = Multimodal.extractFeatures(media).collect().map(r => r.media_id -> r).toMap
+    assert(f(1L).ok && f(2L).ok)
+    assert(f(1L).fingerprint == f(2L).fingerprint, "same bytes -> same fingerprint across media types")
+    assert(!f(3L).ok, "empty payload flagged")
+    assert(!f(4L).ok, "unknown media type flagged")
+    assert(f(1L).n_bytes == 11L)
+    // features survive a round through the full query surface
+    val viaQuery = graft.SparkEntry.queries("q_multimodal_features")(spark, "/root/testdata/sf0.001")
+    assert(viaQuery.count() == 500)
+    assert(viaQuery.filter(col("ok") === false).count() == 0)
+  }
+}
