@@ -27,21 +27,20 @@ import org.apache.spark.sql.types._
   */
 object DedupOps {
 
-  /** Word n-gram shingles as an array column. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = split(text, " ")
-    // sliding n-gram join: transform over start indices
-    val starts = sequence(lit(0), greatest(size(toks) - n, lit(0)))
-    transform(starts, i => concat_ws(" ", slice(toks, i + 1, lit(n))))
-  }
+  /** Word n-gram shingles as an array column (native expression — the
+    * HOF chain was the profiled hot spot, see
+    * [[graft.functions.NgramShinglesExpr]]).
+    */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.HashFunctions.ngram_shingles(text, n)
 
   /** MinHash signature: for each of `k` permutations, min over shingle
-    * hashes of xxhash64(shingle, seed). One pass, no shuffle.
+    * hashes of XXH64(shingle, seed=permutation). One pass, no shuffle —
+    * native Catalyst expression ([[graft.functions.MinHashSigExpr]]): the
+    * k-×-HOF column formulation was ~100× slower (interpreted lambdas).
     */
   def minhashSignature(shingleCol: Column, k: Int): Column =
-    array((0 until k).map { seed =>
-      array_min(transform(shingleCol, sh => xxhash64(sh, lit(seed))))
-    }: _*)
+    graft.functions.HashFunctions.minhash_sig(shingleCol, k)
 
   /** LSH banding: split the k-length signature into bands of `rowsPerBand`
     * and hash each band; docs sharing any (band_id, band_hash) are
@@ -55,22 +54,12 @@ object DedupOps {
           .as("band_hash"))
     }: _*)
 
-  /** 64-bit SimHash over word shingles: sign-sum of per-bit contributions.
-    * Computed as a column expression: for each bit, sum(+1/-1) over
-    * shingle hashes, then pack.
+  /** 64-bit SimHash over word shingles: per-bit majority vote of shingle
+    * hashes (native expression [[graft.functions.SimHash64Expr]] — one
+    * pass, 64 counters in a JVM loop).
     */
-  def simhash64(shingleCol: Column): Column = {
-    // For each of 64 bits: count shingles with that bit set minus those
-    // without; bit set in result if majority positive.
-    val bits = (0 until 64).map { b =>
-      val bitSum = aggregate(
-        shingleCol,
-        lit(0L),
-        (acc, sh) => acc + when(shiftright(xxhash64(sh), b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(bitSum > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def simhash64(shingleCol: Column): Column =
+    graft.functions.HashFunctions.simhash64(shingleCol)
 
   /** MinHash-LSH near-duplicate candidate pairs with Jaccard verification.
     * Returns (doc_a, doc_b, jaccard) for candidates above `threshold`.
@@ -86,26 +75,33 @@ object DedupOps {
       .select(col("doc_id"), shingles(col("text"), n).as("sh"))
       .filter(size(col("sh")) > 0)
     val sig = sh.withColumn("sig", minhashSignature(col("sh"), k))
+    // Band rows carry ONLY (doc_id, band_id, band_hash): the wide shingle
+    // arrays must not ride through the explode + bucket shuffle (×bands
+    // duplication of payload is what kills this join at scale).
     val banded = sig
-      .select(col("doc_id"), col("sh"), explode(bands(col("sig"), k, rowsPerBand)).as("band"))
-      .select(col("doc_id"), col("sh"), col("band.band_id"), col("band.band_hash"))
-    // Cap pathological buckets (boilerplate text) before pairing: keeps the
-    // self-join quadratic term bounded per bucket at any scale.
-    val wBucket = Window.partitionBy(col("band_id"), col("band_hash")).orderBy(col("doc_id"))
-    val capped = banded
-      .withColumn("bn", row_number().over(wBucket))
-      .filter(col("bn") <= maxBucket)
-    val a = capped.select(
-      col("band_id"), col("band_hash"),
-      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = capped.select(
-      col("band_id"), col("band_hash"),
-      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    val pairs = a.join(b, Seq("band_id", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b")
+      .select(col("doc_id"), explode(bands(col("sig"), k, rowsPerBand)).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
+    // Candidate pairs via ONE shuffle: group by bucket, emit in-bucket id
+    // pairs. (A bucket self-join would shuffle + recompute the signature
+    // subtree twice.) Buckets are capped at maxBucket ids (sorted — the
+    // cap is deterministic) so pathological boilerplate buckets stay
+    // bounded at any scale.
+    val pairs = banded
+      .groupBy(col("band_id"), col("band_hash"))
+      .agg(slice(sort_array(collect_set(col("doc_id"))), 1, maxBucket).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
+          struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+    // Verification stage: fetch shingles per side by id (two narrow joins
+    // against the id→shingles table instead of shipping arrays ×bands).
+    val shA = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val shB = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     pairs
+      .join(shA, "doc_a")
+      .join(shB, "doc_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType))
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType))
       .select(col("doc_a"), col("doc_b"), round(col("inter") / col("uni"), 6).as("jaccard"))

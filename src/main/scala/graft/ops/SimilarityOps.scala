@@ -29,25 +29,14 @@ object SimilarityOps {
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Deterministic pseudo-random hyperplane component for (bit, dim):
-    * hash → uniform in [-1, 1). No RNG, reproducible across runs/engines.
-    */
-  private def planeComponent(bit: Int, dim: Column): Column =
-    (pmod(xxhash64(lit(bit), dim), lit(1000000)).cast(DoubleType) / 500000.0) - 1.0
-
   /** nbits-bit random-hyperplane signature of an embedding; `table`
     * offsets the hyperplane seeds so each hash table is independent.
+    * Native expression ([[graft.functions.RhpBucketExpr]]) — the
+    * per-bit zip_with+aggregate HOF formulation was the q_ann_lsh
+    * bench hotspot (interpreted lambdas).
     */
-  def lshSignature(emb: Column, nbits: Int, table: Int = 0): Column = {
-    val dims = sequence(lit(0), size(emb) - 1)
-    val bits = (0 until nbits).map { b =>
-      val proj = aggregate(
-        zip_with(emb, dims, (x, i) => x * planeComponent(table * nbits + b, i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }
-    bits.reduce((x, y) => x.bitwiseOR(y))
-  }
+  def lshSignature(emb: Column, nbits: Int, table: Int = 0): Column =
+    graft.functions.HashFunctions.rhp_bucket(emb, nbits, table)
 
   /** Brute-force cosine top-k: queries broadcast against all candidates. */
   def cosineTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
