@@ -1,0 +1,173 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Second relational battery: multi-dimensional aggregation (rollup/
+  * cube), exact percentiles, set operations, HAVING, and the scalar
+  * string/math function surface — all oracle-checked. Rollup/cube keys
+  * are coalesced to '(all)' on both sides so the subtotal rows order
+  * identically (the raw data has no real NULL keys).
+  */
+object ExtraRelationalOps {
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q_rollup",
+      """SELECT coalesce(l_returnflag, '(all)') AS flag,
+        |  coalesce(l_linestatus, '(all)') AS status,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(l_quantity), 6) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 6).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("flag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("status"),
+          col("n"), col("sum_qty"))
+        .orderBy("flag", "status")
+    },
+
+    QueryDef(
+      "q_cube",
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |  coalesce(o_orderpriority, '(all)') AS priority,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(o_totalprice), 6) AS total
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 6).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("n"), col("total"))
+        .orderBy("status", "priority")
+    },
+
+    // Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    // quantile_cont).
+    QueryDef(
+      "q_percentile",
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+        |  round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99"))
+        .orderBy("l_returnflag")
+    },
+
+    QueryDef(
+      "q_intersect",
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderstatus") === "O").select("o_custkey")
+        .intersect(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+        .orderBy("o_custkey")
+    },
+
+    QueryDef(
+      "q_except",
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderstatus") === "O").select("o_custkey")
+        .except(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+        .orderBy("o_custkey")
+    },
+
+    QueryDef(
+      "q_distinct",
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .select("o_orderstatus", "o_orderpriority")
+        .distinct()
+        .orderBy("o_orderstatus", "o_orderpriority")
+    },
+
+    QueryDef(
+      "q_having",
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 3
+        |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 3)
+        .orderBy("o_custkey")
+    },
+
+    // Scalar string-function battery over part.
+    QueryDef(
+      "q_string_funcs",
+      """SELECT p_partkey,
+        |  upper(p_name) AS up,
+        |  lower(p_brand) AS lo,
+        |  substring(p_name, 1, 8) AS sub,
+        |  replace(p_type, ' ', '_') AS repl,
+        |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded,
+        |  CAST(length(p_name) AS BIGINT) AS len,
+        |  concat(p_brand, '|', p_type) AS joined,
+        |  reverse(p_brand) AS rev,
+        |  trim(p_name) AS trimmed
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up"),
+        lower(col("p_brand")).as("lo"),
+        substring(col("p_name"), 1, 8).as("sub"),
+        regexp_replace(col("p_type"), " ", "_").as("repl"),
+        lpad(col("p_size").cast(StringType), 4, "0").as("padded"),
+        length(col("p_name")).cast(LongType).as("len"),
+        concat(col("p_brand"), lit("|"), col("p_type")).as("joined"),
+        reverse(col("p_brand")).as("rev"),
+        trim(col("p_name")).as("trimmed"))
+        .orderBy("p_partkey")
+    },
+
+    // Scalar math-function battery over lineitem.
+    QueryDef(
+      "q_math_funcs",
+      """SELECT l_orderkey, l_linenumber,
+        |  round(abs(l_discount - 0.05), 6) AS a,
+        |  ceil(l_extendedprice / 1000) AS c,
+        |  floor(l_extendedprice / 1000) AS f,
+        |  round(sqrt(l_quantity), 6) AS sq,
+        |  round(exp(l_discount), 6) AS ex,
+        |  round(ln(l_extendedprice), 6) AS logn,
+        |  round(pow(l_quantity, 2), 6) AS p2,
+        |  CAST(sign(l_discount - 0.05) AS DOUBLE) AS sg,
+        |  CAST(l_quantity AS BIGINT) % 7 AS m
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(abs(col("l_discount") - 0.05), 6).as("a"),
+        ceil(col("l_extendedprice") / 1000).as("c"),
+        floor(col("l_extendedprice") / 1000).as("f"),
+        round(sqrt(col("l_quantity")), 6).as("sq"),
+        round(exp(col("l_discount")), 6).as("ex"),
+        round(log(col("l_extendedprice")), 6).as("logn"),
+        round(pow(col("l_quantity"), 2), 6).as("p2"),
+        signum(col("l_discount") - 0.05).as("sg"),
+        (col("l_quantity").cast(LongType) % 7).as("m"))
+        .orderBy("l_orderkey", "l_linenumber")
+    })
+}

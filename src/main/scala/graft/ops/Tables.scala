@@ -27,10 +27,26 @@ object Tables {
   def documents(spark: SparkSession, d: String): DataFrame = read(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = read(spark, d, "embeddings")
 
-  /** events with `ts` converted ns→µs TimestampType (UTC session tz). */
+  /** events with `ts` converted ns→µs TimestampType (UTC session tz).
+    * `ts_ns` keeps the raw parquet long: predicates on it push down to
+    * row-group min/max stats, which a predicate on the converted
+    * timestamp cannot (the conversion expression blocks pushdown — only
+    * IsNotNull reaches the scan otherwise).
+    */
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     read(spark, d, "events")
+      .withColumn("ts_ns", col("ts"))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Raw-ns range predicate for whole-second UTC bounds [from, to):
+    * equivalent to filtering the µs-truncated timestamp, but pushes to
+    * the parquet scan as a plain long comparison.
+    */
+  def tsNsRange(fromIso: String, toIso: String): org.apache.spark.sql.Column = {
+    def ns(s: String) = java.time.LocalDate.parse(s)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond * 1000000000L
+    col("ts_ns") >= ns(fromIso) && col("ts_ns") < ns(toIso)
   }
 }
