@@ -13,8 +13,8 @@ import graft.ops._
 object SparkEntry {
 
   val allDefs: Seq[QueryDef] =
-    SensorOps.all ++ RelationalOps.all ++ ExtraRelationalOps.all ++ TextOps.all ++
-      DedupOps.all ++ SimilarityOps.all ++ Multimodal.all
+    SensorOps.all ++ RelationalOps.all ++ ExtraRelationalOps.all ++ AdvancedOps.all ++
+      TextOps.all ++ DedupOps.all ++ SimilarityOps.all ++ Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
