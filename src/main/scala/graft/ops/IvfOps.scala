@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** IVF-style ANN (inverted-file index): assign every vector to its
+  * nearest centroid (nlist centroids, broadcast), search probes only the
+  * query's `nprobe` nearest cells. The standard scale path for
+  * embedding search: assignment is one broadcast pass over the corpus,
+  * search shuffles once on cell id.
+  *
+  * Centroid "training" is a deterministic stand-in (the first `nlist`
+  * vectors) so the oracle can reproduce it — production would plug a
+  * k-means sample here; everything downstream is unchanged.
+  */
+object IvfOps {
+  import SimilarityOps.{dot, l2norm}
+
+  private def withNorm(df: org.apache.spark.sql.DataFrame) = df.select(
+    col("vec_id"),
+    transform(col("embedding"), _.cast(DoubleType)).as("emb"))
+    .withColumn("norm", l2norm(col("emb")))
+
+  /** cell assignment: argmax cosine over broadcast centroids. */
+  private def assign(s: org.apache.spark.sql.SparkSession, d: String, nlist: Int) = {
+    val base = withNorm(Tables.embeddings(s, d))
+    val cents = base.filter(col("vec_id") < nlist).select(
+      col("vec_id").as("cid"), col("emb").as("cemb"), col("norm").as("cnorm"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))
+    base.crossJoin(broadcast(cents))
+      .withColumn("cos", round(dot(col("emb"), col("cemb")) / (col("norm") * col("cnorm")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid").as("cluster"), col("emb"), col("norm"))
+  }
+
+  private val assignSql =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+      |  FROM embeddings),
+      |c AS (SELECT vec_id AS cid, emb AS cemb, norm AS cnorm FROM e WHERE vec_id < 16),
+      |p AS (
+      |  SELECT e.vec_id, c.cid, e.emb, e.norm,
+      |    round(list_dot_product(e.emb, c.cemb) / (e.norm * c.cnorm), 6) AS cos
+      |  FROM e, c),
+      |assign AS (
+      |  SELECT vec_id, cid AS cluster, emb, norm FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM p)
+      |  WHERE rn = 1)""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q_ivf_assign",
+      s"""$assignSql
+         |SELECT vec_id, cluster FROM assign ORDER BY vec_id""".stripMargin) { (s, d) =>
+      assign(s, d, 16).select("vec_id", "cluster").orderBy("vec_id")
+    },
+
+    // IVF search: probe the query's 2 nearest cells, exact re-rank inside.
+    QueryDef(
+      "q_ivf_ann",
+      s"""$assignSql,
+         |qp AS (
+         |  SELECT vec_id AS q_id, cid, emb AS q_emb, norm AS q_norm FROM (
+         |    SELECT e.vec_id, c.cid, e.emb, e.norm,
+         |      round(list_dot_product(e.emb, c.cemb) / (e.norm * c.cnorm), 6) AS cos,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        round(list_dot_product(e.emb, c.cemb) / (e.norm * c.cnorm), 6) DESC, c.cid) AS rn
+         |    FROM e, c WHERE e.vec_id < 10)
+         |  WHERE rn <= 2),
+         |cand AS (
+         |  SELECT qp.q_id, qp.q_emb, qp.q_norm, a.vec_id, a.emb, a.norm
+         |  FROM qp JOIN assign a ON a.cluster = qp.cid AND a.vec_id <> qp.q_id),
+         |scored AS (
+         |  SELECT q_id, vec_id,
+         |    round(list_dot_product(emb, q_emb) / (norm * q_norm), 6) AS cosine
+         |  FROM cand)
+         |SELECT q_id, vec_id, cosine, CAST(rn AS BIGINT) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn
+         |  FROM scored)
+         |WHERE rn <= 3 ORDER BY q_id, rank""".stripMargin) { (s, d) =>
+      val assigned = assign(s, d, 16)
+      val base = withNorm(Tables.embeddings(s, d))
+      val cents = base.filter(col("vec_id") < 16).select(
+        col("vec_id").as("cid"), col("emb").as("cemb"), col("norm").as("cnorm"))
+      val wq = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cid"))
+      val probes = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("norm").as("q_norm"))
+        .crossJoin(broadcast(cents))
+        .withColumn("cos", round(dot(col("q_emb"), col("cemb")) / (col("q_norm") * col("cnorm")), 6))
+        .withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= 2)
+        .select("q_id", "q_emb", "q_norm", "cid")
+      val wr = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+      assigned
+        .join(broadcast(probes), col("cluster") === col("cid") && col("vec_id") =!= col("q_id"))
+        .withColumn("cosine", round(dot(col("emb"), col("q_emb")) / (col("norm") * col("q_norm")), 6))
+        .withColumn("rn", row_number().over(wr))
+        .filter(col("rn") <= 3)
+        .select(col("q_id"), col("vec_id"), col("cosine"), col("rn").cast(LongType).as("rank"))
+        .orderBy("q_id", "rank")
+    })
+}
