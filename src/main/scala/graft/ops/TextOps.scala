@@ -57,9 +57,10 @@ object TextOps {
         .orderBy("doc_id")
     },
 
-    // Language-ID heuristic: English function-word hit rate. (A richer
-    // char-n-gram profile version lives in graft.functions and is
-    // ScalaTest-verified; this is the oracle-checkable core.)
+    // Language-ID heuristic: English function-word hit rate — the
+    // oracle-checkable core. The real char-n-gram profile classifier is
+    // graft.functions.LangId (+ LangIdExpr column form, q_lang_id_ngram),
+    // ScalaTest-verified on multilingual samples.
     QueryDef(
       "q_lang_id",
       """SELECT doc_id,
@@ -74,6 +75,15 @@ object TextOps {
           col("doc_id"),
           hits.cast(LongType).as("en_hits"),
           when(hits >= 3, "en").when(hits >= 1, "en_maybe").otherwise("unk").as("predicted"))
+        .orderBy("doc_id")
+    },
+
+    // Char-n-gram language ID over documents (native expression; hash of
+    // the heuristic isn't DuckDB-expressible → rows-only + ScalaTest).
+    QueryDef.noOracle("q_lang_id_ngram") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.LangIdFunctions.lang_id(col("text")).as("lang_pred"))
         .orderBy("doc_id")
     },
 

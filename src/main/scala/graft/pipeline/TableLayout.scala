@@ -1,0 +1,52 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Physical table layout for the 100 TB deployment — the piece of the
+  * design that replaces the reference's btree indexes
+  * (stg_readings.sql:18-21, mart_daily_power.sql:20-22):
+  *
+  *   - Silver partitioned by `reading_date`: the serve range scan and the
+  *     affected-day recompute read only the touched date dirs (partition
+  *     pruning ≙ the reference's `(reading_date)` index); dynamic
+  *     partition overwrite makes the day-level merge an atomic
+  *     dir swap instead of a full rewrite.
+  *   - Bucketing by join key: two tables bucketed the same way join with
+  *     ZERO shuffle (SortMergeJoin over co-located buckets) — this is the
+  *     co-location the reference gets for free from a single Postgres
+  *     heap and we must design for across a cluster.
+  *
+  * Bucket count rule of thumb at scale: total_size / (128–256 MiB),
+  * rounded to a multiple of executor cores; the demo tests use 4.
+  */
+object TableLayout {
+
+  /** Write silver partitioned by day, atomically overwriting only the
+    * partitions present in `df` (dynamic overwrite).
+    */
+  def writeSilverPartitioned(df: DataFrame, path: String): Unit = {
+    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy("reading_date")
+      .parquet(path)
+  }
+
+  /** Save a table bucketed + sorted by `key` (requires saveAsTable — the
+    * bucket metadata lives in the catalog).
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two same-bucketed catalog tables on their bucket key — planner
+    * sees matching output partitioning on both sides and elides both
+    * exchanges.
+    */
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String, key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), key)
+}

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom stateful streaming: per-user sessionization with
+  * `flatMapGroupsWithState` — the surface Structured Streaming offers
+  * when windowed aggregation can't express the state machine (here:
+  * emit a session row only when the session CLOSES, carrying arbitrary
+  * per-session state across micro-batches).
+  *
+  * State per user = the open session (start, last event, count, value
+  * sum). An event with a gap >= `gapSeconds` closes the open session
+  * (emits it) and opens a new one. Event-time timeout evicts idle state
+  * — bounded state at any scale, keyed shuffle on user_id only.
+  */
+object StatefulSessions {
+
+  final case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
+  final case class OpenSession(start: Timestamp, last: Timestamp, n: Long, total: Double)
+  final case class ClosedSession(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp, n: Long, total: Double)
+
+  def sessionize(gapSeconds: Long)(
+      userId: Long,
+      events: Iterator[SessionEvent],
+      state: GroupState[OpenSession]): Iterator[ClosedSession] = {
+    val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.value))
+    var open = state.getOption
+    val closed = Seq.newBuilder[ClosedSession]
+    if (state.hasTimedOut) {
+      open.foreach(s => closed += ClosedSession(userId, s.start, s.last, s.n, s.total))
+      state.remove()
+      return closed.result().iterator
+    }
+    sorted.foreach { e =>
+      open match {
+        case Some(s) if (e.ts.getTime - s.last.getTime) / 1000.0 >= gapSeconds =>
+          closed += ClosedSession(userId, s.start, s.last, s.n, s.total)
+          open = Some(OpenSession(e.ts, e.ts, 1L, e.value))
+        case Some(s) =>
+          open = Some(OpenSession(s.start, e.ts, s.n + 1, s.total + e.value))
+        case None =>
+          open = Some(OpenSession(e.ts, e.ts, 1L, e.value))
+      }
+    }
+    open.foreach { s =>
+      state.update(s)
+      state.setTimeoutTimestamp(s.last.getTime + gapSeconds * 1000)
+    }
+    closed.result().iterator
+  }
+
+  /** Wire the state machine over a (possibly streaming) Dataset. */
+  def closedSessions(
+      spark: SparkSession,
+      events: Dataset[SessionEvent],
+      gapSeconds: Long = 1800L): Dataset[ClosedSession] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        sessionize(gapSeconds))
+  }
+}
