@@ -1,0 +1,65 @@
+package graft.parse
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.Models.ParsedReading
+
+/** Property layer over the pure parse/format functions (SURVEY §5):
+  * round-trips and invariants the example-based suite can't sweep.
+  * (Plain ScalaCheck Gen sampled deterministically — the scalatestplus
+  * bridge isn't among the offline deps.)
+  */
+class ParseProperties extends AnyFunSuite {
+
+  private def forAllN[A](gen: Gen[A], n: Int = 300)(f: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong))
+        .foreach(a => try f(a) catch {
+          case e: Throwable => fail(s"failed for sample #$i: $a — ${e.getMessage}")
+        })
+    }
+
+  private val tsGen = Gen.chooseNum(0L, 9999999999L)
+  private val nameGen = for {
+    head <- Gen.alphaChar
+    tail <- Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.const('_'))).map(_.mkString)
+  } yield s"$head$tail"
+  private val valueGen = Gen.chooseNum(-1e6, 1e6).map(v => math.rint(v * 100) / 100)
+
+  test("parseLine round-trips any well-formed line") {
+    forAllN(Gen.zip(tsGen, nameGen, valueGen)) { case (ts, name, v) =>
+      val parsed = LineParser.parseLine(s"$ts $name $v")
+      assert(parsed.contains(ParsedReading(ts, name, v)))
+    }
+  }
+
+  test("parseLine never accepts lines with wrong token count") {
+    val junkToken = Gen.oneOf("x", "1", "a_b", "-2.5")
+    forAllN(Gen.chooseNum(0, 2).flatMap(n => Gen.listOfN(n, junkToken))) { toks =>
+      assert(LineParser.parseLine(toks.mkString(" ")).isEmpty)
+    }
+    forAllN(Gen.zip(tsGen, nameGen, valueGen, junkToken)) { case (ts, n, v, extra) =>
+      assert(LineParser.parseLine(s"$ts $n $v $extra").isEmpty)
+    }
+  }
+
+  test("formatTimestampMillis always parses back via parseIsoDate at ms precision") {
+    forAllN(Gen.chooseNum(0L, 4102444800000L)) { millis =>
+      val i = java.time.Instant.ofEpochMilli(millis)
+      val s = LineParser.formatTimestampMillis(i)
+      assert(LineParser.parseIsoDate(s).contains(i))
+    }
+  }
+
+  test("strict silver validation accepts a strict subset of python parse") {
+    val tokGen = Gen.zip(Gen.alphaNumStr, Gen.alphaNumStr, Gen.alphaNumStr)
+    forAllN(tokGen, 1000) { case (a, b, c) =>
+      if (LineParser.validStrict(a, b, c)) {
+        assert(LineParser.parseLine(s"$a $b $c").isDefined,
+          s"strict accepted but python rejected: '$a $b $c'")
+      }
+    }
+  }
+}
