@@ -108,6 +108,52 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Oracle-checkable MinHash LSH: identical pipeline to
+    * [[minhashNearDups]] but hashed with md5 (hex-prefix min —
+    * lexicographic min of fixed-width hex ≡ unsigned numeric min), which
+    * DuckDB computes identically. Slower than the xxhash64 native-
+    * expression path (md5 per shingle × k) — this variant exists so the
+    * WHOLE candidate-generation + verification pipeline is hash-checked
+    * by the oracle, not just ScalaTest.
+    */
+  def minhashNearDupsMd5(
+      docs: DataFrame,
+      k: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.2): DataFrame = {
+    val sh = docs
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("grams"))
+    val sig = sh.withColumn("sig",
+      transform(sequence(lit(0), lit(k - 1)), j =>
+        array_min(transform(col("grams"), g =>
+          substring(md5(concat(j.cast(StringType), lit(":"), g)), 1, 16)))))
+    val nBands = k / rowsPerBand
+    val banded = sig.select(
+      col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(nBands - 1)), b =>
+        md5(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+        .as(Seq("band_id", "band_hash")))
+    val pairs = banded
+      .groupBy(col("band_id"), col("band_hash"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
+          struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val shA = sh.select(col("doc_id").as("doc_a"), col("grams").as("ga"))
+    val shB = sh.select(col("doc_id").as("doc_b"), col("grams").as("gb"))
+    pairs.join(shA, "doc_a").join(shB, "doc_b")
+      .select(
+        col("doc_a"), col("doc_b"),
+        round(
+          size(array_intersect(col("ga"), col("gb"))).cast(DoubleType) /
+            size(array_union(col("ga"), col("gb"))).cast(DoubleType), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // Exact dedup: hash-groupBy on content — one shuffle on the text hash,
@@ -173,6 +219,41 @@ object DedupOps {
     QueryDef.noOracle("q_minhash_lsh") { (s, d) =>
       minhashNearDups(Tables.documents(s, d), threshold = 0.3)
         .orderBy("doc_a", "doc_b")
+    },
+
+    // The same LSH pipeline with md5 hashing — fully oracle-checked:
+    // signatures, banding, candidate pairs, and jaccard verification all
+    // reproduce in DuckDB SQL (nested lambdas).
+    QueryDef(
+      "q_minhash_lsh_md5",
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, greatest(len(toks) - 2, 0) + 1)]) AS grams
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |  WHERE len(toks) >= 3),
+        |sig AS (
+        |  SELECT doc_id, grams,
+        |    list_transform(range(0, 16), j ->
+        |      list_min(list_transform(grams, g -> substr(md5(CAST(j AS VARCHAR) || ':' || g), 1, 16)))) AS sig
+        |  FROM d),
+        |bands AS (
+        |  SELECT doc_id, b AS band_id,
+        |    md5(array_to_string(sig[b * 4 + 1 : b * 4 + 4], ',')) AS band_hash
+        |  FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+        |pairs AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band_id = y.band_id AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+        |FROM pairs
+        |JOIN d a ON a.doc_id = doc_a
+        |JOIN d b ON b.doc_id = doc_b
+        |WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.grams, b.grams))), 6) >= 0.2
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      minhashNearDupsMd5(Tables.documents(s, d)).orderBy("doc_a", "doc_b")
     },
 
     // SimHash 64-bit fingerprints (rows-only; bit semantics ScalaTest-verified).

@@ -206,7 +206,17 @@ object Incremental {
   * one scan per rule.
   */
 object Quality {
-  sealed trait Check { def name: String; def violation: Column }
+  /** dbt severity semantics (_marts.yml:32-37): `error` fails the
+    * pipeline, `warn` is reported but non-fatal.
+    */
+  sealed trait Severity
+  case object Error extends Severity
+  case object Warn extends Severity
+
+  sealed trait Check {
+    def name: String; def violation: Column
+    def severity: Severity = Error
+  }
   final case class NotNull(column: String) extends Check {
     val name = s"not_null_$column"
     val violation: Column = col(column).isNull
@@ -215,13 +225,34 @@ object Quality {
     val name = s"accepted_values_$column"
     val violation: Column = !col(column).isin(values: _*) || col(column).isNull
   }
-  final case class ExpressionIsTrue(name: String, expr: Column) extends Check {
+  final case class ExpressionIsTrue(
+      name: String, expr: Column, override val severity: Severity = Error) extends Check {
     val violation: Column = !expr
   }
   // `unique` needs a grouped pass; evaluated separately below.
   final case class Unique(column: String) extends Check {
     val name = s"unique_$column"
     val violation: Column = lit(false)
+  }
+
+  final case class QualityFailure(failing: Seq[(String, Long)])
+    extends RuntimeException(
+      s"quality checks failed: ${failing.map { case (n, v) => s"$n=$v" }.mkString(", ")}")
+
+  /** The in-pipeline gate (DbtTestOperator analog,
+    * sensor_data_pipeline.py:93-96): throws on error-level violations,
+    * returns warn-level ones.
+    */
+  def assertAll(df: DataFrame, checks: Seq[Check]): Seq[(String, Long)] = {
+    val bySeverity = checks.map(c => c.name -> c.severity).toMap
+    val violations = run(df, checks).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .filter(_._2 > 0)
+    val (errors, warns) = violations.partition { case (n, _) =>
+      bySeverity.getOrElse(n, Error) == Error
+    }
+    if (errors.nonEmpty) throw QualityFailure(errors.toSeq)
+    warns.toSeq
   }
 
   /** One row: (check_name, violations). All scalar checks fold into a
@@ -260,6 +291,7 @@ object Quality {
       .map(NotNull.apply) ++
       Seq(
         AcceptedValues("metric_name", Seq("Power")),
-        ExpressionIsTrue("power_non_negative", col("metric_value") >= 0),
+        // severity warn in the reference (_marts.yml:32-37)
+        ExpressionIsTrue("power_non_negative", col("metric_value") >= 0, Warn),
         Unique("reading_date"))
 }

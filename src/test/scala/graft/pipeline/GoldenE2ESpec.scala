@@ -110,6 +110,37 @@ class GoldenE2ESpec extends AnyFunSuite {
     assert(math.abs(rows(0).getAs[Double]("metric_value") - expected) < 1e-12)
   }
 
+  test("serve facade: reference param semantics — date-only to inclusive, invalid dates rejected, missing params rejected") {
+    val bronze = bronzeOf(conftestLines, "2022-04-14 13:30:00")
+    val silver = SensorPipeline.bronzeToSilver(bronze, t0)
+    val gold = SensorPipeline.silverToGold(silver, t0)
+    // golden query: ?from=2022-04-14&to=2022-04-14 (date-only to => inclusive)
+    val ok = Serve.range(silver, gold, Some("2022-04-14"), Some("2022-04-14"))
+    assert(ok.isRight)
+    assert(ok.toOption.get.count() == 5)
+    // datetime `to` is truncated (exclusive midnight) => same day excluded
+    val empty = Serve.range(silver, gold, Some("2022-04-13"), Some("2022-04-14T13:10:17Z"))
+    assert(empty.toOption.get.count() == 0)
+    assert(Serve.range(silver, gold, None, Some("2022-04-15")).isLeft)
+    assert(Serve.range(silver, gold, Some("not a date"), Some("2022-04-15")).isLeft)
+    assert(Serve.range(silver, gold, Some("14-04-2022"), Some("2022-04-15")).isLeft)
+  }
+
+  test("quality gate: warn-level violations don't throw; error-level do") {
+    val bronze = bronzeOf(conftestLines, "2022-04-14 13:30:00")
+    val silver = SensorPipeline.bronzeToSilver(bronze, t0)
+    val gold = SensorPipeline.silverToGold(silver, t0)
+    assert(Quality.assertAll(gold, Quality.goldChecks).isEmpty)
+    // negative power: severity warn -> returned, not thrown
+    val negGold = gold.withColumn("metric_value", lit(-1.0))
+    val warns = Quality.assertAll(negGold, Quality.goldChecks)
+    assert(warns == Seq("power_non_negative" -> 1L))
+    // out-of-domain metric name: severity error -> throws
+    val badGold = gold.withColumn("metric_name", lit("Zap"))
+    val ex = intercept[Quality.QualityFailure](Quality.assertAll(badGold, Quality.goldChecks))
+    assert(ex.failing.exists(_._1 == "accepted_values_metric_name"))
+  }
+
   test("quality checks: all pass on golden silver+gold; violations counted on corrupt data") {
     val bronze = bronzeOf(conftestLines, "2022-04-14 13:30:00")
     val silver = SensorPipeline.bronzeToSilver(bronze, t0)
