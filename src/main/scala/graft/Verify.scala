@@ -22,6 +22,13 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // never leave a stale (previous-run) dump for a failing query —
+        // a leftover would false-pass the oracle compare
+        val dir = new java.io.File(s"$outDir/$name")
+        if (dir.exists()) {
+          dir.listFiles().foreach(_.delete())
+          dir.delete()
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

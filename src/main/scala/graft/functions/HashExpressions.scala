@@ -1,125 +1,97 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the hash-sketch hot paths.
   *
   * The column-HOF formulations (k × `transform`+`array_min` passes for
   * MinHash, 64 × `aggregate` passes for SimHash) are interpreted
   * per-element lambdas — measured ~10s for 5k docs at sf0.1. These
-  * expressions do the same math in one tight JVM loop per row over the
-  * shingle array (k mins updated in-place per shingle), using Spark's own
-  * XXH64 on the string bytes — no per-element Catalyst eval, no
-  * intermediate arrays. ~100× less overhead, and the semantics stay
-  * per-row/columnar so the operators above them are unchanged.
+  * expressions do the same math in one tight JVM loop per row
+  * ([[HashKernels]]), and participate in whole-stage codegen via
+  * `doGenCode` (the generated code calls the kernel directly — no boxed
+  * interpreted-eval dispatch, surrounding operators stay fused).
   */
-final case class MinHashSigExpr(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+trait KernelCodegen { self: UnaryExpression =>
+  /** Java expression for the kernel call, given the child variable. */
+  protected def kernelCall(ctx: CodegenContext, childVar: String): String
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  protected def kernelGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => kernelCall(ctx, c))
+
+  /** Static call target: scalac emits static forwarders for the
+    * standalone `HashKernels` object, so generated code calls the class
+    * directly — nothing to serialize into the plan.
+    */
+  protected final val kernels: String = "graft.functions.HashKernels"
+}
+
+/** Word n-gram shingles straight from the text column: split on single
+  * space, join each n consecutive tokens. Fewer than n tokens → one
+  * shingle of all tokens (matches the HOF/`split` semantics).
+  */
+final case class NgramShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression with KernelCodegen {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val mins = Array.fill(k)(Long.MaxValue)
-    var i = 0
-    val n = arr.numElements()
-    while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
-        var j = 0
-        while (j < k) {
-          val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, j.toLong)
-          if (h < mins(j)) mins(j) = h
-          j += 1
-        }
-      }
-      i += 1
-    }
-    new GenericArrayData(mins)
-  }
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.ngramShingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def kernelCall(ctx: CodegenContext, c: String): String =
+    s"$kernels.ngramShingles($c, $n)"
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    kernelGenCode(ctx, ev)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
-/** Word n-gram shingles straight from the text column: split on single
-  * space, join each n consecutive tokens. Replaces the
-  * sequence+transform+slice+concat_ws HOF chain (profiled ~4s for 5k docs
-  * — array copies per element, interpreted) with one JVM loop.
-  * Semantics match the HOF version: fewer than n tokens → one shingle of
-  * all tokens; split keeps empty tokens (Spark `split` semantics).
+/** MinHash signature (Broder '97): per permutation j < k, min over
+  * shingles of XXH64(shingle, seed=j). One pass over the array, k mins
+  * updated in place.
   */
-final case class NgramShinglesExpr(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+final case class MinHashSigExpr(child: Expression, k: Int)
+    extends UnaryExpression with KernelCodegen {
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
-    val toks = text.split(" ", -1)
-    val out =
-      if (toks.length <= n) Array(toks.mkString(" "))
-      else {
-        val m = toks.length - n + 1
-        val arr = new Array[String](m)
-        var i = 0
-        while (i < m) {
-          val sb = new java.lang.StringBuilder(toks(i))
-          var j = 1
-          while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
-          arr(i) = sb.toString
-          i += 1
-        }
-        arr
-      }
-    new GenericArrayData(out.map(org.apache.spark.unsafe.types.UTF8String.fromString))
-  }
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.minhashSig(input.asInstanceOf[ArrayData], k)
+
+  override protected def kernelCall(ctx: CodegenContext, c: String): String =
+    s"$kernels.minhashSig($c, $k)"
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    kernelGenCode(ctx, ev)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 /** 64-bit SimHash (Charikar '02): per bit, majority vote of shingle-hash
-  * bits; one pass over the array, 64 counters updated per shingle.
+  * bits; one pass, 64 counters.
   */
 final case class SimHash64Expr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelCodegen {
 
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val votes = new Array[Int](64)
-    var i = 0
-    val n = arr.numElements()
-    while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
-        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-          b += 1
-        }
-      }
-      i += 1
-    }
-    var out = 0L
-    var b = 0
-    while (b < 64) {
-      if (votes(b) > 0) out |= (1L << b)
-      b += 1
-    }
-    java.lang.Long.valueOf(out)
-  }
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(HashKernels.simhash64(input.asInstanceOf[ArrayData]))
+
+  override protected def kernelCall(ctx: CodegenContext, c: String): String =
+    s"$kernels.simhash64($c)"
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    kernelGenCode(ctx, ev)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -128,42 +100,27 @@ final case class SimHash64Expr(child: Expression)
 /** Random-hyperplane LSH bucket (Charikar '02) over an array<double>
   * embedding: nbits sign-bits of dot products with deterministic
   * pseudo-random hyperplanes (component for (bit,dim) derived from
-  * XXH64(dim, seed=globalBit), uniform in [-1,1)). One JVM loop instead
-  * of nbits × zip_with+aggregate interpreted passes.
+  * XXH64(dim, seed=globalBit), uniform in [-1,1)).
   */
 final case class RhpBucketExpr(child: Expression, nbits: Int, table: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelCodegen {
 
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    var bucket = 0L
-    var b = 0
-    while (b < nbits) {
-      val globalBit = table * nbits + b
-      var proj = 0.0
-      var i = 0
-      while (i < n) {
-        val h = XXH64.hashLong(i.toLong, globalBit.toLong)
-        val comp = java.lang.Math.floorMod(h, 1000000L).toDouble / 500000.0 - 1.0
-        proj += arr.getDouble(i) * comp
-        i += 1
-      }
-      if (proj >= 0) bucket |= (1L << b)
-      b += 1
-    }
-    java.lang.Long.valueOf(bucket)
-  }
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(HashKernels.rhpBucket(input.asInstanceOf[ArrayData], nbits, table))
+
+  override protected def kernelCall(ctx: CodegenContext, c: String): String =
+    s"$kernels.rhpBucket($c, $nbits, $table)"
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    kernelGenCode(ctx, ev)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 object HashFunctions {
-  import org.apache.spark.sql.graftbridge.ColumnBridge
 
   /** MinHash signature (array<long> of length k) over an array<string>. */
   def minhash_sig(c: Column, k: Int): Column =

