@@ -64,7 +64,8 @@ def main(sf_dir, out_dir):
             print(f"   duckdb: {erows[bad]}")
             n_fail += 1
             continue
-        print(f"PASS {name} ({len(got)} rows)")
+        flag = "  [WARN: 0-row match is vacuous]" if len(got) == 0 else ""
+        print(f"PASS {name} ({len(got)} rows){flag}")
         n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0

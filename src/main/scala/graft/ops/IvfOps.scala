@@ -52,6 +52,32 @@ object IvfOps {
 
   val all: Seq[QueryDef] = Seq(
 
+    // Embedding-cosine near-duplicate pairs: candidates restricted to the
+    // same IVF cell (one shuffle on cluster id — never the all-pairs
+    // product), exact cosine threshold inside. The embedding-space analog
+    // of MinHash-LSH text dedup.
+    QueryDef(
+      "q_embed_near_dup",
+      s"""$assignSql
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  round(list_dot_product(a.emb, b.emb) / (a.norm * b.norm), 6) AS cosine
+         |FROM assign a JOIN assign b
+         |  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |WHERE round(list_dot_product(a.emb, b.emb) / (a.norm * b.norm), 6) >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+      val assigned = assign(s, d, 16)
+      val a = assigned.select(
+        col("cluster"), col("vec_id").as("vec_a"), col("emb").as("ea"), col("norm").as("na"))
+      val b = assigned.select(
+        col("cluster").as("cluster_b"), col("vec_id").as("vec_b"),
+        col("emb").as("eb"), col("norm").as("nb"))
+      a.join(b, col("cluster") === col("cluster_b") && col("vec_a") < col("vec_b"))
+        .withColumn("cosine", round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+        .filter(col("cosine") >= 0.4)
+        .select("vec_a", "vec_b", "cosine")
+        .orderBy("vec_a", "vec_b")
+    },
+
     QueryDef(
       "q_ivf_assign",
       s"""$assignSql

@@ -22,14 +22,35 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 object TableLayout {
 
   /** Write silver partitioned by day, atomically overwriting only the
-    * partitions present in `df` (dynamic overwrite).
+    * partitions present in `df` (dynamic overwrite). Rows are sorted
+    * within each file by (metric_name, reading_time) so parquet row-group
+    * min/max stats skip by metric — the translation of the reference's
+    * `(reading_date, metric_name)` composite index (stg_readings.sql:21).
     */
   def writeSilverPartitioned(df: DataFrame, path: String): Unit = {
     df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    df.write
+    df.sortWithinPartitions("reading_date", "metric_name", "reading_time")
+      .write
       .mode(SaveMode.Overwrite)
       .partitionBy("reading_date")
       .parquet(path)
+  }
+
+  /** Small-file compaction: rewrite a (partitioned) parquet path to
+    * ~targetFileMB files per partition. The maintenance pass an
+    * append-heavy Bronze/Silver needs at scale — streaming drains and
+    * per-hour increments otherwise accrete thousands of KB-sized files
+    * whose open/footer costs dominate scans.
+    */
+  def compact(spark: SparkSession, path: String, targetFileMB: Int = 256): Unit = {
+    val df = spark.read.parquet(path)
+    val totalBytes = df.inputFiles.map(f =>
+      new java.io.File(f.stripPrefix("file:")).length()).sum
+    val nFiles = math.max(1, (totalBytes / (targetFileMB * 1024L * 1024L)).toInt)
+    val tmp = path + ".compact"
+    df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val compacted = spark.read.parquet(tmp)
+    compacted.write.mode(SaveMode.Overwrite).parquet(path)
   }
 
   /** Save a table bucketed + sorted by `key` (requires saveAsTable — the

@@ -70,6 +70,19 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction: many small files -> few target-size files, identical data") {
+    val root = Files.createTempDirectory("graft-compact").toFile.getAbsolutePath
+    val df = spark.range(0, 10000).toDF("id").withColumn("v", col("id") * 2)
+    df.repartition(50).write.parquet(s"$root/t") // 50 tiny files
+    val before = spark.read.parquet(s"$root/t")
+    assert(before.inputFiles.length == 50)
+    val sumBefore = before.agg(sum("v")).head.getLong(0)
+    TableLayout.compact(spark, s"$root/t", targetFileMB = 256)
+    val after = spark.read.parquet(s"$root/t")
+    assert(after.inputFiles.length < 5, s"expected few files, got ${after.inputFiles.length}")
+    assert(after.count() == 10000 && after.agg(sum("v")).head.getLong(0) == sumBefore)
+  }
+
   test("typed PowerAggregator matches the untyped pivot on the golden batch") {
     import graft.functions.PowerAggregator
     val readings = Seq(
