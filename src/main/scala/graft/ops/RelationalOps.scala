@@ -111,13 +111,18 @@ object RelationalOps {
     },
 
     // J3: left-anti (NOT EXISTS) — the merge building block (SURVEY §4.3).
+    // Filtered right side keeps the result non-empty (every customer has
+    // SOME order in this data; a 0-row oracle match would be vacuous).
     QueryDef(
       "q_join_anti",
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
         |ORDER BY c_custkey""".stripMargin) { (s, d) =>
       Tables.customer(s, d)
-        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(
+          Tables.orders(s, d).filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
     },

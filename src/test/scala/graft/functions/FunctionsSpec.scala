@@ -38,6 +38,20 @@ class FunctionsSpec extends AnyFunSuite {
     assert(counts.getOrElse("en", 0L) > 250, s"expected en-dominant, got $counts")
   }
 
+  test("SQL registration: native expressions callable from spark.sql") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT lang_id('the quick brown fox and the lazy dog of the hill') AS lang,
+        |  simhash64(ngram_shingles('a b c d e', 2)) AS sh,
+        |  minhash_sig(ngram_shingles('a b c d e', 2), 4) AS sig,
+        |  rhp_bucket(array(0.1D, -0.2D, 0.3D), 4, 0) AS bucket""".stripMargin).head()
+    assert(r.getString(0) == "en")
+    assert(r.getSeq[Long](r.fieldIndex("sig")).length == 4)
+    // deterministic across invocations
+    val r2 = spark.sql("SELECT simhash64(ngram_shingles('a b c d e', 2)) AS sh").head()
+    assert(r.getAs[Long]("sh") == r2.getAs[Long]("sh"))
+  }
+
   test("stateful sessionizer: batch semantics (gap closes, state carries)") {
     import graft.streaming.StatefulSessions._
     import java.sql.Timestamp
