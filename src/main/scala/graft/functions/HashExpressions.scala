@@ -97,6 +97,27 @@ final case class SimHash64Expr(child: Expression)
     copy(child = newChild)
 }
 
+/** Karp-Rabin polynomial rolling hash of a string (mod 2^31-1, base 31,
+  * over code points) — the classic document-fingerprinting kernel.
+  */
+final case class RollingHashExpr(child: Expression)
+    extends UnaryExpression with KernelCodegen {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(HashKernels.rollingHash(input.asInstanceOf[UTF8String]))
+
+  override protected def kernelCall(ctx: CodegenContext, c: String): String =
+    s"$kernels.rollingHash($c)"
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    kernelGenCode(ctx, ev)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Random-hyperplane LSH bucket (Charikar '02) over an array<double>
   * embedding: nbits sign-bits of dot products with deterministic
   * pseudo-random hyperplanes (component for (bit,dim) derived from
@@ -137,4 +158,8 @@ object HashFunctions {
   /** Random-hyperplane LSH bucket over an array<double> embedding. */
   def rhp_bucket(c: Column, nbits: Int, table: Int): Column =
     ColumnBridge.column(RhpBucketExpr(ColumnBridge.expression(c), nbits, table))
+
+  /** Karp-Rabin polynomial rolling hash of a string. */
+  def rolling_hash(c: Column): Column =
+    ColumnBridge.column(RollingHashExpr(ColumnBridge.expression(c)))
 }

@@ -74,6 +74,22 @@ object HashKernels {
     out
   }
 
+  /** Karp-Rabin polynomial rolling hash over code points:
+    * acc = (acc*31 + cp) mod 2^31-1. Matches DuckDB
+    * `list_reduce(list_prepend(0::BIGINT, [ascii(s[i]) ...]), (a,b) -> (a*31+b) % 2147483647)`.
+    */
+  def rollingHash(text: UTF8String): Long = {
+    val s = text.toString
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31 + cp) % 2147483647L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
   def rhpBucket(arr: ArrayData, nbits: Int, table: Int): Long = {
     val n = arr.numElements()
     var bucket = 0L

@@ -87,6 +87,33 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // Rolling-hash fingerprinting (Karp-Rabin + winnowing-style window
+    // min): whole-doc polynomial hash (native kernel, oracle-checked
+    // against DuckDB's list_reduce) + min md5 over all 32-char windows —
+    // the near-dup fingerprint robust to local edits.
+    QueryDef(
+      "q_rolling_fingerprint",
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    [CAST(ascii(text[i]) AS BIGINT) FOR i IN range(1, len(text) + 1)]),
+        |    (a, b) -> (a * 31 + b) % 2147483647) AS poly_hash,
+        |  CASE WHEN len(text) >= 32 THEN
+        |    list_min([substr(md5(text[i:i+31]), 1, 16) FOR i IN range(1, len(text) - 31 + 1)])
+        |  END AS winnow_min
+        |FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val len = length(col("text"))
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 5 === 0)
+        .select(
+          col("doc_id"),
+          graft.functions.HashFunctions.rolling_hash(col("text")).as("poly_hash"),
+          when(len >= 32,
+            array_min(transform(sequence(lit(1), len - 31), i =>
+              substring(md5(col("text").substr(i, lit(32))), 1, 16))))
+            .as("winnow_min"))
+        .orderBy("doc_id")
+    },
+
     // Document fingerprint: md5 over whitespace-normalized lowercased text
     // — the exact-dup key used by content-defined dedup.
     QueryDef(
