@@ -51,6 +51,54 @@ object ExtraRelationalOps {
         .orderBy("status", "priority")
     },
 
+    // Arbitrary GROUPING SETS (beyond rollup/cube): per-flag totals and
+    // per-status totals in one pass.
+    QueryDef(
+      "q_grouping_sets",
+      """SELECT coalesce(l_returnflag, '(all)') AS flag,
+        |  coalesce(l_linestatus, '(all)') AS status,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(l_extendedprice), 6) AS total
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY flag, status""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_gs")
+      s.sql(
+        """SELECT coalesce(l_returnflag, '(all)') AS flag,
+          |  coalesce(l_linestatus, '(all)') AS status,
+          |  count(*) AS n,
+          |  round(sum(l_extendedprice), 6) AS total
+          |FROM lineitem_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+          |ORDER BY flag, status""".stripMargin)
+    },
+
+    // Statistical moments + bivariate aggregates.
+    QueryDef(
+      "q_stats_moments",
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_extendedprice), 6) AS sd,
+        |  round(var_samp(l_quantity), 6) AS vr,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS cor,
+        |  round(covar_samp(l_quantity, l_extendedprice), 6) AS cov,
+        |  round(skewness(l_extendedprice) * (count(*) - 2) / sqrt(count(*) * (count(*) - 1.0)), 6) AS skew,
+        |  round(kurtosis_pop(l_extendedprice), 6) AS kurt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      // Spark's skewness/kurtosis are POPULATION estimators; DuckDB's are
+      // sample-corrected — oracle uses kurtosis_pop and converts skewness
+      // by the exact (n-2)/sqrt(n(n-1)) factor.
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_extendedprice")), 6).as("sd"),
+          round(var_samp(col("l_quantity")), 6).as("vr"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("cor"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 6).as("cov"),
+          round(skewness(col("l_extendedprice")), 6).as("skew"),
+          round(kurtosis(col("l_extendedprice")), 6).as("kurt"))
+        .orderBy("l_returnflag")
+    },
+
     // Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
     // quantile_cont).
     QueryDef(
