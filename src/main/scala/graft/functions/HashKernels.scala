@@ -90,6 +90,21 @@ object HashKernels {
     acc
   }
 
+  /** Sequential-fold dot product over two array<double> columns —
+    * bit-identical to the zip_with+aggregate HOF form and to DuckDB's
+    * list_dot_product (same left-to-right summation order).
+    */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
   def rhpBucket(arr: ArrayData, nbits: Int, table: Int): Long = {
     val n = arr.numElements()
     var bucket = 0L

@@ -24,8 +24,12 @@ object SimilarityOps {
   /** embedding cast float→double (exact widening). */
   private def embDouble(c: Column): Column = transform(c, _.cast(DoubleType))
 
+  /** Native kernel ([[graft.functions.DotExpr]]): same left-to-right
+    * summation as the zip_with+aggregate HOF and DuckDB list_dot_product
+    * (bit-identical for the oracle), without interpreted lambdas.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.HashFunctions.dot_product(a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
