@@ -20,7 +20,8 @@ object TextOps2 {
       right: org.apache.spark.sql.DataFrame,
       key: String,
       n: Int): org.apache.spark.sql.DataFrame = {
-    val salted = left.withColumn("__salt", pmod(xxhash64(struct(left.columns.map(col): _*)), lit(n)))
+    val salted = left.withColumn("__salt",
+      pmod(xxhash64(struct(left.columns.toIndexedSeq.map(col): _*)), lit(n)))
     val replicated = right.withColumn("__salt", explode(array((0 until n).map(lit): _*)))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }

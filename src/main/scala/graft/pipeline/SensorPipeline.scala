@@ -160,7 +160,7 @@ object Incremental {
     target match {
       case None => epoch0
       case Some(df) =>
-        Option(df.agg(max(col(tsCol))).head.getTimestamp(0)).getOrElse(epoch0)
+        Option(df.agg(max(col(tsCol))).head().getTimestamp(0)).getOrElse(epoch0)
     }
 
   /** One Silver increment: bronze rows newer than the watermark, parsed,
