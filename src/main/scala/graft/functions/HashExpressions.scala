@@ -141,6 +141,36 @@ final case class RhpBucketExpr(child: Expression, nbits: Int, table: Int)
     copy(child = newChild)
 }
 
+/** Winnowing window-min fingerprint (min md5-prefix over all
+  * `window`-char substrings); null when text is shorter than the window.
+  * NOT null-intolerant on output — returns null for short texts — but
+  * null input still yields null via UnaryExpression's default.
+  */
+final case class WinnowMinExpr(child: Expression, window: Int)
+    extends UnaryExpression with KernelCodegen {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.winnowMin(input.asInstanceOf[UTF8String], window)
+
+  override protected def kernelCall(ctx: CodegenContext, c: String): String =
+    s"$kernels.winnowMin($c, $window)"
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // kernel may return null for short texts: generated code must
+    // null-check the result, so use nullSafeCodeGen with an explicit
+    // isNull update rather than defineCodeGen
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $kernels.winnowMin($c, $window);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Dot product of two array<double> columns: sequential fold, same
   * summation order as the HOF form and DuckDB's list_dot_product (so
   * results stay bit-identical for the oracle), ~5× less per-pair
@@ -188,4 +218,8 @@ object HashFunctions {
   /** Dot product of two array<double> columns (sequential fold). */
   def dot_product(a: Column, b: Column): Column =
     ColumnBridge.column(DotExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Winnowing min-md5-prefix fingerprint over `window`-char substrings. */
+  def winnow_min(c: Column, window: Int): Column =
+    ColumnBridge.column(WinnowMinExpr(ColumnBridge.expression(c), window))
 }

@@ -90,6 +90,36 @@ object HashKernels {
     acc
   }
 
+  /** Winnowing-style fingerprint: minimum md5-hex prefix (16 chars)
+    * over all `window`-char substrings. Matches the SQL HOF form
+    * `list_min([substr(md5(s[i:i+w-1]),1,16) ...])` — MessageDigest md5
+    * of the UTF-8 bytes equals the SQL md5 of the substring. Returns
+    * null (None) when the text is shorter than the window.
+    */
+  def winnowMin(text: UTF8String, window: Int): UTF8String = {
+    val s = text.toString
+    if (s.length < window) return null
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var best: String = null
+    var i = 0
+    val last = s.length - window
+    while (i <= last) {
+      md.reset()
+      val digest = md.digest(s.substring(i, i + window).getBytes("UTF-8"))
+      val sb = new java.lang.StringBuilder(16)
+      var j = 0
+      while (j < 8) { // 8 bytes = 16 hex chars
+        sb.append(Character.forDigit((digest(j) >> 4) & 0xf, 16))
+        sb.append(Character.forDigit(digest(j) & 0xf, 16))
+        j += 1
+      }
+      val hex = sb.toString
+      if (best == null || hex.compareTo(best) < 0) best = hex
+      i += 1
+    }
+    UTF8String.fromString(best)
+  }
+
   /** Sequential-fold dot product over two array<double> columns —
     * bit-identical to the zip_with+aggregate HOF form and to DuckDB's
     * list_dot_product (same left-to-right summation order).

@@ -101,16 +101,14 @@ object TextOps {
         |    list_min([substr(md5(text[i:i+31]), 1, 16) FOR i IN range(1, len(text) - 31 + 1)])
         |  END AS winnow_min
         |FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val len = length(col("text"))
       Tables.documents(s, d)
         .filter(col("doc_id") % 5 === 0)
         .select(
           col("doc_id"),
           graft.functions.HashFunctions.rolling_hash(col("text")).as("poly_hash"),
-          when(len >= 32,
-            array_min(transform(sequence(lit(1), len - 31), i =>
-              substring(md5(col("text").substr(i, lit(32))), 1, 16))))
-            .as("winnow_min"))
+          // native kernel (WinnowMinExpr); null for texts under 32 chars,
+          // matching the SQL CASE guard
+          graft.functions.HashFunctions.winnow_min(col("text"), 32).as("winnow_min"))
         .orderBy("doc_id")
     },
 
