@@ -157,6 +157,54 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over near-dup pairs — the step that turns
+    * pairwise similarity into dedup GROUPS. Iterative min-label
+    * propagation (large-star/small-star style): each node repeatedly
+    * adopts the minimum label in its neighborhood until fixpoint. Each
+    * iteration is one join + one aggregation, both keyed on node id, so
+    * the cost is O(E) per round and rounds ≈ graph diameter (near-dup
+    * graphs are shallow — duplicates of the same source document).
+    *
+    * Returns (doc_id, component) where component = min doc_id reachable.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // each node's candidate label: min of its own and its neighbors'
+      val neighborLabels = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("component"))
+      val updated = labels.unionByName(neighborLabels)
+        .groupBy("id").agg(min("component").as("component"))
+        .persist()
+      val changed = updated.join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") =!= col("old")).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("component"))
+  }
+
+  /** End-to-end dedup: exact + near-dup groups with a canonical survivor
+    * (min doc_id) per group. Returns (doc_id, canonical_id, is_canonical).
+    */
+  def dedupGroups(docs: DataFrame, threshold: Double = 0.3): DataFrame = {
+    val pairs = minhashNearDups(docs, threshold = threshold)
+    val comps = connectedComponents(pairs)
+    docs.select(col("doc_id"))
+      .join(comps, Seq("doc_id"), "left")
+      .withColumn("canonical_id", coalesce(col("component"), col("doc_id")))
+      .withColumn("is_canonical", col("doc_id") === col("canonical_id"))
+      .select("doc_id", "canonical_id", "is_canonical")
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // Exact dedup: hash-groupBy on content — one shuffle on the text hash,
@@ -257,6 +305,13 @@ object DedupOps {
         |      / len(list_distinct(list_concat(a.grams, b.grams))), 6) >= 0.2
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       minhashNearDupsMd5(Tables.documents(s, d)).orderBy("doc_a", "doc_b")
+    },
+
+    // Full dedup pipeline: minhash near-dups -> connected components ->
+    // canonical survivor per group (iterative — ScalaTest-verified on
+    // planted transitive chains; rows-only for the driver).
+    QueryDef.noOracle("q_dedup_groups") { (s, d) =>
+      dedupGroups(Tables.documents(s, d)).orderBy("doc_id")
     },
 
     // SimHash 64-bit fingerprints (rows-only; bit semantics ScalaTest-verified).

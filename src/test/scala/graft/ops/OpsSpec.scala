@@ -71,6 +71,29 @@ class OpsSpec extends AnyFunSuite {
     assert(overlap >= 1, s"ANN found no exact-top-3 neighbors at all ($annKeys)")
   }
 
+  test("connected components groups transitive near-dups; canonical selection keeps min id") {
+    // planted: {1,2,3} chained near-dups (1~2, 2~3 but 1!~3 directly),
+    // {10,11} a pair, {20} isolated
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.85), (10L, 11L, 0.7))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val comps = DedupOps.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(1L) == 1L && comps(2L) == 1L && comps(3L) == 1L,
+      s"chain must collapse transitively: $comps")
+    assert(comps(10L) == 10L && comps(11L) == 10L)
+
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again until done"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again until finished"),
+      (20L, "completely different text about query engines and columnar execution today"))
+      .toDF("doc_id", "text")
+    val groups = DedupOps.dedupGroups(docs, threshold = 0.3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(groups(1L) == (1L, true))
+    assert(groups(2L)._1 == 1L && !groups(2L)._2, "near-dup collapses to canonical 1")
+    assert(groups(20L) == (20L, true), "isolated doc is its own canonical")
+  }
+
   test("approx_count_distinct within 10% of exact") {
     val e = Tables.events(spark, sf)
     val exact = e.groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
