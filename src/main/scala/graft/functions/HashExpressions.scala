@@ -141,6 +141,28 @@ final case class RhpBucketExpr(child: Expression, nbits: Int, table: Int)
     copy(child = newChild)
 }
 
+/** md5-based MinHash signature (array<string> of 16-hex-char mins),
+  * byte-identical to the SQL md5 formulation — the oracle-checkable
+  * variant of MinHashSigExpr.
+  */
+final case class Md5MinHashSigExpr(child: Expression, k: Int)
+    extends UnaryExpression with KernelCodegen {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.md5MinhashSig(input.asInstanceOf[ArrayData], k)
+
+  override protected def kernelCall(ctx: CodegenContext, c: String): String =
+    s"$kernels.md5MinhashSig($c, $k)"
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    kernelGenCode(ctx, ev)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Winnowing window-min fingerprint (min md5-prefix over all
   * `window`-char substrings); null when text is shorter than the window.
   * NOT null-intolerant on output — returns null for short texts — but
@@ -222,4 +244,8 @@ object HashFunctions {
   /** Winnowing min-md5-prefix fingerprint over `window`-char substrings. */
   def winnow_min(c: Column, window: Int): Column =
     ColumnBridge.column(WinnowMinExpr(ColumnBridge.expression(c), window))
+
+  /** md5-based MinHash signature (oracle-reproducible variant). */
+  def md5_minhash_sig(c: Column, k: Int): Column =
+    ColumnBridge.column(Md5MinHashSigExpr(ColumnBridge.expression(c), k))
 }

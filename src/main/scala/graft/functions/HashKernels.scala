@@ -90,6 +90,45 @@ object HashKernels {
     acc
   }
 
+  /** md5-based MinHash signature: for each permutation j < k, the
+    * minimum 16-hex-char prefix of md5("j:" + shingle) over all
+    * shingles — byte-identical to the SQL
+    * `list_min(list_transform(grams, g -> substr(md5(j || ':' || g),1,16)))`
+    * formulation, so the oracle can reproduce it, at kernel speed.
+    */
+  def md5MinhashSig(arr: ArrayData, k: Int): ArrayData = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val mins = new Array[String](k)
+    var j = 0
+    while (j < k) {
+      val prefix = (j.toString + ":").getBytes("UTF-8")
+      var best: String = null
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          md.reset()
+          md.update(prefix)
+          md.update(arr.getUTF8String(i).getBytes)
+          val digest = md.digest()
+          val sb = new java.lang.StringBuilder(16)
+          var b = 0
+          while (b < 8) {
+            sb.append(Character.forDigit((digest(b) >> 4) & 0xf, 16))
+            sb.append(Character.forDigit(digest(b) & 0xf, 16))
+            b += 1
+          }
+          val hex = sb.toString
+          if (best == null || hex.compareTo(best) < 0) best = hex
+        }
+        i += 1
+      }
+      mins(j) = best
+      j += 1
+    }
+    new GenericArrayData(mins.map(s => if (s == null) null else UTF8String.fromString(s)))
+  }
+
   /** Winnowing-style fingerprint: minimum md5-hex prefix (16 chars)
     * over all `window`-char substrings. Matches the SQL HOF form
     * `list_min([substr(md5(s[i:i+w-1]),1,16) ...])` — MessageDigest md5

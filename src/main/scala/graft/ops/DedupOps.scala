@@ -121,16 +121,14 @@ object DedupOps {
       k: Int = 16,
       rowsPerBand: Int = 4,
       threshold: Double = 0.2): DataFrame = {
-    // deterministic 1/3 subset: md5-per-shingle×k through HOFs is the
-    // price of oracle expressibility — bound it (the xxhash64 native
-    // path covers the full corpus)
     val sh = docs
-      .filter(col("doc_id") % 3 === 0 && size(split(col("text"), " ")) >= 3)
+      .filter(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("grams"))
+    // native kernel (Md5MinHashSigExpr) — byte-identical to the SQL md5
+    // formulation, so the full corpus stays oracle-coverable at kernel
+    // speed (the HOF form needed a 1/3 subset to stay in budget)
     val sig = sh.withColumn("sig",
-      transform(sequence(lit(0), lit(k - 1)), j =>
-        array_min(transform(col("grams"), g =>
-          substring(md5(concat(j.cast(StringType), lit(":"), g)), 1, 16)))))
+      graft.functions.HashFunctions.md5_minhash_sig(col("grams"), k))
     val nBands = k / rowsPerBand
     val banded = sig.select(
       col("doc_id"),
@@ -168,8 +166,12 @@ object DedupOps {
     * Returns (doc_id, component) where component = min doc_id reachable.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    // materialize the edge list ONCE: every propagation round joins it,
+    // and without the cache each round would recompute the (expensive)
+    // upstream pair-generation pipeline
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
     var converged = false
@@ -189,6 +191,7 @@ object DedupOps {
       converged = changed == 0
       i += 1
     }
+    edges.unpersist()
     labels.select(col("id").as("doc_id"), col("component"))
   }
 
@@ -281,7 +284,7 @@ object DedupOps {
         |  SELECT doc_id,
         |    list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, greatest(len(toks) - 2, 0) + 1)]) AS grams
         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-        |  WHERE doc_id % 3 = 0 AND len(toks) >= 3),
+        |  WHERE len(toks) >= 3),
         |sig AS (
         |  SELECT doc_id, grams,
         |    list_transform(range(0, 16), j ->
