@@ -84,6 +84,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(0).getAs[java.sql.Date]("reading_date").toString == "2022-04-14")
   }
 
+  test("streaming dedup with watermark + stream-static dim join") {
+    val root = Files.createTempDirectory("graft-sdedup").toFile.getAbsolutePath
+    val in = Seq(
+      (1L, "2024-01-01 10:00:00", 1.0),
+      (1L, "2024-01-01 10:00:00", 1.0), // exact duplicate delivery
+      (2L, "2024-01-01 10:05:00", 2.0),
+      (2L, "2024-01-01 10:06:00", 2.5)) // same key, different event time: kept
+      .toDF("sensor_id", "t", "value")
+      .withColumn("ts", to_timestamp(col("t")))
+      .select("sensor_id", "ts", "value")
+    in.write.mode("overwrite").parquet(s"$root/in")
+
+    val dim = Seq((1L, "hall"), (2L, "roof")).toDF("sensor_id", "location")
+    val stream = spark.readStream.schema(in.schema).parquet(s"$root/in")
+      // streaming exactly-once dedup on (key, event-time) with bounded
+      // state via watermark; then enrich against a static dim (no state)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("sensor_id", "ts")
+      .join(dim, "sensor_id")
+    val q = stream.writeStream
+      .outputMode("append").format("memory").queryName("sdedup_out")
+      .option("checkpointLocation", s"$root/ckpt").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sdedup_out").collect()
+    assert(rows.length == 3, s"duplicate delivery dropped, distinct times kept: ${rows.mkString}")
+    assert(rows.forall(r => Seq("hall", "roof").contains(r.getAs[String]("location"))))
+  }
+
   test("multimodal: stubbed decode produces deterministic features; corrupt rows flagged not dropped") {
     import graft.ops.Multimodal
     val media = Seq(
