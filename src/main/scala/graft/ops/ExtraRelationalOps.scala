@@ -163,6 +163,60 @@ object ExtraRelationalOps {
         .orderBy("o_custkey")
     },
 
+    // Date-arithmetic battery over orders (conventions aligned: Spark
+    // dayofweek is 1=Sunday vs DuckDB dow 0=Sunday; datediff arg order).
+    QueryDef(
+      "q_date_funcs",
+      """SELECT o_orderkey,
+        |  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS d,
+        |  strftime(CAST(o_orderdate AS DATE) + INTERVAL 7 DAY, '%Y-%m-%d') AS plus7,
+        |  strftime(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH, '%Y-%m-%d') AS plus1m,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS days_to_2002,
+        |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS eom,
+        |  strftime(date_trunc('month', CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS som,
+        |  CAST(extract(year FROM o_orderdate) AS BIGINT) AS y,
+        |  CAST(extract(quarter FROM o_orderdate) AS BIGINT) AS q,
+        |  CAST(extract(dow FROM o_orderdate) + 1 AS BIGINT) AS dow
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val od = col("o_orderdate").cast(DateType)
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        date_format(od, "yyyy-MM-dd").as("d"),
+        date_format(date_add(od, 7), "yyyy-MM-dd").as("plus7"),
+        date_format(add_months(od, 1), "yyyy-MM-dd").as("plus1m"),
+        datediff(lit("2002-01-01").cast(DateType), od).cast(LongType).as("days_to_2002"),
+        date_format(last_day(od), "yyyy-MM-dd").as("eom"),
+        date_format(trunc(od, "month"), "yyyy-MM-dd").as("som"),
+        year(od).cast(LongType).as("y"),
+        quarter(od).cast(LongType).as("q"),
+        dayofweek(od).cast(LongType).as("dow"))
+        .orderBy("o_orderkey")
+    },
+
+    // Array-function battery over document tokens.
+    QueryDef(
+      "q_array_funcs",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |  array_to_string(list_sort(toks[1:5]), '|') AS first5_sorted,
+        |  list_contains(toks, 'spark') AS has_spark,
+        |  CAST(coalesce(list_position(toks, 'data'), 0) AS BIGINT) AS pos_data,
+        |  toks[1] AS first_tok,
+        |  toks[len(toks)] AS last_tok,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+        |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = split(col("text"), " ")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        concat_ws("|", array_sort(slice(toks, 1, 5))).as("first5_sorted"),
+        array_contains(toks, "spark").as("has_spark"),
+        coalesce(array_position(toks, "data"), lit(0L)).as("pos_data"),
+        element_at(toks, 1).as("first_tok"),
+        element_at(toks, -1).as("last_tok"),
+        size(array_distinct(toks)).cast(LongType).as("n_distinct"))
+        .orderBy("doc_id")
+    },
+
     // Scalar string-function battery over part.
     QueryDef(
       "q_string_funcs",

@@ -110,6 +110,19 @@ class GoldenE2ESpec extends AnyFunSuite {
     assert(math.abs(rows(0).getAs[Double]("metric_value") - expected) < 1e-12)
   }
 
+  test("response serializes to the reference's golden JSON shape (S5)") {
+    val bronze = bronzeOf(conftestLines, "2022-04-14 13:30:00")
+    val silver = SensorPipeline.bronzeToSilver(bronze, t0)
+    val gold = SensorPipeline.silverToGold(silver, t0)
+    val served = SensorPipeline.serve(silver, gold, "2022-04-14", "2022-04-15")
+    val json = SensorPipeline.formatResponse(served).toJSON.collect()
+    // FIXTURES.md golden (values at double precision; reference rounds
+    // only for display)
+    assert(json(0) == """{"time":"2022-04-14T00:00:00.000Z","name":"Power","value":17.485000000000003}""")
+    assert(json(1) == """{"time":"2022-04-14T13:10:17.000Z","name":"Current","value":12.0}""")
+    assert(json(4) == """{"time":"2022-04-14T13:10:18.000Z","name":"Voltage","value":1.35}""")
+  }
+
   test("serve facade: reference param semantics — date-only to inclusive, invalid dates rejected, missing params rejected") {
     val bronze = bronzeOf(conftestLines, "2022-04-14 13:30:00")
     val silver = SensorPipeline.bronzeToSilver(bronze, t0)
