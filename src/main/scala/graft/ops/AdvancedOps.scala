@@ -204,6 +204,74 @@ object AdvancedOps {
         .limit(10)
     },
 
+    // TPC-H Q6: the selective-scan aggregate — all three predicates must
+    // reach the parquet scan (range on date, between on discount, < on
+    // quantity); one partial+final agg, no shuffle of data rows.
+    QueryDef(
+      "q_tpch_q6",
+      """SELECT round(sum(l_extendedprice * l_discount), 6) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07
+        |  AND l_quantity < 24""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+            col("l_discount").between(0.03, 0.07) &&
+            col("l_quantity") < 24)
+        .agg(
+          round(sum(col("l_extendedprice") * col("l_discount")), 6).as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
+    // Conditional / null-handling battery: nullif, ifnull, nvl2-shape,
+    // greatest/least, nested CASE — over a column made nullable on
+    // purpose (nullif on a real value).
+    QueryDef(
+      "q_conditional_funcs",
+      """SELECT o_orderkey,
+        |  nullif(o_orderstatus, 'P') AS status_or_null,
+        |  coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_filled,
+        |  CASE WHEN nullif(o_orderstatus, 'P') IS NULL THEN 'was_p' ELSE 'not_p' END AS nvl2_shape,
+        |  greatest(o_totalprice, 100000.0) AS floor100k,
+        |  least(o_totalprice, 100000.0) AS cap100k,
+        |  CASE WHEN o_totalprice > 300000 THEN 'hi'
+        |       WHEN o_totalprice > 150000 THEN 'mid'
+        |       ELSE 'lo' END AS bucket
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        nullif(col("o_orderstatus"), lit("P")).as("status_or_null"),
+        coalesce(nullif(col("o_orderstatus"), lit("P")), lit("PENDING")).as("status_filled"),
+        when(nullif(col("o_orderstatus"), lit("P")).isNull, "was_p").otherwise("not_p").as("nvl2_shape"),
+        greatest(col("o_totalprice"), lit(100000.0)).as("floor100k"),
+        least(col("o_totalprice"), lit(100000.0)).as("cap100k"),
+        when(col("o_totalprice") > 300000, "hi")
+          .when(col("o_totalprice") > 150000, "mid")
+          .otherwise("lo").as("bucket"))
+        .orderBy("o_orderkey")
+    },
+
+    // Regex capture groups + replace-with-backreference.
+    QueryDef(
+      "q_regex_funcs",
+      """SELECT p_partkey,
+        |  regexp_extract(p_type, '(\w+) (\w+)', 1) AS first_word,
+        |  regexp_extract(p_type, '(\w+) (\w+)', 2) AS second_word,
+        |  regexp_replace(p_type, '(\w+) (\w+)', '\2-\1', 'g') AS swapped,
+        |  regexp_matches(p_name, '^[a-z]+ [a-z]+') AS two_lower_words
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        regexp_extract(col("p_type"), "(\\w+) (\\w+)", 1).as("first_word"),
+        regexp_extract(col("p_type"), "(\\w+) (\\w+)", 2).as("second_word"),
+        regexp_replace(col("p_type"), "(\\w+) (\\w+)", "$2-$1").as("swapped"),
+        col("p_name").rlike("^[a-z]+ [a-z]+").as("two_lower_words"))
+        .orderBy("p_partkey")
+    },
+
     // TPC-H Q5 shape: local (customer-nation = supplier-nation) revenue
     // per nation within one region.
     QueryDef(
