@@ -23,12 +23,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // never leave a stale (previous-run) dump for a failing query —
-        // a leftover would false-pass the oracle compare
-        val dir = new java.io.File(s"$outDir/$name")
-        if (dir.exists()) {
-          dir.listFiles().foreach(_.delete())
-          dir.delete()
+        // a leftover would false-pass the oracle compare. Recursive: a
+        // partial write leaves _temporary/ subdirs a flat delete misses.
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
         }
+        rm(new java.io.File(s"$outDir/$name"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -165,7 +165,7 @@ object DedupOps {
     *
     * Returns (doc_id, component) where component = min doc_id reachable.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     // materialize the edge list ONCE: every propagation round joins it,
     // and without the cache each round would recompute the (expensive)
     // upstream pair-generation pipeline
@@ -192,6 +192,11 @@ object DedupOps {
       i += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters iterations — " +
+          "component labels would be wrong (duplicates would survive dedup); " +
+          "raise maxIters for graphs with diameter > maxIters")
     labels.select(col("id").as("doc_id"), col("component"))
   }
 

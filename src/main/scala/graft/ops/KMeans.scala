@@ -82,22 +82,27 @@ object KMeans {
   def fit(emb: DataFrame, k: Int, iters: Int = 5): Model = {
     val spark = emb.sparkSession
     var centroids: Array[Array[Double]] = farthestFirstInit(emb, k)
-    var inertia = Double.MaxValue
     (0 until iters).foreach { _ =>
-      val assigned = assignClusters(emb, centroids)
+      // cache: the means collect is the only consumer per iteration, but
+      // the assignment cross-join is the dominant cost — keep it warm
+      // for the two jobs (explode-agg + unpersist bookkeeping)
+      val assigned = assignClusters(emb, centroids).persist()
       // per-(cluster, dim) means: k*dim tiny rows after one shuffle
       val means = assigned
         .select(col("cluster"), posexplode(col("emb")).as(Seq("dim", "v")))
         .groupBy("cluster", "dim")
         .agg(avg(col("v")).as("m"))
         .collect()
+      assigned.unpersist()
       val next = centroids.map(_.clone())
       means.foreach { r =>
         next(r.getAs[Int]("cluster"))(r.getAs[Int]("dim")) = r.getAs[Double]("m")
       }
       centroids = next
-      inertia = assigned.agg(sum(col("d2"))).head().getDouble(0)
     }
+    // inertia of the RETURNED centroids (measuring before the update
+    // would report the previous model's objective)
+    val inertia = assignClusters(emb, centroids).agg(sum(col("d2"))).head().getDouble(0)
     Model(centroids, inertia)
   }
 }

@@ -47,6 +47,9 @@ object LineParser {
           case "inf" | "+inf" | "infinity" | "+infinity" => Some(Double.PositiveInfinity)
           case "-inf" | "-infinity" => Some(Double.NegativeInfinity)
           case "nan" | "+nan" | "-nan" => Some(Double.NaN)
+          // Java's toDouble additionally accepts f/d suffixes and hex
+          // floats ('1.5f', '0x1.8p1') that Python float() rejects
+          case v if v.exists(c => "fdx".indexOf(c) >= 0) => None
           case _ => Some(t.toDouble)
         }
     } catch { case _: NumberFormatException => None }
@@ -62,13 +65,23 @@ object LineParser {
   def validStrict(tsStr: String, name: String, valueStr: String): Boolean =
     TsRe.matches(tsStr) && NameRe.findPrefixOf(name).isDefined && ValueRe.matches(valueStr)
 
+  // Python strptime's %f accepts 1-6 fractional digits (data.py:131-133)
+  // — a fixed 'SSS' pattern would reject '.5' and '.123456'; build the
+  // fractional formats with a variable-width fraction instead.
+  private def fractionalFmt(suffixZ: Boolean): DateTimeFormatter = {
+    val b = new java.time.format.DateTimeFormatterBuilder()
+      .appendPattern("yyyy-MM-dd'T'HH:mm:ss")
+      .appendFraction(java.time.temporal.ChronoField.NANO_OF_SECOND, 1, 6, true)
+    (if (suffixZ) b.appendLiteral('Z') else b).toFormatter
+  }
+
   private val isoFormats: Seq[DateTimeFormatter] = Seq(
     // reference order (data.py:133-140): fractional+Z, Z, fractional, bare, date-only
-    "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'",
-    "yyyy-MM-dd'T'HH:mm:ss'Z'",
-    "yyyy-MM-dd'T'HH:mm:ss.SSS",
-    "yyyy-MM-dd'T'HH:mm:ss",
-    "yyyy-MM-dd").map(DateTimeFormatter.ofPattern)
+    fractionalFmt(suffixZ = true),
+    DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'"),
+    fractionalFmt(suffixZ = false),
+    DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss"),
+    DateTimeFormatter.ofPattern("yyyy-MM-dd"))
 
   /** Multi-format ISO-8601 parse, UTC-attached; None if nothing matches
     * (reference data.py:129-147).

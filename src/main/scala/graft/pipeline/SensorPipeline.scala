@@ -31,7 +31,13 @@ object SensorPipeline {
     * cast are all codegen'd Catalyst expressions — no UDFs.
     */
   def bronzeToSilver(bronze: DataFrame, processedAt: Column = current_timestamp()): DataFrame = {
-    val toks = split(trim(col("raw_line")), "\\s+")
+    // EXACT stg_readings.sql semantics (the layer of record, SURVEY
+    // §7.3): SPLIT_PART on a single space — no trim, no token-count
+    // check. Extra trailing tokens are ignored (fields 1-3 decide);
+    // a doubled space yields an empty field that fails its regex. The
+    // stricter Python rules (exactly 3 tokens, \s+ split) live at the
+    // API edge in LineParser.parseLine, as in the reference.
+    val toks = split(col("raw_line"), " ")
     // try_element_at ≡ SPLIT_PART's missing-field behavior (returns null
     // here, '' in SQL — both fail the validation regexes identically).
     def tok(i: Int) = coalesce(try_element_at(toks, lit(i)), lit(""))
@@ -43,12 +49,10 @@ object SensorPipeline {
         tok(1).as("timestamp_str"),
         tok(2).as("metric_name"),
         tok(3).as("value_str"),
-        size(toks).as("n_tokens"),
         col("ingested_at"))
-      // P3: validation regexes (stg_readings.sql:57-74) + exactly-3-tokens
+      // P3: validation regexes (stg_readings.sql:57-74)
       .filter(
-        col("n_tokens") === 3 &&
-          col("timestamp_str").rlike("^\\d+$") &&
+        col("timestamp_str").rlike("^\\d+$") &&
           col("metric_name").rlike("^[A-Za-z]") &&
           col("value_str").rlike("^-?\\d+\\.?\\d*$"))
       // P5-P7: casts, epoch→ts, date (stg_readings.sql:84-93)

@@ -36,21 +36,42 @@ object TableLayout {
       .parquet(path)
   }
 
-  /** Small-file compaction: rewrite a (partitioned) parquet path to
-    * ~targetFileMB files per partition. The maintenance pass an
-    * append-heavy Bronze/Silver needs at scale — streaming drains and
-    * per-hour increments otherwise accrete thousands of KB-sized files
-    * whose open/footer costs dominate scans.
+  /** Small-file compaction: rewrite a parquet path to ~targetFileMB
+    * files. The maintenance pass an append-heavy Bronze/Silver needs at
+    * scale — streaming drains and per-hour increments otherwise accrete
+    * thousands of KB-sized files whose open/footer costs dominate scans.
+    *
+    * `partitionCols` MUST name the path's partition columns (if any) —
+    * compaction preserves the directory layout by repartitioning on them
+    * and re-writing with the same partitionBy; omitting them on a
+    * partitioned table would silently flatten it. The temp dir is
+    * removed afterwards.
     */
-  def compact(spark: SparkSession, path: String, targetFileMB: Int = 256): Unit = {
+  def compact(
+      spark: SparkSession,
+      path: String,
+      targetFileMB: Int = 256,
+      partitionCols: Seq[String] = Nil): Unit = {
     val df = spark.read.parquet(path)
     val totalBytes = df.inputFiles.map(f =>
       new java.io.File(f.stripPrefix("file:")).length()).sum
     val nFiles = math.max(1, (totalBytes / (targetFileMB * 1024L * 1024L)).toInt)
     val tmp = path + ".compact"
-    df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val repartitioned =
+      if (partitionCols.isEmpty) df.repartition(nFiles)
+      else df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
+    val writer = repartitioned.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.isEmpty) writer else writer.partitionBy(partitionCols: _*)).parquet(tmp)
     val compacted = spark.read.parquet(tmp)
-    compacted.write.mode(SaveMode.Overwrite).parquet(path)
+    val writer2 = compacted.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.isEmpty) writer2 else writer2.partitionBy(partitionCols: _*)).parquet(path)
+    deleteRecursively(new java.io.File(tmp))
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+    ()
   }
 
   /** Save a table bucketed + sorted by `key` (requires saveAsTable — the

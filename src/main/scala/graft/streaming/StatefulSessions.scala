@@ -48,7 +48,11 @@ object StatefulSessions {
     }
     open.foreach { s =>
       state.update(s)
-      state.setTimeoutTimestamp(s.last.getTime + gapSeconds * 1000)
+      // a timeout at-or-before the current watermark is rejected by Spark
+      // (IllegalArgumentException kills the query) — late-but-kept events
+      // can produce one, so clamp just past the watermark
+      val candidate = s.last.getTime + gapSeconds * 1000
+      state.setTimeoutTimestamp(math.max(candidate, state.getCurrentWatermarkMs() + 1))
     }
     closed.result().iterator
   }

@@ -48,14 +48,23 @@ object StreamingPipeline {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // dense per-batch row numbers (mono ids embed the partition index
+        // in the high bits, so `mono + batchId*K` collides across
+        // batches); micro-batches are small enough for the single sort
+        val rn = org.apache.spark.sql.expressions.Window
+          .orderBy(monotonically_increasing_id())
         val bronze = batch
-          .withColumn("id", monotonically_increasing_id() + batchId * 1000000000L)
+          .withColumn("id", row_number().over(rn).cast("long") + batchId * 1000000000L)
           .withColumn("ingested_at", current_timestamp())
           .withColumnRenamed("value", "raw_line")
         val fresh = SensorPipeline.bronzeToSilver(bronze)
+        // ONLY a missing path means "no target yet" — any other read
+        // failure must propagate, or a transient IO error would silently
+        // replace the accumulated silver with just this batch
         val target =
-          try Some(batch.sparkSession.read.parquet(silverPath))
-          catch { case _: Exception => None }
+          if (new java.io.File(silverPath).exists())
+            Some(batch.sparkSession.read.parquet(silverPath))
+          else None
         val merged = target match {
           case None => fresh
           case Some(t) =>
@@ -104,8 +113,8 @@ object StreamingPipeline {
   def goldAfterDrain(spark: SparkSession, silverPath: String, goldPath: String): Unit = {
     val silver = spark.read.parquet(silverPath)
     val target =
-      try Some(spark.read.parquet(goldPath))
-      catch { case _: Exception => None }
+      if (new java.io.File(goldPath).exists()) Some(spark.read.parquet(goldPath))
+      else None
     val merged = Incremental.goldIncrement(silver, target)
     merged.write.mode("overwrite").parquet(goldPath + ".tmp")
     spark.read.parquet(goldPath + ".tmp").write.mode("overwrite").parquet(goldPath)

@@ -70,6 +70,11 @@ class LineParserSpec extends AnyFunSuite {
     assert(parseIsoDate("2022-04-14T13:10:17.000").contains(expected))
     assert(parseIsoDate("2022-04-14T13:10:17").contains(expected))
     assert(parseIsoDate("2022-04-14").contains(Instant.parse("2022-04-14T00:00:00Z")))
+    // Python %f accepts 1-6 fractional digits, not just 3
+    assert(parseIsoDate("2022-04-14T13:10:17.123456Z")
+      .contains(Instant.parse("2022-04-14T13:10:17.123456Z")))
+    assert(parseIsoDate("2022-04-14T13:10:17.5Z")
+      .contains(Instant.parse("2022-04-14T13:10:17.500Z")))
   }
 
   test("rejects malformed dates") {

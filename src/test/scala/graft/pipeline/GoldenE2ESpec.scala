@@ -60,17 +60,26 @@ class GoldenE2ESpec extends AnyFunSuite {
     }
   }
 
-  test("invalid lines are dropped by silver validation (SQL semantics)") {
+  test("invalid lines are dropped by silver validation (exact SQL semantics)") {
     val bad = Seq(
       "", "   ", "1649941817 Voltage", "Voltage 1.34",
-      "1649941817 Voltage 1.34 extra", "-123 Voltage 1.34",
+      "-123 Voltage 1.34",
       "1649941817.5 Voltage 1.34", "notanumber Voltage 1.34",
       "1649941817 123Voltage 1.34", "1649941817 _Voltage 1.34",
       "1649941817 Voltage abc",
+      "1649941817  Voltage 1.34", // doubled space: SPLIT_PART field 2 = '' -> rejected
       // python-accepted / SQL-rejected divergence fixtures
       "1649941817 Voltage 1e5", "1649941817 Voltage .5", "1649941817 Voltage inf")
     val bronze = bronzeOf(conftestLines ++ bad, "2022-04-14 13:30:00")
     assert(SensorPipeline.bronzeToSilver(bronze, t0).count() == 4)
+
+    // SQL-vs-Python layering (stg_readings.sql has NO token-count check):
+    // a 4-token line is rejected at the API edge (parse_line) but its
+    // fields 1-3 pass the silver regexes — exactly the reference split
+    val extraTok = "1649941817 Voltage 1.34 extra"
+    assert(graft.parse.LineParser.parseLine(extraTok).isEmpty, "API edge rejects 4 tokens")
+    val b2 = bronzeOf(Seq(extraTok), "2022-04-14 13:30:00")
+    assert(SensorPipeline.bronzeToSilver(b2, t0).count() == 1, "silver SQL accepts fields 1-3")
   }
 
   test("merge is idempotent: re-ingesting the same raw_ids leaves one row per key") {
