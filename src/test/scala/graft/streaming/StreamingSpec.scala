@@ -84,6 +84,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(0).getAs[java.sql.Date]("reading_date").toString == "2022-04-14")
   }
 
+  test("tier-2 bounded lateness: beyond-watermark rows are dropped (documented divergence from tier-1)") {
+    val root = Files.createTempDirectory("graft-late").toFile.getAbsolutePath
+    import graft.streaming.StreamingPipeline
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("reading_time", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("metric_name", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("metric_value", org.apache.spark.sql.types.DoubleType)))
+    def batch(rows: Seq[(String, String, Double)], file: String): Unit =
+      rows.toDF("t", "metric_name", "metric_value")
+        .withColumn("reading_time", to_timestamp(col("t")))
+        .select("reading_time", "metric_name", "metric_value")
+        .write.mode("append").parquet(s"$root/in")
+    // batch 1: day 1 data, then far-future data advancing the watermark
+    // past day 1 + 1-day lateness
+    batch(Seq(
+      ("2022-04-14 10:00:00", "Voltage", 1.0),
+      ("2022-04-14 10:00:00", "Current", 10.0)), "b1")
+    val stream = spark.readStream.schema(schema).parquet(s"$root/in")
+    val agg = StreamingPipeline.dailyPowerStreaming(stream, lateness = "1 day")
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("late_out").option("checkpointLocation", s"$root/ckpt").start()
+    q.processAllAvailable()
+    batch(Seq(("2022-04-20 00:00:00", "Voltage", 5.0), ("2022-04-20 00:00:00", "Current", 5.0)), "b2")
+    q.processAllAvailable()
+    // batch 3: LATE reading for day 1 — watermark is now ~Apr 19, so this
+    // must be discarded, NOT recomputed (tier-1 would recompute the day)
+    batch(Seq(("2022-04-14 11:00:00", "Voltage", 99.0)), "b3")
+    q.processAllAvailable()
+    q.stop()
+    val day1 = spark.table("late_out")
+      .filter(col("reading_date") === "2022-04-14").collect()
+    // append mode emits day 1 once its window passes the watermark;
+    // the late 99.0 must NOT have contributed
+    assert(day1.length == 1)
+    assert(math.abs(day1(0).getAs[Double]("metric_value") - 10.0) < 1e-9,
+      s"late row must be dropped: got ${day1(0)}")
+  }
+
   test("streaming dedup with watermark + stream-static dim join") {
     val root = Files.createTempDirectory("graft-sdedup").toFile.getAbsolutePath
     val in = Seq(
