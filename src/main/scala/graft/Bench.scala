@@ -19,7 +19,14 @@ object Bench {
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() }
+      catch {
+        case e: Throwable =>
+          // surface the failure — a silently-swallowed broken query would
+          // deflate the total and read as a performance improvement
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          -1L
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -136,15 +136,19 @@ object HashKernels {
     * null (None) when the text is shorter than the window.
     */
   def winnowMin(text: UTF8String, window: Int): UTF8String = {
+    // windows are counted in CODE POINTS, not UTF-16 units — the SQL
+    // oracle slices characters, and a surrogate pair (emoji) would
+    // otherwise shift every window boundary after it
     val s = text.toString
-    if (s.length < window) return null
+    val cps = s.codePoints().toArray
+    if (cps.length < window) return null
     val md = java.security.MessageDigest.getInstance("MD5")
     var best: String = null
     var i = 0
-    val last = s.length - window
+    val last = cps.length - window
     while (i <= last) {
       md.reset()
-      val digest = md.digest(s.substring(i, i + window).getBytes("UTF-8"))
+      val digest = md.digest(new String(cps, i, window).getBytes("UTF-8"))
       val sb = new java.lang.StringBuilder(16)
       var j = 0
       while (j < 8) { // 8 bytes = 16 hex chars

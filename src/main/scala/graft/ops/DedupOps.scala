@@ -197,7 +197,13 @@ object DedupOps {
         s"connectedComponents did not converge in $maxIters iterations — " +
           "component labels would be wrong (duplicates would survive dedup); " +
           "raise maxIters for graphs with diameter > maxIters")
-    labels.select(col("id").as("doc_id"), col("component"))
+    // localCheckpoint materializes the result and cuts lineage so the
+    // iteration caches can be released (returning the persisted frame
+    // directly would leak one cached table per call)
+    val out = labels.select(col("id").as("doc_id"), col("component"))
+      .localCheckpoint(true)
+    labels.unpersist()
+    out
   }
 
   /** End-to-end dedup: exact + near-dup groups with a canonical survivor

@@ -67,21 +67,29 @@ object LineParser {
 
   // Python strptime's %f accepts 1-6 fractional digits (data.py:131-133)
   // — a fixed 'SSS' pattern would reject '.5' and '.123456'; build the
-  // fractional formats with a variable-width fraction instead.
+  // fractional formats with a variable-width fraction instead. STRICT
+  // resolution throughout ('uuuu'): the default SMART resolver silently
+  // clamps impossible dates (2024-02-31 → Feb 29) that Python's strptime
+  // — and therefore the reference API — rejects.
+  private def strict(pattern: String): DateTimeFormatter =
+    DateTimeFormatter.ofPattern(pattern)
+      .withResolverStyle(java.time.format.ResolverStyle.STRICT)
+
   private def fractionalFmt(suffixZ: Boolean): DateTimeFormatter = {
     val b = new java.time.format.DateTimeFormatterBuilder()
-      .appendPattern("yyyy-MM-dd'T'HH:mm:ss")
+      .appendPattern("uuuu-MM-dd'T'HH:mm:ss")
       .appendFraction(java.time.temporal.ChronoField.NANO_OF_SECOND, 1, 6, true)
-    (if (suffixZ) b.appendLiteral('Z') else b).toFormatter
+    (if (suffixZ) b.appendLiteral('Z') else b)
+      .toFormatter.withResolverStyle(java.time.format.ResolverStyle.STRICT)
   }
 
   private val isoFormats: Seq[DateTimeFormatter] = Seq(
     // reference order (data.py:133-140): fractional+Z, Z, fractional, bare, date-only
     fractionalFmt(suffixZ = true),
-    DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'"),
+    strict("uuuu-MM-dd'T'HH:mm:ss'Z'"),
     fractionalFmt(suffixZ = false),
-    DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss"),
-    DateTimeFormatter.ofPattern("yyyy-MM-dd"))
+    strict("uuuu-MM-dd'T'HH:mm:ss"),
+    strict("uuuu-MM-dd"))
 
   /** Multi-format ISO-8601 parse, UTC-attached; None if nothing matches
     * (reference data.py:129-147).

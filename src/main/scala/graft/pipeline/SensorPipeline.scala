@@ -270,8 +270,15 @@ object Quality {
     val base =
       if (scalarAggs.nonEmpty) {
         val row = df.agg(scalarAggs.head, scalarAggs.tail: _*)
-        // unpivot to (check_name, violations)
-        val exprs = scalars.map(c => s"'${c.name}', ${c.name}").mkString(", ")
+        // unpivot to (check_name, violations); names are user-supplied,
+        // so backtick-quote the identifier and escape quotes in the
+        // literal — an unquoted name with a space/quote would otherwise
+        // fail to parse (or break out of the string)
+        val exprs = scalars.map { c =>
+          val lit = c.name.replace("'", "\\'")
+          val ident = c.name.replace("`", "``")
+          s"'$lit', `$ident`"
+        }.mkString(", ")
         row.selectExpr(s"stack(${scalars.size}, $exprs) as (check_name, violations)")
       } else df.sparkSession.emptyDataFrame
         .selectExpr("'' as check_name", "0L as violations").limit(0)

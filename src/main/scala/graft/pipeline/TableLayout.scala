@@ -52,9 +52,11 @@ object TableLayout {
       path: String,
       targetFileMB: Int = 256,
       partitionCols: Seq[String] = Nil): Unit = {
+    import graft.streaming.PathIO
     val df = spark.read.parquet(path)
-    val totalBytes = df.inputFiles.map(f =>
-      new java.io.File(f.stripPrefix("file:")).length()).sum
+    // scheme-aware size (java.io.File would report 0 for hdfs/s3 paths,
+    // collapsing the table to one giant file)
+    val totalBytes = PathIO.sizeBytes(spark, path)
     val nFiles = math.max(1, (totalBytes / (targetFileMB * 1024L * 1024L)).toInt)
     val tmp = path + ".compact"
     val repartitioned =
@@ -62,16 +64,9 @@ object TableLayout {
       else df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
     val writer = repartitioned.write.mode(SaveMode.Overwrite)
     (if (partitionCols.isEmpty) writer else writer.partitionBy(partitionCols: _*)).parquet(tmp)
-    val compacted = spark.read.parquet(tmp)
-    val writer2 = compacted.write.mode(SaveMode.Overwrite)
-    (if (partitionCols.isEmpty) writer2 else writer2.partitionBy(partitionCols: _*)).parquet(path)
-    deleteRecursively(new java.io.File(tmp))
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete()
-    ()
+    // delete+rename (metadata op): a crash between the two leaves the
+    // compacted copy in .compact for recovery
+    PathIO.replace(spark, tmp, path)
   }
 
   /** Save a table bucketed + sorted by `key` (requires saveAsTable — the

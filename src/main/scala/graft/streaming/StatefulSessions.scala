@@ -41,7 +41,11 @@ object StatefulSessions {
           closed += ClosedSession(userId, s.start, s.last, s.n, s.total)
           open = Some(OpenSession(e.ts, e.ts, 1L, e.value))
         case Some(s) =>
-          open = Some(OpenSession(s.start, e.ts, s.n + 1, s.total + e.value))
+          // a late (within-watermark) event from a later batch may carry
+          // an EARLIER timestamp: extend, never rewind, the boundaries
+          val start = if (e.ts.before(s.start)) e.ts else s.start
+          val last = if (e.ts.after(s.last)) e.ts else s.last
+          open = Some(OpenSession(start, last, s.n + 1, s.total + e.value))
         case None =>
           open = Some(OpenSession(e.ts, e.ts, 1L, e.value))
       }

@@ -60,26 +60,32 @@ object StreamingPipeline {
         val fresh = SensorPipeline.bronzeToSilver(bronze)
         // ONLY a missing path means "no target yet" — any other read
         // failure must propagate, or a transient IO error would silently
-        // replace the accumulated silver with just this batch
+        // replace the accumulated silver with just this batch. Existence
+        // via the Hadoop FS of the path's scheme (java.io.File would
+        // report hdfs://... as absent and cause exactly that loss).
+        val spark = batch.sparkSession
         val target =
-          if (new java.io.File(silverPath).exists())
-            Some(batch.sparkSession.read.parquet(silverPath))
+          if (PathIO.exists(spark, silverPath)) Some(spark.read.parquet(silverPath))
           else None
         val merged = target match {
           case None => fresh
           case Some(t) =>
             // dbt-merge semantics: an update batch overwrites matched keys
             // (reference keys on raw_id; file streams re-deliver whole
-            // files with fresh ids, so key on content identity instead)
+            // files with fresh ids, so key on content identity —
+            // time + metric + value, so two sensors reporting the same
+            // metric in the same second don't collapse)
             Merge.merge(
               t, fresh,
-              Seq("reading_time", "metric_name"),
+              Seq("reading_time", "metric_name", "metric_value"),
               Seq(col("processed_at").asc, col("raw_id").asc))
         }
-        // write-to-temp then copy: never overwrite a path the plan reads
+        // write-to-temp then RENAME: one full write instead of two, and a
+        // crash between delete and rename leaves the .tmp dir intact for
+        // manual recovery (a second full rewrite had the same window but
+        // no surviving copy)
         merged.write.mode("overwrite").parquet(silverPath + ".tmp")
-        batch.sparkSession.read.parquet(silverPath + ".tmp")
-          .write.mode("overwrite").parquet(silverPath)
+        PathIO.replace(spark, silverPath + ".tmp", silverPath)
         ()
       }
       .start()
@@ -113,10 +119,41 @@ object StreamingPipeline {
   def goldAfterDrain(spark: SparkSession, silverPath: String, goldPath: String): Unit = {
     val silver = spark.read.parquet(silverPath)
     val target =
-      if (new java.io.File(goldPath).exists()) Some(spark.read.parquet(goldPath))
+      if (PathIO.exists(spark, goldPath)) Some(spark.read.parquet(goldPath))
       else None
     val merged = Incremental.goldIncrement(silver, target)
     merged.write.mode("overwrite").parquet(goldPath + ".tmp")
-    spark.read.parquet(goldPath + ".tmp").write.mode("overwrite").parquet(goldPath)
+    PathIO.replace(spark, goldPath + ".tmp", goldPath)
   }
+}
+
+/** Filesystem helpers that honor the path's scheme (hdfs://, s3a://,
+  * file:) via the Hadoop FileSystem API — `java.io.File` silently reports
+  * remote paths as absent/empty, which upstream code would misread as
+  * "table does not exist".
+  */
+object PathIO {
+  import org.apache.hadoop.fs.Path
+
+  private def fs(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def exists(spark: SparkSession, p: String): Boolean =
+    fs(spark, p).exists(new Path(p))
+
+  /** Replace `target` with `src` by delete+rename (rename is a metadata
+    * op on HDFS/local; a crash between the two leaves `src` intact for
+    * recovery).
+    */
+  def replace(spark: SparkSession, src: String, target: String): Unit = {
+    val f = fs(spark, target)
+    val t = new Path(target)
+    if (f.exists(t)) f.delete(t, true)
+    f.rename(new Path(src), t)
+    ()
+  }
+
+  /** Total bytes under a path (scheme-aware). */
+  def sizeBytes(spark: SparkSession, p: String): Long =
+    fs(spark, p).getContentSummary(new Path(p)).getLength
 }

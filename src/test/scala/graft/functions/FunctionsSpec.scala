@@ -70,6 +70,14 @@ class FunctionsSpec extends AnyFunSuite {
     assert(closed.head.session_end == ts("2024-01-01 10:10:00"))
     // open session retained in state
     assert(state.getOption.exists(s => s.n == 2 && s.total == 7.0))
+
+    // a late event with an EARLIER timestamp must not rewind the session
+    // end (next-batch delivery within the watermark)
+    val late = Iterator(SessionEvent(1L, ts("2024-01-01 11:35:00"), 0.5))
+    sessionize(1800L)(1L, late, state)
+    assert(state.getOption.exists(s =>
+      s.last == ts("2024-01-01 11:40:00") && s.n == 3 && s.total == 7.5),
+      s"late event rewound state: ${state.getOption}")
   }
 
   test("stateful sessionizer end-to-end over a file stream") {

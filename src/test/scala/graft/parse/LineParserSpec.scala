@@ -78,7 +78,11 @@ class LineParserSpec extends AnyFunSuite {
   }
 
   test("rejects malformed dates") {
-    Seq("14-04-2022", "2022-13-45", "1649941817", "not a date", "").foreach { s =>
+    Seq("14-04-2022", "2022-13-45", "1649941817", "not a date", "",
+      // impossible calendar dates: the SMART resolver would clamp these
+      // (2024-02-31 -> Feb 29); Python strptime — and so the reference —
+      // rejects them, hence STRICT resolution
+      "2024-02-31", "2024-04-31", "2023-02-29").foreach { s =>
       assert(parseIsoDate(s).isEmpty, s"should reject: '$s'")
     }
   }

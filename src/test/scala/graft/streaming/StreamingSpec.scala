@@ -34,19 +34,19 @@ class StreamingSpec extends AnyFunSuite {
     StreamingPipeline.runBronzeToSilverAvailableNow(spark, bronzeDir, silverPath, ckpt)
     assert(spark.read.parquet(silverPath).count() == 4)
 
-    // new file with one new reading + one duplicate of an existing key
+    // new file: one new reading, one DIFFERENT value at an existing
+    // (time, metric) — a distinct reading (new raw_id in the reference,
+    // so it coexists) — and one EXACT content duplicate, which merges
     Files.writeString(
       java.nio.file.Paths.get(s"$bronzeDir/batch2.txt"),
-      "1649941819 Voltage 1.36\n1649941817 Voltage 9.99\n")
+      "1649941819 Voltage 1.36\n1649941817 Voltage 9.99\n1649941817 Voltage 1.34\n")
     StreamingPipeline.runBronzeToSilverAvailableNow(spark, bronzeDir, silverPath, ckpt)
     val s3 = spark.read.parquet(silverPath)
-    assert(s3.count() == 5, "one new key added, duplicate key merged not appended")
-    // dbt merge semantics (stg_readings.sql:15-17): a re-ingested key
-    // OVERWRITES the stored row — the corrected 9.99 replaces 1.34
-    val v = s3.filter(col("metric_name") === "Voltage" &&
+    assert(s3.count() == 6, "new key + distinct-value reading added; exact duplicate merged")
+    val at17 = s3.filter(col("metric_name") === "Voltage" &&
       col("reading_time") === to_timestamp(lit("2022-04-14 13:10:17")))
-      .collect()(0).getAs[Double]("metric_value")
-    assert(v == 9.99)
+      .collect().map(_.getAs[Double]("metric_value")).sorted
+    assert(at17.toSeq == Seq(1.34, 9.99), "both distinct values kept, 1.34 not duplicated")
 
     // gold after drain
     val goldPath = s"$root/gold"
