@@ -19,13 +19,15 @@ object Bench {
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
+      // noop sink, NOT count(): count() lets Catalyst prune every
+      // projected expression and drop final sorts, so pure-projection
+      // queries would time only the scan; noop materializes all columns
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch {
         case e: Throwable =>
           // surface the failure — a silently-swallowed broken query would
           // deflate the total and read as a performance improvement
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          -1L
       }
       name -> (System.nanoTime() - t0) / 1e9
     }

@@ -259,12 +259,13 @@ object DedupOps {
       val docs = Tables.documents(s, d)
       val wSrc = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       val sh = docs
-        .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
-        .filter(size(col("toks")) >= 3)
+        .filter(size(split(col("text"), " ")) >= 3)
         .select(
           col("doc_id"), col("source"),
           row_number().over(wSrc).as("rn"),
-          array_distinct(shingles(concat_ws(" ", col("toks")), 3)).as("grams"))
+          // shingle the text directly — the kernel tokenizes on the same
+          // single space, so a split/concat_ws round-trip is an identity
+          array_distinct(shingles(col("text"), 3)).as("grams"))
       val a = sh.select(col("doc_id").as("doc_a"), col("source"), col("rn"), col("grams").as("ga"))
       val b = sh.select(
         col("doc_id").as("doc_b"), col("source").as("source_b"),

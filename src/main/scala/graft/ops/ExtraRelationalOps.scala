@@ -104,16 +104,22 @@ object ExtraRelationalOps {
     QueryDef(
       "q_percentile",
       """SELECT l_returnflag,
-        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
-        |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
-        |  round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+        |  round(qs[1], 6) AS p50, round(qs[2], 6) AS p90, round(qs[3], 6) AS p99
+        |FROM (
+        |  SELECT l_returnflag, quantile_cont(l_extendedprice, [0.5, 0.9, 0.99]) AS qs
+        |  FROM lineitem GROUP BY l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      // one percentile(col, array(...)) call: the exact percentile
+      // buffers every group value — three separate calls tripled the
+      // buffer (5.5s -> ~2s at sf0.1)
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"),
-          round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99"))
+        .agg(expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").as("qs"))
+        .select(
+          col("l_returnflag"),
+          round(element_at(col("qs"), 1), 6).as("p50"),
+          round(element_at(col("qs"), 2), 6).as("p90"),
+          round(element_at(col("qs"), 3), 6).as("p99"))
         .orderBy("l_returnflag")
     },
 

@@ -38,12 +38,16 @@ object SensorOps {
         .as("raw_line"))
   }
 
+  // concat_ws on BOTH sides: Spark's concat_ws skips NULL tokens while
+  // plain DuckDB concat ignores only the NULL itself (keeping both
+  // separators) — the two would build different lines if event_type or
+  // value were ever NULL. ('-' || CAST ≡ Spark concat: NULL-propagating.)
   private val rawLinesSql =
     """SELECT event_id,
-      |  CASE WHEN event_id % 97 = 0 THEN concat(CAST(1700000000 + event_id AS VARCHAR), ' ', event_type)
-      |       WHEN event_id % 89 = 0 THEN concat('-', CAST(1700000000 + event_id AS VARCHAR), ' ', event_type, ' ', CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR))
-      |       WHEN event_id % 83 = 0 THEN concat(CAST(1700000000 + event_id AS VARCHAR), ' 9bad ', CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR))
-      |       ELSE concat(CAST(1700000000 + event_id AS VARCHAR), ' ', event_type, ' ', CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR))
+      |  CASE WHEN event_id % 97 = 0 THEN concat_ws(' ', CAST(1700000000 + event_id AS VARCHAR), event_type)
+      |       WHEN event_id % 89 = 0 THEN concat_ws(' ', '-' || CAST(1700000000 + event_id AS VARCHAR), event_type, CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR))
+      |       WHEN event_id % 83 = 0 THEN concat_ws(' ', CAST(1700000000 + event_id AS VARCHAR), '9bad', CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR))
+      |       ELSE concat_ws(' ', CAST(1700000000 + event_id AS VARCHAR), event_type, CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR))
       |  END AS raw_line
       |FROM events""".stripMargin
 

@@ -50,6 +50,13 @@ object LineParser {
           // Java's toDouble additionally accepts f/d suffixes and hex
           // floats ('1.5f', '0x1.8p1') that Python float() rejects
           case v if v.exists(c => "fdx".indexOf(c) >= 0) => None
+          // PEP 515: Python float() accepts underscores BETWEEN digits
+          // ('1_000.5'); Java's toDouble rejects them
+          case v if v.contains('_') =>
+            if (v.matches("[+-]?\\d(_?\\d)*(\\.(\\d(_?\\d)*)?)?([eE][+-]?\\d(_?\\d)*)?") ||
+              v.matches("[+-]?\\.\\d(_?\\d)*([eE][+-]?\\d(_?\\d)*)?"))
+              Some(v.replace("_", "").toDouble)
+            else None
           case _ => Some(t.toDouble)
         }
     } catch { case _: NumberFormatException => None }

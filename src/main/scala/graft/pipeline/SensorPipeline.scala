@@ -265,8 +265,10 @@ object Quality {
     */
   def run(df: DataFrame, checks: Seq[Check]): DataFrame = {
     val (uniques, scalars) = checks.partition(_.isInstanceOf[Unique])
+    // coalesce: sum over ZERO rows is NULL — an empty table must report
+    // 0 violations (dbt tests pass on empty models), not NPE downstream
     val scalarAggs = scalars.map(c =>
-      sum(when(c.violation, 1L).otherwise(0L)).as(c.name))
+      coalesce(sum(when(c.violation, 1L).otherwise(0L)), lit(0L)).as(c.name))
     val base =
       if (scalarAggs.nonEmpty) {
         val row = df.agg(scalarAggs.head, scalarAggs.tail: _*)

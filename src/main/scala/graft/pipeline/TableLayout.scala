@@ -59,9 +59,12 @@ object TableLayout {
     val totalBytes = PathIO.sizeBytes(spark, path)
     val nFiles = math.max(1, (totalBytes / (targetFileMB * 1024L * 1024L)).toInt)
     val tmp = path + ".compact"
+    // partitioned tables: still honor targetFileMB — repartition(cols)
+    // alone would put each partition value in ONE task/file (a 50 GB hot
+    // day would become one 50 GB file written by one task)
     val repartitioned =
       if (partitionCols.isEmpty) df.repartition(nFiles)
-      else df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      else df.repartition(nFiles, partitionCols.map(org.apache.spark.sql.functions.col): _*)
     val writer = repartitioned.write.mode(SaveMode.Overwrite)
     (if (partitionCols.isEmpty) writer else writer.partitionBy(partitionCols: _*)).parquet(tmp)
     // delete+rename (metadata op): a crash between the two leaves the

@@ -48,11 +48,13 @@ object StreamingPipeline {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // dense per-batch row numbers (mono ids embed the partition index
-        // in the high bits, so `mono + batchId*K` collides across
-        // batches); micro-batches are small enough for the single sort
-        val rn = org.apache.spark.sql.expressions.Window
-          .orderBy(monotonically_increasing_id())
+        // replay-stable ids: row_number over the CONTENT (a mono-id order
+        // would differ on batch re-execution) + the batchId base. A
+        // failed batch replayed with the same files yields identical
+        // ids, so the raw_id merge below is idempotent — while two
+        // genuinely identical lines in one batch get distinct ids, as
+        // they would get distinct raw_ids in the reference.
+        val rn = org.apache.spark.sql.expressions.Window.orderBy(col("value"))
         val bronze = batch
           .withColumn("id", row_number().over(rn).cast("long") + batchId * 1000000000L)
           .withColumn("ingested_at", current_timestamp())
@@ -70,15 +72,15 @@ object StreamingPipeline {
         val merged = target match {
           case None => fresh
           case Some(t) =>
-            // dbt-merge semantics: an update batch overwrites matched keys
-            // (reference keys on raw_id; file streams re-deliver whole
-            // files with fresh ids, so key on content identity —
-            // time + metric + value, so two sensors reporting the same
-            // metric in the same second don't collapse)
+            // dbt-merge on raw_id — SAME key as the batch path, so the
+            // two tiers keep identical semantics (duplicate identical
+            // readings stay distinct rows, exactly like distinct
+            // reference raw_ids); batch replays are idempotent because
+            // the ids above are replay-stable
             Merge.merge(
               t, fresh,
-              Seq("reading_time", "metric_name", "metric_value"),
-              Seq(col("processed_at").asc, col("raw_id").asc))
+              Seq("raw_id"),
+              Seq(col("processed_at").desc, col("reading_time").desc))
         }
         // write-to-temp then RENAME: one full write instead of two, and a
         // crash between delete and rename leaves the .tmp dir intact for
@@ -143,14 +145,19 @@ object PathIO {
 
   /** Replace `target` with `src` by delete+rename (rename is a metadata
     * op on HDFS/local; a crash between the two leaves `src` intact for
-    * recovery).
+    * recovery). Hadoop reports most failures via boolean returns rather
+    * than exceptions — an ignored false from rename would mean the
+    * target was deleted and never replaced (silent table loss), so both
+    * results are checked.
     */
   def replace(spark: SparkSession, src: String, target: String): Unit = {
     val f = fs(spark, target)
     val t = new Path(target)
-    if (f.exists(t)) f.delete(t, true)
-    f.rename(new Path(src), t)
-    ()
+    if (f.exists(t) && !f.delete(t, true))
+      throw new java.io.IOException(s"failed to delete $target before replace")
+    if (!f.rename(new Path(src), t))
+      throw new java.io.IOException(
+        s"failed to rename $src -> $target; data remains at $src for recovery")
   }
 
   /** Total bytes under a path (scheme-aware). */

@@ -34,19 +34,23 @@ class StreamingSpec extends AnyFunSuite {
     StreamingPipeline.runBronzeToSilverAvailableNow(spark, bronzeDir, silverPath, ckpt)
     assert(spark.read.parquet(silverPath).count() == 4)
 
-    // new file: one new reading, one DIFFERENT value at an existing
-    // (time, metric) — a distinct reading (new raw_id in the reference,
-    // so it coexists) — and one EXACT content duplicate, which merges
+    // new file: every line becomes a NEW reading with a fresh raw_id —
+    // including an exact repeat of an earlier line, exactly as a
+    // re-POSTed line gets a new bronze id in the reference. Exactly-once
+    // comes from the checkpointed file log (proved by the no-op re-drain
+    // above), and replay-stable per-batch ids make a FAILED batch's
+    // re-execution merge idempotently on raw_id.
     Files.writeString(
       java.nio.file.Paths.get(s"$bronzeDir/batch2.txt"),
       "1649941819 Voltage 1.36\n1649941817 Voltage 9.99\n1649941817 Voltage 1.34\n")
     StreamingPipeline.runBronzeToSilverAvailableNow(spark, bronzeDir, silverPath, ckpt)
     val s3 = spark.read.parquet(silverPath)
-    assert(s3.count() == 6, "new key + distinct-value reading added; exact duplicate merged")
+    assert(s3.count() == 7, "three new readings appended (reference raw_id semantics)")
     val at17 = s3.filter(col("metric_name") === "Voltage" &&
       col("reading_time") === to_timestamp(lit("2022-04-14 13:10:17")))
       .collect().map(_.getAs[Double]("metric_value")).sorted
-    assert(at17.toSeq == Seq(1.34, 9.99), "both distinct values kept, 1.34 not duplicated")
+    assert(at17.toSeq == Seq(1.34, 1.34, 9.99),
+      "re-sent identical reading is a distinct row, like the batch path")
 
     // gold after drain
     val goldPath = s"$root/gold"
