@@ -50,9 +50,16 @@ object SensorPipeline {
         tok(2).as("metric_name"),
         tok(3).as("value_str"),
         col("ingested_at"))
-      // P3: validation regexes (stg_readings.sql:57-74)
+      // P3: validation regexes (stg_readings.sql:57-74). The extra length
+      // guard is ours: a long-enough digit string passes ^\d+$ but
+      // overflows the timestamp — TimestampType is MICROSECOND-backed, so
+      // timestamp_seconds throws past ~9.2e12 s (12 digits ≈ year 33,658
+      // is the practical ceiling; 18 digits fits a Long but not ×1e6).
+      // Postgres would abort the whole dbt run there; we drop the row
+      // instead of killing the job (documented divergence).
       .filter(
         col("timestamp_str").rlike("^\\d+$") &&
+          length(col("timestamp_str")) <= 12 &&
           col("metric_name").rlike("^[A-Za-z]") &&
           col("value_str").rlike("^-?\\d+\\.?\\d*$"))
       // P5-P7: casts, epoch→ts, date (stg_readings.sql:84-93)

@@ -78,6 +78,15 @@ class FunctionsSpec extends AnyFunSuite {
     assert(state.getOption.exists(s =>
       s.last == ts("2024-01-01 11:40:00") && s.n == 3 && s.total == 7.5),
       s"late event rewound state: ${state.getOption}")
+
+    // event-time timeout: the open session must be EMITTED and the state
+    // removed (not silently dropped)
+    state.timedOut = true
+    val emitted = sessionize(1800L)(1L, Iterator.empty, state).toSeq
+    assert(emitted.length == 1, "timed-out open session must be emitted")
+    assert(emitted.head.n == 3 && emitted.head.total == 7.5)
+    assert(emitted.head.session_end == ts("2024-01-01 11:40:00"))
+    assert(state.getOption.isEmpty, "state must be removed on timeout")
   }
 
   test("stateful sessionizer end-to-end over a file stream") {
@@ -112,13 +121,13 @@ class FunctionsSpec extends AnyFunSuite {
 /** Minimal GroupState stub for driving the pure state function in batch. */
 class TestGroupState[S] extends org.apache.spark.sql.streaming.GroupState[S] {
   private var value: Option[S] = None
-  private var removed = false
+  var timedOut = false
   override def exists: Boolean = value.isDefined
   override def get: S = value.get
   override def getOption: Option[S] = value
-  override def update(newValue: S): Unit = { value = Some(newValue); removed = false }
-  override def remove(): Unit = { value = None; removed = true }
-  override def hasTimedOut: Boolean = false
+  override def update(newValue: S): Unit = { value = Some(newValue) }
+  override def remove(): Unit = { value = None }
+  override def hasTimedOut: Boolean = timedOut
   override def setTimeoutDuration(durationMs: Long): Unit = ()
   override def setTimeoutDuration(duration: String): Unit = ()
   override def setTimeoutTimestamp(timestampMs: Long): Unit = ()

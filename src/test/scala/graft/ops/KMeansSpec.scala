@@ -18,7 +18,10 @@ class KMeansSpec extends AnyFunSuite {
     val emb = Tables.embeddings(spark, sf)
     val inertias = (1 to 4).map(i => KMeans.fit(emb, k = 10, iters = i).inertia)
     inertias.sliding(2).foreach { case Seq(a, b) =>
-      assert(b <= a + 1e-9, s"inertia must not increase: $inertias")
+      // relative tolerance: separate fit() calls recompute the shared
+      // prefix, and reduce-merge order jitters the doubles — near the
+      // plateau an absolute epsilon can flake
+      assert(b <= a * (1 + 1e-9) + 1e-6, s"inertia must not increase: $inertias")
     }
   }
 

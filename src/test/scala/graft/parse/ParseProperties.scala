@@ -13,13 +13,20 @@ import graft.model.Models.ParsedReading
   */
 class ParseProperties extends AnyFunSuite {
 
-  private def forAllN[A](gen: Gen[A], n: Int = 300)(f: A => Unit): Unit =
+  private def forAllN[A](gen: Gen[A], n: Int = 300)(f: A => Unit): Unit = {
+    var executed = 0
     (0 until n).foreach { i =>
       gen.apply(Gen.Parameters.default, Seed(i.toLong))
-        .foreach(a => try f(a) catch {
-          case e: Throwable => fail(s"failed for sample #$i: $a — ${e.getMessage}")
-        })
+        .foreach { a =>
+          executed += 1
+          try f(a) catch {
+            case e: Throwable => fail(s"failed for sample #$i: $a — ${e.getMessage}")
+          }
+        }
     }
+    // a generator that fails every seed must not pass vacuously
+    assert(executed >= n / 2, s"only $executed/$n samples generated — property is vacuous")
+  }
 
   private val tsGen = Gen.chooseNum(0L, 9999999999L)
   private val nameGen = for {
@@ -54,12 +61,20 @@ class ParseProperties extends AnyFunSuite {
   }
 
   test("strict silver validation accepts a strict subset of python parse") {
+    // known exception: a 19+-digit timestamp passes the SQL regex but
+    // overflows Long in parseLine (Python int is unbounded; the silver
+    // filter guards length <= 18 for the same reason) — exclude it so
+    // the property tests the intended subset, and pin the divergence
+    // explicitly below
     val tokGen = Gen.zip(Gen.alphaNumStr, Gen.alphaNumStr, Gen.alphaNumStr)
     forAllN(tokGen, 1000) { case (a, b, c) =>
-      if (LineParser.validStrict(a, b, c)) {
+      if (LineParser.validStrict(a, b, c) && a.length <= 18) {
         assert(LineParser.parseLine(s"$a $b $c").isDefined,
           s"strict accepted but python rejected: '$a $b $c'")
       }
     }
+    val huge = "12345678901234567890" // > Long.MaxValue digits
+    assert(LineParser.validStrict(huge, "Voltage", "1.0"), "regex alone accepts")
+    assert(LineParser.parseLine(s"$huge Voltage 1.0").isEmpty, "Long parse rejects")
   }
 }

@@ -31,12 +31,17 @@ class LayoutSpec extends AnyFunSuite {
     val dirs = new java.io.File(s"$root/silver").listFiles().filter(_.isDirectory).map(_.getName).sorted
     assert(dirs.toSeq == Seq("reading_date=2022-04-14", "reading_date=2022-04-15", "reading_date=2022-04-16"))
 
-    // range scan shows partition filters (pruning), not data filters
+    // pruning asserted on the CONTENTS of PartitionFilters — the scan
+    // node always prints the label (even empty), so a bare substring
+    // match passes vacuously; and DataFrame.inputFiles lists the whole
+    // relation pre-pruning, so it can't be used either
     val scan = spark.read.parquet(s"$root/silver")
       .filter(col("reading_date") >= "2022-04-15" && col("reading_date") < "2022-04-16")
     assert(scan.count() == 1)
     val plan = scan.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("2022-04-15"))
+    val pf = plan.split("PartitionFilters: \\[")(1).split("\\]")(0)
+    assert(pf.contains("reading_date"),
+      s"range predicate must land in PartitionFilters, got: [$pf]")
 
     // dynamic overwrite of one day leaves the others untouched
     val day2 = silver.filter(col("reading_date") === "2022-04-15")

@@ -95,7 +95,7 @@ class StreamingSpec extends AnyFunSuite {
       org.apache.spark.sql.types.StructField("reading_time", org.apache.spark.sql.types.TimestampType),
       org.apache.spark.sql.types.StructField("metric_name", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("metric_value", org.apache.spark.sql.types.DoubleType)))
-    def batch(rows: Seq[(String, String, Double)], file: String): Unit =
+    def batch(rows: Seq[(String, String, Double)]): Unit =
       rows.toDF("t", "metric_name", "metric_value")
         .withColumn("reading_time", to_timestamp(col("t")))
         .select("reading_time", "metric_name", "metric_value")
@@ -104,17 +104,17 @@ class StreamingSpec extends AnyFunSuite {
     // past day 1 + 1-day lateness
     batch(Seq(
       ("2022-04-14 10:00:00", "Voltage", 1.0),
-      ("2022-04-14 10:00:00", "Current", 10.0)), "b1")
+      ("2022-04-14 10:00:00", "Current", 10.0)))
     val stream = spark.readStream.schema(schema).parquet(s"$root/in")
     val agg = StreamingPipeline.dailyPowerStreaming(stream, lateness = "1 day")
     val q = agg.writeStream.outputMode("append").format("memory")
       .queryName("late_out").option("checkpointLocation", s"$root/ckpt").start()
     q.processAllAvailable()
-    batch(Seq(("2022-04-20 00:00:00", "Voltage", 5.0), ("2022-04-20 00:00:00", "Current", 5.0)), "b2")
+    batch(Seq(("2022-04-20 00:00:00", "Voltage", 5.0), ("2022-04-20 00:00:00", "Current", 5.0)))
     q.processAllAvailable()
     // batch 3: LATE reading for day 1 — watermark is now ~Apr 19, so this
     // must be discarded, NOT recomputed (tier-1 would recompute the day)
-    batch(Seq(("2022-04-14 11:00:00", "Voltage", 99.0)), "b3")
+    batch(Seq(("2022-04-14 11:00:00", "Voltage", 99.0)))
     q.processAllAvailable()
     q.stop()
     val day1 = spark.table("late_out")
