@@ -51,6 +51,15 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
             n_fail += 1
             continue
+        # dtype mismatches (e.g. Spark ceil->LONG vs DuckDB ceil->DOUBLE)
+        # would be canonicalized away below but may fail the driver's
+        # stricter compare — fail loudly here
+        dt = [(c, str(got[c].dtype), str(exp[c].dtype)) for c in got.columns
+              if str(got[c].dtype) != str(exp[c].dtype)]
+        if dt:
+            print(f"FAIL {name}: dtype mismatch {dt}")
+            n_fail += 1
+            continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
             n_fail += 1

@@ -148,12 +148,14 @@ object AdvancedOps {
     // Lateral explode with position (generator / flatMap surface).
     QueryDef(
       "q_posexplode",
-      """SELECT doc_id, i - 1 AS pos, toks[i] AS token
+      """SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS token
         |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |  unnest(range(1, len(toks) + 1)) AS t(i)
         |ORDER BY doc_id, pos""".stripMargin) { (s, d) =>
+      // posexplode's pos is int — cast to long to match DuckDB's BIGINT i
       Tables.documents(s, d)
         .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+        .withColumn("pos", col("pos").cast("long"))
         .orderBy("doc_id", "pos")
     },
 

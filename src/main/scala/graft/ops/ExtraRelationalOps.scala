@@ -256,8 +256,8 @@ object ExtraRelationalOps {
       "q_math_funcs",
       """SELECT l_orderkey, l_linenumber,
         |  round(abs(l_discount - 0.05), 6) AS a,
-        |  ceil(l_extendedprice / 1000) AS c,
-        |  floor(l_extendedprice / 1000) AS f,
+        |  CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS c,
+        |  CAST(floor(l_extendedprice / 1000) AS BIGINT) AS f,
         |  round(sqrt(l_quantity), 6) AS sq,
         |  round(exp(l_discount), 6) AS ex,
         |  round(ln(l_extendedprice), 6) AS logn,
