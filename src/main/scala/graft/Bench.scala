@@ -22,19 +22,24 @@ object Bench {
       // noop sink, NOT count(): count() lets Catalyst prune every
       // projected expression and drop final sorts, so pure-projection
       // queries would time only the scan; noop materializes all columns
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch {
-        case e: Throwable =>
-          // surface the failure — a silently-swallowed broken query would
-          // deflate the total and read as a performance improvement
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch {
+          case e: Throwable =>
+            // surface the failure — a silently-swallowed broken query would
+            // deflate the total and read as a performance improvement
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+        }
+      // -1 sentinel for failures: elapsed-to-failure would make a
+      // fast-failing query read as a fast run in the JSON
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -83,17 +83,32 @@ object DedupOps {
       .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
     // Candidate pairs via ONE shuffle: group by bucket, emit in-bucket id
     // pairs. (A bucket self-join would shuffle + recompute the signature
-    // subtree twice.) Buckets are capped at maxBucket ids (sorted — the
-    // cap is deterministic) so pathological boilerplate buckets stay
-    // bounded at any scale.
+    // subtree twice.) Buckets are capped at maxBucket ids so pathological
+    // boilerplate buckets stay bounded at any scale. The cap order is a
+    // per-(bucket, doc) HASH, not raw id order: sorting ids directly
+    // would systematically exclude high-id docs from every oversized
+    // bucket (a recall bias invisible per-bucket but global over the
+    // corpus); hashing with the bucket key in the seed also varies WHICH
+    // docs are dropped across buckets, so no doc is unlucky everywhere.
+    // Still fully deterministic (pure function of the rows).
     val pairs = banded
       .groupBy(col("band_id"), col("band_hash"))
-      .agg(slice(sort_array(collect_set(col("doc_id"))), 1, maxBucket).as("ids"))
+      .agg(slice(
+        sort_array(collect_set(struct(
+          xxhash64(col("band_hash"), col("doc_id")).as("h"),
+          col("doc_id").as("id")))),
+        1, maxBucket).as("capped"))
+      .withColumn("ids", transform(col("capped"), c => c.getField("id")))
       .filter(size(col("ids")) > 1)
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
           struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
+      // ids within a bucket are in HASH order, so the same pair can
+      // surface as (a,b) in one bucket and (b,a) in another —
+      // canonicalize to (min,max) before the distinct
+      .select(
+        least(col("p.doc_a"), col("p.doc_b")).as("doc_a"),
+        greatest(col("p.doc_a"), col("p.doc_b")).as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     // Verification stage: fetch shingles per side by id (two narrow joins
     // against the id→shingles table instead of shipping arrays ×bands).

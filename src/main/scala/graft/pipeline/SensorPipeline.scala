@@ -50,16 +50,20 @@ object SensorPipeline {
         tok(2).as("metric_name"),
         tok(3).as("value_str"),
         col("ingested_at"))
-      // P3: validation regexes (stg_readings.sql:57-74). The extra length
-      // guard is ours: a long-enough digit string passes ^\d+$ but
-      // overflows the timestamp — TimestampType is MICROSECOND-backed, so
-      // timestamp_seconds throws past ~9.2e12 s (12 digits ≈ year 33,658
-      // is the practical ceiling; 18 digits fits a Long but not ×1e6).
-      // Postgres would abort the whole dbt run there; we drop the row
-      // instead of killing the job (documented divergence).
+      // P3: validation regexes (stg_readings.sql:57-74). The extra bound
+      // is ours: a long-enough digit string passes ^\d+$ but overflows
+      // the timestamp — TimestampType is MICROSECOND-backed, so
+      // timestamp_seconds throws past Long.MaxValue/1e6 ≈ 9.22e12 s
+      // (≈ year 294,247; an 18-digit value fits a Long but not ×1e6).
+      // try_cast + numeric bound (not a string-length check, which would
+      // also reject numerically-small values written with leading zeros
+      // that Postgres's ::bigint accepts). Postgres would abort the whole
+      // dbt run on overflow; we drop the row instead of killing the job
+      // (documented divergence).
       .filter(
         col("timestamp_str").rlike("^\\d+$") &&
-          length(col("timestamp_str")) <= 12 &&
+          expr("try_cast(timestamp_str AS BIGINT)").isNotNull &&
+          expr("try_cast(timestamp_str AS BIGINT)") <= lit(Long.MaxValue / 1000000L) &&
           col("metric_name").rlike("^[A-Za-z]") &&
           col("value_str").rlike("^-?\\d+\\.?\\d*$"))
       // P5-P7: casts, epoch→ts, date (stg_readings.sql:84-93)

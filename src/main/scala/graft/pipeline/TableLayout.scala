@@ -59,12 +59,31 @@ object TableLayout {
     val totalBytes = PathIO.sizeBytes(spark, path)
     val nFiles = math.max(1, (totalBytes / (targetFileMB * 1024L * 1024L)).toInt)
     val tmp = path + ".compact"
-    // partitioned tables: still honor targetFileMB — repartition(cols)
-    // alone would put each partition value in ONE task/file (a 50 GB hot
-    // day would become one 50 GB file written by one task)
+    // partitioned tables: still honor targetFileMB. repartition(cols)
+    // alone hashes ONLY the partition columns, so every row of a hot
+    // partition value funnels into ONE task/file — a 50 GB hot day would
+    // become one 50 GB file written by one task. Spread hot values with a
+    // bounded row-hash salt: salt buckets = how many target-size files
+    // the LARGEST partition value needs (estimated by row counts), so a
+    // hot day fans out over that many tasks/files while typical values
+    // keep ~1 file and don't fragment.
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     val repartitioned =
       if (partitionCols.isEmpty) df.repartition(nFiles)
-      else df.repartition(nFiles, partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      else {
+        import org.apache.spark.sql.functions.{count, max, sum}
+        val stats = df.groupBy(partitionCols.map(col): _*)
+          .agg(count(lit(1)).as("n"))
+          .agg(sum("n"), max("n")).collect()(0)
+        if (stats.isNullAt(0)) df.repartition(nFiles) // empty table
+        else {
+          val rowsPerFile = math.max(1L, stats.getLong(0) / nFiles)
+          val saltBuckets = math.max(1L,
+            math.ceil(stats.getLong(1).toDouble / rowsPerFile).toLong)
+          val salt = pmod(xxhash64(df.columns.map(col): _*), lit(saltBuckets))
+          df.repartition(nFiles, partitionCols.map(col) :+ salt: _*)
+        }
+      }
     val writer = repartitioned.write.mode(SaveMode.Overwrite)
     (if (partitionCols.isEmpty) writer else writer.partitionBy(partitionCols: _*)).parquet(tmp)
     // delete+rename (metadata op): a crash between the two leaves the

@@ -54,9 +54,34 @@ object StreamingPipeline {
         // ids, so the raw_id merge below is idempotent — while two
         // genuinely identical lines in one batch get distinct ids, as
         // they would get distinct raw_ids in the reference.
-        val rn = org.apache.spark.sql.expressions.Window.orderBy(col("value"))
+        //
+        // Id layout (64-bit): batchId << 40 | salt << 32 | rn.
+        // The salt (content hash mod 256) partitions the Window so a big
+        // batch doesn't funnel through one task's global sort; rn is
+        // per-bucket so the 2^32 bound applies per bucket (~10^12 rows/
+        // batch total). Replay-stable: salt is a pure function of the
+        // line, and equal lines are interchangeable under the content
+        // sort, so a replayed batch yields the identical id SET. rn
+        // overflow raises instead of silently colliding with the next
+        // batch's id space (which would make the merge drop distinct
+        // readings as duplicates); batchId has 23 bits — unreachable for
+        // any real stream lifetime.
+        val saltBuckets = 256L
+        val wSalt = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_salt")).orderBy(col("value"))
         val bronze = batch
-          .withColumn("id", row_number().over(rn).cast("long") + batchId * 1000000000L)
+          .withColumn("_salt", pmod(xxhash64(col("value")), lit(saltBuckets)))
+          .withColumn("_rn", row_number().over(wSalt).cast("long"))
+          // the guard lives INSIDE the id expression — a separate
+          // assert_true column would be pruned away as unused
+          .withColumn("id",
+            when(col("_rn") < lit(1L << 32),
+              lit(batchId << 40) + col("_salt") * lit(1L << 32) + col("_rn"))
+              .otherwise(raise_error(concat(
+                lit(s"micro-batch $batchId overflows the per-bucket id space (rn="),
+                col("_rn"), lit("); cap batch size with maxFilesPerTrigger")))
+                .cast("long")))
+          .drop("_salt", "_rn")
           .withColumn("ingested_at", current_timestamp())
           .withColumnRenamed("value", "raw_line")
         val fresh = SensorPipeline.bronzeToSilver(bronze)
