@@ -273,7 +273,12 @@ object SensorOps {
         |ORDER BY event_id""".stripMargin) { (s, d) =>
       val e = Tables.events(s, d).withColumn("d", to_date(col("ts")))
       val affected = e.filter(col("event_type") === "error").select("d").distinct()
-      e.join(affected, Seq("d"), "left_semi")
+      // BROADCAST the distinct-day side: it is bounded by the calendar
+      // (#days), so the semi join must never shuffle the fact side — a
+      // plain semi join would hash-exchange the full events table on `d`
+      // at 100×. The day-side scan is column-pruned (ts + pushed
+      // event_type filter), so the "second scan" reads a sliver.
+      e.join(broadcast(affected), Seq("d"), "left_semi")
         .select(col("event_id"), col("event_type"), date_format(col("d"), "yyyy-MM-dd").as("d"))
         .orderBy("event_id")
     },

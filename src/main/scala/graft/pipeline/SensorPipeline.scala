@@ -205,8 +205,11 @@ object Incremental {
     val affectedDays =
       silver.filter(col("processed_at") > lit(wm)).select("reading_date").distinct()
     // Semi join (Catalyst rewrites the reference's IN-subquery to exactly
-    // this); at scale this prunes silver partitions dynamically.
-    val affected = silver.join(affectedDays, Seq("reading_date"), "left_semi")
+    // this); at scale this prunes silver partitions dynamically. The day
+    // side is bounded by the calendar, so BROADCAST it — without the hint
+    // the semi join would hash-exchange the full silver table on
+    // reading_date just to drop most of it.
+    val affected = silver.join(broadcast(affectedDays), Seq("reading_date"), "left_semi")
     val fresh = silverToGold(affected, calculatedAt)
     goldTarget match {
       case None => fresh
