@@ -10,9 +10,16 @@ import org.apache.spark.sql.types._
   * embedding search: assignment is one broadcast pass over the corpus,
   * search shuffles once on cell id.
   *
-  * Centroid "training" is a deterministic stand-in (the first `nlist`
-  * vectors) so the oracle can reproduce it — production would plug a
-  * k-means sample here; everything downstream is unchanged.
+  * Two centroid sources, same downstream plan:
+  *   - `q_ivf_assign` / `q_ivf_ann` / `q_embed_near_dup`: deterministic
+  *     first-`nlist` stand-in centroids, which DuckDB reproduces exactly —
+  *     these keep the WHOLE cell-probe pipeline under the hash oracle.
+  *   - `q_ivf_assign_trained` / `q_ivf_ann_trained`: real [[KMeans]]
+  *     (farthest-first init + Lloyd) — the production path. Float k-means
+  *     is inherently summation-order-dependent (Spark's partial aggs vs
+  *     DuckDB's serial avg can diverge in the last ulp and flip an argmin),
+  *     so these are verified by recall/inertia ScalaTests instead of the
+  *     hash oracle.
   */
 object IvfOps {
   import SimilarityOps.{dot, l2norm}
@@ -21,6 +28,14 @@ object IvfOps {
     col("vec_id"),
     transform(col("embedding"), _.cast(DoubleType)).as("emb"))
     .withColumn("norm", l2norm(col("emb")))
+
+  /** Unit-normalized copy (column name kept as `embedding` for
+    * [[KMeans.fit]]) — spherical k-means input.
+    */
+  private def unitEmb(df: org.apache.spark.sql.DataFrame) =
+    withNorm(df).select(
+      col("vec_id"),
+      transform(col("emb"), e => e / col("norm")).as("embedding"))
 
   /** cell assignment: argmax cosine over broadcast centroids. */
   private def assign(s: org.apache.spark.sql.SparkSession, d: String, nlist: Int) = {
@@ -128,5 +143,88 @@ object IvfOps {
         .filter(col("rn") <= 3)
         .select(col("q_id"), col("vec_id"), col("cosine"), col("rn").cast(LongType).as("rank"))
         .orderBy("q_id", "rank")
+    },
+
+    // Trained IVF assignment — the production path: SPHERICAL k-means
+    // (Lloyd over unit-normalized vectors, deterministic farthest-first
+    // init) instead of the first-N stand-in. The serving metric is
+    // cosine, so cells must partition by direction: on the unit sphere
+    // L2 ordering ≡ cosine ordering, while plain L2 on raw vectors
+    // partitions by magnitude too — which is orthogonal to cosine and
+    // guts recall. Training never shuffles the corpus (broadcast
+    // centroids both ways); serving is identical to q_ivf_assign.
+    QueryDef.noOracle("q_ivf_assign_trained") { (s, d) =>
+      assignTrained(Tables.embeddings(s, d), nlist = 16).orderBy("vec_id")
+    },
+
+    // Trained IVF search: probe the 2 nearest trained cells (L2 on unit
+    // vectors ≡ cosine), exact cosine re-rank inside — same plan shape
+    // as q_ivf_ann, real centroids. Verified by IvfTrainedSpec: honest
+    // recall bars (signal over random probing on the isotropic driver
+    // corpus; near-perfect on clustered data) — NOT "matches the
+    // stand-in", whose 29/30 is a query⊆centroids artifact.
+    QueryDef.noOracle("q_ivf_ann_trained") { (s, d) =>
+      annTrained(Tables.embeddings(s, d), col("vec_id") < 10,
+        k = 3, nlist = 16, nprobe = 2)
     })
+
+  /** Spherical-k-means cell assignment of every vector (production twin
+    * of the stand-in `assign`): (vec_id, cluster).
+    */
+  def assignTrained(
+      emb: org.apache.spark.sql.DataFrame,
+      nlist: Int,
+      iters: Int = 5): org.apache.spark.sql.DataFrame = {
+    val unit = unitEmb(emb)
+    val model = KMeans.fitSample(unit, k = nlist, iters = iters)
+    KMeans.assignClusters(unit, model.centroids)
+      .select(col("vec_id"), col("cluster").cast(LongType).as("cluster"))
+  }
+
+  /** Trained IVF cosine search: spherical k-means cells, probe the
+    * `nprobe` nearest cells per query, exact cosine re-rank inside.
+    * Returns (q_id, vec_id, cosine, rank), totally ordered.
+    *
+    * Scale shape: training and probing broadcast only k×dim centroid
+    * doubles; the candidate join shuffles nothing on the corpus side
+    * (probes broadcast); the corpus is scanned twice (train+serve) but
+    * never collected.
+    */
+  def annTrained(
+      emb: org.apache.spark.sql.DataFrame,
+      queryPred: org.apache.spark.sql.Column,
+      k: Int,
+      nlist: Int,
+      nprobe: Int,
+      iters: Int = 5): org.apache.spark.sql.DataFrame = {
+    val s = emb.sparkSession
+    val unit = unitEmb(emb)
+    val model = KMeans.fitSample(unit, k = nlist, iters = iters)
+    val base = withNorm(emb)
+    val corpus = base.join(
+      KMeans.assignClusters(unit, model.centroids).select(col("vec_id"), col("cluster")),
+      "vec_id")
+    val cents = KMeans.centroidDf(s, model.centroids)
+    // unit query vs centroid: argmin L2 ≡ argmax cosine on the sphere
+    def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("d2").asc, col("cid").asc)
+    val probes = base.filter(queryPred)
+      .select(
+        col("vec_id").as("q_id"), col("emb").as("q_emb"), col("norm").as("q_norm"),
+        transform(col("emb"), e => e / col("norm")).as("q_unit"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d2", d2(col("q_unit"), col("cemb")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe)
+      .select("q_id", "q_emb", "q_norm", "cid")
+    val wr = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    corpus
+      .join(broadcast(probes), col("cluster") === col("cid") && col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", round(dot(col("emb"), col("q_emb")) / (col("norm") * col("q_norm")), 6))
+      .withColumn("rn", row_number().over(wr))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"), col("cosine"), col("rn").cast(LongType).as("rank"))
+      .orderBy("q_id", "rank")
+  }
 }

@@ -29,7 +29,7 @@ object KMeans {
 
   private def embDouble = transform(col("embedding"), _.cast(DoubleType)).as("emb")
 
-  private def centroidDf(spark: SparkSession, centroids: Array[Array[Double]]): DataFrame = {
+  private[ops] def centroidDf(spark: SparkSession, centroids: Array[Array[Double]]): DataFrame = {
     val rows = centroids.zipWithIndex.map { case (c, i) => Row(i, c.toSeq) }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toSeq, 1),
@@ -77,6 +77,69 @@ object KMeans {
       chosen += next.getSeq[Double](next.fieldIndex("emb")).toArray
     }
     chosen.toArray
+  }
+
+  /** Sample-trained k-means — the production path at scale: collect a
+    * deterministic hash-ordered sample (the FAISS convention: IVF
+    * training needs ~100×nlist vectors, not the corpus), run
+    * farthest-first + Lloyd locally on the driver, broadcast the
+    * centroids for the distributed assignment. One Spark job (a
+    * TakeOrdered) instead of k init passes + 2 jobs per Lloyd iteration,
+    * and — unlike the distributed fit — bit-deterministic regardless of
+    * partitioning, because the local arithmetic has a fixed order.
+    */
+  def fitSample(emb: DataFrame, k: Int, iters: Int = 5, maxSample: Int = 20000): Model = {
+    val pts = emb.select(col("vec_id"), embDouble)
+      .orderBy(pmod(xxhash64(col("vec_id")), lit(1000003L)), col("vec_id"))
+      .limit(maxSample)
+      .collect().map(_.getSeq[Double](1).toArray)
+    fitArrays(pts, k, iters)
+  }
+
+  /** Local Lloyd with the same deterministic conventions as the
+    * distributed fit: farthest-first init from the first sample point
+    * (ties → first in hash order), argmin ties → lowest centroid id,
+    * emptied cluster keeps its previous centroid. Inertia is over the
+    * training sample.
+    */
+  private[ops] def fitArrays(pts: Array[Array[Double]], k: Int, iters: Int): Model = {
+    require(pts.nonEmpty, "k-means training sample is empty")
+    val kk = math.min(k, pts.length)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer(pts(0).clone())
+    val minD = Array.fill(pts.length)(Double.MaxValue)
+    while (chosen.size < kk) {
+      var best = 0; var bestD = -1.0; var i = 0
+      while (i < pts.length) {
+        val d = math.min(minD(i), d2(pts(i), chosen.last)); minD(i) = d
+        if (d > bestD) { bestD = d; best = i }
+        i += 1
+      }
+      chosen += pts(best).clone()
+    }
+    var centroids = chosen.toArray
+    for (_ <- 0 until iters) {
+      val dim = pts(0).length
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Long](kk)
+      pts.foreach { p =>
+        var bi = 0; var bd = Double.MaxValue; var c = 0
+        while (c < kk) {
+          val d = d2(p, centroids(c)); if (d < bd) { bd = d; bi = c }; c += 1
+        }
+        counts(bi) += 1
+        var j = 0; while (j < dim) { sums(bi)(j) += p(j); j += 1 }
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0L) old else sums(c).map(_ / counts(c))
+      }
+    }
+    val inertia = pts.iterator.map(p => centroids.iterator.map(c => d2(p, c)).min).sum
+    Model(centroids, inertia)
   }
 
   def fit(emb: DataFrame, k: Int, iters: Int = 5): Model = {
