@@ -35,6 +35,9 @@ object GraftFunctions {
     ("simhash64",
       new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64"),
       args => SimHash64Expr(args.head)),
+    ("md5_simhash_hex",
+      new ExpressionInfo(classOf[Md5SimHashExpr].getName, "md5_simhash_hex"),
+      args => Md5SimHashExpr(args.head)),
     ("rhp_bucket",
       new ExpressionInfo(classOf[RhpBucketExpr].getName, "rhp_bucket"),
       args => RhpBucketExpr(args.head, intArg(args(1), "nbits"), intArg(args(2), "table"))),

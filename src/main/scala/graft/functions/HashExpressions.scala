@@ -163,6 +163,27 @@ final case class Md5MinHashSigExpr(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** md5-based SimHash as a 16-hex-char string — oracle twin of
+  * [[SimHash64Expr]] (see [[HashKernels.md5SimhashHex]]).
+  */
+final case class Md5SimHashExpr(child: Expression)
+    extends UnaryExpression with KernelCodegen {
+
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.md5SimhashHex(input.asInstanceOf[ArrayData])
+
+  override protected def kernelCall(ctx: CodegenContext, c: String): String =
+    s"$kernels.md5SimhashHex($c)"
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    kernelGenCode(ctx, ev)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Winnowing window-min fingerprint (min md5-prefix over all
   * `window`-char substrings); null when text is shorter than the window.
   * NOT null-intolerant on output — returns null for short texts — but
@@ -224,6 +245,10 @@ object HashFunctions {
   /** 64-bit SimHash over an array<string>. */
   def simhash64(c: Column): Column =
     ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(c)))
+
+  /** md5-based SimHash hex string (oracle twin of simhash64). */
+  def md5_simhash_hex(c: Column): Column =
+    ColumnBridge.column(Md5SimHashExpr(ColumnBridge.expression(c)))
 
   /** Word n-gram shingles over a space-tokenized string. */
   def ngram_shingles(c: Column, n: Int): Column =

@@ -129,6 +129,45 @@ object HashKernels {
     new GenericArrayData(mins.map(s => if (s == null) null else UTF8String.fromString(s)))
   }
 
+  /** md5-based SimHash, emitted as a 16-hex-char string: per shingle,
+    * md5's top 64 bits vote ±1 per bit position; a bit is set when its
+    * vote sum is positive. Byte-identical to the SQL formulation over
+    * `substr(md5(g), 1, 16)` nibbles (hex char j/4, nibble bit 3-(j%4)
+    * ≡ digest byte j>>3, bit 7-(j&7)), so the DuckDB oracle reproduces
+    * it exactly — at kernel speed instead of a |shingles|×64 explode.
+    */
+  def md5SimhashHex(arr: ArrayData): UTF8String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val acc = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        md.reset()
+        val digest = md.digest(arr.getUTF8String(i).getBytes)
+        var j = 0
+        while (j < 64) {
+          if (((digest(j >> 3) >> (7 - (j & 7))) & 1) == 1) acc(j) += 1 else acc(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder(16)
+    var nib = 0
+    while (nib < 16) {
+      var nv = 0
+      var b = 0
+      while (b < 4) {
+        if (acc(nib * 4 + b) > 0) nv |= 1 << (3 - b)
+        b += 1
+      }
+      sb.append(Character.forDigit(nv, 16))
+      nib += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** Winnowing-style fingerprint: minimum md5-hex prefix (16 chars)
     * over all `window`-char substrings. Matches the SQL HOF form
     * `list_min([substr(md5(s[i:i+w-1]),1,16) ...])` — MessageDigest md5

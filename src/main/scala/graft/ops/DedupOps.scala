@@ -224,8 +224,17 @@ object DedupOps {
   /** End-to-end dedup: exact + near-dup groups with a canonical survivor
     * (min doc_id) per group. Returns (doc_id, canonical_id, is_canonical).
     */
-  def dedupGroups(docs: DataFrame, threshold: Double = 0.3): DataFrame = {
-    val pairs = minhashNearDups(docs, threshold = threshold)
+  def dedupGroups(docs: DataFrame, threshold: Double = 0.3): DataFrame =
+    dedupGroupsFrom(docs, minhashNearDups(docs, threshold = threshold))
+
+  /** Oracle twin of [[dedupGroups]]: identical CC + canonical-survivor
+    * logic over the md5 LSH pair set, which DuckDB reproduces exactly
+    * (its side runs min-label propagation as a recursive CTE).
+    */
+  def dedupGroupsMd5(docs: DataFrame): DataFrame =
+    dedupGroupsFrom(docs, minhashNearDupsMd5(docs))
+
+  private def dedupGroupsFrom(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val comps = connectedComponents(pairs)
     docs.select(col("doc_id"))
       .join(comps, Seq("doc_id"), "left")
@@ -233,6 +242,21 @@ object DedupOps {
       .withColumn("is_canonical", col("doc_id") === col("canonical_id"))
       .select("doc_id", "canonical_id", "is_canonical")
   }
+
+  /** Oracle twin of [[simhash64]]: SimHash with md5-derived bit votes
+    * (top 16 hex chars = 64 bits), emitted as a 16-char hex string so
+    * both engines sidestep int64 sign issues. Same algorithm as the
+    * native xxhash64 kernel — per-bit majority over shingle hashes,
+    * duplicates weighted — with a hash DuckDB computes identically, so
+    * the WHOLE sketch (shingling included) is under the hash oracle.
+    * Native kernel ([[graft.functions.HashKernels.md5SimhashHex]]):
+    * byte-identical to the SQL nibble formulation at ~6x the speed of
+    * the |shingles|×64 explode it replaces.
+    */
+  def simhashMd5(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      graft.functions.HashFunctions.md5_simhash_hex(shingles(col("text"), 2)).as("simhash_hex"))
 
   val all: Seq[QueryDef] = Seq(
 
@@ -339,15 +363,91 @@ object DedupOps {
 
     // Full dedup pipeline: minhash near-dups -> connected components ->
     // canonical survivor per group (iterative — ScalaTest-verified on
-    // planted transitive chains; rows-only for the driver).
+    // planted transitive chains; rows-only for the driver). Oracle
+    // coverage comes from the md5 twin below.
     QueryDef.noOracle("q_dedup_groups") { (s, d) =>
       dedupGroups(Tables.documents(s, d)).orderBy("doc_id")
     },
 
-    // SimHash 64-bit fingerprints (rows-only; bit semantics ScalaTest-verified).
+    // Oracle twin of q_dedup_groups: the SAME iterative Spark CC runs
+    // over the md5 LSH pair set, and DuckDB recomputes the components
+    // with a recursive-CTE min-label walk — the full
+    // pairs -> components -> canonical-survivor pipeline is hash-checked.
+    QueryDef(
+      "q_dedup_groups_md5",
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, greatest(len(toks) - 2, 0) + 1)]) AS grams
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |  WHERE len(toks) >= 3),
+        |sig AS (
+        |  SELECT doc_id, grams,
+        |    list_transform(range(0, 16), j ->
+        |      list_min(list_transform(grams, g -> substr(md5(CAST(j AS VARCHAR) || ':' || g), 1, 16)))) AS sig
+        |  FROM d),
+        |bands AS (
+        |  SELECT doc_id, b AS band_id,
+        |    md5(array_to_string(sig[b * 4 + 1 : b * 4 + 4], ',')) AS band_hash
+        |  FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band_id = y.band_id AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM cand
+        |  JOIN d a ON a.doc_id = doc_a
+        |  JOIN d b ON b.doc_id = doc_b
+        |  WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.grams, b.grams))), 6) >= 0.2),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |walk(id, comp) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id),
+        |comps AS (SELECT id, min(comp) AS component FROM walk GROUP BY id)
+        |SELECT d2.doc_id,
+        |  coalesce(c.component, d2.doc_id) AS canonical_id,
+        |  d2.doc_id = coalesce(c.component, d2.doc_id) AS is_canonical
+        |FROM documents d2 LEFT JOIN comps c ON c.id = d2.doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      dedupGroupsMd5(Tables.documents(s, d)).orderBy("doc_id")
+    },
+
+    // SimHash 64-bit fingerprints, native xxhash64 kernel (rows-only;
+    // bit semantics ScalaTest-verified + md5 twin below under oracle).
     QueryDef.noOracle("q_simhash") { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), simhash64(shingles(col("text"), 2)).as("simhash"))
         .orderBy("doc_id")
+    },
+
+    // Oracle twin of q_simhash: same per-bit-majority sketch with md5
+    // bit votes, emitted as hex (see simhashMd5).
+    QueryDef(
+      "q_simhash_md5",
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) <= 2 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))]
+        |    END AS grams
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        |g AS (SELECT doc_id, unnest(grams) AS gr FROM d),
+        |h AS (SELECT doc_id, md5(gr) AS h FROM g),
+        |b AS (
+        |  SELECT doc_id, j,
+        |    CASE WHEN (strpos('0123456789abcdef', substr(h, 1 + j // 4, 1)) - 1)
+        |              & (1 << (3 - (j % 4))) != 0 THEN 1 ELSE -1 END AS v
+        |  FROM h, (SELECT unnest(range(0, 64)) AS j) jj),
+        |s AS (SELECT doc_id, j, sum(v) AS sv FROM b GROUP BY doc_id, j),
+        |nib AS (
+        |  SELECT doc_id, j // 4 AS n,
+        |    sum(CASE WHEN sv > 0 THEN (1 << (3 - (j % 4))) ELSE 0 END) AS nv
+        |  FROM s GROUP BY doc_id, j // 4)
+        |SELECT doc_id,
+        |  string_agg(substr('0123456789abcdef', CAST(nv AS INT) + 1, 1), '' ORDER BY n) AS simhash_hex
+        |FROM nib GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      simhashMd5(Tables.documents(s, d)).orderBy("doc_id")
     })
 }
