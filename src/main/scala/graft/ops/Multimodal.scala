@@ -1,5 +1,7 @@
 package graft.ops
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -10,17 +12,20 @@ import org.apache.spark.sql.functions._
   * batch: one iterator per partition, library handles amortized across
   * the partition, no per-row driver round-trips).
   *
-  * The actual codec is STUBBED (no image/audio libraries in this
-  * container): `decodeStub` derives deterministic pseudo-features from
-  * the bytes. Everything around it — schema, batch shape, partition
-  * sizing, null/corrupt handling — is the real production plumbing and is
-  * what the tests pin down. Swap `decodeStub` for a real codec binding
-  * (e.g. javacpp-ffmpeg) without touching the Spark plumbing.
+  * The IMAGE path is a real codec: payloads are genuine PNG/JPEG bytes
+  * (synthesized deterministically with `BufferedImage` + `ImageIO.write`)
+  * and decode runs through JDK `javax.imageio`, emitting true pixel
+  * dimensions and mean luminance. Audio/video decode stays STUBBED (the
+  * JDK ships no such codecs and the container has no native libs):
+  * `decodeStub` derives deterministic pseudo-features from the bytes.
+  * The contract both share — bytes in, features-or-failure out, pure, no
+  * shared state — is what the plumbing relies on; swap the stub for a
+  * codec binding (e.g. javacpp-ffmpeg) without touching the Spark side.
   */
 object Multimodal {
 
   /** A multimodal record: payload + metadata (media_type drives codec
-    * selection; width/height/duration are nullable until decoded).
+    * selection; width/height are populated by the image decoder).
     */
   final case class MediaRecord(
       media_id: Long,
@@ -33,19 +38,19 @@ object Multimodal {
       media_type: String,
       n_bytes: Long,
       ok: Boolean,
-      // stub features: deterministic stand-ins for decoded properties
+      // real decoded properties (image path; None for audio/video/corrupt)
+      width: Option[Int],
+      height: Option[Int],
+      lum_mean: Option[Double],
+      // byte-level features, computed for every payload
       byte_mean: Double,
       byte_entropy: Double,
       fingerprint: Long)
 
-  /** STUB decode: deterministic features from raw bytes. A real
-    * implementation decodes the payload with a codec library here; the
-    * function signature (bytes in, features-or-failure out, pure, no
-    * shared state) is the contract the plumbing relies on.
+  /** Deterministic raw-byte features (all media types): mean, entropy,
+    * rolling fingerprint.
     */
-  def decodeStub(mediaType: String, payload: Array[Byte]): Option[(Double, Double, Long)] = {
-    if (payload == null || payload.isEmpty) return None
-    if (!Set("image", "audio", "video").contains(mediaType)) return None
+  def byteStats(payload: Array[Byte]): (Double, Double, Long) = {
     val mean = payload.map(b => (b & 0xff).toDouble).sum / payload.length
     val counts = new Array[Long](256)
     payload.foreach(b => counts(b & 0xff) += 1)
@@ -55,47 +60,123 @@ object Multimodal {
     }.sum
     var fp = 1125899906842597L
     payload.foreach(b => fp = fp * 31 + (b & 0xff))
-    Some((mean, entropy, fp))
+    (mean, entropy, fp)
+  }
+
+  /** REAL image decode via JDK javax.imageio (PNG, JPEG, GIF, BMP):
+    * returns (width, height, mean luminance 0-255) or None when the
+    * payload isn't a decodable image.
+    */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Double)] = {
+    val img =
+      try javax.imageio.ImageIO.read(new ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      var sum = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, sum / (w.toLong * h)))
+    }
+  }
+
+  /** STUB decode for audio/video: deterministic features from raw bytes
+    * (no JDK codec exists for these). Same contract as the image path.
+    */
+  def decodeStub(mediaType: String, payload: Array[Byte]): Option[(Double, Double, Long)] = {
+    if (payload == null || payload.isEmpty) return None
+    if (!Set("image", "audio", "video").contains(mediaType)) return None
+    Some(byteStats(payload))
   }
 
   /** Partition-local feature extraction: the per-partition iterator is
-    * the batch; a real codec would be initialized once per partition
-    * (like a Pandas UDF initializes per batch), which is why this is
-    * mapPartitions and not map.
+    * the batch; codec state (here: disabling ImageIO's disk cache, for a
+    * real codec its native context) is initialized once per partition —
+    * which is why this is mapPartitions and not map.
     */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // per-partition codec init would go here
+      javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
       it.map { r =>
-        decodeStub(r.media_type, r.payload) match {
-          case Some((mean, entropy, fp)) =>
-            MediaFeatures(r.media_id, r.media_type, r.payload.length.toLong, ok = true,
-              mean, entropy, fp)
-          case None =>
-            MediaFeatures(r.media_id, r.media_type,
-              Option(r.payload).map(_.length.toLong).getOrElse(0L), ok = false, 0.0, 0.0, 0L)
+        val nBytes = Option(r.payload).map(_.length.toLong).getOrElse(0L)
+        if (nBytes == 0L)
+          MediaFeatures(r.media_id, r.media_type, 0L, ok = false,
+            None, None, None, 0.0, 0.0, 0L)
+        else {
+          val (bm, be, fp) = byteStats(r.payload)
+          r.media_type match {
+            case "image" =>
+              decodeImage(r.payload) match {
+                case Some((w, h, lum)) =>
+                  MediaFeatures(r.media_id, "image", nBytes, ok = true,
+                    Some(w), Some(h), Some(lum), bm, be, fp)
+                case None => // corrupt image: flagged, byte stats kept
+                  MediaFeatures(r.media_id, "image", nBytes, ok = false,
+                    None, None, None, bm, be, fp)
+              }
+            case "audio" | "video" =>
+              MediaFeatures(r.media_id, r.media_type, nBytes, ok = true,
+                None, None, None, bm, be, fp)
+            case _ =>
+              MediaFeatures(r.media_id, r.media_type, nBytes, ok = false,
+                None, None, None, bm, be, fp)
+          }
         }
       }
     }
   }
 
+  /** Deterministic tiny PNG/JPEG: dimensions and pixels are pure
+    * functions of the seed (LCG pixels), encoded with the JDK's own
+    * writers so payloads are REAL image files.
+    */
+  def makeImage(seed: Long, format: String): Array[Byte] = {
+    val w = 8 + (seed % 16).toInt
+    val h = 8 + ((seed / 16) % 16).toInt
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var rng = seed
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        rng = rng * 6364136223846793005L + 1442695040888963407L
+        img.setRGB(x, y, ((rng >>> 24) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
   /** Deterministic synthetic media table derived from `documents` (the
-    * container has no real media files): payload = UTF-8 bytes of the
-    * text, media_type round-robins. Gives the plumbing a real
-    * binary-column DataFrame to run over at any SF.
+    * container has no real media FILES, so we synthesize them): image
+    * rows carry real PNG (even ids) / JPEG (odd ids) bytes; audio/video
+    * payloads are the UTF-8 document bytes (stub decode path).
     */
   def syntheticMedia(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     Tables.documents(spark, sfDir)
-      .select(
-        col("doc_id").as("media_id"),
-        element_at(
-          array(lit("image"), lit("audio"), lit("video")),
-          (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
-        encode(col("text"), "UTF-8").as("payload"),
-        col("doc_id").as("source_doc"))
-      .as[MediaRecord]
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val mediaType = Seq("image", "audio", "video")((id % 3).toInt)
+        val payload =
+          if (mediaType == "image") makeImage(id, if (id % 2 == 0) "png" else "jpg")
+          else text.getBytes("UTF-8")
+        MediaRecord(id, mediaType, payload, id)
+      }
   }
 
   /** Feature table as a DataFrame op, repartitioned so each partition
@@ -110,8 +191,8 @@ object Multimodal {
   }
 
   val all: Seq[QueryDef] = Seq(
-    // binary-column decode plumbing (stubbed codec — deterministic, but
-    // the JVM-side hash math isn't DuckDB-expressible; ScalaTest-verified)
+    // binary-column decode plumbing (real javax.imageio decode for
+    // images; JVM-side math isn't DuckDB-expressible; ScalaTest-verified)
     QueryDef.noOracle("q_multimodal_features") { (s, d) =>
       mediaFeatures(s, d).orderBy("media_id")
     })

@@ -155,22 +155,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.forall(r => Seq("hall", "roof").contains(r.getAs[String]("location"))))
   }
 
-  test("multimodal: stubbed decode produces deterministic features; corrupt rows flagged not dropped") {
+  test("multimodal: real imageio decode emits true dims; corrupt rows flagged not dropped") {
     import graft.ops.Multimodal
+    val png = Multimodal.makeImage(42L, "png") // 8 + 42%16 = 18 wide, 8 + 2%16 = 10 tall
     val media = Seq(
-      Multimodal.MediaRecord(1L, "image", "hello world".getBytes("UTF-8"), 1L),
+      Multimodal.MediaRecord(1L, "image", png, 1L),
       Multimodal.MediaRecord(2L, "audio", "hello world".getBytes("UTF-8"), 2L),
       Multimodal.MediaRecord(3L, "video", Array.emptyByteArray, 3L),
-      Multimodal.MediaRecord(4L, "exotic", "x".getBytes("UTF-8"), 4L)).toDS()
+      Multimodal.MediaRecord(4L, "exotic", "x".getBytes("UTF-8"), 4L),
+      Multimodal.MediaRecord(5L, "image", "not an image".getBytes("UTF-8"), 5L)).toDS()
     val f = Multimodal.extractFeatures(media).collect().map(r => r.media_id -> r).toMap
-    assert(f(1L).ok && f(2L).ok)
-    assert(f(1L).fingerprint == f(2L).fingerprint, "same bytes -> same fingerprint across media types")
+    assert(f(1L).ok, "real PNG decodes")
+    assert(f(1L).width.contains(18) && f(1L).height.contains(10),
+      s"javax.imageio must report the true encoded dims, got ${f(1L).width}x${f(1L).height}")
+    assert(f(1L).lum_mean.exists(l => l > 0 && l < 255), "decoded mean luminance in range")
+    assert(f(2L).ok && f(2L).width.isEmpty, "audio ok via stub path, no dims")
     assert(!f(3L).ok, "empty payload flagged")
     assert(!f(4L).ok, "unknown media type flagged")
-    assert(f(1L).n_bytes == 11L)
-    // features survive a round through the full query surface
+    assert(!f(5L).ok, "corrupt image flagged, not dropped")
+    assert(f(5L).n_bytes == 12L, "byte stats survive a failed decode")
+    // features survive a round through the full query surface; every
+    // image row must carry genuine decoded dimensions
     val viaQuery = graft.SparkEntry.queries("q_multimodal_features")(spark, "/root/testdata/sf0.001")
     assert(viaQuery.count() == 500)
     assert(viaQuery.filter(col("ok") === false).count() == 0)
+    val images = viaQuery.filter(col("media_type") === "image")
+    assert(images.count() > 0)
+    assert(images.filter(col("width").isNull || col("height").isNull).count() == 0)
+    // dims follow the deterministic generator: w = 8 + id%16, h = 8 + (id/16)%16
+    assert(images.filter(
+      col("width") =!= (lit(8) + col("media_id") % 16).cast("int") ||
+        col("height") =!= (lit(8) + (col("media_id").cast("long") / 16 % 16).cast("int"))).count() == 0,
+      "decoded dims must equal the generated dims for every image")
   }
 }
