@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Crash-safety of the manifest-log table: a commit that dies between
+  * partition writes and the manifest publish must be invisible — readers
+  * keep seeing the previous version of EVERY partition, never a torn mix.
+  */
+class TxTableSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def rows(pairs: (String, Double)*) =
+    pairs.toSeq.toDF("day", "value")
+
+  private def snapshot(root: String): Set[(String, Double)] =
+    TxTable.read(spark, root)
+      .select(col("day").cast("string"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+
+  test("kill between partition swaps: staged-but-unpublished commit is invisible; publish flips all partitions atomically") {
+    val root = Files.createTempDirectory("txtable").toFile.getAbsolutePath + "/gold"
+    // v1: days A, B
+    TxTable.commit(spark, root, rows("2022-04-14" -> 1.0, "2022-04-15" -> 2.0), "day")
+    assert(snapshot(root) == Set("2022-04-14" -> 1.0, "2022-04-15" -> 2.0))
+
+    // crash simulation: a merge recomputing day A and adding day C stages
+    // its partitions (the multi-partition "swap" of the old design) but
+    // dies before the manifest publish
+    val staged = TxTable.stage(spark, root,
+      rows("2022-04-14" -> 10.0, "2022-04-16" -> 3.0), "day")
+    assert(snapshot(root) == Set("2022-04-14" -> 1.0, "2022-04-15" -> 2.0),
+      "reader must not see any staged partition — old A AND old B, no torn mix")
+
+    // recovery = just publish (or abandon) the staged version
+    TxTable.publish(spark, root, staged, "day")
+    assert(snapshot(root) == Set("2022-04-14" -> 10.0, "2022-04-15" -> 2.0, "2022-04-16" -> 3.0),
+      "after the single manifest rename: new A, untouched B, new C")
+  }
+
+  test("crash during manifest write: .tmp debris is ignored by readers and cleaned by vacuum") {
+    val root = Files.createTempDirectory("txtable2").toFile.getAbsolutePath + "/t"
+    TxTable.commit(spark, root, rows("d1" -> 1.0), "day")
+    // simulate a publish that died mid-manifest-write
+    Files.createDirectories(java.nio.file.Paths.get(s"$root/_txlog"))
+    Files.writeString(java.nio.file.Paths.get(s"$root/_txlog/00000002.manifest.tmp"),
+      "d1\tv2/day=d1")
+    assert(snapshot(root) == Set("d1" -> 1.0), "partial manifest must be invisible")
+    TxTable.vacuum(spark, root)
+    assert(!new java.io.File(s"$root/_txlog/00000002.manifest.tmp").exists())
+    assert(snapshot(root) == Set("d1" -> 1.0))
+  }
+
+  test("vacuum drops superseded versions but keeps every partition the latest manifest references") {
+    val root = Files.createTempDirectory("txtable3").toFile.getAbsolutePath + "/t"
+    TxTable.commit(spark, root, rows("d1" -> 1.0, "d2" -> 2.0), "day")
+    TxTable.commit(spark, root, rows("d1" -> 10.0), "day") // v2 rewrites only d1
+    TxTable.commit(spark, root, rows("d1" -> 100.0), "day") // v3 rewrites only d1
+    assert(snapshot(root) == Set("d1" -> 100.0, "d2" -> 2.0))
+    TxTable.vacuum(spark, root)
+    // v2 (fully superseded) is gone; v1 survives because d2 still lives there
+    assert(!new java.io.File(s"$root/v2").exists(), "unreferenced version dir removed")
+    assert(new java.io.File(s"$root/v1").exists(), "version still holding live partitions kept")
+    assert(snapshot(root) == Set("d1" -> 100.0, "d2" -> 2.0), "read identical after vacuum")
+  }
+
+  test("the gold merge path composes with TxTable: incremental day recompute commits atomically") {
+    val root = Files.createTempDirectory("txtable4").toFile.getAbsolutePath + "/gold"
+    // initial gold: two days
+    val g1 = rows("2022-04-14" -> 17.485, "2022-04-15" -> 20.0)
+      .withColumn("day", col("day").cast("date"))
+    TxTable.commit(spark, root, g1, "day")
+    // late data recomputes day 14 only: full new content of that day
+    val g2 = rows("2022-04-14" -> 18.0).withColumn("day", col("day").cast("date"))
+    TxTable.commit(spark, root, g2, "day")
+    val got = TxTable.read(spark, root)
+      .select(col("day").cast("string"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(got == Set("2022-04-14" -> 18.0, "2022-04-15" -> 20.0))
+  }
+}
