@@ -35,11 +35,21 @@ object StreamingPipeline {
     * captured in the closure), parse+validate with the SAME plan builder
     * the batch path uses, then first-writer-wins merge into the target.
     */
+  /** Optional `goldPath`: when set, each micro-batch ALSO advances the
+    * Gold mart after its Silver merge — the same [[Incremental]] batch
+    * code, so the tier-1 contract (whole-day recompute, unbounded
+    * lateness) holds mid-stream: a late reading for any historical day
+    * re-aggregates that day from ALL its Silver rows in the same batch
+    * that ingested it. Gold's watermark (max calculated_at) is written
+    * after the Silver rows' processed_at, so the next batch's affected-
+    * day reselect can never skip rows this batch introduced.
+    */
   def runBronzeToSilverAvailableNow(
       spark: SparkSession,
       bronzeDir: String,
       silverPath: String,
-      checkpointDir: String): Unit = {
+      checkpointDir: String,
+      goldPath: Option[String] = None): Unit = {
     val stream = spark.readStream
       .schema(rawLineSchema)
       .text(bronzeDir)
@@ -113,6 +123,16 @@ object StreamingPipeline {
         // no surviving copy)
         merged.write.mode("overwrite").parquet(silverPath + ".tmp")
         PathIO.replace(spark, silverPath + ".tmp", silverPath)
+        // gold increment inside the SAME batch (reference: staging >>
+        // marts ordering per hourly run, sensor_data_pipeline.py:88)
+        goldPath.foreach { gp =>
+          val silverNow = spark.read.parquet(silverPath)
+          val gTarget =
+            if (PathIO.exists(spark, gp)) Some(spark.read.parquet(gp)) else None
+          val gMerged = Incremental.goldIncrement(silverNow, gTarget)
+          gMerged.write.mode("overwrite").parquet(gp + ".tmp")
+          PathIO.replace(spark, gp + ".tmp", gp)
+        }
         ()
       }
       .start()

@@ -155,6 +155,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.forall(r => Seq("hall", "roof").contains(r.getAs[String]("location"))))
   }
 
+  test("gold advances per micro-batch and stays in parity with a full batch recompute, including late data") {
+    import graft.pipeline.SensorPipeline
+    val root = Files.createTempDirectory("graft-stream-gold").toFile.getAbsolutePath
+    val bronzeDir = s"$root/bronze"
+    val silverPath = s"$root/silver"
+    val goldPath = s"$root/gold"
+    val ckpt = s"$root/ckpt"
+    new java.io.File(bronzeDir).mkdirs()
+
+    def goldSet(): Set[(String, Double)] =
+      spark.read.parquet(goldPath)
+        .select(col("reading_date").cast("string"), col("metric_value"))
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    def batchRecompute(): Set[(String, Double)] =
+      SensorPipeline.silverToGold(spark.read.parquet(silverPath))
+        .select(col("reading_date").cast("string"), col("metric_value"))
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+
+    // batch 1: one full day -> gold must exist MID-STREAM (no
+    // goldAfterDrain call anywhere in this test)
+    Files.writeString(
+      java.nio.file.Paths.get(s"$bronzeDir/b1.txt"),
+      "1649941817 Voltage 1.34\n1649941818 Voltage 1.35\n1649941817 Current 12.0\n1649941818 Current 14.0\n")
+    StreamingPipeline.runBronzeToSilverAvailableNow(
+      spark, bronzeDir, silverPath, ckpt, goldPath = Some(goldPath))
+    val g1 = goldSet()
+    assert(g1 == batchRecompute(), "micro-batch gold == batch recompute")
+    assert(g1.map(_._1) == Set("2022-04-14"))
+    assert(math.abs(g1.head._2 - 17.485) < 1e-9)
+
+    // batch 2: LATE reading for the already-computed day plus a new day
+    // -> unbounded-lateness contract: old day re-aggregated from ALL its
+    // silver rows, new day appears; both in the same drain
+    Files.writeString(
+      java.nio.file.Paths.get(s"$bronzeDir/b2.txt"),
+      "1649941819 Voltage 2.01\n1650028217 Voltage 2.0\n1650028217 Current 10.0\n")
+    StreamingPipeline.runBronzeToSilverAvailableNow(
+      spark, bronzeDir, silverPath, ckpt, goldPath = Some(goldPath))
+    val g2 = goldSet()
+    assert(g2 == batchRecompute(),
+      "after late data: per-batch incremental gold == full recompute from silver")
+    assert(g2.map(_._1) == Set("2022-04-14", "2022-04-15"))
+    val day14 = g2.find(_._1 == "2022-04-14").get._2
+    val expected14 = ((1.34 + 1.35 + 2.01) / 3.0) * ((12.0 + 14.0) / 2.0)
+    assert(math.abs(day14 - expected14) < 1e-9, "late reading re-aggregated the whole day")
+  }
+
   test("multimodal: real imageio decode emits true dims; corrupt rows flagged not dropped") {
     import graft.ops.Multimodal
     val png = Multimodal.makeImage(42L, "png") // 8 + 42%16 = 18 wide, 8 + 2%16 = 10 tall
