@@ -30,12 +30,17 @@ object IvfOps {
     .withColumn("norm", l2norm(col("emb")))
 
   /** Unit-normalized copy (column name kept as `embedding` for
-    * [[KMeans.fit]]) — spherical k-means input.
+    * [[KMeans.fit]]) — spherical k-means input. Zero-norm vectors are
+    * EXCLUDED: they have no direction, so they are unassignable under a
+    * cosine metric (and division by the zero norm yields nulls that
+    * would NPE the driver-side training collect).
     */
   private def unitEmb(df: org.apache.spark.sql.DataFrame) =
-    withNorm(df).select(
-      col("vec_id"),
-      transform(col("emb"), e => e / col("norm")).as("embedding"))
+    withNorm(df)
+      .filter(col("norm") > 0)
+      .select(
+        col("vec_id"),
+        transform(col("emb"), e => e / col("norm")).as("embedding"))
 
   /** cell assignment: argmax cosine over broadcast centroids. */
   private def assign(s: org.apache.spark.sql.SparkSession, d: String, nlist: Int) = {
@@ -176,7 +181,7 @@ object IvfOps {
       nlist: Int,
       iters: Int = 5): org.apache.spark.sql.DataFrame = {
     val unit = unitEmb(emb)
-    val model = KMeans.fitSample(unit, k = nlist, iters = iters)
+    val model = KMeans.fitSample(unit, k = nlist, iters = iters, spherical = true)
     KMeans.assignClusters(unit, model.centroids)
       .select(col("vec_id"), col("cluster").cast(LongType).as("cluster"))
   }
@@ -199,7 +204,7 @@ object IvfOps {
       iters: Int = 5): org.apache.spark.sql.DataFrame = {
     val s = emb.sparkSession
     val unit = unitEmb(emb)
-    val model = KMeans.fitSample(unit, k = nlist, iters = iters)
+    val model = KMeans.fitSample(unit, k = nlist, iters = iters, spherical = true)
     val base = withNorm(emb)
     val corpus = base.join(
       KMeans.assignClusters(unit, model.centroids).select(col("vec_id"), col("cluster")),
@@ -210,6 +215,7 @@ object IvfOps {
       dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
     val wq = Window.partitionBy(col("q_id")).orderBy(col("d2").asc, col("cid").asc)
     val probes = base.filter(queryPred)
+      .filter(col("norm") > 0) // zero-norm queries have no cosine ranking
       .select(
         col("vec_id").as("q_id"), col("emb").as("q_emb"), col("norm").as("q_norm"),
         transform(col("emb"), e => e / col("norm")).as("q_unit"))

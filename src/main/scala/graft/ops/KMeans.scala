@@ -88,12 +88,17 @@ object KMeans {
     * and — unlike the distributed fit — bit-deterministic regardless of
     * partitioning, because the local arithmetic has a fixed order.
     */
-  def fitSample(emb: DataFrame, k: Int, iters: Int = 5, maxSample: Int = 20000): Model = {
+  def fitSample(
+      emb: DataFrame,
+      k: Int,
+      iters: Int = 5,
+      maxSample: Int = 20000,
+      spherical: Boolean = false): Model = {
     val pts = emb.select(col("vec_id"), embDouble)
       .orderBy(pmod(xxhash64(col("vec_id")), lit(1000003L)), col("vec_id"))
       .limit(maxSample)
       .collect().map(_.getSeq[Double](1).toArray)
-    fitArrays(pts, k, iters)
+    fitArrays(pts, k, iters, spherical)
   }
 
   /** Local Lloyd with the same deterministic conventions as the
@@ -101,8 +106,18 @@ object KMeans {
     * (ties → first in hash order), argmin ties → lowest centroid id,
     * emptied cluster keeps its previous centroid. Inertia is over the
     * training sample.
+    *
+    * `spherical = true` renormalizes each centroid to unit length after
+    * every mean update (the spherical k-means step): with unit inputs
+    * AND unit centroids, argmin L2 is exactly argmax cosine — without
+    * the renormalization, centroid norms vary with cluster tightness
+    * and the ||c||² term biases assignment toward tight clusters.
     */
-  private[ops] def fitArrays(pts: Array[Array[Double]], k: Int, iters: Int): Model = {
+  private[ops] def fitArrays(
+      pts: Array[Array[Double]],
+      k: Int,
+      iters: Int,
+      spherical: Boolean = false): Model = {
     require(pts.nonEmpty, "k-means training sample is empty")
     val kk = math.min(k, pts.length)
     def d2(a: Array[Double], b: Array[Double]): Double = {
@@ -135,7 +150,14 @@ object KMeans {
         var j = 0; while (j < dim) { sums(bi)(j) += p(j); j += 1 }
       }
       centroids = centroids.zipWithIndex.map { case (old, c) =>
-        if (counts(c) == 0L) old else sums(c).map(_ / counts(c))
+        if (counts(c) == 0L) old
+        else {
+          val m = sums(c).map(_ / counts(c))
+          if (spherical) {
+            val n = math.sqrt(m.map(x => x * x).sum)
+            if (n > 0) m.map(_ / n) else old // degenerate mean: keep previous direction
+          } else m
+        }
       }
     }
     val inertia = pts.iterator.map(p => centroids.iterator.map(c => d2(p, c)).min).sum

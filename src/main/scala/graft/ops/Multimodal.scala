@@ -141,6 +141,9 @@ object Multimodal {
     * writers so payloads are REAL image files.
     */
   def makeImage(seed: Long, format: String): Array[Byte] = {
+    // without this, ImageIO.write spools every encode through a temp
+    // FILE on the executor's disk — one create/write/delete per row
+    javax.imageio.ImageIO.setUseCache(false)
     val w = 8 + (seed % 16).toInt
     val h = 8 + ((seed / 16) % 16).toInt
     val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)

@@ -32,6 +32,30 @@ object SkewOps {
 
   private val IsoMs = "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
 
+  /** Columns of `df` that xxhash64 accepts — MapType (even nested inside
+    * arrays/structs) is unhashable and fails analysis, so salting must
+    * hash a stable subset rather than the whole row.
+    */
+  def hashableCols(df: DataFrame): Seq[Column] = {
+    import org.apache.spark.sql.types._
+    def ok(dt: DataType): Boolean = dt match {
+      case _: MapType => false
+      case ArrayType(e, _) => ok(e)
+      case StructType(fs) => fs.forall(f => ok(f.dataType))
+      case _ => true
+    }
+    df.schema.fields.filter(f => ok(f.dataType)).map(f => col(f.name)).toSeq
+  }
+
+  /** Deterministic row salt in [0, salts) from the hashable columns;
+    * falls back to a partition-id-based spread when nothing is hashable.
+    */
+  def rowSalt(df: DataFrame, salts: Int): Column = {
+    val cols = hashableCols(df)
+    if (cols.nonEmpty) pmod(xxhash64(cols: _*), lit(salts.toLong))
+    else pmod(spark_partition_id().cast("long"), lit(salts.toLong))
+  }
+
   /** Per-key top-k via salted two-phase windows. `order` must be a total
     * order (include a unique tie-break) or the survivor choice is
     * nondeterministic — same contract as the plain window it replaces.
@@ -42,9 +66,10 @@ object SkewOps {
       order: Seq[Column],
       k: Int,
       salts: Int): DataFrame = {
-    // salt from the full row hash: spreads a hot key's rows evenly and
-    // deterministically, no RNG in the plan
-    val salted = df.withColumn("_salt", pmod(xxhash64(df.columns.map(col): _*), lit(salts)))
+    // salt from the row hash (hashable columns only — maps would fail
+    // analysis): spreads a hot key's rows evenly and deterministically,
+    // no RNG in the plan
+    val salted = df.withColumn("_salt", rowSalt(df, salts))
     val w1 = Window.partitionBy(keys :+ col("_salt"): _*).orderBy(order: _*)
     val w2 = Window.partitionBy(keys: _*).orderBy(order: _*)
     salted

@@ -194,10 +194,14 @@ object Incremental {
     }
   }
 
-  /** One Gold increment: recompute whole days that received new silver
-    * rows (semi-join reselect, F4/J1) and merge on reading_date.
+  /** The recomputed affected-day Gold rows only — the FULL new content
+    * of every day that received new silver since the target's watermark.
+    * This is the partition-granular unit both merge styles consume:
+    * [[goldIncrement]] anti-join-merges it into a flat table, and the
+    * TxTable path publishes it as an atomic partition commit (gold's
+    * unique_key = reading_date IS its partition key).
     */
-  def goldIncrement(
+  def goldAffectedDays(
       silver: DataFrame,
       goldTarget: Option[DataFrame],
       calculatedAt: Column = current_timestamp()): DataFrame = {
@@ -210,7 +214,17 @@ object Incremental {
     // the semi join would hash-exchange the full silver table on
     // reading_date just to drop most of it.
     val affected = silver.join(broadcast(affectedDays), Seq("reading_date"), "left_semi")
-    val fresh = silverToGold(affected, calculatedAt)
+    silverToGold(affected, calculatedAt)
+  }
+
+  /** One Gold increment: recompute whole days that received new silver
+    * rows (semi-join reselect, F4/J1) and merge on reading_date.
+    */
+  def goldIncrement(
+      silver: DataFrame,
+      goldTarget: Option[DataFrame],
+      calculatedAt: Column = current_timestamp()): DataFrame = {
+    val fresh = goldAffectedDays(silver, goldTarget, calculatedAt)
     goldTarget match {
       case None => fresh
       case Some(t) => Merge.merge(t, fresh, Seq("reading_date"), Seq(col("calculated_at").desc))

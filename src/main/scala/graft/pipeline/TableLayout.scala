@@ -67,11 +67,10 @@ object TableLayout {
     // the LARGEST partition value needs (estimated by row counts), so a
     // hot day fans out over that many tasks/files while typical values
     // keep ~1 file and don't fragment.
-    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    import org.apache.spark.sql.functions.{col, lit, count, max, sum}
     val repartitioned =
       if (partitionCols.isEmpty) df.repartition(nFiles)
       else {
-        import org.apache.spark.sql.functions.{count, max, sum}
         val stats = df.groupBy(partitionCols.map(col): _*)
           .agg(count(lit(1)).as("n"))
           .agg(sum("n"), max("n")).collect()(0)
@@ -80,7 +79,8 @@ object TableLayout {
           val rowsPerFile = math.max(1L, stats.getLong(0) / nFiles)
           val saltBuckets = math.max(1L,
             math.ceil(stats.getLong(1).toDouble / rowsPerFile).toLong)
-          val salt = pmod(xxhash64(df.columns.map(col): _*), lit(saltBuckets))
+          // map-safe row salt (xxhash64 on a MapType column fails analysis)
+          val salt = graft.ops.SkewOps.rowSalt(df, saltBuckets.toInt)
           df.repartition(nFiles, partitionCols.map(col) :+ salt: _*)
         }
       }

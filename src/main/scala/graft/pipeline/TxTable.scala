@@ -82,8 +82,16 @@ object TxTable {
     */
   def stage(spark: SparkSession, root: String, data: DataFrame, partitionCol: String): Long = {
     val next = latest(spark, root)._1 + 1
+    // debris from a commit that crashed after staging is by definition
+    // unpublished (no manifest names it), so it is invisible to readers
+    // and safe to clear — without this, one crashed commit would block
+    // every later commit at ErrorIfExists forever
+    val f = fs(spark, root)
+    val vPath = new Path(s"$root/v$next")
+    if (f.exists(vPath) && !f.delete(vPath, true))
+      throw new java.io.IOException(s"cannot clear crashed stage debris at $vPath")
     data.write
-      .mode(SaveMode.ErrorIfExists) // a concurrent/crashed same-version stage must not be silently merged with
+      .mode(SaveMode.ErrorIfExists) // single-writer contract: a CONCURRENT same-version stage still fails loudly
       .partitionBy(partitionCol)
       .parquet(s"$root/v$next")
     next

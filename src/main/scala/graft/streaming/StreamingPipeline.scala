@@ -68,14 +68,21 @@ object StreamingPipeline {
         // Id layout (64-bit): batchId << 40 | salt << 32 | rn.
         // The salt (content hash mod 256) partitions the Window so a big
         // batch doesn't funnel through one task's global sort; rn is
-        // per-bucket so the 2^32 bound applies per bucket (~10^12 rows/
-        // batch total). Replay-stable: salt is a pure function of the
-        // line, and equal lines are interchangeable under the content
-        // sort, so a replayed batch yields the identical id SET. rn
-        // overflow raises instead of silently colliding with the next
-        // batch's id space (which would make the merge drop distinct
-        // readings as duplicates); batchId has 23 bits — unreachable for
-        // any real stream lifetime.
+        // per-bucket, bounded by row_number's OWN int range (2^31 — the
+        // real per-bucket capacity, ~5×10^11 rows/batch across 256
+        // buckets). Replay-stable: salt is a pure function of the line,
+        // and equal lines are interchangeable under the content sort, so
+        // a replayed batch yields the identical id SET. NOTE the layout
+        // is an on-disk contract: changing it invalidates replay
+        // idempotence for any batch in flight across an upgrade — drain
+        // the stream (AvailableNow to completion) before deploying an id
+        // change. Overflow raises instead of silently colliding with a
+        // neighboring id space (which would make the merge drop distinct
+        // readings as duplicates): rn is checked for int wrap (negative
+        // or >= 2^31 after the long cast), batchId for its 23-bit field.
+        if (batchId >= (1L << 23))
+          throw new IllegalStateException(
+            s"batchId $batchId overflows its 23-bit id field; compact the checkpoint lineage")
         val saltBuckets = 256L
         val wSalt = org.apache.spark.sql.expressions.Window
           .partitionBy(col("_salt")).orderBy(col("value"))
@@ -83,9 +90,11 @@ object StreamingPipeline {
           .withColumn("_salt", pmod(xxhash64(col("value")), lit(saltBuckets)))
           .withColumn("_rn", row_number().over(wSalt).cast("long"))
           // the guard lives INSIDE the id expression — a separate
-          // assert_true column would be pruned away as unused
+          // assert_true column would be pruned away as unused. Bounds:
+          // 1 <= rn < 2^31 (a wrapped int row_number goes negative after
+          // the cast, so the between() catches it)
           .withColumn("id",
-            when(col("_rn") < lit(1L << 32),
+            when(col("_rn").between(1L, (1L << 31) - 1),
               lit(batchId << 40) + col("_salt") * lit(1L << 32) + col("_rn"))
               .otherwise(raise_error(concat(
                 lit(s"micro-batch $batchId overflows the per-bucket id space (rn="),
@@ -125,18 +134,29 @@ object StreamingPipeline {
         PathIO.replace(spark, silverPath + ".tmp", silverPath)
         // gold increment inside the SAME batch (reference: staging >>
         // marts ordering per hourly run, sensor_data_pipeline.py:88)
-        goldPath.foreach { gp =>
-          val silverNow = spark.read.parquet(silverPath)
-          val gTarget =
-            if (PathIO.exists(spark, gp)) Some(spark.read.parquet(gp)) else None
-          val gMerged = Incremental.goldIncrement(silverNow, gTarget)
-          gMerged.write.mode("overwrite").parquet(gp + ".tmp")
-          PathIO.replace(spark, gp + ".tmp", gp)
-        }
+        goldPath.foreach(gp => goldTxCommit(spark, silverPath, gp))
         ()
       }
       .start()
     q.awaitTermination()
+  }
+
+  /** One Gold increment committed through the [[graft.pipeline.TxTable]]
+    * manifest log: recompute the affected days (full day content) and
+    * publish them as ONE atomic partition commit — a crash anywhere
+    * inside leaves the previous gold version intact, never a torn
+    * half-merged mart (gold's unique_key = reading_date IS its partition
+    * key, so the dbt merge semantics map exactly to a partition
+    * override). Read the mart with `TxTable.read(spark, goldRoot)`.
+    */
+  def goldTxCommit(spark: SparkSession, silverPath: String, goldRoot: String): Unit = {
+    import graft.pipeline.TxTable
+    val silver = spark.read.parquet(silverPath)
+    val target =
+      if (TxTable.latest(spark, goldRoot)._1 > 0) Some(TxTable.read(spark, goldRoot))
+      else None
+    val fresh = Incremental.goldAffectedDays(silver, target)
+    if (!fresh.isEmpty) TxTable.commit(spark, goldRoot, fresh, "reading_date")
   }
 
   /** Tier 2: idiomatic event-time streaming aggregate — 1-day tumbling
@@ -161,17 +181,11 @@ object StreamingPipeline {
 
   /** Gold increment driven after a streaming silver drain — same batch
     * code, scheduled by the caller (the reference's hourly DAG is a loop
-    * here, not a scheduler).
+    * here, not a scheduler). Commits through the TxTable manifest log;
+    * read the result with `TxTable.read(spark, goldRoot)`.
     */
-  def goldAfterDrain(spark: SparkSession, silverPath: String, goldPath: String): Unit = {
-    val silver = spark.read.parquet(silverPath)
-    val target =
-      if (PathIO.exists(spark, goldPath)) Some(spark.read.parquet(goldPath))
-      else None
-    val merged = Incremental.goldIncrement(silver, target)
-    merged.write.mode("overwrite").parquet(goldPath + ".tmp")
-    PathIO.replace(spark, goldPath + ".tmp", goldPath)
-  }
+  def goldAfterDrain(spark: SparkSession, silverPath: String, goldRoot: String): Unit =
+    goldTxCommit(spark, silverPath, goldRoot)
 }
 
 /** Filesystem helpers that honor the path's scheme (hdfs://, s3a://,

@@ -52,10 +52,10 @@ class StreamingSpec extends AnyFunSuite {
     assert(at17.toSeq == Seq(1.34, 1.34, 9.99),
       "re-sent identical reading is a distinct row, like the batch path")
 
-    // gold after drain
+    // gold after drain (TxTable manifest log — read via TxTable.read)
     val goldPath = s"$root/gold"
     StreamingPipeline.goldAfterDrain(spark, silverPath, goldPath)
-    val g = spark.read.parquet(goldPath).collect()
+    val g = graft.pipeline.TxTable.read(spark, goldPath).collect()
     assert(g.length == 1)
     assert(g(0).getAs[String]("metric_name") == "Power")
   }
@@ -165,7 +165,7 @@ class StreamingSpec extends AnyFunSuite {
     new java.io.File(bronzeDir).mkdirs()
 
     def goldSet(): Set[(String, Double)] =
-      spark.read.parquet(goldPath)
+      graft.pipeline.TxTable.read(spark, goldPath)
         .select(col("reading_date").cast("string"), col("metric_value"))
         .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
     def batchRecompute(): Set[(String, Double)] =
