@@ -1,0 +1,197 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-data curation operators — the filter/score/sample/quantize
+  * stages a 100 TB corpus pipeline runs between raw ingest and training
+  * (C4/Gopher-style heuristics per Raffel et al. '20 / Rae et al. '21):
+  * rule-based quality filtering, benchmark-contamination detection,
+  * deterministic stratified sampling, token-length histograms, and int8
+  * embedding quantization. All per-row projections or single-shuffle
+  * aggregations — nothing here exceeds one exchange — and every operator
+  * is DuckDB-oracle-checked end to end.
+  */
+object CurationOps {
+
+  // small English stopword set shared by both engines (literal in SQL)
+  private val Stops =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "on", "for", "with", "as", "at", "by")
+
+  val all: Seq[QueryDef] = Seq(
+
+    // C4-style rule filter: word count bounds, mean word length band,
+    // stopword-ratio floor, terminal punctuation. Flags exposed per rule
+    // (a curation pipeline wants the WHY, not just the keep bit).
+    QueryDef(
+      "q_quality_filter",
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    len(string_split(text, ' ')) AS n_words,
+         |    CAST(len(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+         |      / len(string_split(text, ' ')) AS mwl,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      w -> list_contains([${Stops.map("'" + _ + "'").mkString(",")}], w))) AS DOUBLE)
+         |      / len(string_split(text, ' ')) AS swr,
+         |    text LIKE '%.' OR text LIKE '%!' OR text LIKE '%?' AS punct_end
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(n_words AS BIGINT) AS n_words,
+         |  round(mwl, 6) AS mean_word_len,
+         |  round(swr, 6) AS stopword_ratio,
+         |  punct_end,
+         |  n_words >= 10 AND n_words <= 5000
+         |    AND mwl >= 2 AND mwl <= 12 AND swr >= 0.03 AS keep
+         |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = split(col("text"), " ")
+      val nWords = size(toks)
+      val mwl = (length(col("text")) - (nWords - 1)).cast(DoubleType) / nWords
+      val stopsArr = array(Stops.map(lit): _*)
+      val swr = size(filter(toks, w => array_contains(stopsArr, w))).cast(DoubleType) / nWords
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          nWords.cast(LongType).as("n_words"),
+          round(mwl, 6).as("mean_word_len"),
+          round(swr, 6).as("stopword_ratio"),
+          (col("text").endsWith(".") || col("text").endsWith("!") || col("text").endsWith("?"))
+            .as("punct_end"),
+          (nWords >= 10 && nWords <= 5000 && mwl >= 2 && mwl <= 12 && swr >= 0.03).as("keep"))
+        .orderBy("doc_id")
+    },
+
+    // Benchmark-contamination check: fraction of each candidate doc's
+    // distinct 5-gram shingles that collide with the "benchmark" gram
+    // set (docs with doc_id % 97 == 0 stand in for an eval set). The
+    // benchmark gram set is small and broadcast; candidates are scored
+    // with one left join + one aggregation on doc_id — the fact side
+    // never shuffles on the gram key.
+    QueryDef(
+      "q_contamination",
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(toks[i:i+4], ' ') FOR i IN range(1, greatest(len(toks) - 4, 0) + 1)]) AS grams
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |  WHERE len(toks) >= 5),
+        |bench AS (
+        |  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+        |cand AS (
+        |  SELECT doc_id, unnest(grams) AS gram, len(grams) AS n_grams
+        |  FROM g WHERE doc_id % 97 <> 0)
+        |SELECT c.doc_id,
+        |  CAST(any_value(c.n_grams) AS BIGINT) AS n_grams,
+        |  CAST(count(b.gram) AS BIGINT) AS n_contaminated,
+        |  round(CAST(count(b.gram) AS DOUBLE) / any_value(c.n_grams), 6) AS contamination
+        |FROM cand c LEFT JOIN bench b ON c.gram = b.gram
+        |GROUP BY c.doc_id
+        |ORDER BY c.doc_id""".stripMargin) { (s, d) =>
+      val g = Tables.documents(s, d)
+        .filter(size(split(col("text"), " ")) >= 5)
+        .select(col("doc_id"), array_distinct(DedupOps.shingles(col("text"), 5)).as("grams"))
+      val bench = g.filter(col("doc_id") % 97 === 0)
+        .select(explode(col("grams")).as("gram")).distinct()
+      val cand = g.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), size(col("grams")).as("n_grams"), explode(col("grams")).as("gram"))
+      cand.join(broadcast(bench.withColumn("hit", lit(1))), Seq("gram"), "left")
+        .groupBy("doc_id")
+        .agg(
+          first(col("n_grams")).cast(LongType).as("n_grams"),
+          sum(coalesce(col("hit"), lit(0))).as("n_contaminated"))
+        .select(
+          col("doc_id"), col("n_grams"), col("n_contaminated"),
+          round(col("n_contaminated").cast(DoubleType) / col("n_grams"), 6).as("contamination"))
+        .orderBy("doc_id")
+    },
+
+    // Deterministic stratified sampling: per-class keep rates via an
+    // md5-hex threshold on the row key (the q_hash_sample idea, but the
+    // cutoff depends on the stratum). view 1/2, click 1/4, others 1/16 —
+    // hex-prefix cutoffs so both engines compare identical strings.
+    QueryDef(
+      "q_stratified_sample",
+      """SELECT event_id, user_id, event_type
+        |FROM events
+        |WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 8) <
+        |  CASE event_type WHEN 'view' THEN '80000000'
+        |                  WHEN 'click' THEN '40000000'
+        |                  ELSE '10000000' END
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .filter(substring(md5(col("event_id").cast(StringType)), 1, 8) <
+          when(col("event_type") === "view", lit("80000000"))
+            .when(col("event_type") === "click", lit("40000000"))
+            .otherwise(lit("10000000")))
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    },
+
+    // Token-count histogram: corpus length profile in 10-word buckets
+    // (capped at bucket 10) with corpus share — the first chart anyone
+    // draws over a training corpus. One shuffle (the groupBy); the share
+    // divides by a broadcast scalar subquery, not a second scan shuffle.
+    QueryDef(
+      "q_token_histogram",
+      """WITH t AS (
+        |  SELECT least(len(string_split(text, ' ')) // 10, 10) AS bucket FROM documents)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM t), 6) AS share
+        |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(least(floor(size(split(col("text"), " ")) / 10), lit(10)).as("bucket"))
+      val total = t.count()
+      t.groupBy("bucket").agg(count(lit(1)).as("n_docs"))
+        .select(
+          col("bucket").cast(LongType).as("bucket"),
+          col("n_docs"),
+          round(col("n_docs").cast(DoubleType) / total, 6).as("share"))
+        .orderBy("bucket")
+    },
+
+    // int8 scalar quantization of embeddings (the storage/serving
+    // format for 100 TB-scale vector corpora): per-vector min/max range,
+    // codes = floor((x-mn)/scale + 0.5) in [0,255], reconstruction RMSE.
+    // Per-row arithmetic only — zero shuffles; the integer code checksum
+    // is exact on both engines, RMSE compared at 6 dp.
+    QueryDef(
+      "q_embed_quantize",
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+        |r AS (
+        |  SELECT vec_id, x, list_min(x) AS mn, list_max(x) AS mx,
+        |    (list_max(x) - list_min(x)) / 255 AS scale
+        |  FROM e),
+        |q AS (
+        |  SELECT vec_id, mn, mx, scale,
+        |    CASE WHEN scale = 0 THEN list_transform(x, v -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(x, v -> CAST(floor((v - mn) / scale + 0.5) AS BIGINT)) END AS codes,
+        |    x
+        |  FROM r)
+        |SELECT vec_id,
+        |  round(mn, 6) AS vmin, round(mx, 6) AS vmax,
+        |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+        |  round(sqrt(list_sum(list_transform(range(1, len(x) + 1),
+        |    i -> pow(x[i] - (mn + codes[i] * scale), 2))) / len(x)), 6) AS rmse
+        |FROM q ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val x = transform(col("embedding"), _.cast(DoubleType))
+      val e = Tables.embeddings(s, d).select(col("vec_id"), x.as("x"))
+        .withColumn("mn", array_min(col("x")))
+        .withColumn("mx", array_max(col("x")))
+        .withColumn("scale", (col("mx") - col("mn")) / 255)
+        .withColumn("codes",
+          when(col("scale") === 0, transform(col("x"), _ => lit(0L)))
+            .otherwise(transform(col("x"),
+              v => floor((v - col("mn")) / col("scale") + 0.5).cast(LongType))))
+      e.select(
+        col("vec_id"),
+        round(col("mn"), 6).as("vmin"),
+        round(col("mx"), 6).as("vmax"),
+        aggregate(col("codes"), lit(0L), (acc, c) => acc + c).as("code_sum"),
+        round(sqrt(
+          aggregate(
+            zip_with(col("x"), col("codes"),
+              (v, c) => pow(v - (col("mn") + c * col("scale")), 2)),
+            lit(0.0), (acc, v) => acc + v) / size(col("x"))), 6).as("rmse"))
+        .orderBy("vec_id")
+    })
+}
