@@ -180,13 +180,44 @@ object DedupOps {
     *
     * Returns (doc_id, component) where component = min doc_id reachable.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def connectedComponents(
+      pairs: DataFrame,
+      maxIters: Int = 20,
+      smallGraphMaxEdges: Long = 1000000L): DataFrame = {
     // materialize the edge list ONCE: every propagation round joins it,
     // and without the cache each round would recompute the (expensive)
     // upstream pair-generation pipeline
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
+    // Small-graph fast path: LSH + Jaccard-verify shrinks the pair set
+    // by orders of magnitude vs the corpus, so the edge list usually
+    // fits the driver with room to spare — union-find there costs one
+    // collect instead of (diameter × 3) Spark jobs. Same min-label
+    // semantics, machine-checked against the iterative path in OpsSpec.
+    // The iterative propagation below remains THE scale path (a 100 TB
+    // corpus with a pathological dup rate can exceed any driver bound).
+    if (edges.count() <= smallGraphMaxEdges) {
+      // collect from the CACHED edges (collecting `pairs` would re-run
+      // the whole LSH pipeline a second time); both directions are
+      // present, which union-find absorbs for free
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      edges.unpersist()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = parent.getOrElseUpdate(x, x)
+        while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-label union
+      }
+      val rows = parent.keys.toSeq.sorted.map(id => (id, find(id)))
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return rows.toDF("doc_id", "component")
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
     var converged = false

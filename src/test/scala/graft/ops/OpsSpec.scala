@@ -76,11 +76,15 @@ class OpsSpec extends AnyFunSuite {
     // {10,11} a pair, {20} isolated
     val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.85), (10L, 11L, 0.7))
       .toDF("doc_a", "doc_b", "jaccard")
-    val comps = DedupOps.connectedComponents(pairs)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(comps(1L) == 1L && comps(2L) == 1L && comps(3L) == 1L,
-      s"chain must collapse transitively: $comps")
-    assert(comps(10L) == 10L && comps(11L) == 10L)
+    // both paths must agree: driver union-find (small-graph) and the
+    // iterative min-label propagation (forced via smallGraphMaxEdges=0)
+    for (maxEdges <- Seq(1000000L, 0L)) {
+      val comps = DedupOps.connectedComponents(pairs, smallGraphMaxEdges = maxEdges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(comps(1L) == 1L && comps(2L) == 1L && comps(3L) == 1L,
+        s"chain must collapse transitively (maxEdges=$maxEdges): $comps")
+      assert(comps(10L) == 10L && comps(11L) == 10L, s"maxEdges=$maxEdges")
+    }
 
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again until done"),
