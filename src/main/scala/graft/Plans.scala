@@ -9,7 +9,13 @@ object Plans {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.01"
-    for (q <- Seq("q_scan_project", "q_agg_stats", "q_daily_power", "q_join_inner", "q_topk", "q_filter_range")) {
+    for (q <- Seq(
+        "q_scan_project", "q_agg_stats", "q_daily_power", "q_join_inner", "q_topk",
+        "q_filter_range",
+        // round 2: broadcast semi join (fact side never shuffles), salted
+        // two-phase window, partial min_by dedup, broadcast contamination
+        "q_incremental_semi", "q_window_rownum_salted", "q_dedup_firstwin_agg",
+        "q_contamination")) {
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, d).queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode))
