@@ -148,6 +148,80 @@ object CurationOps {
         .orderBy("bucket")
     },
 
+    // Gopher-style repetition signals: duplicate-word and duplicate-
+    // bigram fractions (Rae et al. '21 use dup-line/dup-ngram fractions
+    // to kill boilerplate). Pure per-row array math — zero shuffles.
+    QueryDef(
+      "q_repetition",
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |g AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(toks) <= 2 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))]
+        |    END AS bigrams
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_words,
+        |  round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS dup_word_frac,
+        |  round(1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams), 6) AS dup_bigram_frac
+        |FROM g ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = split(col("text"), " ")
+      Tables.documents(s, d)
+        .filter(size(toks) >= 2)
+        .select(col("doc_id"), toks.as("toks"), DedupOps.shingles(col("text"), 2).as("bigrams"))
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast(LongType).as("n_words"),
+          round(lit(1.0) -
+            size(array_distinct(col("toks"))).cast(DoubleType) / size(col("toks")), 6)
+            .as("dup_word_frac"),
+          round(lit(1.0) -
+            size(array_distinct(col("bigrams"))).cast(DoubleType) / size(col("bigrams")), 6)
+            .as("dup_bigram_frac"))
+        .orderBy("doc_id")
+    },
+
+    // PII scrub: detect + redact emails/phones with identical regexes on
+    // both engines. PII is PLANTED deterministically (docs carry none)
+    // so the scrub is exercised on real matches, not vacuously green.
+    QueryDef(
+      "q_pii_scrub",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    text || CASE WHEN doc_id % 7 = 0
+        |      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-0'
+        |           || CAST(100 + doc_id % 900 AS VARCHAR) || ' now'
+        |      ELSE '' END AS text2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_matches(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') AS has_email,
+        |  regexp_matches(text2, '\+?[0-9][0-9()\-]{6,}[0-9]') AS has_phone,
+        |  md5(regexp_replace(
+        |    regexp_replace(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9()\-]{6,}[0-9]', '<PHONE>', 'g')) AS scrubbed_md5
+        |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "\\+?[0-9][0-9()\\-]{6,}[0-9]"
+      val text2 = concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id").cast(StringType),
+            lit("@example.com or +1-555-0"),
+            (lit(100) + col("doc_id") % 900).cast(StringType), lit(" now")))
+          .otherwise(lit("")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), text2.as("text2"))
+        .select(
+          col("doc_id"),
+          col("text2").rlike(emailRe).as("has_email"),
+          col("text2").rlike(phoneRe).as("has_phone"),
+          md5(regexp_replace(
+            regexp_replace(col("text2"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>")).as("scrubbed_md5"))
+        .orderBy("doc_id")
+    },
+
     // int8 scalar quantization of embeddings (the storage/serving
     // format for 100 TB-scale vector corpora): per-vector min/max range,
     // codes = floor((x-mn)/scale + 0.5) in [0,255], reconstruction RMSE.
