@@ -100,9 +100,8 @@ object TextOps {
         |  CASE WHEN len(text) >= 32 THEN
         |    list_min([substr(md5(text[i:i+31]), 1, 16) FOR i IN range(1, len(text) - 31 + 1)])
         |  END AS winnow_min
-        |FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_id""".stripMargin) { (s, d) =>
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
-        .filter(col("doc_id") % 5 === 0)
         .select(
           col("doc_id"),
           graft.functions.HashFunctions.rolling_hash(col("text")).as("poly_hash"),

@@ -186,6 +186,63 @@ object StreamingPipeline {
     */
   def goldAfterDrain(spark: SparkSession, silverPath: String, goldRoot: String): Unit =
     goldTxCommit(spark, silverPath, goldRoot)
+
+  /** Tier-2 sessions joined back into an incrementally-maintained gold
+    * mart: closed sessions stream out of
+    * [[StatefulSessions.closedSessions]] (flatMapGroupsWithState,
+    * Append), and each micro-batch (1) merges them idempotently into a
+    * durable sessions table — session identity (user_id, session_start)
+    * dedups foreachBatch's at-least-once replays, the raw_id pattern —
+    * then (2) recomputes the per-day session summary for exactly the
+    * days this batch's sessions touch and publishes those days through
+    * [[graft.pipeline.TxTable]] atomically. Same affected-partition
+    * shape as the Power gold, driven by streaming state output instead
+    * of a watermark scan. Read with `TxTable.read(spark, goldRoot)`:
+    * (session_date, n_sessions, n_events, total_value).
+    */
+  def runSessionsToGold(
+      events: org.apache.spark.sql.Dataset[StatefulSessions.SessionEvent],
+      sessionsPath: String,
+      goldRoot: String,
+      checkpointDir: String,
+      gapSeconds: Long = 1800L): Unit = {
+    import graft.pipeline.TxTable
+    val spark = events.sparkSession
+    val closed = StatefulSessions.closedSessions(spark, events, gapSeconds)
+    val q = closed.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[StatefulSessions.ClosedSession], _: Long) =>
+          if (!batch.isEmpty) {
+            val s = batch.sparkSession
+            val b = batch.toDF().localCheckpoint(true) // consumed twice below
+            val target =
+              if (PathIO.exists(s, sessionsPath)) Some(s.read.parquet(sessionsPath)) else None
+            val merged = target match {
+              case None => b
+              case Some(t) =>
+                Merge.merge(t, b, Seq("user_id", "session_start"), Seq(col("session_end").desc))
+            }
+            merged.write.mode("overwrite").parquet(sessionsPath + ".tmp")
+            PathIO.replace(s, sessionsPath + ".tmp", sessionsPath)
+            val days = b.select(to_date(col("session_start")).as("session_date")).distinct()
+            val fresh = s.read.parquet(sessionsPath)
+              .withColumn("session_date", to_date(col("session_start")))
+              .join(broadcast(days), Seq("session_date"), "left_semi")
+              .groupBy("session_date")
+              .agg(
+                count(lit(1)).as("n_sessions"),
+                sum(col("n")).as("n_events"),
+                round(sum(col("total")), 6).as("total_value"))
+            TxTable.commit(s, goldRoot, fresh, "session_date")
+          }
+          ()
+      }
+      .start()
+    q.awaitTermination()
+  }
 }
 
 /** Filesystem helpers that honor the path's scheme (hdfs://, s3a://,

@@ -202,6 +202,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(math.abs(day14 - expected14) < 1e-9, "late reading re-aggregated the whole day")
   }
 
+  test("sessions -> gold: closed sessions maintain a per-day session mart incrementally via TxTable") {
+    import graft.streaming.StatefulSessions.SessionEvent
+    val root = Files.createTempDirectory("graft-sess-gold").toFile.getAbsolutePath
+    val in = Seq(
+      // user 1: two sessions on Jan 1 (80-min gap between them)
+      (1L, "2024-01-01 10:00:00", 1.0),
+      (1L, "2024-01-01 10:10:00", 2.0),
+      (1L, "2024-01-01 12:00:00", 3.0),
+      // user 2: one session on Jan 1
+      (2L, "2024-01-01 10:00:00", 9.0),
+      // watermark driver far in the future: closes everything above
+      (99L, "2024-01-03 00:00:00", 0.0))
+      .toDF("user_id", "t", "value")
+      .withColumn("ts", to_timestamp(col("t")))
+      .select("user_id", "ts", "value")
+    in.write.mode("overwrite").parquet(s"$root/in")
+    val stream = spark.readStream.schema(in.schema).parquet(s"$root/in").as[SessionEvent]
+    StreamingPipeline.runSessionsToGold(
+      stream, s"$root/sessions", s"$root/gold", s"$root/ckpt")
+
+    val sessions = spark.read.parquet(s"$root/sessions")
+    // user 1's first session (2 events, gap-closed) must be present;
+    // exact totals depend on which timeouts fired before the drain ended
+    assert(sessions.filter(col("user_id") === 1L && col("n") === 2).count() == 1)
+
+    val gold = graft.pipeline.TxTable.read(spark, s"$root/gold")
+      .select(col("session_date").cast("string"), col("n_sessions"), col("n_events"), col("total_value"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // Jan 1 summary must aggregate ALL closed Jan-1 sessions — and must
+    // equal a batch recompute from the sessions table (parity check)
+    val expected = spark.read.parquet(s"$root/sessions")
+      .withColumn("session_date", to_date(col("session_start")))
+      .filter(col("session_date") === "2024-01-01")
+      .agg(count(lit(1)), sum(col("n")), round(sum(col("total")), 6))
+      .collect()(0)
+    assert(gold.contains("2024-01-01"))
+    assert(gold("2024-01-01") == ((expected.getLong(0), expected.getLong(1), expected.getDouble(2))),
+      s"session gold ${gold("2024-01-01")} != batch recompute $expected")
+
+    // idempotence: a second drain with no new data must not change gold
+    StreamingPipeline.runSessionsToGold(
+      stream, s"$root/sessions", s"$root/gold", s"$root/ckpt")
+    val gold2 = graft.pipeline.TxTable.read(spark, s"$root/gold")
+      .select(col("session_date").cast("string"), col("n_sessions"), col("n_events"), col("total_value"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(gold2 == gold, "re-drain with no new files must be a no-op")
+  }
+
   test("multimodal: real imageio decode emits true dims; corrupt rows flagged not dropped") {
     import graft.ops.Multimodal
     val png = Multimodal.makeImage(42L, "png") // 8 + 42%16 = 18 wide, 8 + 2%16 = 10 tall
