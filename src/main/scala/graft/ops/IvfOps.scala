@@ -173,6 +173,43 @@ object IvfOps {
         k = 3, nlist = 16, nprobe = 2)
     })
 
+  /** FAISS-style IVF parameter heuristics from corpus stats — the
+    * autotuning knob the roadmap promised. nlist ≈ 4·√N (the FAISS
+    * guideline), clamped so every centroid keeps ≥ ~39 training points
+    * (below that Lloyd cells are noise) and to a [4, 65536] band;
+    * nprobe from a target scanned-corpus fraction (cells are ~balanced
+    * after spherical training, so scanned fraction ≈ nprobe/nlist).
+    */
+  object Tuning {
+    def nlistFor(corpusSize: Long): Int = {
+      val bySqrt = 4.0 * math.sqrt(corpusSize.toDouble)
+      val byTrainDensity = corpusSize / 39.0
+      math.max(4, math.min(65536, math.min(bySqrt, byTrainDensity).toInt))
+    }
+
+    def nprobeFor(nlist: Int, targetScanFraction: Double): Int = {
+      require(targetScanFraction > 0 && targetScanFraction <= 1, "fraction in (0,1]")
+      math.max(1, math.min(nlist, math.ceil(nlist * targetScanFraction).toInt))
+    }
+
+    /** One count() then the two rules. */
+    def tuned(emb: org.apache.spark.sql.DataFrame,
+        targetScanFraction: Double = 0.1): (Int, Int) = {
+      val n = nlistFor(emb.count())
+      (n, nprobeFor(n, targetScanFraction))
+    }
+  }
+
+  /** Trained IVF search with autotuned nlist/nprobe. */
+  def annTrainedAuto(
+      emb: org.apache.spark.sql.DataFrame,
+      queryPred: org.apache.spark.sql.Column,
+      k: Int,
+      targetScanFraction: Double = 0.1): org.apache.spark.sql.DataFrame = {
+    val (nlist, nprobe) = Tuning.tuned(emb, targetScanFraction)
+    annTrained(emb, queryPred, k, nlist, nprobe)
+  }
+
   /** Spherical-k-means cell assignment of every vector (production twin
     * of the stand-in `assign`): (vec_id, cluster).
     */

@@ -78,6 +78,19 @@ class IvfTrainedSpec extends AnyFunSuite {
       s"trained inertia ${trained.inertia} not below stand-in $standInInertia")
   }
 
+  test("IVF autotuning: FAISS-style nlist/nprobe rules and an end-to-end auto search") {
+    import IvfOps.Tuning
+    // density clamp dominates small corpora: 500/39 = 12 < 4*sqrt(500) = 89
+    assert(Tuning.nlistFor(500) == 12)
+    // sqrt rule dominates large corpora: 4*sqrt(1e8) = 40000 < 1e8/39
+    assert(Tuning.nlistFor(100000000L) == 40000)
+    assert(Tuning.nlistFor(1) == 4, "floor clamp")
+    assert(Tuning.nprobeFor(16, 0.1) == 2)
+    assert(Tuning.nprobeFor(16, 1.0) == 16)
+    val auto = IvfOps.annTrainedAuto(Tables.embeddings(spark, sf), col("vec_id") < 10, k = 3)
+    assert(auto.count() == 30, "3 results per query for 10 queries")
+  }
+
   test("trained assignment is total: every vector in exactly one of <=16 cells") {
     val assigned = SparkEntry.queries("q_ivf_assign_trained")(spark, sf)
     assert(assigned.count() == 500)
