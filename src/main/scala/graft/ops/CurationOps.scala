@@ -41,7 +41,7 @@ object CurationOps {
          |  round(swr, 6) AS stopword_ratio,
          |  punct_end,
          |  n_words >= 10 AND n_words <= 5000
-         |    AND mwl >= 2 AND mwl <= 12 AND swr >= 0.03 AS keep
+         |    AND mwl >= 2 AND mwl <= 12 AND swr >= 0.03 AND punct_end AS keep
          |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
       val toks = split(col("text"), " ")
       val nWords = size(toks)
@@ -56,7 +56,9 @@ object CurationOps {
           round(swr, 6).as("stopword_ratio"),
           (col("text").endsWith(".") || col("text").endsWith("!") || col("text").endsWith("?"))
             .as("punct_end"),
-          (nWords >= 10 && nWords <= 5000 && mwl >= 2 && mwl <= 12 && swr >= 0.03).as("keep"))
+          (nWords >= 10 && nWords <= 5000 && mwl >= 2 && mwl <= 12 && swr >= 0.03 &&
+            (col("text").endsWith(".") || col("text").endsWith("!") || col("text").endsWith("?")))
+            .as("keep"))
         .orderBy("doc_id")
     },
 
@@ -128,7 +130,8 @@ object CurationOps {
     // Token-count histogram: corpus length profile in 10-word buckets
     // (capped at bucket 10) with corpus share — the first chart anyone
     // draws over a training corpus. One shuffle (the groupBy); the share
-    // divides by a broadcast scalar subquery, not a second scan shuffle.
+    // is derived from the <=11 grouped rows themselves via an
+    // unpartitioned window — no second scan of the table.
     QueryDef(
       "q_token_histogram",
       """WITH t AS (
@@ -139,12 +142,12 @@ object CurationOps {
         |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
       val t = Tables.documents(s, d)
         .select(least(floor(size(split(col("text"), " ")) / 10), lit(10)).as("bucket"))
-      val total = t.count()
+      val w = org.apache.spark.sql.expressions.Window.partitionBy()
       t.groupBy("bucket").agg(count(lit(1)).as("n_docs"))
         .select(
           col("bucket").cast(LongType).as("bucket"),
           col("n_docs"),
-          round(col("n_docs").cast(DoubleType) / total, 6).as("share"))
+          round(col("n_docs").cast(DoubleType) / sum(col("n_docs")).over(w), 6).as("share"))
         .orderBy("bucket")
     },
 

@@ -181,9 +181,15 @@ object IvfOps {
     * after spherical training, so scanned fraction ≈ nprobe/nlist).
     */
   object Tuning {
-    def nlistFor(corpusSize: Long): Int = {
+    /** Training sample cap must match what fitSample actually trains
+      * on — the density clamp is about points-per-centroid in the
+      * TRAINING SET, not the corpus (a 10^8 corpus still trains on
+      * maxSample points, so nlist must be bounded by maxSample/39 or
+      * Lloyd cells degenerate to single sample points).
+      */
+    def nlistFor(corpusSize: Long, maxSample: Int = KMeans.DefaultMaxSample): Int = {
       val bySqrt = 4.0 * math.sqrt(corpusSize.toDouble)
-      val byTrainDensity = corpusSize / 39.0
+      val byTrainDensity = math.min(corpusSize, maxSample.toLong) / 39.0
       math.max(4, math.min(65536, math.min(bySqrt, byTrainDensity).toInt))
     }
 

@@ -23,6 +23,11 @@ import graft.functions.HashFunctions.dot_product
   */
 object KMeans {
 
+  /** Default training-sample cap (FAISS-style: IVF needs ~100x nlist
+    * training points, not the corpus).
+    */
+  val DefaultMaxSample = 20000
+
   final case class Model(centroids: Array[Array[Double]], inertia: Double) {
     def k: Int = centroids.length
   }
@@ -92,7 +97,7 @@ object KMeans {
       emb: DataFrame,
       k: Int,
       iters: Int = 5,
-      maxSample: Int = 20000,
+      maxSample: Int = DefaultMaxSample,
       spherical: Boolean = false): Model = {
     val pts = emb.select(col("vec_id"), embDouble)
       .orderBy(pmod(xxhash64(col("vec_id")), lit(1000003L)), col("vec_id"))

@@ -23,9 +23,11 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *     before the rename leaves the previous manifest latest: the table
   *     never shows a torn commit.
   *
-  * Single-writer by design (the reference's hourly DAG is too);
-  * concurrent committers would race on N+1 and the loser's
-  * ErrorIfExists stage write fails — detected, not corrupting.
+  * Single-writer by design (the reference's hourly DAG is too).
+  * Concurrent committers stage into UNIQUE nonce-named dirs (never
+  * touching each other's files) and race only on the whole-manifest
+  * rename — last complete manifest wins; a reader can never observe a
+  * torn mix. See [[publish]] for the exact semantics.
   */
 object TxTable {
 
@@ -76,56 +78,61 @@ object TxTable {
   }
 
   /** Stage a new version: write `data` — the FULL new content of every
-    * partition it touches — under v<latest+1>, partitioned by
-    * `partitionCol`. Not visible until [[publish]]. Returns the staged
-    * version.
+    * partition it touches — under a UNIQUE version dir
+    * (`v<latest+1>-<nonce>`), partitioned by `partitionCol`. Not visible
+    * until [[publish]]. Returns the staged dir name.
+    *
+    * The nonce means stagers can NEVER touch each other's files: crash
+    * debris from an earlier attempt sits in its own dir (invisible —
+    * no manifest names it — and collected by [[vacuum]]), and a
+    * concurrent stager writes elsewhere, so there is no exists-check/
+    * delete race on a shared path.
     */
-  def stage(spark: SparkSession, root: String, data: DataFrame, partitionCol: String): Long = {
+  def stage(spark: SparkSession, root: String, data: DataFrame, partitionCol: String): String = {
     val next = latest(spark, root)._1 + 1
-    // debris from a commit that crashed after staging is by definition
-    // unpublished (no manifest names it), so it is invisible to readers
-    // and safe to clear — without this, one crashed commit would block
-    // every later commit at ErrorIfExists forever
-    val f = fs(spark, root)
-    val vPath = new Path(s"$root/v$next")
-    if (f.exists(vPath) && !f.delete(vPath, true))
-      throw new java.io.IOException(s"cannot clear crashed stage debris at $vPath")
+    val dir = s"v$next-${java.util.UUID.randomUUID().toString.take(8)}"
     data.write
-      .mode(SaveMode.ErrorIfExists) // single-writer contract: a CONCURRENT same-version stage still fails loudly
+      .mode(SaveMode.ErrorIfExists)
       .partitionBy(partitionCol)
-      .parquet(s"$root/v$next")
-    next
+      .parquet(s"$root/$dir")
+    dir
   }
 
-  /** Publish a staged version: build the new manifest (previous entries
+  /** Publish a staged dir: build the new manifest (previous entries
     * overridden by the staged partitions), write it to a temp name, and
     * atomically rename it into place. All staged partitions become
     * visible in the same instant; a crash anywhere before the rename
     * leaves the table at the previous version.
+    *
+    * Concurrency: the table is single-writer by contract. If two
+    * publishers race anyway, each writes a complete self-consistent
+    * manifest; on HDFS the loser's rename fails loudly (dest exists),
+    * on the local FS rename overwrites so the LAST publisher wins — in
+    * neither case can a reader observe a torn mix, because manifests
+    * are only ever replaced whole.
     */
-  def publish(spark: SparkSession, root: String, staged: Long, partitionCol: String): Unit = {
+  def publish(spark: SparkSession, root: String, stagedDir: String, partitionCol: String): Unit = {
     val f = fs(spark, root)
     val (v, old) = latest(spark, root)
-    require(staged == v + 1, s"staged version $staged is not latest+1 (latest=$v)")
-    val vdir = s"v$staged"
-    val changed = f.listStatus(new Path(s"$root/$vdir"))
+    val changed = f.listStatus(new Path(s"$root/$stagedDir"))
       .map(_.getPath.getName)
       .filter(_.startsWith(partitionCol + "="))
-      .map(p => p.stripPrefix(partitionCol + "=") -> s"$vdir/$p")
+      .map(p => p.stripPrefix(partitionCol + "=") -> s"$stagedDir/$p")
       .toMap
-    require(changed.nonEmpty, s"staged version $staged has no $partitionCol= partitions")
+    require(changed.nonEmpty, s"staged dir $stagedDir has no $partitionCol= partitions")
+    val next = v + 1
     val entries = old ++ changed
     val ld = new Path(logDir(root))
     if (!f.exists(ld) && !f.mkdirs(ld))
       throw new java.io.IOException(s"cannot create $ld")
-    val tmp = new Path(ld, manifestName(staged) + ".tmp")
+    val tmp = new Path(ld, manifestName(next) + ".tmp")
     val out = f.create(tmp, true)
     try out.write(
       entries.toSeq.sorted.map { case (k, dir) => s"$k\t$dir" }.mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    if (!f.rename(tmp, new Path(ld, manifestName(staged))))
+    if (!f.rename(tmp, new Path(ld, manifestName(next))))
       throw new java.io.IOException(
-        s"manifest publish failed for version $staged; staged data remains at $root/$vdir")
+        s"manifest publish failed for version $next; staged data remains at $root/$stagedDir")
   }
 
   /** Stage + publish in one call: the crash-safe replacement for a

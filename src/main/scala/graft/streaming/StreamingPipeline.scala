@@ -152,9 +152,18 @@ object StreamingPipeline {
   def goldTxCommit(spark: SparkSession, silverPath: String, goldRoot: String): Unit = {
     import graft.pipeline.TxTable
     val silver = spark.read.parquet(silverPath)
-    val target =
-      if (TxTable.latest(spark, goldRoot)._1 > 0) Some(TxTable.read(spark, goldRoot))
-      else None
+    val hasLog = TxTable.latest(spark, goldRoot)._1 > 0
+    // migration guard: a pre-existing FLAT parquet gold at this path
+    // (the pre-TxTable on-disk format) must not be silently shadowed —
+    // committing a TxTable log beside it would freeze the flat files
+    // forever while spark.read.parquet readers keep consuming them
+    if (!hasLog && PathIO.exists(spark, goldRoot) &&
+        PathIO.fsListNames(spark, goldRoot).exists(n => n.startsWith("part-") || n == "_SUCCESS"))
+      throw new IllegalStateException(
+        s"$goldRoot holds a flat parquet table (pre-TxTable format); migrate it first " +
+          "(e.g. TxTable.commit(spark, goldRoot+\".tx\", spark.read.parquet(goldRoot), \"reading_date\")) " +
+          "or point goldPath at a fresh root")
+    val target = if (hasLog) Some(TxTable.read(spark, goldRoot)) else None
     val fresh = Incremental.goldAffectedDays(silver, target)
     if (!fresh.isEmpty) TxTable.commit(spark, goldRoot, fresh, "reading_date")
   }
@@ -252,6 +261,11 @@ object StreamingPipeline {
   */
 object PathIO {
   import org.apache.hadoop.fs.Path
+
+  private[streaming] def fsListNames(spark: SparkSession, p: String): Seq[String] = {
+    val f = new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.listStatus(new Path(p)).map(_.getPath.getName).toSeq
+  }
 
   private def fs(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -82,8 +82,13 @@ class IvfTrainedSpec extends AnyFunSuite {
     import IvfOps.Tuning
     // density clamp dominates small corpora: 500/39 = 12 < 4*sqrt(500) = 89
     assert(Tuning.nlistFor(500) == 12)
-    // sqrt rule dominates large corpora: 4*sqrt(1e8) = 40000 < 1e8/39
-    assert(Tuning.nlistFor(100000000L) == 40000)
+    // large corpora: the density clamp follows the TRAINING SAMPLE
+    // (20000/39 = 512), not the corpus — fitSample trains on <= 20k
+    // points, so 4*sqrt(1e8) = 40000 centroids would each get half a
+    // training point
+    assert(Tuning.nlistFor(100000000L) == 512)
+    assert(Tuning.nlistFor(100000000L, maxSample = 4000000) == 40000,
+      "sqrt rule resumes once the sample is big enough")
     assert(Tuning.nlistFor(1) == 4, "floor clamp")
     assert(Tuning.nprobeFor(16, 0.1) == 2)
     assert(Tuning.nprobeFor(16, 1.0) == 16)

@@ -62,10 +62,15 @@ class TxTableSpec extends AnyFunSuite {
     TxTable.commit(spark, root, rows("d1" -> 10.0), "day") // v2 rewrites only d1
     TxTable.commit(spark, root, rows("d1" -> 100.0), "day") // v3 rewrites only d1
     assert(snapshot(root) == Set("d1" -> 100.0, "d2" -> 2.0))
+    def versionDirs() =
+      new java.io.File(root).listFiles().map(_.getName).filter(_.startsWith("v")).toSet
+    assert(versionDirs().size == 3, "three commits -> three version dirs")
     TxTable.vacuum(spark, root)
-    // v2 (fully superseded) is gone; v1 survives because d2 still lives there
-    assert(!new java.io.File(s"$root/v2").exists(), "unreferenced version dir removed")
-    assert(new java.io.File(s"$root/v1").exists(), "version still holding live partitions kept")
+    // v2's dir (fully superseded) is gone; v1's survives because d2
+    // still lives there, v3's is the live d1
+    val live = versionDirs()
+    assert(live.size == 2, s"unreferenced version dir removed, kept $live")
+    assert(live.exists(_.startsWith("v1-")) && live.exists(_.startsWith("v3-")), s"$live")
     assert(snapshot(root) == Set("d1" -> 100.0, "d2" -> 2.0), "read identical after vacuum")
   }
 

@@ -202,6 +202,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(math.abs(day14 - expected14) < 1e-9, "late reading re-aggregated the whole day")
   }
 
+  test("goldTxCommit refuses to silently shadow a pre-existing flat parquet gold") {
+    val root = Files.createTempDirectory("graft-goldfmt").toFile.getAbsolutePath
+    Seq((1L, "x")).toDF("a", "b").write.parquet(s"$root/silver")
+    // old on-disk format: a flat parquet table at the gold path
+    Seq((1L, 2.0)).toDF("k", "v").write.parquet(s"$root/gold")
+    val ex = intercept[IllegalStateException](
+      StreamingPipeline.goldTxCommit(spark, s"$root/silver", s"$root/gold"))
+    assert(ex.getMessage.contains("flat parquet"), ex.getMessage)
+  }
+
   test("sessions -> gold: closed sessions maintain a per-day session mart incrementally via TxTable") {
     import graft.streaming.StatefulSessions.SessionEvent
     val root = Files.createTempDirectory("graft-sess-gold").toFile.getAbsolutePath
