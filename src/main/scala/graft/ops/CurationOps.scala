@@ -225,6 +225,54 @@ object CurationOps {
         .orderBy("doc_id")
     },
 
+    // Character-level Shannon entropy — the cheap perplexity proxy for
+    // quality scoring (low entropy = repeated-char junk, high = random
+    // bytes; natural text sits in a band). One explode + two aggs keyed
+    // on doc_id.
+    QueryDef(
+      "q_char_entropy",
+      """WITH c AS (
+        |  SELECT doc_id, unnest([text[i] FOR i IN range(1, len(text) + 1)]) AS ch, len(text) AS n
+        |  FROM documents WHERE len(text) > 0),
+        |cnt AS (SELECT doc_id, ch, any_value(n) AS n, count(*) AS k FROM c GROUP BY doc_id, ch)
+        |SELECT doc_id,
+        |  round(-sum((CAST(k AS DOUBLE) / n) * log2(CAST(k AS DOUBLE) / n)), 6) AS char_entropy
+        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"), length(col("text")).as("n"))
+        .groupBy(col("doc_id"), col("ch"))
+        .agg(first(col("n")).as("n"), count(lit(1)).as("k"))
+        .groupBy("doc_id")
+        .agg(round(-sum((col("k").cast(DoubleType) / col("n")) *
+          log2(col("k").cast(DoubleType) / col("n"))), 6).as("char_entropy"))
+        .orderBy("doc_id")
+    },
+
+    // Corpus IDF — the TF-IDF building block: document frequency per
+    // token with idf = ln(N/df), kept for df >= 5. One distinct-explode
+    // + one shuffle on token; N is a scalar computed once.
+    QueryDef(
+      "q_idf",
+      """WITH n AS (SELECT count(*) AS nd FROM documents),
+        |tok AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |SELECT token, CAST(count(*) AS BIGINT) AS df,
+        |  round(ln(CAST((SELECT nd FROM n) AS DOUBLE) / count(*)), 6) AS idf
+        |FROM tok GROUP BY token HAVING count(*) >= 5 ORDER BY token""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val nDocs = docs.count()
+      docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .distinct()
+        .groupBy("token")
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 5)
+        .select(
+          col("token"), col("df"),
+          round(log(lit(nDocs.toDouble) / col("df")), 6).as("idf"))
+        .orderBy("token")
+    },
+
     // int8 scalar quantization of embeddings (the storage/serving
     // format for 100 TB-scale vector corpora): per-vector min/max range,
     // codes = floor((x-mn)/scale + 0.5) in [0,255], reconstruction RMSE.

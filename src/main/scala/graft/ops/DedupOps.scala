@@ -446,6 +446,54 @@ object DedupOps {
       dedupGroupsMd5(Tables.documents(s, d)).orderBy("doc_id")
     },
 
+    // MinHash-as-estimator, calibrated: signature-position agreement
+    // estimates Jaccard (E[est] = J, Broder '97) — emitted NEXT TO the
+    // exact Jaccard on the same deterministic pair set, so the oracle
+    // hash-checks the estimator math and the dump quantifies estimator
+    // error. md5 sigs (kernel) keep both engines bit-identical.
+    QueryDef(
+      "q_minhash_jaccard_est",
+      """WITH sh AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+        |    list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, greatest(len(toks) - 2, 0) + 1)]) AS grams
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents)
+        |  WHERE len(toks) >= 3),
+        |sig AS (
+        |  SELECT doc_id, source, rn, grams,
+        |    list_transform(range(0, 16), j ->
+        |      list_min(list_transform(grams, g -> substr(md5(CAST(j AS VARCHAR) || ':' || g), 1, 16)))) AS sig
+        |  FROM sh)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(CAST(len(list_filter(range(1, 17), j -> a.sig[j] = b.sig[j])) AS DOUBLE) / 16, 6) AS jaccard_est,
+        |  round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard_exact
+        |FROM sig a JOIN sig b ON a.source = b.source AND b.rn = a.rn + 1
+        |ORDER BY doc_a""".stripMargin) { (s, d) =>
+      val wSrc = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      val sh = Tables.documents(s, d)
+        .filter(size(split(col("text"), " ")) >= 3)
+        .select(
+          col("doc_id"), col("source"),
+          row_number().over(wSrc).as("rn"),
+          array_distinct(shingles(col("text"), 3)).as("grams"))
+        .withColumn("sig", graft.functions.HashFunctions.md5_minhash_sig(col("grams"), 16))
+      val a = sh.select(
+        col("doc_id").as("doc_a"), col("source"), col("rn"),
+        col("grams").as("ga"), col("sig").as("sa"))
+      val b = sh.select(
+        col("doc_id").as("doc_b"), col("source").as("source_b"),
+        col("rn").as("rn_b"), col("grams").as("gb"), col("sig").as("sb"))
+      a.join(b, col("source") === col("source_b") && col("rn_b") === col("rn") + 1)
+        .select(
+          col("doc_a"), col("doc_b"),
+          round(size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y), p => p))
+            .cast(DoubleType) / 16, 6).as("jaccard_est"),
+          round(size(array_intersect(col("ga"), col("gb"))).cast(DoubleType) /
+            size(array_union(col("ga"), col("gb"))), 6).as("jaccard_exact"))
+        .orderBy("doc_a")
+    },
+
     // SimHash 64-bit fingerprints, native xxhash64 kernel (rows-only;
     // bit semantics ScalaTest-verified + md5 twin below under oracle).
     QueryDef.noOracle("q_simhash") { (s, d) =>

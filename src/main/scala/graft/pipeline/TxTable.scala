@@ -66,9 +66,34 @@ object TxTable {
     * in different version dirs (each commit rewrites only the partitions
     * it touched); one pruned scan per referenced version, unioned.
     */
-  def read(spark: SparkSession, root: String): DataFrame = {
-    val (v, entries) = latest(spark, root)
-    require(v > 0 && entries.nonEmpty, s"no committed version at $root")
+  def read(spark: SparkSession, root: String): DataFrame =
+    readManifest(spark, root, latest(spark, root) match {
+      case (v, e) => require(v > 0 && e.nonEmpty, s"no committed version at $root"); e
+    })
+
+  /** Time travel: read the table AS OF a past committed version — free,
+    * because manifests are immutable and version dirs are append-only
+    * until [[vacuum]] (which therefore bounds the travel horizon; run it
+    * only past your audit window).
+    */
+  def readAt(spark: SparkSession, root: String, version: Long): DataFrame = {
+    val f = fs(spark, root)
+    val m = new Path(logDir(root), manifestName(version))
+    require(f.exists(m),
+      s"version $version does not exist at $root (committed or already vacuumed)")
+    val in = f.open(m)
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val entries = txt.split("\n").iterator.filter(_.nonEmpty).map { line =>
+      val Array(k, dir) = line.split("\t", 2)
+      k -> dir
+    }.toMap
+    readManifest(spark, root, entries)
+  }
+
+  private def readManifest(
+      spark: SparkSession, root: String, entries: Map[String, String]): DataFrame = {
     val byVersion = entries.values.groupBy(_.takeWhile(_ != '/'))
     byVersion.map { case (vdir, dirs) =>
       spark.read

@@ -74,6 +74,22 @@ class TxTableSpec extends AnyFunSuite {
     assert(snapshot(root) == Set("d1" -> 100.0, "d2" -> 2.0), "read identical after vacuum")
   }
 
+  test("time travel: readAt returns each past version exactly; vacuum bounds the horizon") {
+    val root = Files.createTempDirectory("txtable5").toFile.getAbsolutePath + "/t"
+    TxTable.commit(spark, root, rows("d1" -> 1.0, "d2" -> 2.0), "day")
+    TxTable.commit(spark, root, rows("d1" -> 10.0), "day")
+    def at(v: Long) = TxTable.readAt(spark, root, v)
+      .select(col("day").cast("string"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(at(1) == Set("d1" -> 1.0, "d2" -> 2.0), "v1 frozen")
+    assert(at(2) == Set("d1" -> 10.0, "d2" -> 2.0), "v2 = latest")
+    intercept[IllegalArgumentException](TxTable.readAt(spark, root, 3))
+    TxTable.vacuum(spark, root)
+    // superseded manifest removed -> v1 no longer travelable, v2 intact
+    intercept[IllegalArgumentException](TxTable.readAt(spark, root, 1))
+    assert(at(2) == Set("d1" -> 10.0, "d2" -> 2.0))
+  }
+
   test("the gold merge path composes with TxTable: incremental day recompute commits atomically") {
     val root = Files.createTempDirectory("txtable4").toFile.getAbsolutePath + "/gold"
     // initial gold: two days
