@@ -1,0 +1,201 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Product quantization (Jégou et al. '11) — the compression end of the
+  * ANN family (brute → LSH → IVF → PQ): split each vector into `m`
+  * blocks, k-means each block's subvectors into `k` codes, store a
+  * vector as `m` small ints (e.g. 64 float dims → 8 bytes at m=8,k=256,
+  * a 32× compression). Search uses asymmetric distance computation
+  * (ADC): per query, precompute an m×k table of block distances to every
+  * code once, then a candidate's distance is m table lookups — no float
+  * math per candidate.
+  *
+  * Scale shape: training collects only a bounded hash sample
+  * ([[KMeans.fitSample]]-style); the codebooks (m×k×subdim doubles) and
+  * per-query ADC tables broadcast to every executor; encode and search
+  * are single map-shaped passes over the corpus (mapPartitions — the
+  * per-row inner loop is an argmin over a broadcast model, the same
+  * partition-local-imperative case as the multimodal codec). Float
+  * k-means training keeps this off the hash oracle (see IvfOps);
+  * PqSpec pins recall on planted blobs and the compression/error
+  * tradeoff instead.
+  */
+object PqOps {
+
+  final case class PqModel(codebooks: Array[Array[Array[Double]]]) {
+    def m: Int = codebooks.length
+    def k: Int = codebooks(0).length
+    def subdim: Int = codebooks(0)(0).length
+  }
+
+  final case class Encoded(vec_id: Long, codes: Array[Int], recon_err2: Double)
+
+  private def d2(a: Array[Double], b: Array[Double], aOff: Int): Double = {
+    var s = 0.0; var i = 0
+    while (i < b.length) { val d = a(aOff + i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Train per-block codebooks on a deterministic hash sample. `dim`
+    * must divide evenly into `m` blocks.
+    */
+  def train(emb: DataFrame, m: Int, k: Int = 256, iters: Int = 8,
+      maxSample: Int = KMeans.DefaultMaxSample): PqModel = {
+    val pts = emb
+      .select(col("vec_id"), transform(col("embedding"), _.cast(DoubleType)).as("e"))
+      .orderBy(pmod(xxhash64(col("vec_id")), lit(1000003L)), col("vec_id"))
+      .limit(maxSample)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(pts.nonEmpty, "PQ training sample is empty")
+    val dim = pts(0).length
+    require(dim % m == 0, s"dim $dim not divisible into $m blocks")
+    val sub = dim / m
+    val books = (0 until m).toArray.map { b =>
+      val block = pts.map(p => java.util.Arrays.copyOfRange(p, b * sub, (b + 1) * sub))
+      KMeans.fitArrays(block, k, iters).centroids
+    }
+    PqModel(books)
+  }
+
+  /** Encode every vector: per block, the nearest code id (argmin L2,
+    * ties → lowest id); recon_err2 = squared L2 between the vector and
+    * its code reconstruction.
+    */
+  def encode(emb: DataFrame, model: PqModel): Dataset[Encoded] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    emb.select(col("vec_id"), transform(col("embedding"), _.cast(DoubleType)).as("e"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val mod = bc.value
+        val sub = mod.subdim
+        it.map { case (id, eSeq) =>
+          val e = eSeq.toArray
+          val codes = new Array[Int](mod.m)
+          var err = 0.0
+          var b = 0
+          while (b < mod.m) {
+            val book = mod.codebooks(b)
+            var best = 0; var bd = Double.MaxValue; var c = 0
+            while (c < book.length) {
+              val d = d2(e, book(c), b * sub)
+              if (d < bd) { bd = d; best = c }
+              c += 1
+            }
+            codes(b) = best; err += bd; b += 1
+          }
+          Encoded(id, codes, err)
+        }
+      }
+  }
+
+  /** ADC top-k: queries are collected (the serve-side is a handful of
+    * vectors), their m×k distance tables broadcast, and one pass over
+    * the ENCODED corpus scores every candidate with m lookups. Returns
+    * (q_id, vec_id, adist, rank) — approximate L2² distances, totally
+    * ordered.
+    */
+  def searchAdc(
+      encoded: Dataset[Encoded],
+      queries: DataFrame, // (q_id, embedding)
+      model: PqModel,
+      topk: Int): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val qs = queries
+      .select(col("q_id"), transform(col("embedding"), _.cast(DoubleType)).as("e"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val tables = qs.map { case (qid, q) =>
+      val t = Array.ofDim[Double](model.m, model.k)
+      var b = 0
+      while (b < model.m) {
+        var c = 0
+        while (c < model.k) { t(b)(c) = d2(q, model.codebooks(b)(c), b * model.subdim); c += 1 }
+        b += 1
+      }
+      (qid, t)
+    }
+    val bc = spark.sparkContext.broadcast(tables)
+    val scored = encoded.mapPartitions { it =>
+      val ts = bc.value
+      it.flatMap { enc =>
+        ts.iterator.map { case (qid, t) =>
+          var s = 0.0; var b = 0
+          while (b < enc.codes.length) { s += t(b)(enc.codes(b)); b += 1 }
+          (qid, enc.vec_id, math.rint(s * 1e6) / 1e6)
+        }
+      }
+    }.toDF("q_id", "vec_id", "adist")
+      .filter(col("q_id") =!= col("vec_id"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topk)
+      .select(col("q_id"), col("vec_id"), col("adist"), col("rank").cast(LongType).as("rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** The production PQ search shape: ADC generates a candidate pool
+    * (cheap — table lookups over compressed codes), exact L2 re-ranks
+    * only the pool. PQ codes are lossy by design, so ADC top-k ALONE
+    * mixes up close neighbors (quantization error ~ within-cluster
+    * distances); the re-rank restores exactness at pool-size cost.
+    */
+  def searchAdcRerank(
+      encoded: Dataset[Encoded],
+      emb: DataFrame,
+      queries: DataFrame,
+      model: PqModel,
+      topk: Int,
+      poolSize: Int = 0): DataFrame = {
+    val pool = if (poolSize > 0) poolSize else 10 * topk
+    val cand = searchAdc(encoded, queries, model, pool).select("q_id", "vec_id")
+    val qdf = queries.select(
+      col("q_id"), transform(col("embedding"), _.cast(DoubleType)).as("qe"))
+    val vdf = emb.select(
+      col("vec_id"), transform(col("embedding"), _.cast(DoubleType)).as("ve"))
+    // rank on FULL-precision distances (rounding first would create
+    // artificial ties among close neighbors and let the id tie-break
+    // pick the wrong one); round only the emitted column
+    val w = Window.partitionBy(col("q_id")).orderBy(col("d2raw").asc, col("vec_id").asc)
+    cand
+      .join(broadcast(qdf), "q_id")
+      .join(vdf, "vec_id")
+      .withColumn("d2raw",
+        aggregate(zip_with(col("ve"), col("qe"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topk)
+      .select(
+        col("q_id"), col("vec_id"),
+        round(col("d2raw"), 6).as("dist2"), col("rank").cast(LongType).as("rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    // PQ encode + corpus-level compression report (trained float
+    // codebooks — not oracle-expressible; PqSpec pins the semantics)
+    QueryDef.noOracle("q_pq_encode") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val model = train(emb, m = 8, k = 16, iters = 6)
+      encode(emb, model).toDF()
+        .select(col("vec_id"), col("codes"), round(sqrt(col("recon_err2")), 6).as("recon_err"))
+        .orderBy("vec_id")
+    },
+
+    // PQ ADC + exact re-rank end-to-end: train, encode, candidate-pool
+    // score 10 queries, re-rank the pool exactly
+    QueryDef.noOracle("q_pq_ann") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val model = train(emb, m = 8, k = 16, iters = 6)
+      val enc = encode(emb, model)
+      searchAdcRerank(enc, emb,
+        emb.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("embedding")),
+        model, topk = 3)
+    })
+}
