@@ -93,18 +93,24 @@ object KMeans {
     * and — unlike the distributed fit — bit-deterministic regardless of
     * partitioning, because the local arithmetic has a fixed order.
     */
+  /** Deterministic hash-ordered training sample (shared by IVF and PQ
+    * training — ONE sampling convention, so their determinism can never
+    * silently diverge): order by xxhash64(vec_id) with the id as tie
+    * break, take maxSample (a TakeOrdered — one Spark job).
+    */
+  def samplePoints(emb: DataFrame, maxSample: Int): Array[Array[Double]] =
+    emb.select(col("vec_id"), embDouble)
+      .orderBy(pmod(xxhash64(col("vec_id")), lit(1000003L)), col("vec_id"))
+      .limit(maxSample)
+      .collect().map(_.getSeq[Double](1).toArray)
+
   def fitSample(
       emb: DataFrame,
       k: Int,
       iters: Int = 5,
       maxSample: Int = DefaultMaxSample,
-      spherical: Boolean = false): Model = {
-    val pts = emb.select(col("vec_id"), embDouble)
-      .orderBy(pmod(xxhash64(col("vec_id")), lit(1000003L)), col("vec_id"))
-      .limit(maxSample)
-      .collect().map(_.getSeq[Double](1).toArray)
-    fitArrays(pts, k, iters, spherical)
-  }
+      spherical: Boolean = false): Model =
+    fitArrays(samplePoints(emb, maxSample), k, iters, spherical)
 
   /** Local Lloyd with the same deterministic conventions as the
     * distributed fit: farthest-first init from the first sample point

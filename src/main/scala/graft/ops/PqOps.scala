@@ -45,11 +45,7 @@ object PqOps {
     */
   def train(emb: DataFrame, m: Int, k: Int = 256, iters: Int = 8,
       maxSample: Int = KMeans.DefaultMaxSample): PqModel = {
-    val pts = emb
-      .select(col("vec_id"), transform(col("embedding"), _.cast(DoubleType)).as("e"))
-      .orderBy(pmod(xxhash64(col("vec_id")), lit(1000003L)), col("vec_id"))
-      .limit(maxSample)
-      .collect().map(_.getSeq[Double](1).toArray)
+    val pts = KMeans.samplePoints(emb, maxSample) // ONE sampling convention with IVF training
     require(pts.nonEmpty, "PQ training sample is empty")
     val dim = pts(0).length
     require(dim % m == 0, s"dim $dim not divisible into $m blocks")
@@ -161,14 +157,18 @@ object PqOps {
       col("vec_id"), transform(col("embedding"), _.cast(DoubleType)).as("ve"))
     // rank on FULL-precision distances (rounding first would create
     // artificial ties among close neighbors and let the id tie-break
-    // pick the wrong one); round only the emitted column
+    // pick the wrong one); round only the emitted column. |v-q|² via
+    // the native dot kernel (v·v − 2v·q + q·q) — interpreted HOF folds
+    // are the repo's measured ~100× hot spot, and real deployments run
+    // 100-1000× topk pools through this stage.
+    import graft.functions.HashFunctions.dot_product
     val w = Window.partitionBy(col("q_id")).orderBy(col("d2raw").asc, col("vec_id").asc)
     cand
       .join(broadcast(qdf), "q_id")
       .join(vdf, "vec_id")
       .withColumn("d2raw",
-        aggregate(zip_with(col("ve"), col("qe"), (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x))
+        dot_product(col("ve"), col("ve")) - lit(2.0) * dot_product(col("ve"), col("qe")) +
+          dot_product(col("qe"), col("qe")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topk)
       .select(

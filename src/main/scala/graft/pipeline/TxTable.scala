@@ -50,16 +50,24 @@ object TxTable {
     if (versions.isEmpty) (0L, Map.empty)
     else {
       val v = versions.max
-      val in = f.open(new Path(ld, manifestName(v)))
-      val txt =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      val entries = txt.split("\n").iterator.filter(_.nonEmpty).map { line =>
-        val Array(k, dir) = line.split("\t", 2)
-        k -> dir
-      }.toMap
-      (v, entries)
+      (v, parseManifest(f, new Path(ld, manifestName(v))))
     }
+  }
+
+  private def parseManifest(f: org.apache.hadoop.fs.FileSystem, p: Path): Map[String, String] = {
+    val in = f.open(p)
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val entries = txt.split("\n").iterator.filter(_.nonEmpty).map { line =>
+      line.split("\t", 2) match {
+        case Array(k, dir) => k -> dir
+        case _ => throw new java.io.IOException(s"malformed manifest line in $p: '$line'")
+      }
+    }.toMap
+    if (entries.isEmpty)
+      throw new java.io.IOException(s"manifest $p is empty or truncated")
+    entries
   }
 
   /** Read the table at its latest committed version. Partitions may live
@@ -81,15 +89,7 @@ object TxTable {
     val m = new Path(logDir(root), manifestName(version))
     require(f.exists(m),
       s"version $version does not exist at $root (committed or already vacuumed)")
-    val in = f.open(m)
-    val txt =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    val entries = txt.split("\n").iterator.filter(_.nonEmpty).map { line =>
-      val Array(k, dir) = line.split("\t", 2)
-      k -> dir
-    }.toMap
-    readManifest(spark, root, entries)
+    readManifest(spark, root, parseManifest(f, m))
   }
 
   private def readManifest(

@@ -81,7 +81,9 @@ class PqSpec extends AnyFunSuite {
       .filter(col("c") < 0 || col("c") >= 16).count()
     assert(bad == 0, "every code id within the codebook")
     // compression story: 8 codes of k=16 (4 bits) = 4 bytes per vector
-    // vs 64 float dims = 256 bytes — 64x
-    assert(enc.select(size(col("codes"))).distinct().head().getInt(0) == 8)
+    // vs 64 float dims = 256 bytes — 64x. Assert exactly ONE distinct
+    // size (a head() over several would pass flakily on ragged codes)
+    val sizes = enc.select(size(col("codes")).as("s")).distinct().collect().map(_.getInt(0))
+    assert(sizes.toSeq == Seq(8), s"codes must be uniformly 8 wide, got ${sizes.mkString(",")}")
   }
 }
