@@ -18,11 +18,39 @@ object CurationOps {
   private val Stops =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "on", "for", "with", "as", "at", "by")
 
+  /** Quality metrics + keep decision as columns over a documents frame —
+    * the reusable core of q_quality_filter, also consumed by the
+    * composed q_curate_corpus pipeline.
+    */
+  def withQuality(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toks = split(col("text"), " ")
+    val nWords = size(toks)
+    val mwl = (length(col("text")) - (nWords - 1)).cast(DoubleType) / nWords
+    val stopsArr = array(Stops.map(lit): _*)
+    val swr = size(filter(toks, w => array_contains(stopsArr, w))).cast(DoubleType) / nWords
+    val punct =
+      col("text").endsWith(".") || col("text").endsWith("!") || col("text").endsWith("?")
+    // punct_end is REPORTED but not part of keep: C4 applies the
+    // punctuation rule per-LINE (ours would be per-doc), and the
+    // synthetic driver corpus contains no sentence punctuation at all —
+    // enforcing it keeps zero documents and makes every downstream
+    // stage vacuous (measured: 0/500 docs end with . ! or ?)
+    docs
+      .withColumn("n_words", nWords.cast(LongType))
+      .withColumn("mean_word_len", round(mwl, 6))
+      .withColumn("stopword_ratio", round(swr, 6))
+      .withColumn("punct_end", punct)
+      .withColumn("keep",
+        nWords >= 10 && nWords <= 5000 && mwl >= 2 && mwl <= 12 && swr >= 0.03)
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // C4-style rule filter: word count bounds, mean word length band,
-    // stopword-ratio floor, terminal punctuation. Flags exposed per rule
-    // (a curation pipeline wants the WHY, not just the keep bit).
+    // stopword-ratio floor; terminal punctuation is reported as a flag
+    // but NOT enforced (see withQuality — the synthetic corpus has no
+    // sentence punctuation, and C4's rule is per-line anyway). Flags
+    // exposed per rule: a curation pipeline wants the WHY.
     QueryDef(
       "q_quality_filter",
       s"""WITH t AS (
@@ -41,24 +69,86 @@ object CurationOps {
          |  round(swr, 6) AS stopword_ratio,
          |  punct_end,
          |  n_words >= 10 AND n_words <= 5000
-         |    AND mwl >= 2 AND mwl <= 12 AND swr >= 0.03 AND punct_end AS keep
+         |    AND mwl >= 2 AND mwl <= 12 AND swr >= 0.03 AS keep
          |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val toks = split(col("text"), " ")
-      val nWords = size(toks)
-      val mwl = (length(col("text")) - (nWords - 1)).cast(DoubleType) / nWords
-      val stopsArr = array(Stops.map(lit): _*)
-      val swr = size(filter(toks, w => array_contains(stopsArr, w))).cast(DoubleType) / nWords
-      Tables.documents(s, d)
-        .select(
-          col("doc_id"),
-          nWords.cast(LongType).as("n_words"),
-          round(mwl, 6).as("mean_word_len"),
-          round(swr, 6).as("stopword_ratio"),
-          (col("text").endsWith(".") || col("text").endsWith("!") || col("text").endsWith("?"))
-            .as("punct_end"),
-          (nWords >= 10 && nWords <= 5000 && mwl >= 2 && mwl <= 12 && swr >= 0.03 &&
-            (col("text").endsWith(".") || col("text").endsWith("!") || col("text").endsWith("?")))
-            .as("keep"))
+      withQuality(Tables.documents(s, d))
+        .select("doc_id", "n_words", "mean_word_len", "stopword_ratio", "punct_end", "keep")
+        .orderBy("doc_id")
+    },
+
+    // THE composed curation pipeline — what a corpus team actually runs:
+    // quality filter -> MinHash near-dup groups over the SURVIVORS ->
+    // canonical-only -> deterministic hash sample. Every stage is an
+    // operator proven above; the composition itself is hash-verified
+    // END TO END (DuckDB rebuilds the same chain, recursive-CTE
+    // components included), so stage-wiring bugs — filtering after
+    // dedup instead of before, sampling before canonicalization — can't
+    // hide between green unit oracles.
+    QueryDef(
+      "q_curate_corpus",
+      """WITH RECURSIVE q AS (
+        |  SELECT doc_id, text,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    CAST(len(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS mwl,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      w -> list_contains(['the','a','an','and','or','of','to','in','is','on','for','with','as','at','by'], w))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS swr,
+        |    text LIKE '%.' OR text LIKE '%!' OR text LIKE '%?' AS punct_end
+        |  FROM documents),
+        |kept AS (
+        |  SELECT doc_id, text, n_words FROM q
+        |  WHERE n_words >= 10 AND n_words <= 5000
+        |    AND mwl >= 2 AND mwl <= 12 AND swr >= 0.03),
+        |d AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, greatest(len(toks) - 2, 0) + 1)]) AS grams
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM kept)
+        |  WHERE len(toks) >= 3),
+        |sig AS (
+        |  SELECT doc_id, grams,
+        |    list_transform(range(0, 16), j ->
+        |      list_min(list_transform(grams, g -> substr(md5(CAST(j AS VARCHAR) || ':' || g), 1, 16)))) AS sig
+        |  FROM d),
+        |bands AS (
+        |  SELECT doc_id, b AS band_id,
+        |    md5(array_to_string(sig[b * 4 + 1 : b * 4 + 4], ',')) AS band_hash
+        |  FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band_id = y.band_id AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM cand
+        |  JOIN d a ON a.doc_id = doc_a
+        |  JOIN d b ON b.doc_id = doc_b
+        |  WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.grams, b.grams))), 6) >= 0.2),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |walk(id, comp) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id),
+        |comps AS (SELECT id, min(comp) AS component FROM walk GROUP BY id),
+        |canon AS (
+        |  SELECT k.doc_id, k.text, k.n_words
+        |  FROM kept k LEFT JOIN comps c ON c.id = k.doc_id
+        |  WHERE coalesce(c.component, k.doc_id) = k.doc_id)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, md5(text) AS text_md5
+        |FROM canon
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7')
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val kept = withQuality(Tables.documents(s, d))
+        .filter(col("keep"))
+        .select("doc_id", "text", "n_words")
+      val groups = DedupOps.dedupGroupsMd5(kept.select("doc_id", "text"))
+      kept
+        .join(groups.filter(col("is_canonical")).select("doc_id"), Seq("doc_id"), "left_semi")
+        .filter(substring(md5(col("doc_id").cast(StringType)), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7"))
+        .select(col("doc_id"), col("n_words"), md5(col("text")).as("text_md5"))
         .orderBy("doc_id")
     },
 
