@@ -86,52 +86,20 @@ object CurationOps {
     // hide between green unit oracles.
     QueryDef(
       "q_curate_corpus",
-      """WITH RECURSIVE q AS (
+      s"""WITH RECURSIVE q AS (
         |  SELECT doc_id, text,
         |    len(string_split(text, ' ')) AS n_words,
         |    CAST(len(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
         |      / len(string_split(text, ' ')) AS mwl,
         |    CAST(len(list_filter(string_split(text, ' '),
-        |      w -> list_contains(['the','a','an','and','or','of','to','in','is','on','for','with','as','at','by'], w))) AS DOUBLE)
-        |      / len(string_split(text, ' ')) AS swr,
-        |    text LIKE '%.' OR text LIKE '%!' OR text LIKE '%?' AS punct_end
+        |      w -> list_contains([${Stops.map("'" + _ + "'").mkString(",")}], w))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS swr
         |  FROM documents),
         |kept AS (
         |  SELECT doc_id, text, n_words FROM q
         |  WHERE n_words >= 10 AND n_words <= 5000
         |    AND mwl >= 2 AND mwl <= 12 AND swr >= 0.03),
-        |d AS (
-        |  SELECT doc_id,
-        |    list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, greatest(len(toks) - 2, 0) + 1)]) AS grams
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM kept)
-        |  WHERE len(toks) >= 3),
-        |sig AS (
-        |  SELECT doc_id, grams,
-        |    list_transform(range(0, 16), j ->
-        |      list_min(list_transform(grams, g -> substr(md5(CAST(j AS VARCHAR) || ':' || g), 1, 16)))) AS sig
-        |  FROM d),
-        |bands AS (
-        |  SELECT doc_id, b AS band_id,
-        |    md5(array_to_string(sig[b * 4 + 1 : b * 4 + 4], ',')) AS band_hash
-        |  FROM sig, (SELECT unnest(range(0, 4)) AS b)),
-        |cand AS (
-        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        |  FROM bands x JOIN bands y
-        |    ON x.band_id = y.band_id AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
-        |pairs AS (
-        |  SELECT doc_a, doc_b FROM cand
-        |  JOIN d a ON a.doc_id = doc_a
-        |  JOIN d b ON b.doc_id = doc_b
-        |  WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-        |        / len(list_distinct(list_concat(a.grams, b.grams))), 6) >= 0.2),
-        |edges AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-        |walk(id, comp) AS (
-        |  SELECT src, src FROM edges
-        |  UNION
-        |  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id),
-        |comps AS (SELECT id, min(comp) AS component FROM walk GROUP BY id),
+        |${DedupOps.md5CcCtesSql("kept")},
         |canon AS (
         |  SELECT k.doc_id, k.text, k.n_words
         |  FROM kept k LEFT JOIN comps c ON c.id = k.doc_id

@@ -252,6 +252,49 @@ object DedupOps {
     out
   }
 
+  /** The md5 MinHash-LSH + recursive-CTE connected-components CTE chain
+    * (everything between `WITH RECURSIVE` and the final select),
+    * parameterized by the source relation — the SINGLE source of truth
+    * for the oracle-side dedup parameters (3-gram shingles, k=16 sig,
+    * 4 bands, jaccard >= 0.2), shared by q_dedup_groups_md5 and the
+    * composed q_curate_corpus so the two can never drift apart.
+    * Produces CTEs `d`, `sig`, `bands`, `cand`, `pairs`, `edges`,
+    * `walk`, `comps` (comps: id -> component = min reachable id).
+    */
+  private[ops] def md5CcCtesSql(src: String): String =
+    s"""d AS (
+       |  SELECT doc_id,
+       |    list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, greatest(len(toks) - 2, 0) + 1)]) AS grams
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM $src)
+       |  WHERE len(toks) >= 3),
+       |sig AS (
+       |  SELECT doc_id, grams,
+       |    list_transform(range(0, 16), j ->
+       |      list_min(list_transform(grams, g -> substr(md5(CAST(j AS VARCHAR) || ':' || g), 1, 16)))) AS sig
+       |  FROM d),
+       |bands AS (
+       |  SELECT doc_id, b AS band_id,
+       |    md5(array_to_string(sig[b * 4 + 1 : b * 4 + 4], ',')) AS band_hash
+       |  FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band_id = y.band_id AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM cand
+       |  JOIN d a ON a.doc_id = doc_a
+       |  JOIN d b ON b.doc_id = doc_b
+       |  WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(a.grams, b.grams))), 6) >= 0.2),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |walk(id, comp) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id),
+       |comps AS (SELECT id, min(comp) AS component FROM walk GROUP BY id)""".stripMargin
+
   /** End-to-end dedup: exact + near-dup groups with a canonical survivor
     * (min doc_id) per group. Returns (doc_id, canonical_id, is_canonical).
     */
@@ -406,38 +449,7 @@ object DedupOps {
     // pairs -> components -> canonical-survivor pipeline is hash-checked.
     QueryDef(
       "q_dedup_groups_md5",
-      """WITH RECURSIVE d AS (
-        |  SELECT doc_id,
-        |    list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, greatest(len(toks) - 2, 0) + 1)]) AS grams
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-        |  WHERE len(toks) >= 3),
-        |sig AS (
-        |  SELECT doc_id, grams,
-        |    list_transform(range(0, 16), j ->
-        |      list_min(list_transform(grams, g -> substr(md5(CAST(j AS VARCHAR) || ':' || g), 1, 16)))) AS sig
-        |  FROM d),
-        |bands AS (
-        |  SELECT doc_id, b AS band_id,
-        |    md5(array_to_string(sig[b * 4 + 1 : b * 4 + 4], ',')) AS band_hash
-        |  FROM sig, (SELECT unnest(range(0, 4)) AS b)),
-        |cand AS (
-        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        |  FROM bands x JOIN bands y
-        |    ON x.band_id = y.band_id AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
-        |pairs AS (
-        |  SELECT doc_a, doc_b FROM cand
-        |  JOIN d a ON a.doc_id = doc_a
-        |  JOIN d b ON b.doc_id = doc_b
-        |  WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-        |        / len(list_distinct(list_concat(a.grams, b.grams))), 6) >= 0.2),
-        |edges AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-        |walk(id, comp) AS (
-        |  SELECT src, src FROM edges
-        |  UNION
-        |  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id),
-        |comps AS (SELECT id, min(comp) AS component FROM walk GROUP BY id)
+      s"""WITH RECURSIVE ${md5CcCtesSql("documents")}
         |SELECT d2.doc_id,
         |  coalesce(c.component, d2.doc_id) AS canonical_id,
         |  d2.doc_id = coalesce(c.component, d2.doc_id) AS is_canonical

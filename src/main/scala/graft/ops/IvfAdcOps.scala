@@ -167,25 +167,8 @@ object IvfAdcOps {
       .withColumn("prank", row_number().over(wPool))
       .filter(col("prank") <= pool)
       .select("q_id", "vec_id")
-    // exact re-rank at full precision (see PqOps.searchAdcRerank)
-    import graft.functions.HashFunctions.dot_product
-    val qdf = queries.select(
-      col("q_id"), transform(col("embedding"), _.cast(DoubleType)).as("qe"))
-    val vdf = emb.select(
-      col("vec_id"), transform(col("embedding"), _.cast(DoubleType)).as("ve"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("d2raw").asc, col("vec_id").asc)
-    cand
-      .join(broadcast(qdf), "q_id")
-      .join(vdf, "vec_id")
-      .withColumn("d2raw",
-        dot_product(col("ve"), col("ve")) - lit(2.0) * dot_product(col("ve"), col("qe")) +
-          dot_product(col("qe"), col("qe")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topk)
-      .select(
-        col("q_id"), col("vec_id"),
-        round(col("d2raw"), 6).as("dist2"), col("rank").cast(LongType).as("rank"))
-      .orderBy("q_id", "rank")
+    // shared exact re-rank (full-precision ranking — see PqOps.exactRerank)
+    PqOps.exactRerank(cand, emb, queries, topk)
   }
 
   val all: Seq[QueryDef] = Seq(

@@ -136,6 +136,37 @@ object PqOps {
       .orderBy("q_id", "rank")
   }
 
+  /** Exact L2 re-rank of a (q_id, vec_id) candidate frame against the
+    * raw vectors — shared by PQ and IVFADC search. Ranks on
+    * FULL-precision distances (rounding first would create artificial
+    * ties among close neighbors and let the id tie-break pick the wrong
+    * one); rounds only the emitted column. |v-q|² via the native dot
+    * kernel (v·v − 2v·q + q·q) — interpreted HOF folds are the repo's
+    * measured ~100× hot spot, and real deployments run 100-1000× topk
+    * pools through this stage. Returns (q_id, vec_id, dist2, rank),
+    * totally ordered.
+    */
+  def exactRerank(cand: DataFrame, emb: DataFrame, queries: DataFrame, topk: Int): DataFrame = {
+    import graft.functions.HashFunctions.dot_product
+    val qdf = queries.select(
+      col("q_id"), transform(col("embedding"), _.cast(DoubleType)).as("qe"))
+    val vdf = emb.select(
+      col("vec_id"), transform(col("embedding"), _.cast(DoubleType)).as("ve"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("d2raw").asc, col("vec_id").asc)
+    cand.select("q_id", "vec_id")
+      .join(broadcast(qdf), "q_id")
+      .join(vdf, "vec_id")
+      .withColumn("d2raw",
+        dot_product(col("ve"), col("ve")) - lit(2.0) * dot_product(col("ve"), col("qe")) +
+          dot_product(col("qe"), col("qe")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topk)
+      .select(
+        col("q_id"), col("vec_id"),
+        round(col("d2raw"), 6).as("dist2"), col("rank").cast(LongType).as("rank"))
+      .orderBy("q_id", "rank")
+  }
+
   /** The production PQ search shape: ADC generates a candidate pool
     * (cheap — table lookups over compressed codes), exact L2 re-ranks
     * only the pool. PQ codes are lossy by design, so ADC top-k ALONE
@@ -150,31 +181,7 @@ object PqOps {
       topk: Int,
       poolSize: Int = 0): DataFrame = {
     val pool = if (poolSize > 0) poolSize else 10 * topk
-    val cand = searchAdc(encoded, queries, model, pool).select("q_id", "vec_id")
-    val qdf = queries.select(
-      col("q_id"), transform(col("embedding"), _.cast(DoubleType)).as("qe"))
-    val vdf = emb.select(
-      col("vec_id"), transform(col("embedding"), _.cast(DoubleType)).as("ve"))
-    // rank on FULL-precision distances (rounding first would create
-    // artificial ties among close neighbors and let the id tie-break
-    // pick the wrong one); round only the emitted column. |v-q|² via
-    // the native dot kernel (v·v − 2v·q + q·q) — interpreted HOF folds
-    // are the repo's measured ~100× hot spot, and real deployments run
-    // 100-1000× topk pools through this stage.
-    import graft.functions.HashFunctions.dot_product
-    val w = Window.partitionBy(col("q_id")).orderBy(col("d2raw").asc, col("vec_id").asc)
-    cand
-      .join(broadcast(qdf), "q_id")
-      .join(vdf, "vec_id")
-      .withColumn("d2raw",
-        dot_product(col("ve"), col("ve")) - lit(2.0) * dot_product(col("ve"), col("qe")) +
-          dot_product(col("qe"), col("qe")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topk)
-      .select(
-        col("q_id"), col("vec_id"),
-        round(col("d2raw"), 6).as("dist2"), col("rank").cast(LongType).as("rank"))
-      .orderBy("q_id", "rank")
+    exactRerank(searchAdc(encoded, queries, model, pool), emb, queries, topk)
   }
 
   val all: Seq[QueryDef] = Seq(
