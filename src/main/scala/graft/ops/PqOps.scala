@@ -153,9 +153,10 @@ object PqOps {
     val vdf = emb.select(
       col("vec_id"), transform(col("embedding"), _.cast(DoubleType)).as("ve"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("d2raw").asc, col("vec_id").asc)
-    cand.select("q_id", "vec_id")
-      .join(broadcast(qdf), "q_id")
-      .join(vdf, "vec_id")
+    // Broadcast the WHOLE candidate side (pool rows × query vectors — a
+    // few thousand rows at most): the corpus embeddings scan must stay
+    // map-shaped (BroadcastHashJoin), never hash-shuffle on vec_id.
+    vdf.join(broadcast(cand.select("q_id", "vec_id").join(broadcast(qdf), "q_id")), "vec_id")
       .withColumn("d2raw",
         dot_product(col("ve"), col("ve")) - lit(2.0) * dot_product(col("ve"), col("qe")) +
           dot_product(col("qe"), col("qe")))
@@ -186,12 +187,18 @@ object PqOps {
 
   val all: Seq[QueryDef] = Seq(
     // PQ encode + corpus-level compression report (trained float
-    // codebooks — not oracle-expressible; PqSpec pins the semantics)
+    // codebooks — not oracle-expressible; PqSpec pins the semantics).
+    // Codes are emitted as a comma-joined string, not a raw array: the
+    // driver's rows-only compare sorts results in pandas, and an array
+    // column there is an unhashable ndarray (round-2 red row).
     QueryDef.noOracle("q_pq_encode") { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val model = train(emb, m = 8, k = 16, iters = 6)
       encode(emb, model).toDF()
-        .select(col("vec_id"), col("codes"), round(sqrt(col("recon_err2")), 6).as("recon_err"))
+        .select(
+          col("vec_id"),
+          array_join(col("codes").cast("array<string>"), ",").as("codes"),
+          round(sqrt(col("recon_err2")), 6).as("recon_err"))
         .orderBy("vec_id")
     },
 

@@ -56,6 +56,16 @@ object SkewOps {
     else pmod(spark_partition_id().cast("long"), lit(salts.toLong))
   }
 
+  /** A helper-column name guaranteed absent from `df` — `withColumn`
+    * silently REPLACES a same-named input column, which would corrupt
+    * results and drop the user's column from the output.
+    */
+  private def freshName(df: DataFrame, base: String): String = {
+    val have = df.columns.toSet
+    if (!have(base)) base
+    else Iterator.from(1).map(i => s"$base~$i").find(n => !have(n)).get
+  }
+
   /** Per-key top-k via salted two-phase windows. `order` must be a total
     * order (include a unique tie-break) or the survivor choice is
     * nondeterministic — same contract as the plain window it replaces.
@@ -69,30 +79,36 @@ object SkewOps {
     // salt from the row hash (hashable columns only — maps would fail
     // analysis): spreads a hot key's rows evenly and deterministically,
     // no RNG in the plan
-    val salted = df.withColumn("_salt", rowSalt(df, salts))
-    val w1 = Window.partitionBy(keys :+ col("_salt"): _*).orderBy(order: _*)
+    val (cSalt, cRn1, cRn2) =
+      (freshName(df, "_salt"), freshName(df, "_rn1"), freshName(df, "_rn2"))
+    val salted = df.withColumn(cSalt, rowSalt(df, salts))
+    val w1 = Window.partitionBy(keys :+ col(cSalt): _*).orderBy(order: _*)
     val w2 = Window.partitionBy(keys: _*).orderBy(order: _*)
     salted
-      .withColumn("_rn1", row_number().over(w1))
-      .filter(col("_rn1") <= k)
-      .withColumn("_rn2", row_number().over(w2))
-      .filter(col("_rn2") <= k)
-      .drop("_salt", "_rn1", "_rn2")
+      .withColumn(cRn1, row_number().over(w1))
+      .filter(col(cRn1) <= k)
+      .withColumn(cRn2, row_number().over(w2))
+      .filter(col(cRn2) <= k)
+      .drop(cSalt, cRn1, cRn2)
   }
 
   /** First row per key under `order` (min_by over an order struct): one
     * shuffle, hot keys pre-reduced map-side.
     */
-  def argMinPerKey(df: DataFrame, keys: Seq[Column], order: Seq[Column]): DataFrame =
+  def argMinPerKey(df: DataFrame, keys: Seq[Column], order: Seq[Column]): DataFrame = {
+    val w = freshName(df, "_w")
     df.groupBy(keys: _*)
-      .agg(min_by(struct(df.columns.map(col): _*), struct(order: _*)).as("_w"))
-      .select(col("_w.*"))
+      .agg(min_by(struct(df.columns.map(col): _*), struct(order: _*)).as(w))
+      .select(col(s"$w.*"))
+  }
 
   /** Last row per key under `order` (max_by). */
-  def argMaxPerKey(df: DataFrame, keys: Seq[Column], order: Seq[Column]): DataFrame =
+  def argMaxPerKey(df: DataFrame, keys: Seq[Column], order: Seq[Column]): DataFrame = {
+    val w = freshName(df, "_w")
     df.groupBy(keys: _*)
-      .agg(max_by(struct(df.columns.map(col): _*), struct(order: _*)).as("_w"))
-      .select(col("_w.*"))
+      .agg(max_by(struct(df.columns.map(col): _*), struct(order: _*)).as(w))
+      .select(col(s"$w.*"))
+  }
 
   val all: Seq[QueryDef] = Seq(
 

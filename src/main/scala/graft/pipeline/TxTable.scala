@@ -166,17 +166,44 @@ object TxTable {
   def commit(spark: SparkSession, root: String, data: DataFrame, partitionCol: String): Unit =
     publish(spark, root, stage(spark, root, data, partitionCol), partitionCol)
 
+  /** Migration guard: a pre-existing FLAT parquet table at `root` (the
+    * pre-TxTable on-disk format) must not be silently shadowed — writing
+    * a `_txlog` beside it would freeze the flat files forever while
+    * legacy `spark.read.parquet(root)` readers keep consuming them.
+    * Call before the FIRST commit of any path that may hold legacy data.
+    */
+  def requireNotFlatTable(spark: SparkSession, root: String): Unit = {
+    val f = fs(spark, root)
+    val rp = new Path(root)
+    val hasLog = f.exists(new Path(logDir(root)))
+    if (!hasLog && f.exists(rp) &&
+        f.listStatus(rp).map(_.getPath.getName)
+          .exists(n => n.startsWith("part-") || n == "_SUCCESS"))
+      throw new IllegalStateException(
+        s"$root holds a flat parquet table (pre-TxTable format); migrate it first " +
+          "(e.g. TxTable.commit(spark, root+\".tx\", spark.read.parquet(root), <partitionCol>)) " +
+          "or point the writer at a fresh root")
+  }
+
   /** Drop version dirs no longer referenced by the latest manifest (and
-    * superseded manifests). Safe any time after a successful commit —
-    * readers only follow the latest manifest.
+    * superseded manifests). Safe to run concurrently with a writer: an
+    * unreferenced dir at least as new as the latest manifest may be an
+    * IN-FLIGHT [[stage]] (its manifest doesn't exist yet), so only dirs
+    * strictly older than the current manifest — provably abandoned or
+    * superseded — are deleted. Crash debris therefore survives one
+    * vacuum and is collected after the next successful commit.
     */
   def vacuum(spark: SparkSession, root: String): Unit = {
     val f = fs(spark, root)
     val (v, entries) = latest(spark, root)
     if (v == 0) return
+    val manifestMtime =
+      f.getFileStatus(new Path(logDir(root), manifestName(v))).getModificationTime
     val live = entries.values.map(_.takeWhile(_ != '/')).toSet
-    f.listStatus(new Path(root)).map(_.getPath).foreach { p =>
-      if (p.getName.startsWith("v") && !live.contains(p.getName) && p.getName != "_txlog")
+    f.listStatus(new Path(root)).foreach { st =>
+      val p = st.getPath
+      if (p.getName.startsWith("v") && !live.contains(p.getName) && p.getName != "_txlog" &&
+          st.getModificationTime < manifestMtime)
         f.delete(p, true)
     }
     f.listStatus(new Path(logDir(root))).map(_.getPath).foreach { p =>

@@ -153,16 +153,7 @@ object StreamingPipeline {
     import graft.pipeline.TxTable
     val silver = spark.read.parquet(silverPath)
     val hasLog = TxTable.latest(spark, goldRoot)._1 > 0
-    // migration guard: a pre-existing FLAT parquet gold at this path
-    // (the pre-TxTable on-disk format) must not be silently shadowed —
-    // committing a TxTable log beside it would freeze the flat files
-    // forever while spark.read.parquet readers keep consuming them
-    if (!hasLog && PathIO.exists(spark, goldRoot) &&
-        PathIO.fsListNames(spark, goldRoot).exists(n => n.startsWith("part-") || n == "_SUCCESS"))
-      throw new IllegalStateException(
-        s"$goldRoot holds a flat parquet table (pre-TxTable format); migrate it first " +
-          "(e.g. TxTable.commit(spark, goldRoot+\".tx\", spark.read.parquet(goldRoot), \"reading_date\")) " +
-          "or point goldPath at a fresh root")
+    TxTable.requireNotFlatTable(spark, goldRoot)
     val target = if (hasLog) Some(TxTable.read(spark, goldRoot)) else None
     val fresh = Incremental.goldAffectedDays(silver, target)
     if (!fresh.isEmpty) TxTable.commit(spark, goldRoot, fresh, "reading_date")
@@ -245,6 +236,9 @@ object StreamingPipeline {
                 count(lit(1)).as("n_sessions"),
                 sum(col("n")).as("n_events"),
                 round(sum(col("total")), 6).as("total_value"))
+            // same migration guard as goldTxCommit: never shadow a
+            // legacy flat-parquet gold with a fresh _txlog
+            TxTable.requireNotFlatTable(s, goldRoot)
             TxTable.commit(s, goldRoot, fresh, "session_date")
           }
           ()
@@ -261,11 +255,6 @@ object StreamingPipeline {
   */
 object PathIO {
   import org.apache.hadoop.fs.Path
-
-  private[streaming] def fsListNames(spark: SparkSession, p: String): Seq[String] = {
-    val f = new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    f.listStatus(new Path(p)).map(_.getPath.getName).toSeq
-  }
 
   private def fs(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -73,17 +73,37 @@ class PqSpec extends AnyFunSuite {
     assert(recall >= 14.0 / 15.0, s"re-ranked recall $recall below 14/15")
   }
 
+  test("exactRerank plan: corpus embeddings never shuffle — candidate side broadcasts") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("embedding"))
+    val cand = queries.select(col("q_id"))
+      .crossJoin(emb.select(col("vec_id")).limit(50))
+    val plan = PqOps.exactRerank(cand, emb, queries, topk = 3)
+      .queryExecution.executedPlan.toString
+    // the embeddings join must be a broadcast join; the only acceptable
+    // exchanges are broadcast ones and the final window/sort — no
+    // hashpartitioning on vec_id (that's the corpus-wide shuffle the
+    // scale contract forbids)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast join for the corpus side:\n$plan")
+    assert(!plan.contains("hashpartitioning(vec_id"),
+      s"corpus side must not hash-shuffle on vec_id:\n$plan")
+  }
+
   test("q_pq_encode is total: one code row per vector, codes within [0, k)") {
+    // the query emits codes as a comma-joined STRING (driver's rows-only
+    // compare can't sort raw arrays) — parse it back for the assertions
     val enc = graft.SparkEntry.queries("q_pq_encode")(spark, sf)
+      .withColumn("carr", split(col("codes"), ",").cast("array<int>"))
     assert(enc.count() == 500)
     assert(enc.select("vec_id").distinct().count() == 500)
-    val bad = enc.select(explode(col("codes")).as("c"))
-      .filter(col("c") < 0 || col("c") >= 16).count()
+    val bad = enc.select(explode(col("carr")).as("c"))
+      .filter(col("c").isNull || col("c") < 0 || col("c") >= 16).count()
     assert(bad == 0, "every code id within the codebook")
     // compression story: 8 codes of k=16 (4 bits) = 4 bytes per vector
     // vs 64 float dims = 256 bytes — 64x. Assert exactly ONE distinct
     // size (a head() over several would pass flakily on ragged codes)
-    val sizes = enc.select(size(col("codes")).as("s")).distinct().collect().map(_.getInt(0))
+    val sizes = enc.select(size(col("carr")).as("s")).distinct().collect().map(_.getInt(0))
     assert(sizes.toSeq == Seq(8), s"codes must be uniformly 8 wide, got ${sizes.mkString(",")}")
   }
 }

@@ -63,6 +63,25 @@ class SkewSpec extends AnyFunSuite {
       s"min_by must partial-aggregate before the shuffle, got:\n$aggPlan")
   }
 
+  test("helper-column collisions: input columns named _salt/_rn1/_w survive intact") {
+    // withColumn silently replaces same-named columns — the helpers must
+    // pick fresh names instead of corrupting/dropping the user's data
+    val withClash = hot
+      .withColumn("_salt", lit("mine"))
+      .withColumn("_rn1", lit(7))
+    val top = SkewOps.topKPerKeySalted(
+      withClash, Seq(col("user_id")), Seq(col("ts").desc, col("event_id").desc), 1, salts = 4)
+    assert(top.columns.toSet == withClash.columns.toSet,
+      s"user columns must survive, got ${top.columns.mkString(",")}")
+    assert(top.select("_salt").distinct().collect().map(_.getString(0)).toSeq == Seq("mine"))
+    assert(asSet(top) == asSet(plainTopK(1)), "results unchanged by the clashing columns")
+
+    val withW = hot.withColumn("_w", lit(1))
+    val mn = SkewOps.argMinPerKey(withW, Seq(col("user_id")), Seq(col("ts"), col("event_id")))
+    assert(mn.columns.toSet == withW.columns.toSet)
+    assert(mn.filter(col("_w") =!= 1).count() == 0)
+  }
+
   test("no single-task straggler: the hot key's phase-1 work lands in multiple salt groups") {
     // count distinct salt buckets actually used for the hot key — each is
     // an independently schedulable unit of phase-1 work

@@ -90,6 +90,18 @@ class TxTableSpec extends AnyFunSuite {
     assert(at(2) == Set("d1" -> 10.0, "d2" -> 2.0))
   }
 
+  test("vacuum running concurrently with a commit never deletes the in-flight staged dir") {
+    val root = Files.createTempDirectory("txtable6").toFile.getAbsolutePath + "/t"
+    TxTable.commit(spark, root, rows("d1" -> 1.0), "day")
+    // a second writer has staged v2 but not yet published when vacuum runs
+    val staged = TxTable.stage(spark, root, rows("d1" -> 2.0), "day")
+    TxTable.vacuum(spark, root)
+    assert(new java.io.File(s"$root/$staged").exists(),
+      "staged-not-yet-published dir (newer than the latest manifest) must survive vacuum")
+    TxTable.publish(spark, root, staged, "day")
+    assert(snapshot(root) == Set("d1" -> 2.0), "the raced commit still completes intact")
+  }
+
   test("the gold merge path composes with TxTable: incremental day recompute commits atomically") {
     val root = Files.createTempDirectory("txtable4").toFile.getAbsolutePath + "/gold"
     // initial gold: two days
