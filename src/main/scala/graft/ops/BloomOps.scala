@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Runtime-filter machinery for joins whose build side is too big to
+  * broadcast as ROWS but whose KEY SET fits a bloom filter — the regime
+  * between a broadcast join and a full shuffle join, and the single
+  * biggest shuffle saver on a 100 TB fact table (Spark's own AQE
+  * injects the same shape when `runtime.bloomFilter.enabled` is on; this
+  * is the explicit, composable form).
+  *
+  * Shape: ONE distributed pass over the build side folds its keys into a
+  * bloom (BloomFilterAggregate — partial blooms merge map-side, only the
+  * filter bytes reach the driver); the probe side then drops non-joining
+  * rows AT THE SCAN with a codegen'd `might_contain` predicate BEFORE
+  * paying the exchange, so the shuffle carries only (joining ∪ ε
+  * false-positive) rows. The real join still runs — bloom false
+  * positives are eliminated there, which is why the result stays EXACT
+  * and the whole rewrite is oracle-checkable against the plain join.
+  *
+  * Built on Spark's own sketch expressions (`BloomFilterAggregate`,
+  * `BloomFilterMightContain` over xxhash64) via the ColumnBridge — both
+  * codegen-friendly, no UDF in the hot path.
+  */
+object BloomOps {
+
+  /** Fold `key` of every `dim` row into a bloom filter; returns the
+    * serialized filter, or None when `dim` is empty (callers can then
+    * short-circuit the probe side to nothing). `fpp` trades filter size
+    * against wasted shuffle: 1% ≈ 9.6 bits/key.
+    */
+  def buildBloom(dim: DataFrame, key: Column, expectedItems: Long,
+      fpp: Double = 0.01): Option[Array[Byte]] = {
+    val numBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    val agg = new BloomFilterAggregate(
+      ColumnBridge.expression(xxhash64(key)),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+    Option(dim.select(ColumnBridge.column(agg).as("bf")).head().getAs[Array[Byte]](0))
+  }
+
+  /** Codegen'd probe predicate: false ⇒ `key` is definitely not in the
+    * build side; true ⇒ probably is (fpp false-positive rate).
+    */
+  def mightContain(bloom: Array[Byte], key: Column): Column =
+    ColumnBridge.column(BloomFilterMightContain(
+      Literal.create(bloom, BinaryType),
+      ColumnBridge.expression(xxhash64(key))))
+
+  /** The composed runtime-filter join: bloom-prefilter `fact`, then the
+    * exact join. Result is IDENTICAL to `fact.join(dim, cond)` — the
+    * join clears the bloom's false positives — but the fact-side shuffle
+    * carries only rows that (probably) join.
+    */
+  def bloomPrefilteredJoin(
+      fact: DataFrame, dim: DataFrame,
+      factKey: Column, dimKey: Column,
+      expectedDimKeys: Long, fpp: Double = 0.01): DataFrame =
+    buildBloom(dim, dimKey, expectedDimKeys, fpp) match {
+      case None => fact.filter(lit(false)).join(dim, factKey === dimKey)
+      case Some(bloom) => fact.filter(mightContain(bloom, factKey)).join(dim, factKey === dimKey)
+    }
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Revenue of lineitems belonging to high-value orders. The Spark
+    // plan is the bloom-prefiltered join; the oracle is the PLAIN join —
+    // hash equality proves the runtime filter is semantics-free.
+    QueryDef(
+      "q_bloom_join",
+      """SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_totalprice > 400000
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o.o_orderpriority""".stripMargin) { (s, d) =>
+      val hi = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 400000)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val nKeys = math.max(hi.count(), 1L) // one count of the tiny dim sizes the bloom honestly
+      bloomPrefilteredJoin(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+        hi, col("l_orderkey"), col("o_orderkey"), expectedDimKeys = nKeys)
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6).as("revenue"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Count-min frequency estimates next to exact counts, per event
+    // type. The sketch column isn't DuckDB-expressible (rows-only check);
+    // BloomOpsSpec pins the one-sided error bound est >= exact.
+    QueryDef.noOracle("q_cms_freq") { (s, d) =>
+      val ev = Tables.events(s, d)
+      val cms = ev.stat.countMinSketch(col("event_type"), eps = 0.001, confidence = 0.99,
+        seed = 42)
+      val bc = s.sparkContext.broadcast(cms)
+      // the UDF probes only the POST-AGGREGATION frame (one row per
+      // event type) — the sketch build is the distributed pass; the
+      // probe is never in the per-row hot path
+      val estimate = udf((k: String) => bc.value.estimateCount(k))
+      ev.groupBy("event_type").agg(count(lit(1)).as("exact"))
+        .withColumn("est", estimate(col("event_type")))
+        .select(col("event_type"), col("exact"), col("est"))
+        .orderBy("event_type")
+    })
+}
