@@ -1,0 +1,229 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Optimized product quantization (Ge et al. CVPR'13, parametric
+  * variant; FAISS "OPQ" pre-transform): learn an ORTHOGONAL rotation
+  * that decorrelates dimensions and balances variance across the m PQ
+  * blocks, then quantize in the rotated space. Plain PQ slices raw
+  * dimension order — when dimensions are correlated (real embedding
+  * models, unlike the driver's isotropic corpus) a few blocks carry most
+  * of the variance and burn their k codes on it; rotating first spends
+  * every block's codebook where the variance actually is, cutting
+  * reconstruction error at identical bit budget. Rotation is
+  * L2-isometric, so search semantics are unchanged: rotate the query,
+  * search rotated codes, distances are THE SAME distances.
+  *
+  * Scale shape — identical to PQ's: training is driver-side over the
+  * bounded hash sample (covariance d×d = 64×64 here, Jacobi eigen in
+  * microseconds); the (mean, rotation, codebooks) model broadcasts; the
+  * corpus-side rotate+encode is ONE map-shaped pass (mapPartitions,
+  * tight JVM loops, no shuffle). Float training keeps it off the DuckDB
+  * hash oracle; OpqSpec pins the contracts (orthogonality, isometry,
+  * error vs plain PQ on correlated data).
+  */
+object OpqOps {
+
+  /** `rot(i)(j)` = component i of output dimension j (columns are the
+    * permuted eigenvectors). Rotated vector: y_j = Σ_i rot(i)(j) * (x_i - mean_i).
+    */
+  final case class OpqModel(
+      mean: Array[Double],
+      rot: Array[Array[Double]],
+      pq: PqOps.PqModel)
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix. Returns
+    * (eigenvalues, eigenvectors-as-columns): a ≈ V diag(λ) Vᵀ. O(d³)
+    * per sweep — fine for embedding dims (d ≤ a few hundred), always on
+    * the DRIVER over the d×d covariance, never over data.
+    */
+  private[ops] def jacobiEigen(
+      aIn: Array[Array[Double]],
+      maxSweeps: Int = 64,
+      tol: Double = 1e-18): (Array[Double], Array[Array[Double]]) = {
+    val d = aIn.length
+    val a = aIn.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = offDiag(a)
+    while (sweep < maxSweeps && off > tol) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          if (math.abs(a(p)(q)) > tol / (d * d)) {
+            // symmetric Schur rotation zeroing a(p)(q)
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+            val t = math.signum(theta) match {
+              case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              case s => s / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var i = 0
+            while (i < d) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq
+              a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi
+              a(q)(i) = s * api + c * aqi
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      off = offDiag(a)
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  private def offDiag(a: Array[Array[Double]]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) {
+      var j = i + 1
+      while (j < a.length) { s += a(i)(j) * a(i)(j); j += 1 }
+      i += 1
+    }
+    s
+  }
+
+  /** Greedy eigenvalue balancing (the FAISS OPQ allocation): walk
+    * eigenvectors by descending λ, always placing into the non-full
+    * block with the smallest Σ log λ — every block ends with a
+    * comparable variance product, so no codebook is starved.
+    */
+  private[ops] def allocateBlocks(eigVals: Array[Double], m: Int): Array[Int] = {
+    val d = eigVals.length
+    val sub = d / m
+    val order = eigVals.indices.sortBy(i => -eigVals(i))
+    val blockLog = new Array[Double](m)
+    val blockN = new Array[Int](m)
+    val slots = Array.fill(d)(-1)
+    var pos = 0
+    order.foreach { e =>
+      var best = -1; var bestLog = Double.MaxValue
+      var b = 0
+      while (b < m) {
+        if (blockN(b) < sub && blockLog(b) < bestLog) { bestLog = blockLog(b); best = b }
+        b += 1
+      }
+      slots(best * sub + blockN(best)) = e
+      blockN(best) += 1
+      blockLog(best) += math.log(math.max(eigVals(e), 1e-300))
+      pos += 1
+    }
+    slots
+  }
+
+  /** Train: sample (same hash convention as IVF/PQ), mean+covariance,
+    * Jacobi eigen, balanced allocation → rotation; PQ codebooks on the
+    * rotated sample.
+    */
+  def train(emb: DataFrame, m: Int, k: Int = 256, iters: Int = 8,
+      maxSample: Int = KMeans.DefaultMaxSample): OpqModel = {
+    val pts = KMeans.samplePoints(emb, maxSample)
+    require(pts.nonEmpty, "OPQ training sample is empty")
+    val d = pts(0).length
+    require(d % m == 0, s"dim $d not divisible into $m blocks")
+    val n = pts.length
+    val mean = new Array[Double](d)
+    pts.foreach { p => var i = 0; while (i < d) { mean(i) += p(i); i += 1 } }
+    var i = 0; while (i < d) { mean(i) /= n; i += 1 }
+    val cov = Array.ofDim[Double](d, d)
+    pts.foreach { p =>
+      var a = 0
+      while (a < d) {
+        val da = p(a) - mean(a)
+        var b = a
+        while (b < d) { cov(a)(b) += da * (p(b) - mean(b)); b += 1 }
+        a += 1
+      }
+    }
+    i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        cov(i)(j) /= math.max(n - 1, 1)
+        cov(j)(i) = cov(i)(j)
+        j += 1
+      }
+      i += 1
+    }
+    val (eigVals, eigVecs) = jacobiEigen(cov)
+    val slots = allocateBlocks(eigVals, m)
+    // column j of the rotation = eigenvector slots(j)
+    val rot = Array.tabulate(d, d)((r, j) => eigVecs(r)(slots(j)))
+    val rotated = pts.map(p => rotateOne(p, mean, rot))
+    OpqModel(mean, rot, PqOps.trainArrays(rotated, m, k, iters))
+  }
+
+  private def rotateOne(
+      x: Array[Double], mean: Array[Double], rot: Array[Array[Double]]): Array[Double] = {
+    val d = x.length
+    val y = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      val xi = x(i) - mean(i)
+      if (xi != 0.0) {
+        val row = rot(i)
+        var j = 0
+        while (j < d) { y(j) += xi * row(j); j += 1 }
+      }
+      i += 1
+    }
+    y
+  }
+
+  /** Rotate the corpus (one map-shaped pass, broadcast model) —
+    * returns (vec_id, embedding) with the rotated vector, ready for
+    * [[PqOps.encode]] or any downstream ANN stage.
+    */
+  def rotate(emb: DataFrame, model: OpqModel): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast((model.mean, model.rot))
+    emb.select(col("vec_id"), transform(col("embedding"), _.cast(DoubleType)).as("e"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val (mean, rot) = bc.value
+        it.map { case (id, e) => (id, rotateOne(e.toArray, mean, rot).toSeq) }
+      }
+      .toDF("vec_id", "embedding")
+  }
+
+  /** Rotate + PQ-encode in one pass pair. */
+  def encode(emb: DataFrame, model: OpqModel): Dataset[PqOps.Encoded] =
+    PqOps.encode(rotate(emb, model), model.pq)
+
+  val all: Seq[QueryDef] = Seq(
+    // Same output shape as q_pq_encode (codes stringified for the
+    // driver's rows-only compare); float training keeps it off the hash
+    // oracle — OpqSpec carries the semantics.
+    QueryDef.noOracle("q_opq_encode") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val model = train(emb, m = 8, k = 16, iters = 6)
+      encode(emb, model).toDF()
+        .select(
+          col("vec_id"),
+          array_join(col("codes").cast("array<string>"), ",").as("codes"),
+          round(sqrt(col("recon_err2")), 6).as("recon_err"))
+        .orderBy("vec_id")
+    })
+}

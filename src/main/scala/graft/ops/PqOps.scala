@@ -44,8 +44,14 @@ object PqOps {
     * must divide evenly into `m` blocks.
     */
   def train(emb: DataFrame, m: Int, k: Int = 256, iters: Int = 8,
-      maxSample: Int = KMeans.DefaultMaxSample): PqModel = {
-    val pts = KMeans.samplePoints(emb, maxSample) // ONE sampling convention with IVF training
+      maxSample: Int = KMeans.DefaultMaxSample): PqModel =
+    trainArrays(KMeans.samplePoints(emb, maxSample), m, k, iters) // ONE sampling convention with IVF training
+
+  /** Points-based variant — shared with OPQ, which trains on ROTATED
+    * sample points rather than a fresh sample.
+    */
+  private[ops] def trainArrays(pts: Array[Array[Double]], m: Int, k: Int,
+      iters: Int): PqModel = {
     require(pts.nonEmpty, "PQ training sample is empty")
     val dim = pts(0).length
     require(dim % m == 0, s"dim $dim not divisible into $m blocks")
