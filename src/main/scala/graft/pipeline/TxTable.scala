@@ -95,11 +95,19 @@ object TxTable {
   private def readManifest(
       spark: SparkSession, root: String, entries: Map[String, String]): DataFrame = {
     val byVersion = entries.values.groupBy(_.takeWhile(_ != '/'))
-    byVersion.map { case (vdir, dirs) =>
+    // allowMissingColumns = schema evolution: a commit may ADD columns;
+    // partitions still living in older version dirs read as null for
+    // them (and a column dropped by a new commit survives as null on the
+    // new partitions until every partition is rewritten). Version dirs
+    // are iterated in sorted order so the NEWEST schema wins the union's
+    // column order deterministically.
+    byVersion.toSeq.sortBy { case (vdir, _) =>
+      -vdir.drop(1).takeWhile(_.isDigit).toLong // numeric: v10 > v2
+    }.map { case (vdir, dirs) =>
       spark.read
         .option("basePath", s"$root/$vdir")
         .parquet(dirs.map(d => s"$root/$d").toSeq: _*)
-    }.reduce(_ unionByName _)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Stage a new version: write `data` — the FULL new content of every

@@ -102,6 +102,23 @@ class TxTableSpec extends AnyFunSuite {
     assert(snapshot(root) == Set("d1" -> 2.0), "the raced commit still completes intact")
   }
 
+  test("schema evolution: a commit adding a column reads back with nulls on old partitions") {
+    val root = Files.createTempDirectory("txtable7").toFile.getAbsolutePath + "/t"
+    TxTable.commit(spark, root, rows("d1" -> 1.0, "d2" -> 2.0), "day")
+    // v2 rewrites d1 only, with a NEW source column
+    TxTable.commit(spark, root,
+      rows("d1" -> 10.0).withColumn("source", lit("late-feed")), "day")
+    val got = TxTable.read(spark, root)
+      .select(col("day").cast("string"), col("value"), col("source"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), Option(r.getString(2)))).toSet
+    assert(got == Set(
+      ("d1", 10.0, Some("late-feed")),
+      ("d2", 2.0, None)),
+      "new column present, old partition reads null — no rewrite of untouched partitions")
+    // time travel still shows the ORIGINAL schema
+    assert(!TxTable.readAt(spark, root, 1).columns.contains("source"))
+  }
+
   test("the gold merge path composes with TxTable: incremental day recompute commits atomically") {
     val root = Files.createTempDirectory("txtable4").toFile.getAbsolutePath + "/gold"
     // initial gold: two days

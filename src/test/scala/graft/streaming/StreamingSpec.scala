@@ -126,6 +126,41 @@ class StreamingSpec extends AnyFunSuite {
       s"late row must be dropped: got ${day1(0)}")
   }
 
+  test("tier-2 update mode emits per-batch corrections that converge to the batch gold") {
+    val root = Files.createTempDirectory("graft-upd").toFile.getAbsolutePath
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("reading_time", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("metric_name", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("metric_value", org.apache.spark.sql.types.DoubleType)))
+    def feed(rows: Seq[(String, String, Double)]): Unit =
+      rows.toDF("t", "metric_name", "metric_value")
+        .withColumn("reading_time", to_timestamp(col("t")))
+        .select("reading_time", "metric_name", "metric_value")
+        .write.mode("append").parquet(s"$root/in")
+    feed(Seq(
+      ("2022-04-14 10:00:00", "Voltage", 1.0),
+      ("2022-04-14 10:00:00", "Current", 10.0)))
+    val stream = spark.readStream.schema(schema).parquet(s"$root/in")
+    val q = StreamingPipeline.dailyPowerStreaming(stream).writeStream
+      .outputMode("update").format("memory")
+      .queryName("upd_out").option("checkpointLocation", s"$root/ckpt").start()
+    q.processAllAvailable()
+    val afterB1 = spark.table("upd_out").collect()
+    assert(afterB1.length == 1 &&
+      math.abs(afterB1(0).getAs[Double]("metric_value") - 10.0) < 1e-9,
+      "update mode emits the day's current value without waiting for the watermark")
+    // a second batch revises the SAME day: update mode must re-emit the
+    // corrected row (append mode would stay silent until the watermark)
+    feed(Seq(("2022-04-14 11:00:00", "Voltage", 3.0)))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("upd_out").collect()
+    assert(all.length == 2, s"one correction row per updating batch, got ${all.length}")
+    // avg V = 2.0, avg C = 10.0 → corrected Power 20.0 == batch recompute
+    assert(math.abs(all.last.getAs[Double]("metric_value") - 20.0) < 1e-9,
+      s"latest emission must equal the batch value: ${all.mkString(";")}")
+  }
+
   test("streaming dedup with watermark + stream-static dim join") {
     val root = Files.createTempDirectory("graft-sdedup").toFile.getAbsolutePath
     val in = Seq(
