@@ -187,6 +187,36 @@ object StreamingPipeline {
   def goldAfterDrain(spark: SparkSession, silverPath: String, goldRoot: String): Unit =
     goldTxCommit(spark, silverPath, goldRoot)
 
+  /** Stream-stream event-time interval join (§2.9 widening): attribute
+    * each fact event (e.g. a click) to the dimension event (e.g. the
+    * impression) that preceded it within `maxDelaySeconds` for the same
+    * key. BOTH sides carry watermarks and the join condition bounds
+    * event-time distance in BOTH directions, which is exactly what lets
+    * Spark expire buffered state on each side — an unbounded-interval
+    * stream-stream join would hold every row forever. Append mode: a
+    * match emits once both watermarks pass it.
+    *
+    * Inputs must expose (key, `leftTsCol`) and (key, `rightTsCol`);
+    * result carries all columns of both (key deduplicated).
+    */
+  def streamStreamIntervalJoin(
+      facts: DataFrame,
+      dims: DataFrame,
+      key: String,
+      factTs: String,
+      dimTs: String,
+      maxDelaySeconds: Long,
+      lateness: String = "10 minutes"): DataFrame = {
+    val f = facts.withWatermark(factTs, lateness).alias("f")
+    val d = dims.withWatermark(dimTs, lateness).alias("d")
+    f.join(
+      d,
+      col(s"f.$key") === col(s"d.$key") &&
+        col(s"d.$dimTs") <= col(s"f.$factTs") &&
+        col(s"f.$factTs") <= col(s"d.$dimTs") + expr(s"interval $maxDelaySeconds seconds"))
+      .drop(col(s"d.$key"))
+  }
+
   /** Tier-2 sessions joined back into an incrementally-maintained gold
     * mart: closed sessions stream out of
     * [[StatefulSessions.closedSessions]] (flatMapGroupsWithState,

@@ -161,6 +161,58 @@ class StreamingSpec extends AnyFunSuite {
       s"latest emission must equal the batch value: ${all.mkString(";")}")
   }
 
+  test("stream-stream interval join attributes facts to in-window dims; out-of-window pairs never match") {
+    val root = Files.createTempDirectory("graft-ssj").toFile.getAbsolutePath
+    val clickSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("click_time", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("click_id", org.apache.spark.sql.types.LongType)))
+    val impSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("imp_time", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("imp_id", org.apache.spark.sql.types.LongType)))
+    Seq(
+      (1L, "2022-04-14 10:00:30", 100L), // 30s after imp 1 — in window
+      (1L, "2022-04-14 10:20:00", 101L), // 20min after — OUT of window
+      (2L, "2022-04-14 10:00:10", 200L)) // user 2 has no impression
+      .toDF("user_id", "t", "click_id")
+      .withColumn("click_time", to_timestamp(col("t")))
+      .select("user_id", "click_time", "click_id")
+      .write.mode("append").parquet(s"$root/clicks")
+    Seq((1L, "2022-04-14 10:00:00", 900L))
+      .toDF("user_id", "t", "imp_id")
+      .withColumn("imp_time", to_timestamp(col("t")))
+      .select("user_id", "imp_time", "imp_id")
+      .write.mode("append").parquet(s"$root/imps")
+
+    val joined = StreamingPipeline.streamStreamIntervalJoin(
+      spark.readStream.schema(clickSchema).parquet(s"$root/clicks"),
+      spark.readStream.schema(impSchema).parquet(s"$root/imps"),
+      key = "user_id", factTs = "click_time", dimTs = "imp_time",
+      maxDelaySeconds = 300)
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ssj_out").option("checkpointLocation", s"$root/ckpt").start()
+    q.processAllAvailable()
+    // advance both watermarks so the matched pair is emitted
+    Seq((9L, "2022-04-14 12:00:00", 999L)).toDF("user_id", "t", "click_id")
+      .withColumn("click_time", to_timestamp(col("t")))
+      .select("user_id", "click_time", "click_id")
+      .write.mode("append").parquet(s"$root/clicks")
+    Seq((9L, "2022-04-14 12:00:00", 998L)).toDF("user_id", "t", "imp_id")
+      .withColumn("imp_time", to_timestamp(col("t")))
+      .select("user_id", "imp_time", "imp_id")
+      .write.mode("append").parquet(s"$root/imps")
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssj_out")
+      .select("click_id", "imp_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.contains((100L, 900L)), s"in-window click must attribute, got $rows")
+    assert(!rows.exists(_._1 == 101L), "beyond-interval click must not match")
+    assert(!rows.exists(_._1 == 200L), "keyless click must not match")
+    assert(rows.contains((999L, 998L)),
+      s"same-instant watermark-advancer pair joins too: $rows")
+  }
+
   test("streaming dedup with watermark + stream-static dim join") {
     val root = Files.createTempDirectory("graft-sdedup").toFile.getAbsolutePath
     val in = Seq(
