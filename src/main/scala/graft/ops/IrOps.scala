@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Lexical retrieval + statistical screening over `documents`/`events`:
+  * BM25 scoring, sparse TF-IDF cosine similarity via an inverted-index
+  * join, and z-score outlier screening — the lexical complement to the
+  * embedding-based ANN stack (dense near-dup catches paraphrase; sparse
+  * lexical cosine catches shared boilerplate with different embeddings).
+  *
+  * Scale shapes: BM25's per-term stats (df, idf) are a handful of rows
+  * broadcast back against the posting lists; the sparse-cosine
+  * inverted-index self-join shuffles on TOKEN — bounded by the posting
+  * list cap exactly like the LSH band buckets (DedupOps.maxBucket): a
+  * stop-token's quadratic blowup is cut by dropping tokens with df
+  * above a fraction of the corpus, the standard max-df trick (the
+  * driver corpus's 31-token vocabulary makes every token a stop token,
+  * so the cap stays off HERE and the spec pins the cap's behavior on a
+  * planted corpus instead).
+  */
+object IrOps {
+
+  private val Bm25Terms = Seq("dup", "spark", "merge")
+  private val K1 = 1.2
+  private val B = 0.75
+
+  val all: Seq[QueryDef] = Seq(
+
+    // BM25 against a fixed term set. idf = ln((N - df + .5)/(df + .5) + 1)
+    // (the Robertson-Sparck Jones smooth form); dl/avgdl length
+    // normalization with k1/b defaults.
+    QueryDef(
+      "q_bm25",
+      s"""WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+         |  avg(len(string_split(text, ' '))) AS avgdl FROM documents),
+         |tf AS (
+         |  SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  WHERE tok IN ('dup', 'spark', 'merge') GROUP BY 1, 2),
+         |idf AS (
+         |  SELECT tok, ln(((SELECT nd FROM n) - count(*) + 0.5) / (count(*) + 0.5) + 1) AS idf
+         |  FROM tf GROUP BY tok),
+         |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents)
+         |SELECT t.doc_id,
+         |  round(sum(i.idf * t.tf * ${K1 + 1}
+         |    / (t.tf + $K1 * (1 - $B + $B * d.dl / (SELECT avgdl FROM n)))), 6) AS score
+         |FROM tf t JOIN idf i ON t.tok = i.tok JOIN dl d ON t.doc_id = d.doc_id
+         |GROUP BY t.doc_id
+         |ORDER BY score DESC, t.doc_id
+         |LIMIT 100""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      // scalar corpus stats collected once, like the q_idf/q_scalar
+      // precedent — two doubles, not data
+      val Array(nd, avgdl) = docs
+        .agg(count(lit(1)).cast(DoubleType), avg(size(split(col("text"), " "))))
+        .head() match { case r => Array(r.getDouble(0), r.getDouble(1)) }
+      val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok").isin(Bm25Terms: _*))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).cast(DoubleType).as("tf"))
+      val idf = tf.groupBy("tok")
+        .agg(log((lit(nd) - count(lit(1)) + 0.5) / (count(lit(1)) + 0.5) + 1).as("idf"))
+      val dl = docs.select(col("doc_id"), size(split(col("text"), " ")).cast(DoubleType).as("dl"))
+      tf.join(broadcast(idf), "tok")
+        .join(dl, "doc_id")
+        .withColumn("part",
+          col("idf") * col("tf") * lit(K1 + 1) /
+            (col("tf") + lit(K1) * (lit(1) - lit(B) + lit(B) * col("dl") / lit(avgdl))))
+        .groupBy("doc_id")
+        .agg(round(sum(col("part")), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(100)
+    },
+
+    // Sparse TF-IDF cosine: top-50 most lexically similar doc pairs via
+    // the inverted-index self-join (shuffle key = token). The oracle
+    // recomputes it relationally in DuckDB; ties at equal rounded cosine
+    // (the planted exact dups all hit 1.0) break on (d1, d2).
+    QueryDef(
+      "q_sparse_cosine",
+      """WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+        |tf AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY 1, 2),
+        |idf AS (SELECT tok, ln((SELECT nd FROM n) / count(*)) AS idf FROM tf GROUP BY tok),
+        |w AS (SELECT t.doc_id, t.tok, t.tf * i.idf AS w FROM tf t JOIN idf i ON t.tok = i.tok),
+        |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+        |dots AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, sum(a.w * b.w) AS dot
+        |  FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2, round(dot / (x.nrm * y.nrm), 6) AS cos
+        |FROM dots JOIN nrm x ON d1 = x.doc_id JOIN nrm y ON d2 = y.doc_id
+        |ORDER BY cos DESC, d1, d2
+        |LIMIT 50""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val nd = docs.count().toDouble
+      val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).cast(DoubleType).as("tf"))
+      val idf = tf.groupBy("tok").agg(log(lit(nd) / count(lit(1))).as("idf"))
+      val w = tf.join(broadcast(idf), "tok")
+        .select(col("doc_id"), col("tok"), (col("tf") * col("idf")).as("w"))
+      val nrm = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+      val a = w.select(col("doc_id").as("d1"), col("tok"), col("w").as("w1"))
+      val b = w.select(col("doc_id").as("d2"), col("tok"), col("w").as("w2"))
+      a.join(b, Seq("tok"))
+        .filter(col("d1") < col("d2"))
+        .groupBy("d1", "d2")
+        .agg(sum(col("w1") * col("w2")).as("dot"))
+        .join(broadcast(nrm.select(col("doc_id").as("d1"), col("nrm").as("n1"))), "d1")
+        .join(broadcast(nrm.select(col("doc_id").as("d2"), col("nrm").as("n2"))), "d2")
+        .select(col("d1"), col("d2"), round(col("dot") / (col("n1") * col("n2")), 6).as("cos"))
+        .orderBy(col("cos").desc, col("d1"), col("d2"))
+        .limit(50)
+    },
+
+    // Per-type z-score screening: events whose value sits > 1.5 sample
+    // standard deviations from the type mean (the driver's uniform value
+    // distribution tops out near |z| ≈ 1.7, so 1.5 keeps the screen
+    // non-vacuous while still exercising the tail).
+    QueryDef(
+      "q_zscore_outlier",
+      """WITH s AS (
+        |  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  round((e.value - s.mu) / s.sd, 6) AS z
+        |FROM events e JOIN s ON e.event_type = s.event_type
+        |WHERE abs((e.value - s.mu) / s.sd) > 1.5
+        |ORDER BY e.event_type, e.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val stats = ev.groupBy("event_type")
+        .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"))
+      ev.join(broadcast(stats), "event_type")
+        .withColumn("z", (col("value") - col("mu")) / col("sd"))
+        .filter(abs(col("z")) > 1.5)
+        .select(col("event_id"), col("event_type"), col("value"), round(col("z"), 6).as("z"))
+        .orderBy("event_type", "event_id")
+    })
+}
