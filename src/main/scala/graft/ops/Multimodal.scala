@@ -15,12 +15,15 @@ import org.apache.spark.sql.functions._
   * The IMAGE path is a real codec: payloads are genuine PNG/JPEG bytes
   * (synthesized deterministically with `BufferedImage` + `ImageIO.write`)
   * and decode runs through JDK `javax.imageio`, emitting true pixel
-  * dimensions and mean luminance. Audio/video decode stays STUBBED (the
-  * JDK ships no such codecs and the container has no native libs):
-  * `decodeStub` derives deterministic pseudo-features from the bytes.
-  * The contract both share — bytes in, features-or-failure out, pure, no
-  * shared state — is what the plumbing relies on; swap the stub for a
-  * codec binding (e.g. javacpp-ffmpeg) without touching the Spark side.
+  * dimensions and mean luminance. The AUDIO path is ALSO real: payloads
+  * are genuine RIFF/WAVE PCM files and decode runs through JDK
+  * `javax.sound.sampled`, emitting true sample rate, frame count, and
+  * RMS amplitude. Only VIDEO decode stays STUBBED (the JDK ships no
+  * video codec and the container has no native libs): `decodeStub`
+  * derives deterministic pseudo-features from the bytes. The contract
+  * all three share — bytes in, features-or-failure out, pure, no shared
+  * state — is what the plumbing relies on; swap the stub for a codec
+  * binding (e.g. javacpp-ffmpeg) without touching the Spark side.
   */
 object Multimodal {
 
@@ -42,6 +45,10 @@ object Multimodal {
       width: Option[Int],
       height: Option[Int],
       lum_mean: Option[Double],
+      // real decoded properties (audio path; None otherwise)
+      sample_rate: Option[Int],
+      n_frames: Option[Long],
+      rms: Option[Double],
       // byte-level features, computed for every payload
       byte_mean: Double,
       byte_entropy: Double,
@@ -89,8 +96,36 @@ object Multimodal {
     }
   }
 
-  /** STUB decode for audio/video: deterministic features from raw bytes
-    * (no JDK codec exists for these). Same contract as the image path.
+  /** REAL audio decode via JDK javax.sound.sampled (RIFF/WAVE PCM):
+    * returns (sample_rate, n_frames, rms amplitude in [0,1]) or None
+    * when the payload isn't a decodable audio file.
+    */
+  def decodeWav(payload: Array[Byte]): Option[(Int, Long, Double)] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      val frames = ais.getFrameLength
+      val bytes =
+        try ais.readAllBytes()
+        finally ais.close()
+      if (fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian && fmt.getChannels == 1) {
+        var i = 0; var sum = 0.0; var cnt = 0
+        while (i + 1 < bytes.length) {
+          val s = (((bytes(i + 1) & 0xff) << 8) | (bytes(i) & 0xff)).toShort
+          val a = s / 32768.0
+          sum += a * a; cnt += 1; i += 2
+        }
+        Some((fmt.getSampleRate.toInt, frames, math.sqrt(sum / math.max(cnt, 1))))
+      } else
+        // decodable but not 16-bit mono LE PCM: report the header facts,
+        // skip the amplitude pass
+        Some((fmt.getSampleRate.toInt, frames, -1.0))
+    } catch { case _: Exception => None }
+
+  /** STUB decode for video: deterministic features from raw bytes (no
+    * JDK video codec exists). Same contract as the real image/audio
+    * paths.
     */
   def decodeStub(mediaType: String, payload: Array[Byte]): Option[(Double, Double, Long)] = {
     if (payload == null || payload.isEmpty) return None
@@ -111,7 +146,7 @@ object Multimodal {
         val nBytes = Option(r.payload).map(_.length.toLong).getOrElse(0L)
         if (nBytes == 0L)
           MediaFeatures(r.media_id, r.media_type, 0L, ok = false,
-            None, None, None, 0.0, 0.0, 0L)
+            None, None, None, None, None, None, 0.0, 0.0, 0L)
         else {
           val (bm, be, fp) = byteStats(r.payload)
           r.media_type match {
@@ -119,17 +154,27 @@ object Multimodal {
               decodeImage(r.payload) match {
                 case Some((w, h, lum)) =>
                   MediaFeatures(r.media_id, "image", nBytes, ok = true,
-                    Some(w), Some(h), Some(lum), bm, be, fp)
+                    Some(w), Some(h), Some(lum), None, None, None, bm, be, fp)
                 case None => // corrupt image: flagged, byte stats kept
                   MediaFeatures(r.media_id, "image", nBytes, ok = false,
-                    None, None, None, bm, be, fp)
+                    None, None, None, None, None, None, bm, be, fp)
               }
-            case "audio" | "video" =>
+            case "audio" =>
+              decodeWav(r.payload) match {
+                case Some((rate, frames, rms)) =>
+                  MediaFeatures(r.media_id, "audio", nBytes, ok = true,
+                    None, None, None, Some(rate), Some(frames),
+                    if (rms >= 0) Some(rms) else None, bm, be, fp)
+                case None => // corrupt audio: flagged, byte stats kept
+                  MediaFeatures(r.media_id, "audio", nBytes, ok = false,
+                    None, None, None, None, None, None, bm, be, fp)
+              }
+            case "video" =>
               MediaFeatures(r.media_id, r.media_type, nBytes, ok = true,
-                None, None, None, bm, be, fp)
+                None, None, None, None, None, None, bm, be, fp)
             case _ =>
               MediaFeatures(r.media_id, r.media_type, nBytes, ok = false,
-                None, None, None, bm, be, fp)
+                None, None, None, None, None, None, bm, be, fp)
           }
         }
       }
@@ -163,10 +208,36 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic tiny WAV: 16-bit mono PCM at 8 kHz, frame count and
+    * tone a pure function of the seed, written by the JDK's own WAVE
+    * writer so payloads are REAL audio files.
+    */
+  def makeWav(seed: Long): Array[Byte] = {
+    val rate = 8000f
+    val n = 200 + (math.floorMod(seed, 600L)).toInt
+    val freq = 110.0 + math.floorMod(seed, 40L) * 7.0
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (math.sin(i * 2 * math.Pi * freq / rate) * 12000).toInt.toShort
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(data), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Deterministic synthetic media table derived from `documents` (the
     * container has no real media FILES, so we synthesize them): image
-    * rows carry real PNG (even ids) / JPEG (odd ids) bytes; audio/video
-    * payloads are the UTF-8 document bytes (stub decode path).
+    * rows carry real PNG (even ids) / JPEG (odd ids) bytes; audio rows
+    * carry real RIFF/WAVE PCM bytes; video payloads are the UTF-8
+    * document bytes (stub decode path).
     */
   def syntheticMedia(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
     import spark.implicits._
@@ -175,9 +246,11 @@ object Multimodal {
       .as[(Long, String)]
       .map { case (id, text) =>
         val mediaType = Seq("image", "audio", "video")((id % 3).toInt)
-        val payload =
-          if (mediaType == "image") makeImage(id, if (id % 2 == 0) "png" else "jpg")
-          else text.getBytes("UTF-8")
+        val payload = mediaType match {
+          case "image" => makeImage(id, if (id % 2 == 0) "png" else "jpg")
+          case "audio" => makeWav(id)
+          case _ => text.getBytes("UTF-8")
+        }
         MediaRecord(id, mediaType, payload, id)
       }
   }

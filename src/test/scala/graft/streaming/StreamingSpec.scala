@@ -347,25 +347,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(gold2 == gold, "re-drain with no new files must be a no-op")
   }
 
-  test("multimodal: real imageio decode emits true dims; corrupt rows flagged not dropped") {
+  test("multimodal: real imageio/wav decode emits true properties; corrupt rows flagged not dropped") {
     import graft.ops.Multimodal
     val png = Multimodal.makeImage(42L, "png") // 8 + 42%16 = 18 wide, 8 + 2%16 = 10 tall
+    val wav = Multimodal.makeWav(7L) // 200 + 7%600 = 207 frames @ 8kHz
     val media = Seq(
       Multimodal.MediaRecord(1L, "image", png, 1L),
-      Multimodal.MediaRecord(2L, "audio", "hello world".getBytes("UTF-8"), 2L),
+      Multimodal.MediaRecord(2L, "audio", wav, 2L),
       Multimodal.MediaRecord(3L, "video", Array.emptyByteArray, 3L),
       Multimodal.MediaRecord(4L, "exotic", "x".getBytes("UTF-8"), 4L),
-      Multimodal.MediaRecord(5L, "image", "not an image".getBytes("UTF-8"), 5L)).toDS()
+      Multimodal.MediaRecord(5L, "image", "not an image".getBytes("UTF-8"), 5L),
+      Multimodal.MediaRecord(6L, "audio", "not audio".getBytes("UTF-8"), 6L)).toDS()
     val f = Multimodal.extractFeatures(media).collect().map(r => r.media_id -> r).toMap
     assert(f(1L).ok, "real PNG decodes")
     assert(f(1L).width.contains(18) && f(1L).height.contains(10),
       s"javax.imageio must report the true encoded dims, got ${f(1L).width}x${f(1L).height}")
     assert(f(1L).lum_mean.exists(l => l > 0 && l < 255), "decoded mean luminance in range")
-    assert(f(2L).ok && f(2L).width.isEmpty, "audio ok via stub path, no dims")
+    assert(f(2L).ok && f(2L).width.isEmpty, "real WAV decodes, no image dims")
+    assert(f(2L).sample_rate.contains(8000) && f(2L).n_frames.contains(207L),
+      s"javax.sound must report the true header facts, got " +
+        s"${f(2L).sample_rate}Hz ${f(2L).n_frames}fr")
+    // sine amplitude 12000/32768 ≈ 0.366 → RMS ≈ 0.366/√2 ≈ 0.26
+    assert(f(2L).rms.exists(r => r > 0.2 && r < 0.32),
+      s"sine RMS ≈ 0.26 expected: ${f(2L).rms}")
     assert(!f(3L).ok, "empty payload flagged")
     assert(!f(4L).ok, "unknown media type flagged")
     assert(!f(5L).ok, "corrupt image flagged, not dropped")
     assert(f(5L).n_bytes == 12L, "byte stats survive a failed decode")
+    assert(!f(6L).ok && f(6L).sample_rate.isEmpty, "corrupt audio flagged, not dropped")
     // features survive a round through the full query surface; every
     // image row must carry genuine decoded dimensions
     val viaQuery = graft.SparkEntry.queries("q_multimodal_features")(spark, "/root/testdata/sf0.001")
@@ -379,5 +388,13 @@ class StreamingSpec extends AnyFunSuite {
       col("width") =!= (lit(8) + col("media_id") % 16).cast("int") ||
         col("height") =!= (lit(8) + (col("media_id").cast("long") / 16 % 16).cast("int"))).count() == 0,
       "decoded dims must equal the generated dims for every image")
+    // every audio row decodes through the real WAV path with true header facts
+    val audio = viaQuery.filter(col("media_type") === "audio")
+    assert(audio.count() > 0)
+    assert(audio.filter(col("sample_rate") =!= 8000).count() == 0,
+      "decoded sample rate must equal the generator's 8 kHz")
+    assert(audio.filter(
+      col("n_frames") =!= (lit(200) + col("media_id") % 600).cast("long")).count() == 0,
+      "decoded frame count must equal the generated frame count")
   }
 }
