@@ -15,7 +15,12 @@ object Plans {
         // round 2: broadcast semi join (fact side never shuffles), salted
         // two-phase window, partial min_by dedup, broadcast contamination
         "q_incremental_semi", "q_window_rownum_salted", "q_dedup_firstwin_agg",
-        "q_contamination")) {
+        "q_contamination",
+        // round 3: bloom prefilter BEFORE the join, one-exchange window
+        // battery, keyset page as TakeOrderedAndProject, shuffle-free
+        // bigram pairing, EXISTS decorrelated to left-semi
+        "q_bloom_join", "q_window_funcs", "q_serve_page", "q_bigram_mine",
+        "q_exists_corr")) {
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, d).queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode))
