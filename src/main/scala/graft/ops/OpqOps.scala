@@ -132,6 +132,12 @@ object OpqOps {
     slots
   }
 
+  /** A learned orthogonal pre-rotation, decoupled from the codebooks so
+    * it composes with ANY downstream index (plain PQ here, IVFADC via
+    * [[ivfadcRotated]]).
+    */
+  final case class Rotation(mean: Array[Double], rot: Array[Array[Double]])
+
   /** Train: sample (same hash convention as IVF/PQ), mean+covariance,
     * Jacobi eigen, balanced allocation → rotation; PQ codebooks on the
     * rotated sample.
@@ -139,6 +145,17 @@ object OpqOps {
   def train(emb: DataFrame, m: Int, k: Int = 256, iters: Int = 8,
       maxSample: Int = KMeans.DefaultMaxSample): OpqModel = {
     val pts = KMeans.samplePoints(emb, maxSample)
+    val r = trainRotationPts(pts, m)
+    val rotated = pts.map(p => rotateOne(p, r.mean, r.rot))
+    OpqModel(r.mean, r.rot, PqOps.trainArrays(rotated, m, k, iters))
+  }
+
+  /** Rotation-only training on the shared hash sample. */
+  def trainRotation(emb: DataFrame, m: Int,
+      maxSample: Int = KMeans.DefaultMaxSample): Rotation =
+    trainRotationPts(KMeans.samplePoints(emb, maxSample), m)
+
+  private def trainRotationPts(pts: Array[Array[Double]], m: Int): Rotation = {
     require(pts.nonEmpty, "OPQ training sample is empty")
     val d = pts(0).length
     require(d % m == 0, s"dim $d not divisible into $m blocks")
@@ -170,8 +187,7 @@ object OpqOps {
     val slots = allocateBlocks(eigVals, m)
     // column j of the rotation = eigenvector slots(j)
     val rot = Array.tabulate(d, d)((r, j) => eigVecs(r)(slots(j)))
-    val rotated = pts.map(p => rotateOne(p, mean, rot))
-    OpqModel(mean, rot, PqOps.trainArrays(rotated, m, k, iters))
+    Rotation(mean, rot)
   }
 
   private def rotateOne(
@@ -193,12 +209,13 @@ object OpqOps {
 
   /** Rotate the corpus (one map-shaped pass, broadcast model) —
     * returns (vec_id, embedding) with the rotated vector, ready for
-    * [[PqOps.encode]] or any downstream ANN stage.
+    * [[PqOps.encode]] or any downstream ANN stage. Any extra columns of
+    * `emb` beyond (vec_id, embedding) are dropped.
     */
-  def rotate(emb: DataFrame, model: OpqModel): DataFrame = {
+  def rotate(emb: DataFrame, r: Rotation): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast((model.mean, model.rot))
+    val bc = spark.sparkContext.broadcast((r.mean, r.rot))
     emb.select(col("vec_id"), transform(col("embedding"), _.cast(DoubleType)).as("e"))
       .as[(Long, Seq[Double])]
       .mapPartitions { it =>
@@ -208,9 +225,35 @@ object OpqOps {
       .toDF("vec_id", "embedding")
   }
 
+  def rotate(emb: DataFrame, model: OpqModel): DataFrame =
+    rotate(emb, Rotation(model.mean, model.rot))
+
   /** Rotate + PQ-encode in one pass pair. */
   def encode(emb: DataFrame, model: OpqModel): Dataset[PqOps.Encoded] =
     PqOps.encode(rotate(emb, model), model.pq)
+
+  /** The fully composed production index: OPQ rotation → IVF cells →
+    * residual PQ → ADC search → exact re-rank, all in the ROTATED
+    * space. The rotation is an isometry, so the exact re-rank's
+    * distances (and therefore ranks) equal the original-space L2 —
+    * the rotation only changes how well the codebooks spend their
+    * bits, never what the index returns after re-ranking.
+    *
+    * `queries` = (q_id, embedding) in the ORIGINAL space; rotated with
+    * the same model before probing.
+    */
+  def ivfadcRotated(
+      emb: DataFrame,
+      queries: DataFrame,
+      r: Rotation,
+      nlist: Int, m: Int, k: Int, iters: Int,
+      topk: Int, nprobe: Int): DataFrame = {
+    val rotated = rotate(emb, r)
+    val rotatedQ = rotate(queries.select(col("q_id").as("vec_id"), col("embedding")), r)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val model = IvfAdcOps.train(rotated, nlist, m, k, iters)
+    IvfAdcOps.search(IvfAdcOps.encode(rotated, model), rotated, rotatedQ, model, topk, nprobe)
+  }
 
   val all: Seq[QueryDef] = Seq(
     // Same output shape as q_pq_encode (codes stringified for the
@@ -225,5 +268,17 @@ object OpqOps {
           array_join(col("codes").cast("array<string>"), ",").as("codes"),
           round(sqrt(col("recon_err2")), 6).as("recon_err"))
         .orderBy("vec_id")
+    },
+
+    // The full composed stack end-to-end (rotation + IVF + residual PQ
+    // + exact re-rank); OpqSpec proves re-ranked results equal the
+    // UNROTATED index's (isometry) and the codebook-efficiency win.
+    QueryDef.noOracle("q_opq_ivfadc_ann") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val r = trainRotation(emb, m = 8)
+      ivfadcRotated(
+        emb,
+        emb.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("embedding")),
+        r, nlist = 16, m = 8, k = 16, iters = 6, topk = 3, nprobe = 4)
     })
 }

@@ -91,6 +91,57 @@ object TableLayout {
     PathIO.replace(spark, tmp, path)
   }
 
+  /** Interleaved-bit z-value (Morton code) of N numeric columns — the
+    * multi-column clustering key behind Z-ORDER layout. Each column is
+    * linearly scaled into `bits`-bit integers using the provided
+    * [lo, hi] bounds (values outside clamp), then bits interleave:
+    * bit b of column i lands at position b·N + i. A pure codegen'd
+    * Column expression — no UDF.
+    *
+    * Why it matters at 100 TB: sorting by ONE column gives perfect
+    * min/max file skipping on that column and none on any other;
+    * z-ordering k columns gives ~N^(1-1/k) skipping on EACH — the
+    * standard trade (Delta/Iceberg OPTIMIZE ZORDER) for tables queried
+    * along multiple independent dimensions.
+    */
+  def zValue(cols: Seq[org.apache.spark.sql.Column],
+      bounds: Seq[(Double, Double)], bits: Int = 16): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    require(cols.nonEmpty && cols.length == bounds.length, "one [lo,hi] bound per column")
+    require(bits * cols.length <= 63, s"$bits bits × ${cols.length} cols overflows a long")
+    val maxCode = (1 << bits) - 1
+    val scaled = cols.zip(bounds).map { case (c, (lo, hi)) =>
+      val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+      least(lit(maxCode), greatest(lit(0),
+        ((c.cast("double") - lit(lo)) / lit(span) * lit(maxCode)).cast("int")))
+    }
+    var z = lit(0L)
+    for (b <- 0 until bits; i <- scaled.indices) {
+      val bit = shiftright(scaled(i), b).bitwiseAND(lit(1)).cast("long")
+      z = z.bitwiseOR(shiftleft(bit, b * scaled.length + i))
+    }
+    z
+  }
+
+  /** Write `df` z-ordered on `zCols` into ~`nFiles` files: range
+    * partition + sort by the z-value so each file owns a contiguous
+    * z-range = a tile of the multi-dimensional space, making parquet
+    * min/max stats selective on EVERY z-ordered column. Bounds come
+    * from one min/max aggregate (driver scalars — metadata, not data).
+    */
+  def zOrderWrite(df: DataFrame, zCols: Seq[String], path: String, nFiles: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val aggs = zCols.flatMap(c =>
+      Seq(min(col(c).cast("double")).as(s"mn_$c"), max(col(c).cast("double")).as(s"mx_$c")))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val bounds = zCols.indices.map(i => (r.getDouble(2 * i), r.getDouble(2 * i + 1)))
+    df.withColumn("_z", zValue(zCols.map(col), bounds))
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Save a table bucketed + sorted by `key` (requires saveAsTable — the
     * bucket metadata lives in the catalog).
     */

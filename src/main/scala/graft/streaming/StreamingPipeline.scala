@@ -187,6 +187,38 @@ object StreamingPipeline {
   def goldAfterDrain(spark: SparkSession, silverPath: String, goldRoot: String): Unit =
     goldTxCommit(spark, silverPath, goldRoot)
 
+  /** Tier-2 gold maintained INCREMENTALLY through the TxTable manifest
+    * log: the update-mode daily window emits, per micro-batch, the
+    * CURRENT full content of every day the batch changed — exactly the
+    * unit [[graft.pipeline.TxTable]] commits atomically (gold's
+    * unique_key = reading_date IS its partition key). Each batch is one
+    * crash-safe multi-day commit; a reader mid-stream sees a consistent
+    * mart at some batch boundary, never a torn update. Lateness beyond
+    * the watermark is dropped (tier-2 contract; tier-1's foreachBatch
+    * merge keeps the unbounded contract).
+    */
+  def runDailyPowerUpdateToGold(
+      parsed: DataFrame,
+      goldRoot: String,
+      checkpointDir: String,
+      lateness: String = "1 day"): Unit = {
+    import graft.pipeline.TxTable
+    val q = dailyPowerStreaming(parsed, lateness).writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          TxTable.requireNotFlatTable(s, goldRoot)
+          TxTable.commit(s, goldRoot, batch, "reading_date")
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Stream-stream event-time interval join (§2.9 widening): attribute
     * each fact event (e.g. a click) to the dimension event (e.g. the
     * impression) that preceded it within `maxDelaySeconds` for the same

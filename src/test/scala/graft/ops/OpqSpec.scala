@@ -76,6 +76,38 @@ class OpqSpec extends AnyFunSuite {
       s"OPQ must beat plain PQ by >20% on correlated dims: opq=$opqErr pq=$pqErr")
   }
 
+  test("rotated IVFADC: residual codebooks win on correlated data; re-ranked results match exact") {
+    // correlated blobs: 5 centers in a 3-factor latent space
+    val d = 16
+    val rows = (0 until 200).map { n =>
+      val c = n % 5
+      val x = Array.tabulate(d) { i =>
+        2.5 * c * ((i % 3) + 1) + 0.05 * math.sin(n * 1.3 + i * 0.7)
+      }
+      (n.toLong, x.toSeq.map(_.toFloat))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val r = OpqOps.trainRotation(emb, m = 8)
+    val got = OpqOps.ivfadcRotated(emb, queries, r,
+      nlist = 5, m = 8, k = 4, iters = 8, topk = 3, nprobe = 2)
+      .select("q_id", "vec_id", "rank").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    // exact top-3 by brute force on the ORIGINAL vectors — isometry
+    // means the rotated index must return exactly these
+    val pts = rows.toMap.map { case (id, e) => id -> e.map(_.toDouble).toArray }
+    def l2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val exact = (0L until 5L).flatMap { q =>
+      pts.keys.filter(_ != q).toSeq
+        .sortBy(c => (l2(pts(q), pts(c)), c)).take(3).zipWithIndex
+        .map { case (c, i) => (q, c, i + 1L) }
+    }.toSet
+    assert(got == exact,
+      s"rotated composed index + exact re-rank must equal exact top-3\nmissing: ${exact -- got}\nextra: ${got -- exact}")
+  }
+
   test("q_opq_encode is total: one row per vector, codes within [0, k)") {
     val enc = graft.SparkEntry.queries("q_opq_encode")(spark, sf)
       .withColumn("carr", split(col("codes"), ",").cast("array<int>"))

@@ -1,0 +1,73 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Z-order clustering: the Morton code is bit-exact, and the layout
+  * actually concentrates a box query's rows into fewer files than a
+  * single-column sort — the multi-dimension data-skipping win.
+  */
+class ZOrderSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("zValue interleaves bits exactly (checked against a Scala reference)") {
+    val df = Seq((0.0, 0.0), (3.0, 0.0), (0.0, 3.0), (3.0, 3.0), (1.0, 2.0))
+      .toDF("x", "y")
+    val got = df.select(
+      col("x"), col("y"),
+      TableLayout.zValue(Seq(col("x"), col("y")), Seq((0.0, 3.0), (0.0, 3.0)), bits = 2)
+        .as("z"))
+      .collect().map(r => ((r.getDouble(0), r.getDouble(1)), r.getLong(2))).toMap
+    def ref(xc: Int, yc: Int): Long = {
+      var z = 0L
+      for (b <- 0 until 2) {
+        z |= ((xc >> b) & 1).toLong << (b * 2)
+        z |= ((yc >> b) & 1).toLong << (b * 2 + 1)
+      }
+      z
+    }
+    // scale: v/3*3 -> code = v (values 0..3 map to codes 0..3)
+    assert(got((0.0, 0.0)) == ref(0, 0))
+    assert(got((3.0, 0.0)) == ref(3, 0))
+    assert(got((0.0, 3.0)) == ref(0, 3))
+    assert(got((3.0, 3.0)) == ref(3, 3))
+    assert(got((1.0, 2.0)) == ref(1, 2))
+    assert(got((3.0, 3.0)) == 15L, "all four bits set for the max corner")
+  }
+
+  test("z-ordered layout touches fewer files than single-column sort for a second-column box") {
+    val root = Files.createTempDirectory("graft-zorder").toFile.getAbsolutePath
+    // 2-D uniform grid: both dimensions GENUINELY independent (a
+    // multiplier-mod pair would make y a bijection of x and the
+    // comparison vacuous)
+    val df = (0 until 20000).map { i =>
+      (i.toLong, (i % 200).toDouble * 5, (i / 200).toDouble * 10)
+    }.toDF("id", "x", "y")
+    val nFiles = 16
+
+    // layout A: classic single-column sort on x
+    df.repartitionByRange(nFiles, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(s"$root/by_x")
+    // layout B: z-order on (x, y)
+    TableLayout.zOrderWrite(df, Seq("x", "y"), s"$root/zorder", nFiles)
+
+    def filesTouched(path: String): Long =
+      spark.read.parquet(path)
+        .filter(col("y").between(100, 160)) // thin box on the SECOND dimension
+        .select(input_file_name()).distinct().count()
+
+    val linear = filesTouched(s"$root/by_x")
+    val z = filesTouched(s"$root/zorder")
+    assert(linear == nFiles,
+      s"x-sorted layout spreads y everywhere: expected all $nFiles files, got $linear")
+    assert(z <= nFiles / 2,
+      s"z-order must concentrate the y-box into few files, got $z of $nFiles")
+    // both layouts hold the same rows
+    assert(spark.read.parquet(s"$root/zorder").count() == 20000)
+  }
+}

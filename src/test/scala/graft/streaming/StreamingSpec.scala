@@ -161,6 +161,49 @@ class StreamingSpec extends AnyFunSuite {
       s"latest emission must equal the batch value: ${all.mkString(";")}")
   }
 
+  test("update-mode gold through TxTable: per-batch atomic day commits converge to batch gold") {
+    val root = Files.createTempDirectory("graft-updgold").toFile.getAbsolutePath
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("reading_time", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("metric_name", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("metric_value", org.apache.spark.sql.types.DoubleType)))
+    def feed(rows: Seq[(String, String, Double)]): Unit =
+      rows.toDF("t", "metric_name", "metric_value")
+        .withColumn("reading_time", to_timestamp(col("t")))
+        .select("reading_time", "metric_name", "metric_value")
+        .write.mode("append").parquet(s"$root/in")
+    def run(): Unit = StreamingPipeline.runDailyPowerUpdateToGold(
+      spark.readStream.schema(schema).parquet(s"$root/in"),
+      s"$root/gold", s"$root/ckpt")
+    def goldNow(): Map[String, Double] =
+      graft.pipeline.TxTable.read(spark, s"$root/gold")
+        .select(col("reading_date").cast("string"), col("metric_value"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+    feed(Seq(
+      ("2022-04-14 10:00:00", "Voltage", 1.0),
+      ("2022-04-14 10:00:00", "Current", 10.0)))
+    run()
+    assert(goldNow() == Map("2022-04-14" -> 10.0))
+
+    // in-watermark correction of day 14 + a new day 15, one more drain:
+    // the batch's update-mode output (both days' CURRENT content)
+    // commits atomically through the manifest log
+    feed(Seq(
+      ("2022-04-14 11:00:00", "Voltage", 3.0),
+      ("2022-04-15 09:00:00", "Voltage", 2.0),
+      ("2022-04-15 09:00:00", "Current", 10.0)))
+    run()
+    val g = goldNow()
+    assert(math.abs(g("2022-04-14") - 20.0) < 1e-9, s"corrected day: $g") // avg V 2.0 * 10
+    assert(math.abs(g("2022-04-15") - 20.0) < 1e-9, s"new day: $g")
+    // the manifest log advanced once per updating batch — time travel
+    // back to the first commit still shows the uncorrected day
+    val v1 = graft.pipeline.TxTable.readAt(spark, s"$root/gold", 1)
+      .select(col("metric_value")).collect().map(_.getDouble(0)).toSeq
+    assert(v1 == Seq(10.0), "version 1 frozen at the pre-correction value")
+  }
+
   test("stream-stream interval join attributes facts to in-window dims; out-of-window pairs never match") {
     val root = Files.createTempDirectory("graft-ssj").toFile.getAbsolutePath
     val clickSchema = org.apache.spark.sql.types.StructType(Seq(
