@@ -104,6 +104,7 @@ object IrOps {
         |  GROUP BY 1, 2)
         |SELECT d1, d2, round(dot / (x.nrm * y.nrm), 6) AS cos
         |FROM dots JOIN nrm x ON d1 = x.doc_id JOIN nrm y ON d2 = y.doc_id
+        |WHERE x.nrm > 0 AND y.nrm > 0
         |ORDER BY cos DESC, d1, d2
         |LIMIT 50""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
@@ -123,6 +124,9 @@ object IrOps {
         .agg(sum(col("w1") * col("w2")).as("dot"))
         .join(broadcast(nrm.select(col("doc_id").as("d1"), col("nrm").as("n1"))), "d1")
         .join(broadcast(nrm.select(col("doc_id").as("d2"), col("nrm").as("n2"))), "d2")
+        // zero-norm guard (all-idf-0 doc): ANSI mode makes the division
+        // throw rather than produce inf/NaN
+        .filter(col("n1") > 0 && col("n2") > 0)
         .select(col("d1"), col("d2"), round(col("dot") / (col("n1") * col("n2")), 6).as("cos"))
         .orderBy(col("cos").desc, col("d1"), col("d2"))
         .limit(50)
@@ -140,11 +144,15 @@ object IrOps {
         |SELECT e.event_id, e.event_type, e.value,
         |  round((e.value - s.mu) / s.sd, 6) AS z
         |FROM events e JOIN s ON e.event_type = s.event_type
-        |WHERE abs((e.value - s.mu) / s.sd) > 1.5
+        |WHERE s.sd > 0 AND abs((e.value - s.mu) / s.sd) > 1.5
         |ORDER BY e.event_type, e.event_id""".stripMargin) { (s, d) =>
       val ev = Tables.events(s, d)
+      // sd > 0 guard BEFORE the division: a constant-valued group has
+      // sd = 0 and ANSI mode (Spark 4 default) turns the division into
+      // a DIVIDE_BY_ZERO error, not an inf
       val stats = ev.groupBy("event_type")
         .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"))
+        .filter(col("sd") > 0)
       ev.join(broadcast(stats), "event_type")
         .withColumn("z", (col("value") - col("mu")) / col("sd"))
         .filter(abs(col("z")) > 1.5)

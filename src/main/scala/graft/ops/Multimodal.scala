@@ -19,10 +19,10 @@ import org.apache.spark.sql.functions._
   * are genuine RIFF/WAVE PCM files and decode runs through JDK
   * `javax.sound.sampled`, emitting true sample rate, frame count, and
   * RMS amplitude. Only VIDEO decode stays STUBBED (the JDK ships no
-  * video codec and the container has no native libs): `decodeStub`
-  * derives deterministic pseudo-features from the bytes. The contract
-  * all three share — bytes in, features-or-failure out, pure, no shared
-  * state — is what the plumbing relies on; swap the stub for a codec
+  * video codec and the container has no native libs): its branch emits
+  * the deterministic byte-level features only. The contract all three
+  * share — bytes in, features-or-failure out, pure, no shared state —
+  * is what the plumbing relies on; swap the stub branch for a codec
   * binding (e.g. javacpp-ffmpeg) without touching the Spark side.
   */
 object Multimodal {
@@ -123,15 +123,11 @@ object Multimodal {
         Some((fmt.getSampleRate.toInt, frames, -1.0))
     } catch { case _: Exception => None }
 
-  /** STUB decode for video: deterministic features from raw bytes (no
-    * JDK video codec exists). Same contract as the real image/audio
-    * paths.
-    */
-  def decodeStub(mediaType: String, payload: Array[Byte]): Option[(Double, Double, Long)] = {
-    if (payload == null || payload.isEmpty) return None
-    if (!Set("image", "audio", "video").contains(mediaType)) return None
-    Some(byteStats(payload))
-  }
+  // Video decode is the remaining STUB: no JDK video codec exists, so
+  // the video branch of extractFeatures emits the byte-level features
+  // only (mean/entropy/fingerprint — computed for every media type) and
+  // no codec-derived fields. A real binding (e.g. javacpp-ffmpeg) slots
+  // into that branch without touching the Spark-side plumbing.
 
   /** Partition-local feature extraction: the per-partition iterator is
     * the batch; codec state (here: disabling ImageIO's disk cache, for a

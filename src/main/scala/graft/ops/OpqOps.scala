@@ -105,9 +105,16 @@ object OpqOps {
   }
 
   /** Greedy eigenvalue balancing (the FAISS OPQ allocation): walk
-    * eigenvectors by descending λ, always placing into the non-full
-    * block with the smallest Σ log λ — every block ends with a
-    * comparable variance product, so no codebook is starved.
+    * eigenvectors by descending λ, placing into the block with the
+    * smallest Σ log λ — every block ends with a comparable variance
+    * product, so no codebook is starved.
+    *
+    * Candidates are restricted to blocks with the FEWEST assignments so
+    * far (level-by-level fill): with the raw min-log-sum rule, λ < 1
+    * (log λ < 0) makes the just-filled block the minimum again, and the
+    * allocation degenerates to "largest d/m eigenvalues all in block
+    * 0" — the exact concentration this function exists to prevent.
+    * Unit-scale embeddings (per-dim variance ≪ 1) hit that regime.
     */
   private[ops] def allocateBlocks(eigVals: Array[Double], m: Int): Array[Int] = {
     val d = eigVals.length
@@ -116,18 +123,19 @@ object OpqOps {
     val blockLog = new Array[Double](m)
     val blockN = new Array[Int](m)
     val slots = Array.fill(d)(-1)
-    var pos = 0
     order.foreach { e =>
+      val minN = blockN.min
       var best = -1; var bestLog = Double.MaxValue
       var b = 0
       while (b < m) {
-        if (blockN(b) < sub && blockLog(b) < bestLog) { bestLog = blockLog(b); best = b }
+        if (blockN(b) == minN && blockN(b) < sub && blockLog(b) < bestLog) {
+          bestLog = blockLog(b); best = b
+        }
         b += 1
       }
       slots(best * sub + blockN(best)) = e
       blockN(best) += 1
       blockLog(best) += math.log(math.max(eigVals(e), 1e-300))
-      pos += 1
     }
     slots
   }

@@ -58,9 +58,11 @@ object SkewOps {
 
   /** A helper-column name guaranteed absent from `df` — `withColumn`
     * silently REPLACES a same-named input column, which would corrupt
-    * results and drop the user's column from the output.
+    * results and drop the user's column from the output. Shared with
+    * every helper that adds-then-drops a working column
+    * (TableLayout.zOrderWrite).
     */
-  private def freshName(df: DataFrame, base: String): String = {
+  private[graft] def freshName(df: DataFrame, base: String): String = {
     val have = df.columns.toSet
     if (!have(base)) base
     else Iterator.from(1).map(i => s"$base~$i").find(n => !have(n)).get

@@ -93,11 +93,18 @@ object WindowOps {
         |   OR (ts::TIMESTAMP = TIMESTAMP '2024-01-15 12:00:00' AND event_id > 0)
         |ORDER BY ts::TIMESTAMP, event_id
         |LIMIT 100""".stripMargin) { (s, d) =>
-      val anchorTs = lit("2024-01-15 12:00:00").cast(TimestampType)
+      // ONE anchor constant: both the exact keyset predicate and the
+      // coarse raw-ns scan bound derive from it, so the two can never
+      // drift apart (a hand-edited anchor with a stale ns literal would
+      // silently drop rows the keyset predicate should keep)
+      val anchorInstant = java.time.Instant.parse("2024-01-15T12:00:00Z")
+      val anchorTs = lit(anchorInstant.toString.replace("T", " ").stripSuffix("Z"))
+        .cast(TimestampType)
+      val anchorNs = anchorInstant.getEpochSecond * 1000000000L
       Tables.events(s, d)
         // coarse pushdown bound on the raw parquet long (statistics
         // pruning), then the exact keyset predicate on the µs timestamp
-        .filter(col("ts_ns") >= lit(1705276800000000000L) - lit(1000000000L))
+        .filter(col("ts_ns") >= lit(anchorNs - 1000000000L))
         .filter(col("ts") > anchorTs ||
           (col("ts") === anchorTs && col("event_id") > 0))
         // top-100 selected under the µs-precision (ts, event_id) order —

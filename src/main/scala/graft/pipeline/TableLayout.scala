@@ -134,11 +134,21 @@ object TableLayout {
     val aggs = zCols.flatMap(c =>
       Seq(min(col(c).cast("double")).as(s"mn_$c"), max(col(c).cast("double")).as(s"mx_$c")))
     val r = df.agg(aggs.head, aggs.tail: _*).head()
-    val bounds = zCols.indices.map(i => (r.getDouble(2 * i), r.getDouble(2 * i + 1)))
-    df.withColumn("_z", zValue(zCols.map(col), bounds))
-      .repartitionByRange(nFiles, col("_z"))
-      .sortWithinPartitions("_z")
-      .drop("_z")
+    val bounds = zCols.indices.map { i =>
+      require(!r.isNullAt(2 * i) && !r.isNullAt(2 * i + 1),
+        s"cannot z-order: table is empty or column '${zCols(i)}' is entirely null")
+      val (lo, hi) = (r.getDouble(2 * i), r.getDouble(2 * i + 1))
+      require(!lo.isNaN && !hi.isNaN,
+        s"cannot z-order: column '${zCols(i)}' has NaN bounds ($lo, $hi)")
+      (lo, hi)
+    }
+    // collision-free helper name: withColumn would silently replace (and
+    // drop below would then DELETE) a user column named the same
+    val zc = graft.ops.SkewOps.freshName(df, "_z")
+    df.withColumn(zc, zValue(zCols.map(col), bounds))
+      .repartitionByRange(nFiles, col(zc))
+      .sortWithinPartitions(zc)
+      .drop(zc)
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 

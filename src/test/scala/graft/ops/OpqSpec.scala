@@ -38,6 +38,18 @@ class OpqSpec extends AnyFunSuite {
     }
   }
 
+  test("allocateBlocks stays balanced when every eigenvalue is < 1 (log-sum degeneracy)") {
+    // descending lambdas all < 1: the raw min-log-sum greedy would dump
+    // the largest d/m into block 0 (its negative sum keeps winning)
+    val vals = Array.tabulate(16)(i => 0.9 / (i + 1))
+    val slots = OpqOps.allocateBlocks(vals, m = 4)
+    assert(slots.sorted.toSeq == (0 until 16), "every eigenvector placed exactly once")
+    // the top-4 eigenvalues (indices 0..3) must land in 4 DISTINCT blocks
+    val blockOf = slots.zipWithIndex.map { case (e, pos) => e -> pos / 4 }.toMap
+    assert((0 until 4).map(blockOf).toSet.size == 4,
+      s"largest eigenvalues must spread across blocks, got ${(0 until 4).map(blockOf)}")
+  }
+
   test("learned rotation is an isometry: pairwise L2 distances preserved on the real corpus") {
     val emb = Tables.embeddings(spark, sf)
     val model = OpqOps.train(emb, m = 8, k = 16, iters = 2)

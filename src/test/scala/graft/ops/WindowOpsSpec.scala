@@ -17,9 +17,10 @@ class WindowOpsSpec extends AnyFunSuite {
 
   test("q_window_funcs: all eight functions share ONE Window operator and ONE exchange") {
     val p = plan("q_window_funcs")
-    val windows = "(?m)^(\\s*[:+-]*\\s*)Window ".r.findAllIn(p).size +
-      "WindowExec".r.findAllIn(p).size
-    assert("Window".r.findAllIn(p).nonEmpty, s"expected a Window operator:\n$p")
+    // operator lines print as "Window [lag(...), lead(...), ...]"
+    val windows = "Window \\[".r.findAllIn(p).size
+    assert(windows == 1,
+      s"all eight functions must evaluate in ONE Window operator, got $windows:\n$p")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges == 1,
       s"same partitioning+ordering must plan ONE hash exchange, got $exchanges:\n$p")
