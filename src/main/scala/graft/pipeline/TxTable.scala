@@ -101,13 +101,53 @@ object TxTable {
     // new partitions until every partition is rewritten). Version dirs
     // are iterated in sorted order so the NEWEST schema wins the union's
     // column order deterministically.
-    byVersion.toSeq.sortBy { case (vdir, _) =>
+    val dfs = byVersion.toSeq.sortBy { case (vdir, _) =>
       -vdir.drop(1).takeWhile(_.isDigit).toLong // numeric: v10 > v2
     }.map { case (vdir, dirs) =>
       spark.read
         .option("basePath", s"$root/$vdir")
         .parquet(dirs.map(d => s"$root/$d").toSeq: _*)
-    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+    widenAll(dfs).reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Numeric type widening across version schemas: a commit that turns
+    * an int column into long (or a float into double) must not break
+    * reads of partitions still stored with the old type. Every version's
+    * conflicting numeric columns are cast UP to the common widened type
+    * (integer families widen to the larger integer; any int×float mix
+    * widens to double so no long loses precision in a float).
+    * Non-numeric type conflicts fail with a clear column-naming error —
+    * silently casting e.g. string↔int would mask a corrupted commit.
+    */
+  private def widenAll(dfs: Seq[DataFrame]): Seq[DataFrame] = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val intRank = Map[DataType, Int](ByteType -> 0, ShortType -> 1, IntegerType -> 2, LongType -> 3)
+    val fltRank = Map[DataType, Int](FloatType -> 0, DoubleType -> 1)
+    def widen(a: DataType, b: DataType, name: String): DataType =
+      if (a == b) a
+      else if (intRank.contains(a) && intRank.contains(b)) {
+        if (intRank(a) >= intRank(b)) a else b
+      } else if (fltRank.contains(a) && fltRank.contains(b)) {
+        if (fltRank(a) >= fltRank(b)) a else b
+      } else if ((intRank.contains(a) && fltRank.contains(b)) ||
+          (fltRank.contains(a) && intRank.contains(b))) DoubleType
+      else throw new IllegalStateException(
+        s"column '$name' has incompatible types across table versions: $a vs $b; " +
+          "rewrite the old partitions (compactAll) after such a schema change")
+    val target = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
+    dfs.foreach(_.schema.fields.foreach { f =>
+      target(f.name) = target.get(f.name).map(widen(_, f.dataType, f.name)).getOrElse(f.dataType)
+    })
+    dfs.map { df =>
+      val needs = df.schema.fields.filter(f => target(f.name) != f.dataType)
+      if (needs.isEmpty) df
+      else df.select(df.schema.fields.map { f =>
+        if (target(f.name) != f.dataType) col(f.name).cast(target(f.name)).as(f.name)
+        else col(f.name)
+      }.toSeq: _*)
+    }
   }
 
   /** Stage a new version: write `data` — the FULL new content of every
@@ -192,6 +232,17 @@ object TxTable {
           "(e.g. TxTable.commit(spark, root+\".tx\", spark.read.parquet(root), <partitionCol>)) " +
           "or point the writer at a fresh root")
   }
+
+  /** Compact the table: rewrite EVERY live partition into one fresh
+    * version dir and publish it as a single commit. Bounds the
+    * version-dir sprawl an incremental writer accretes (each commit
+    * leaves its partitions scattered across the version dirs that last
+    * touched them — after thousands of commits a read unions thousands
+    * of scans). Run [[vacuum]] afterwards to reclaim the superseded
+    * dirs; time travel before the compaction point survives until then.
+    */
+  def compactAll(spark: SparkSession, root: String, partitionCol: String): Unit =
+    commit(spark, root, read(spark, root), partitionCol)
 
   /** Drop version dirs no longer referenced by the latest manifest (and
     * superseded manifests). Safe to run concurrently with a writer: an

@@ -119,6 +119,42 @@ class TxTableSpec extends AnyFunSuite {
     assert(!TxTable.readAt(spark, root, 1).columns.contains("source"))
   }
 
+  test("type widening: an int column promoted to long (and to double) still reads old partitions") {
+    val root = Files.createTempDirectory("txtable8").toFile.getAbsolutePath + "/t"
+    TxTable.commit(spark, root,
+      Seq(("d1", 1), ("d2", 2)).toDF("day", "n"), "day") // n: int
+    TxTable.commit(spark, root,
+      Seq(("d1", 10L)).toDF("day", "n"), "day") // n: long — v1's d2 must widen
+    val got = TxTable.read(spark, root)
+      .select(col("day").cast("string"), col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set("d1" -> 10L, "d2" -> 2L))
+    // int×float mix widens to DOUBLE (a long can't live in a float)
+    TxTable.commit(spark, root, Seq(("d2", 2.5f)).toDF("day", "n"), "day")
+    val df = TxTable.read(spark, root)
+    assert(df.schema("n").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(df.select(col("day").cast("string"), col("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet == Set("d1" -> 10.0, "d2" -> 2.5))
+    // a string↔numeric conflict fails loudly, naming the column
+    TxTable.commit(spark, root, Seq(("d1", "oops")).toDF("day", "n"), "day")
+    val ex = intercept[IllegalStateException](TxTable.read(spark, root).collect())
+    assert(ex.getMessage.contains("'n'") && ex.getMessage.contains("incompatible"))
+  }
+
+  test("compactAll rewrites every live partition into one version; vacuum then drops the rest") {
+    val root = Files.createTempDirectory("txtable9").toFile.getAbsolutePath + "/t"
+    TxTable.commit(spark, root, rows("d1" -> 1.0, "d2" -> 2.0), "day")
+    TxTable.commit(spark, root, rows("d1" -> 10.0), "day")
+    TxTable.commit(spark, root, rows("d3" -> 3.0), "day")
+    val before = snapshot(root)
+    TxTable.compactAll(spark, root, "day")
+    assert(snapshot(root) == before, "compaction must not change table contents")
+    TxTable.vacuum(spark, root)
+    val live = new java.io.File(root).listFiles().map(_.getName).filter(_.startsWith("v")).toSet
+    assert(live.size == 1, s"after compact+vacuum exactly ONE version dir survives: $live")
+    assert(snapshot(root) == before, "read identical after vacuum")
+  }
+
   test("the gold merge path composes with TxTable: incremental day recompute commits atomically") {
     val root = Files.createTempDirectory("txtable4").toFile.getAbsolutePath + "/gold"
     // initial gold: two days
