@@ -236,6 +236,28 @@ final case class DotExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** 2-D Hilbert curve index of two pre-scaled int cell coordinates —
+  * the clustering key behind Hilbert layout ([[graft.pipeline
+  * .TableLayout.hilbertOrderWrite]]). Codegen'd like every kernel here;
+  * it also sits in the write path, so the cost is once per written row.
+  */
+final case class HilbertIndexExpr(left: Expression, right: Expression, bits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Long.valueOf(HashKernels.hilbertIndex(
+      bits, a.asInstanceOf[java.lang.Integer], b.asInstanceOf[java.lang.Integer]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashKernels.hilbertIndex($bits, $a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object HashFunctions {
 
   /** MinHash signature (array<long> of length k) over an array<string>. */
@@ -273,4 +295,11 @@ object HashFunctions {
   /** md5-based MinHash signature (oracle-reproducible variant). */
   def md5_minhash_sig(c: Column, k: Int): Column =
     ColumnBridge.column(Md5MinHashSigExpr(ColumnBridge.expression(c), k))
+
+  /** 2-D Hilbert curve index of two int cell coordinates in
+    * [0, 2^bits).
+    */
+  def hilbert_index(x: Column, y: Column, bits: Int): Column =
+    ColumnBridge.column(HilbertIndexExpr(
+      ColumnBridge.expression(x), ColumnBridge.expression(y), bits))
 }

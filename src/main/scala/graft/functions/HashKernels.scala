@@ -236,4 +236,30 @@ object HashKernels {
     }
     bucket
   }
+
+  /** 2-D Hilbert curve index (the classic xy2d walk): maps a
+    * (x, y) cell in the 2^bits × 2^bits grid to its position along the
+    * Hilbert curve. Unlike the Morton/Z curve, consecutive positions are
+    * ALWAYS grid-adjacent (no diagonal jumps across half the space), so
+    * contiguous curve ranges = tighter spatial tiles = better file
+    * min/max locality for box queries.
+    */
+  def hilbertIndex(bits: Int, xIn: Int, yIn: Int): Long = {
+    var x = xIn
+    var y = yIn
+    var d = 0L
+    var s = 1 << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1 else 0
+      val ry = if ((y & s) > 0) 1 else 0
+      d += s.toLong * s.toLong * ((3 * rx) ^ ry)
+      // rotate the quadrant so the sub-curve orients correctly
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
 }

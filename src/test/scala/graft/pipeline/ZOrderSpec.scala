@@ -40,6 +40,47 @@ class ZOrderSpec extends AnyFunSuite {
     assert(got((3.0, 3.0)) == 15L, "all four bits set for the max corner")
   }
 
+  test("hilbertIndex walks the grid: consecutive curve positions are always grid-adjacent") {
+    val bits = 3 // 8x8 grid
+    val cells = for (x <- 0 until 8; y <- 0 until 8)
+      yield (graft.functions.HashKernels.hilbertIndex(bits, x, y), (x, y))
+    val byD = cells.sortBy(_._1)
+    assert(byD.map(_._1) == (0L until 64L), "bijection onto 0..63")
+    byD.sliding(2).foreach { case Seq((_, (x1, y1)), (d2, (x2, y2))) =>
+      val manhattan = math.abs(x1 - x2) + math.abs(y1 - y2)
+      assert(manhattan == 1,
+        s"curve step to d=$d2 jumps ($x1,$y1)->($x2,$y2) — Hilbert must move one cell")
+    }
+    // the Morton curve provably lacks this property on the same grid
+    // (e.g. d=1 -> d=2 jumps diagonally); sanity-check our claim
+    def morton(x: Int, y: Int) =
+      (0 until bits).map(b => (((x >> b) & 1) << (2 * b)) | (((y >> b) & 1) << (2 * b + 1))).sum
+    val mByD = (for (x <- 0 until 8; y <- 0 until 8) yield (morton(x, y), (x, y))).sortBy(_._1)
+    val mortonJumps = mByD.sliding(2).count { case Seq((_, (x1, y1)), (_, (x2, y2))) =>
+      math.abs(x1 - x2) + math.abs(y1 - y2) > 1
+    }
+    assert(mortonJumps > 0, "Morton has diagonal jumps — the property Hilbert removes")
+  }
+
+  test("hilbert layout concentrates a second-dimension box at least as well as z-order") {
+    val root = Files.createTempDirectory("graft-hilbert").toFile.getAbsolutePath
+    val df = (0 until 20000).map { i =>
+      (i.toLong, (i % 200).toDouble * 5, (i / 200).toDouble * 10)
+    }.toDF("id", "x", "y")
+    val nFiles = 16
+    TableLayout.zOrderWrite(df, Seq("x", "y"), s"$root/z", nFiles)
+    TableLayout.hilbertOrderWrite(df, "x", "y", s"$root/h", nFiles)
+    def filesTouched(path: String): Long =
+      spark.read.parquet(path)
+        .filter(col("y").between(100, 160))
+        .select(input_file_name()).distinct().count()
+    val z = filesTouched(s"$root/z")
+    val h = filesTouched(s"$root/h")
+    assert(h <= z, s"hilbert ($h files) must not be worse than z-order ($z files)")
+    assert(h <= nFiles / 2, s"hilbert must concentrate the box, got $h of $nFiles")
+    assert(spark.read.parquet(s"$root/h").count() == 20000)
+  }
+
   test("z-ordered layout touches fewer files than single-column sort for a second-column box") {
     val root = Files.createTempDirectory("graft-zorder").toFile.getAbsolutePath
     // 2-D uniform grid: both dimensions GENUINELY independent (a
