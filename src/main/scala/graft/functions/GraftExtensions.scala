@@ -43,7 +43,13 @@ object GraftFunctions {
       args => RhpBucketExpr(args.head, intArg(args(1), "nbits"), intArg(args(2), "table"))),
     ("lang_id",
       new ExpressionInfo(classOf[LangIdExpr].getName, "lang_id"),
-      args => LangIdExpr(args.head)))
+      args => LangIdExpr(args.head)),
+    ("dot_product",
+      new ExpressionInfo(classOf[DotExpr].getName, "dot_product"),
+      args => DotExpr(args.head, args(1))),
+    ("hilbert_index",
+      new ExpressionInfo(classOf[HilbertIndexExpr].getName, "hilbert_index"),
+      args => HilbertIndexExpr(args.head, args(1), intArg(args(2), "bits"))))
 
   /** Register on an already-running session (temp functions). */
   def register(spark: SparkSession): Unit =

@@ -191,6 +191,25 @@ object RelationalOps3 {
         .orderBy("l_returnflag")
     },
 
+    // The percentile SCALE twin: approx_percentile (Greenwald-Khanna
+    // summaries, bounded memory, mergeable map-side) next to the exact
+    // form q_percentile uses. Exact percentile buffers every group value
+    // — at 100 TB the approx path is the only viable plan; summary-merge
+    // order isn't oracle-reproducible, so rows-only + the error-bound
+    // spec carry the verification.
+    QueryDef.noOracle("q_percentile_approx") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(expr(
+          "approx_percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D), 10000)").as("qs"))
+        .select(
+          col("l_returnflag"),
+          round(element_at(col("qs"), 1), 6).as("p50"),
+          round(element_at(col("qs"), 2), 6).as("p90"),
+          round(element_at(col("qs"), 3), 6).as("p99"))
+        .orderBy("l_returnflag")
+    },
+
     // Linear-regression aggregates: price-vs-quantity slope/intercept/r²
     // per return flag — one aggregation pass, no ML-library dependence.
     QueryDef(

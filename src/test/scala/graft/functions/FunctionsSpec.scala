@@ -50,6 +50,14 @@ class FunctionsSpec extends AnyFunSuite {
     // deterministic across invocations
     val r2 = spark.sql("SELECT simhash64(ngram_shingles('a b c d e', 2)) AS sh").head()
     assert(r.getAs[Long]("sh") == r2.getAs[Long]("sh"))
+    // round-3 registrations: dot_product and hilbert_index
+    val r3 = spark.sql(
+      "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp, " +
+        "hilbert_index(0, 0, 3) AS h0, hilbert_index(7, 0, 3) AS h63").head()
+    assert(r3.getAs[Double]("dp") == 11.0)
+    assert(r3.getAs[Long]("h0") == 0L)
+    assert(r3.getAs[Long]("h63") ==
+      graft.functions.HashKernels.hilbertIndex(3, 7, 0))
   }
 
   test("stateful sessionizer: batch semantics (gap closes, state carries)") {

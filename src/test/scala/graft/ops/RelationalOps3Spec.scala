@@ -37,6 +37,29 @@ class RelationalOps3Spec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("q_percentile_approx tracks the exact percentiles within the accuracy bound") {
+    import org.apache.spark.sql.functions.expr
+    val approx = graft.SparkEntry.queries("q_percentile_approx")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").as("qs"))
+      .collect().map { r =>
+        val q = r.getSeq[Double](1); r.getString(0) -> (q(0), q(1), q(2))
+      }.toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (flag, (a50, a90, a99)) =>
+      val (e50, e90, e99) = exact(flag)
+      // GK at accuracy 10000 over ~thousands of rows: relative rank error
+      // <= 1/10000 — values should sit within a small relative band
+      Seq((a50, e50, "p50"), (a90, e90, "p90"), (a99, e99, "p99")).foreach {
+        case (a, e, tag) =>
+          assert(math.abs(a - e) <= 0.02 * math.max(math.abs(e), 1.0),
+            s"$flag $tag: approx $a vs exact $e beyond 2%")
+      }
+    }
+  }
+
   test("q_median_mode derived mode equals mode() semantics under a deterministic tie-break") {
     val rows = graft.SparkEntry.queries("q_median_mode")(spark, sf).collect()
     assert(rows.length == 3)
