@@ -222,6 +222,21 @@ final case class WinnowMinExpr(child: Expression, window: Int)
 final case class DotExpr(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
+  // explicit type check: a wrong-typed SQL call (dot_product is
+  // SQL-registered) becomes an analysis error, not a codegen
+  // ClassCastException mid-job (AbstractDataType is private[sql], so
+  // ExpectsInputTypes isn't implementable from here)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val want = ArrayType(DoubleType)
+    def ok(dt: DataType) = dt match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"dot_product expects ($want, $want), got (${left.dataType}, ${right.dataType})")
+  }
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
 
@@ -244,6 +259,17 @@ final case class DotExpr(left: Expression, right: Expression)
 final case class HilbertIndexExpr(left: Expression, right: Expression, bits: Int)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
+  // explicit type + bits check: a wrong-typed/out-of-range SQL call
+  // becomes an ANALYSIS error, not a codegen ClassCastException or a
+  // silently degenerate curve (see HashKernels.hilbertIndex's guard)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType != IntegerType || right.dataType != IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"hilbert_index expects (int, int, bits), got (${left.dataType}, ${right.dataType})")
+    else if (bits < 1 || bits > 31)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"hilbert_index bits must be in [1, 31], got $bits")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
 

@@ -245,6 +245,10 @@ object HashKernels {
     * min/max locality for box queries.
     */
   def hilbertIndex(bits: Int, xIn: Int, yIn: Int): Long = {
+    // out-of-range bits silently degenerate via Java shift wraparound
+    // (bits=33 → s wraps to a 2×2 walk; bits=0 → every cell maps to 0),
+    // so validate here — this also covers the SQL surface
+    require(bits >= 1 && bits <= 31, s"hilbert bits must be in [1, 31], got $bits")
     var x = xIn
     var y = yIn
     var d = 0L

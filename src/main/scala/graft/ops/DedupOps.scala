@@ -488,6 +488,10 @@ object DedupOps {
       // cost of this query; measured ~2× the runtime)
       val wSrc = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       Tables.documents(s, d)
+        // null-source rows must NOT pair: the oracle's equijoin on
+        // source drops them, but a window PARTITION BY groups all nulls
+        // together and lead() would pair them
+        .filter(col("source").isNotNull)
         .filter(size(split(col("text"), " ")) >= 3)
         .select(
           col("doc_id"), col("source"),

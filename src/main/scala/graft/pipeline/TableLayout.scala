@@ -91,6 +91,22 @@ object TableLayout {
     PathIO.replace(spark, tmp, path)
   }
 
+  /** Linearly scale a column into `bits`-bit integer cell codes using
+    * [lo, hi] bounds (out-of-range clamps). Shared by the Morton and
+    * Hilbert clustering keys. `bits` capped at 30 so `(1 << bits)`
+    * arithmetic stays in int range (a wrap would make every code 0 and
+    * silently destroy the clustering).
+    */
+  private def cellCode(c: org.apache.spark.sql.Column, lo: Double, hi: Double,
+      bits: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    require(bits >= 1 && bits <= 30, s"cell bits must be in [1, 30], got $bits")
+    val maxCode = (1 << bits) - 1
+    val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+    least(lit(maxCode), greatest(lit(0),
+      ((c.cast("double") - lit(lo)) / lit(span) * lit(maxCode)).cast("int")))
+  }
+
   /** Interleaved-bit z-value (Morton code) of N numeric columns — the
     * multi-column clustering key behind Z-ORDER layout. Each column is
     * linearly scaled into `bits`-bit integers using the provided
@@ -104,19 +120,6 @@ object TableLayout {
     * standard trade (Delta/Iceberg OPTIMIZE ZORDER) for tables queried
     * along multiple independent dimensions.
     */
-  /** Linearly scale a column into `bits`-bit integer cell codes using
-    * [lo, hi] bounds (out-of-range clamps). Shared by the Morton and
-    * Hilbert clustering keys.
-    */
-  private def cellCode(c: org.apache.spark.sql.Column, lo: Double, hi: Double,
-      bits: Int): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions._
-    val maxCode = (1 << bits) - 1
-    val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
-    least(lit(maxCode), greatest(lit(0),
-      ((c.cast("double") - lit(lo)) / lit(span) * lit(maxCode)).cast("int")))
-  }
-
   def zValue(cols: Seq[org.apache.spark.sql.Column],
       bounds: Seq[(Double, Double)], bits: Int = 16): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._

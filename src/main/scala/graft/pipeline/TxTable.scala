@@ -113,39 +113,49 @@ object TxTable {
 
   /** Numeric type widening across version schemas: a commit that turns
     * an int column into long (or a float into double) must not break
-    * reads of partitions still stored with the old type. Every version's
-    * conflicting numeric columns are cast UP to the common widened type
-    * (integer families widen to the larger integer; any int×float mix
-    * widens to double so no long loses precision in a float).
-    * Non-numeric type conflicts fail with a clear column-naming error —
-    * silently casting e.g. string↔int would mask a corrupted commit.
+    * reads of partitions still stored with the old type, and must not
+    * lose precision. Conflicting NUMERIC columns are cast up to the
+    * common widened type — integer families widen to the larger
+    * integer; any int×float mix widens to DOUBLE, because Spark's own
+    * set-operation coercion picks float for long∪float, which silently
+    * corrupts longs above 2^24. Every other type pair passes through
+    * unchanged to `unionByName`'s standard coercion (decimal precision,
+    * date→timestamp, nullability, …) so no previously-readable table
+    * becomes unreadable.
     */
   private def widenAll(dfs: Seq[DataFrame]): Seq[DataFrame] = {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types._
     val intRank = Map[DataType, Int](ByteType -> 0, ShortType -> 1, IntegerType -> 2, LongType -> 3)
     val fltRank = Map[DataType, Int](FloatType -> 0, DoubleType -> 1)
-    def widen(a: DataType, b: DataType, name: String): DataType =
-      if (a == b) a
-      else if (intRank.contains(a) && intRank.contains(b)) {
-        if (intRank(a) >= intRank(b)) a else b
-      } else if (fltRank.contains(a) && fltRank.contains(b)) {
-        if (fltRank(a) >= fltRank(b)) a else b
-      } else if ((intRank.contains(a) && fltRank.contains(b)) ||
-          (fltRank.contains(a) && intRank.contains(b))) DoubleType
-      else throw new IllegalStateException(
-        s"column '$name' has incompatible types across table versions: $a vs $b; " +
-          "rewrite the old partitions (compactAll) after such a schema change")
-    val target = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
-    dfs.foreach(_.schema.fields.foreach { f =>
-      target(f.name) = target.get(f.name).map(widen(_, f.dataType, f.name)).getOrElse(f.dataType)
-    })
+    def widen(a: DataType, b: DataType): Option[DataType] =
+      if (a == b) Some(a)
+      else if (intRank.contains(a) && intRank.contains(b))
+        Some(if (intRank(a) >= intRank(b)) a else b)
+      else if (fltRank.contains(a) && fltRank.contains(b))
+        Some(if (fltRank(a) >= fltRank(b)) a else b)
+      else if ((intRank.contains(a) && fltRank.contains(b)) ||
+          (fltRank.contains(a) && intRank.contains(b))) Some(DoubleType)
+      else None // not ours: defer to unionByName's own coercion
+    // per column: Some(widened) while every observed pair is ours to
+    // widen; None once any pair falls outside the numeric families
+    val target = scala.collection.mutable.LinkedHashMap.empty[String, Option[DataType]]
+    for (df <- dfs; f <- df.schema.fields) {
+      target(f.name) = target.get(f.name) match {
+        case None => Some(f.dataType)
+        case Some(Some(t)) => widen(t, f.dataType)
+        case Some(None) => None
+      }
+    }
     dfs.map { df =>
-      val needs = df.schema.fields.filter(f => target(f.name) != f.dataType)
-      if (needs.isEmpty) df
+      val needsCast = df.schema.fields.exists(f =>
+        target(f.name).exists(_ != f.dataType))
+      if (!needsCast) df
       else df.select(df.schema.fields.map { f =>
-        if (target(f.name) != f.dataType) col(f.name).cast(target(f.name)).as(f.name)
-        else col(f.name)
+        target(f.name) match {
+          case Some(t) if t != f.dataType => col(f.name).cast(t).as(f.name)
+          case _ => col(f.name)
+        }
       }.toSeq: _*)
     }
   }
@@ -184,7 +194,11 @@ object TxTable {
     * neither case can a reader observe a torn mix, because manifests
     * are only ever replaced whole.
     */
-  def publish(spark: SparkSession, root: String, stagedDir: String, partitionCol: String): Unit = {
+  def publish(spark: SparkSession, root: String, stagedDir: String, partitionCol: String): Unit =
+    publishImpl(spark, root, stagedDir, partitionCol, replaceAll = false)
+
+  private def publishImpl(spark: SparkSession, root: String, stagedDir: String,
+      partitionCol: String, replaceAll: Boolean): Unit = {
     val f = fs(spark, root)
     val (v, old) = latest(spark, root)
     val changed = f.listStatus(new Path(s"$root/$stagedDir"))
@@ -194,7 +208,11 @@ object TxTable {
       .toMap
     require(changed.nonEmpty, s"staged dir $stagedDir has no $partitionCol= partitions")
     val next = v + 1
-    val entries = old ++ changed
+    // replaceAll (compaction): the staged dir IS the whole table — a
+    // merge would keep an old entry alive whenever a partition VALUE
+    // round-trips to a different directory string (e.g. day=00123
+    // re-inferred as int and rewritten day=123), duplicating its rows
+    val entries = if (replaceAll) changed else old ++ changed
     val ld = new Path(logDir(root))
     if (!f.exists(ld) && !f.mkdirs(ld))
       throw new java.io.IOException(s"cannot create $ld")
@@ -234,15 +252,20 @@ object TxTable {
   }
 
   /** Compact the table: rewrite EVERY live partition into one fresh
-    * version dir and publish it as a single commit. Bounds the
+    * version dir and publish it as the COMPLETE new manifest. Bounds the
     * version-dir sprawl an incremental writer accretes (each commit
     * leaves its partitions scattered across the version dirs that last
     * touched them — after thousands of commits a read unions thousands
-    * of scans). Run [[vacuum]] afterwards to reclaim the superseded
-    * dirs; time travel before the compaction point survives until then.
+    * of scans). The manifest is replaced wholesale, not merged: since
+    * the staged dir holds every live row, merging could only resurrect
+    * stale entries (a partition value whose directory form changes
+    * across the read/write round-trip would otherwise stay live twice).
+    * Run [[vacuum]] afterwards to reclaim the superseded dirs; time
+    * travel before the compaction point survives until then.
     */
   def compactAll(spark: SparkSession, root: String, partitionCol: String): Unit =
-    commit(spark, root, read(spark, root), partitionCol)
+    publishImpl(spark, root, stage(spark, root, read(spark, root), partitionCol),
+      partitionCol, replaceAll = true)
 
   /** Drop version dirs no longer referenced by the latest manifest (and
     * superseded manifests). Safe to run concurrently with a writer: an

@@ -135,10 +135,16 @@ class TxTableSpec extends AnyFunSuite {
     assert(df.schema("n").dataType == org.apache.spark.sql.types.DoubleType)
     assert(df.select(col("day").cast("string"), col("n"))
       .collect().map(r => (r.getString(0), r.getDouble(1))).toSet == Set("d1" -> 10.0, "d2" -> 2.5))
-    // a string↔numeric conflict fails loudly, naming the column
+    // a non-numeric conflict is DEFERRED to unionByName's standard
+    // set-operation coercion — custom widening must never change what
+    // Spark-standard reads do. Spark coerces string∪double to DOUBLE at
+    // analysis and the ANSI cast then rejects malformed values at
+    // runtime with a clear CAST_INVALID_INPUT naming the value.
     TxTable.commit(spark, root, Seq(("d1", "oops")).toDF("day", "n"), "day")
-    val ex = intercept[IllegalStateException](TxTable.read(spark, root).collect())
-    assert(ex.getMessage.contains("'n'") && ex.getMessage.contains("incompatible"))
+    val coerced = TxTable.read(spark, root)
+    assert(coerced.schema("n").dataType == org.apache.spark.sql.types.DoubleType)
+    val ex = intercept[Exception](coerced.collect())
+    assert(ex.getMessage.contains("CAST_INVALID_INPUT"), ex.getMessage.take(200))
   }
 
   test("compactAll rewrites every live partition into one version; vacuum then drops the rest") {
