@@ -13,6 +13,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // production-active optimizer rule (bit-exact; the oracle sweep proves it)
+    spark.experimental.extraOptimizations ++= Seq(graft.functions.SelfDotRewrite)
     // JVM/codegen/file-index warm-up outside the timed region, so the
     // first query doesn't carry ~3s of session start-up in its number
     try SparkEntry.entry(spark).count()

@@ -9,6 +9,8 @@ object BenchOne {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // production-active optimizer rule (bit-exact; the oracle sweep proves it)
+    spark.experimental.extraOptimizations ++= Seq(graft.functions.SelfDotRewrite)
     val d = "/root/testdata/sf0.1"
     SparkEntry.entry(spark).count()
     for (q <- args) {

@@ -16,6 +16,8 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // production-active optimizer rule (bit-exact; the oracle sweep proves it)
+    spark.experimental.extraOptimizations ++= Seq(graft.functions.SelfDotRewrite)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

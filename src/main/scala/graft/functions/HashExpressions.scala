@@ -251,6 +251,36 @@ final case class DotExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Squared L2 norm — the target of [[SelfDotRewrite]]'s
+  * `dot_product(x, x)` rewrite. Same sequential accumulation order as
+  * [[DotExpr]], so the rewrite never changes a result bit.
+  */
+final case class Norm2Expr(child: Expression)
+    extends UnaryExpression with KernelCodegen {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"norm2sq expects array<double>, got $other")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Double.valueOf(HashKernels.norm2sq(input.asInstanceOf[ArrayData]))
+
+  override protected def kernelCall(ctx: CodegenContext, c: String): String =
+    s"$kernels.norm2sq($c)"
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    kernelGenCode(ctx, ev)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** 2-D Hilbert curve index of two pre-scaled int cell coordinates —
   * the clustering key behind Hilbert layout ([[graft.pipeline
   * .TableLayout.hilbertOrderWrite]]). Codegen'd like every kernel here;

@@ -237,6 +237,20 @@ object HashKernels {
     bucket
   }
 
+  /** Squared L2 norm of an array<double> — the fused form of
+    * `dot(a, a)`: one array traversal and one element load per term
+    * instead of two. Accumulation order matches `dot` exactly
+    * (sequential s += v*v), so results are bit-identical and the
+    * [[graft.functions.SelfDotRewrite]] optimizer rule is semantics-free.
+    */
+  def norm2sq(arr: ArrayData): Double = {
+    val n = arr.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val v = arr.getDouble(i); s += v * v; i += 1 }
+    s
+  }
+
   /** 2-D Hilbert curve index (the classic xy2d walk): maps a
     * (x, y) cell in the 2^bits × 2^bits grid to its position along the
     * Hilbert curve. Unlike the Morton/Z curve, consecutive positions are

@@ -16,6 +16,8 @@ object SparkTestSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // same production-active optimizer rule the Verify/Bench sessions run
+    s.experimental.extraOptimizations ++= Seq(graft.functions.SelfDotRewrite)
     s
   }
 }
