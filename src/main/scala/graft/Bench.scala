@@ -5,6 +5,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -13,8 +14,6 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // production-active optimizer rule (bit-exact; the oracle sweep proves it)
-    spark.experimental.extraOptimizations ++= Seq(graft.functions.SelfDotRewrite)
     // JVM/codegen/file-index warm-up outside the timed region, so the
     // first query doesn't carry ~3s of session start-up in its number
     try SparkEntry.entry(spark).count()

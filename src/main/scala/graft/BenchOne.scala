@@ -2,15 +2,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 object BenchOne {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions).master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // production-active optimizer rule (bit-exact; the oracle sweep proves it)
-    spark.experimental.extraOptimizations ++= Seq(graft.functions.SelfDotRewrite)
     val d = "/root/testdata/sf0.1"
     SparkEntry.entry(spark).count()
     for (q <- args) {

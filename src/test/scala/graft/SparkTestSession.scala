@@ -6,6 +6,9 @@ import org.apache.spark.sql.SparkSession
 object SparkTestSession {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
+      // the ONE install point for the graft extension (SQL functions +
+      // optimizer rules) — same configuration Verify/Bench run under
+      .withExtensions(new graft.functions.GraftExtensions)
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
@@ -16,8 +19,6 @@ object SparkTestSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    // same production-active optimizer rule the Verify/Bench sessions run
-    s.experimental.extraOptimizations ++= Seq(graft.functions.SelfDotRewrite)
     s
   }
 }

@@ -32,15 +32,28 @@ class SelfDotRewriteSpec extends AnyFunSuite {
     assert(optCross.contains("dotexpr("), s"distinct-argument dot must survive:\n$optCross")
   }
 
-  test("rewrite is bit-exact: norm2sq equals dot(x, x) on every row") {
-    val both = df.select(
+  test("rewrite is bit-exact AND the fused kernel actually runs: norm2sq == dot(x, x)") {
+    // kernel-level parity first (no plan in the way)
+    val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Array(1.5, -2.25, 3.125, 0.0, 7.75))
+    assert(java.lang.Double.doubleToRawLongBits(HashKernels.norm2sq(arr)) ==
+      java.lang.Double.doubleToRawLongBits(HashKernels.dot(arr, arr)))
+    // end-to-end over a parquet-backed frame: a LocalRelation would be
+    // folded with INTERPRETED DotExpr before extraOptimizations run, so
+    // the fused kernel would never evaluate (the ConvertToLocalRelation
+    // trap) — assert the plan really contains norm2, then execute it
+    val emb = graft.ops.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val q = emb.select(
+      col("vec_id"),
       HashFunctions.dot_product(col("v"), col("v")).as("viaRule"),
       expr("aggregate(v, 0D, (acc, x) -> acc + x * x)").as("reference"))
-      .collect()
-    both.foreach { r =>
-      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
-        java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
-        s"bitwise mismatch: ${r.getDouble(0)} vs ${r.getDouble(1)}")
+    assert(q.queryExecution.optimizedPlan.toString.contains("norm2"),
+      "the collected values below must come from the FUSED kernel")
+    q.collect().foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)),
+        s"bitwise mismatch at vec ${r.getLong(0)}: ${r.getDouble(1)} vs ${r.getDouble(2)}")
     }
   }
 
