@@ -191,6 +191,52 @@ object RelationalOps3 {
         .orderBy("l_returnflag")
     },
 
+    // Bitwise aggregate family — bit_and/bit_or/bit_xor fold masks per
+    // group in one pass (used for feature-flag rollups and
+    // set-membership fingerprints).
+    QueryDef(
+      "q_bitwise_agg",
+      """SELECT l_returnflag,
+        |  CAST(bit_and(l_orderkey) AS BIGINT) AS b_and,
+        |  CAST(bit_or(l_orderkey) AS BIGINT) AS b_or,
+        |  CAST(bit_xor(l_orderkey) AS BIGINT) AS b_xor,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("bit_and(l_orderkey)").as("b_and"),
+          expr("bit_or(l_orderkey)").as("b_or"),
+          expr("bit_xor(l_orderkey)").as("b_xor"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    // GROUPING() indicators distinguish real NULL keys from subtotal
+    // rows — the piece rollup/cube reports need beyond coalesce labels.
+    QueryDef(
+      "q_grouping_id",
+      """SELECT coalesce(l_returnflag, '(all)') AS flag,
+        |  coalesce(l_linestatus, '(all)') AS status,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+          grouping(col("l_returnflag")).cast(LongType).as("g_flag"),
+          grouping(col("l_linestatus")).cast(LongType).as("g_status"),
+          count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("flag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("status"),
+          col("g_flag"), col("g_status"), col("n"))
+        .orderBy("flag", "status")
+    },
+
     // The percentile SCALE twin: approx_percentile (Greenwald-Khanna
     // summaries, bounded memory, mergeable map-side) next to the exact
     // form q_percentile uses. Exact percentile buffers every group value
