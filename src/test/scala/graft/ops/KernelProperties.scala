@@ -1,0 +1,87 @@
+package graft.ops
+
+import graft.functions.HashKernels
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+/** Property layer over the round-3 kernels — randomized invariants the
+  * example-based specs can't sweep. (Plain ScalaCheck Gen sampled
+  * deterministically, same pattern as ParseProperties.)
+  */
+class KernelProperties extends AnyFunSuite {
+
+  private def forAllN[A](gen: Gen[A], n: Int = 200)(f: A => Unit): Unit = {
+    var executed = 0
+    (0 until n).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong))
+        .foreach { a =>
+          executed += 1
+          try f(a) catch {
+            case e: Throwable => fail(s"failed for sample #$i: $a — ${e.getMessage}")
+          }
+        }
+    }
+    assert(executed >= n / 2, s"only $executed/$n samples generated — property is vacuous")
+  }
+
+  test("property: hilbertIndex is a bijection onto [0, 4^bits) for bits in 1..6") {
+    forAllN(Gen.chooseNum(1, 6), n = 6) { bits =>
+      val side = 1 << bits
+      val seen = new Array[Boolean](side * side)
+      for (x <- 0 until side; y <- 0 until side) {
+        val d = HashKernels.hilbertIndex(bits, x, y)
+        assert(d >= 0 && d < side.toLong * side, s"($x,$y) -> $d out of range at bits=$bits")
+        assert(!seen(d.toInt), s"collision at d=$d for ($x,$y), bits=$bits")
+        seen(d.toInt) = true
+      }
+    }
+  }
+
+  test("property: norm2sq(a) is bitwise-identical to dot(a, a) on random arrays") {
+    val arrGen = for {
+      n <- Gen.chooseNum(0, 64)
+      xs <- Gen.listOfN(n, Gen.chooseNum(-1e6, 1e6).map(_ * 1.7243))
+    } yield xs.toArray
+    forAllN(arrGen) { xs =>
+      val ad = ArrayData.toArrayData(xs)
+      assert(java.lang.Double.doubleToRawLongBits(HashKernels.norm2sq(ad)) ==
+        java.lang.Double.doubleToRawLongBits(HashKernels.dot(ad, ad)))
+    }
+  }
+
+  test("property: allocateBlocks always yields equal-size blocks, each eigenvalue placed once") {
+    val valsGen = for {
+      m <- Gen.oneOf(2, 4, 8)
+      sub <- Gen.chooseNum(1, 8)
+      vals <- Gen.listOfN(m * sub, Gen.chooseNum(1e-6, 1e4))
+    } yield (vals.toArray, m)
+    forAllN(valsGen) { case (vals, m) =>
+      val slots = OpqOps.allocateBlocks(vals, m)
+      assert(slots.sorted.toSeq == vals.indices.toSeq, "each eigenvector placed exactly once")
+      val sub = vals.length / m
+      // block fill counts are uniform by construction (level-by-level);
+      // additionally the m largest eigenvalues must sit in m distinct blocks
+      val blockOf = slots.zipWithIndex.map { case (e, pos) => e -> pos / sub }.toMap
+      val top = vals.indices.sortBy(i => -vals(i)).take(m)
+      assert(top.map(blockOf).toSet.size == m,
+        s"top-$m eigenvalues must spread over $m blocks")
+    }
+  }
+
+  test("property: dot is symmetric and norm2sq is non-negative") {
+    val pairGen = for {
+      n <- Gen.chooseNum(1, 32)
+      xs <- Gen.listOfN(n, Gen.chooseNum(-1e3, 1e3))
+      ys <- Gen.listOfN(n, Gen.chooseNum(-1e3, 1e3))
+    } yield (xs.toArray, ys.toArray)
+    forAllN(pairGen) { case (xs, ys) =>
+      val (a, b) = (ArrayData.toArrayData(xs), ArrayData.toArrayData(ys))
+      assert(HashKernels.dot(a, b) == HashKernels.dot(b, a), "dot symmetric")
+      assert(HashKernels.norm2sq(a) >= 0.0)
+    }
+  }
+}
