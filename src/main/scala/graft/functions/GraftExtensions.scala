@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
     e.injectOptimizerRule(_ => SelfDotRewrite)
+    e.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
   }
 }
 

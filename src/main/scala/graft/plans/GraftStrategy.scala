@@ -1,0 +1,16 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
+
+/** Planner strategy for the graft logical nodes — the
+  * `SparkStrategy` tier of the extension story, injected by
+  * [[graft.functions.GraftExtensions]] (`injectPlannerStrategy`).
+  */
+object GraftStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}

@@ -1,0 +1,112 @@
+package graft.plans
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** The custom-plan tier end-to-end: logical node → strategy → physical
+  * sort-merge as-of. Cross-checked against the union+window
+  * formulation (`q_asof_join`) on the driver data; edge semantics
+  * (null keys/times, empty right, candidate carry across keys, ties)
+  * on handcrafted frames.
+  */
+class AsOfJoinPlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
+
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("native as-of equals the union+window formulation on driver events") {
+    val native = graft.SparkEntry.queries("q_asof_native")(spark, sf).collect().toSeq
+    val window = graft.SparkEntry.queries("q_asof_join")(spark, sf).collect().toSeq
+    assert(native.nonEmpty, "flagship data must produce rows")
+    assert(native == window)
+  }
+
+  test("plan contains AsOfJoinExec with one exchange on the purchase side") {
+    val df = graft.SparkEntry.queries("q_asof_native")(spark, sf)
+    val plan = df.queryExecution.executedPlan
+    def all(p: SparkPlan): Seq[SparkPlan] = collect(p) { case n => n }
+    val nodes = all(plan)
+    assert(nodes.exists(_.isInstanceOf[AsOfJoinExec]), s"no AsOfJoinExec in:\n$plan")
+    // purchases side: 1 exchange; views side: agg on (user,ts) + re-cluster
+    // on user = 2; final orderBy adds a range exchange
+    val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeExec])
+    assert(shuffles <= 4, s"expected <=4 exchanges, got $shuffles:\n$plan")
+  }
+
+  test("latest-at-or-before semantics, candidate carry across keys, unmatched rows") {
+    val right = Seq(
+      ("a", ts("2024-01-01 00:00:01"), "r1"),
+      ("a", ts("2024-01-01 00:00:05"), "r2"),
+      ("b", ts("2024-01-01 00:00:02"), "r3"))
+      .toDF("k2", "rt", "rv")
+    val left = Seq(
+      ("a", ts("2024-01-01 00:00:00"), 1L), // before any right row -> null
+      ("a", ts("2024-01-01 00:00:05"), 2L), // equal time matches -> r2
+      ("a", ts("2024-01-01 00:00:09"), 3L), // after all -> r2
+      ("b", ts("2024-01-01 00:00:01"), 4L), // before b's first -> null (not r2!)
+      ("c", ts("2024-01-01 00:00:09"), 5L)) // key with no right rows -> null
+      .toDF("k", "lt", "id")
+    val joined = AsOfOps.asofJoin(left, right, Seq("k"), Seq("k2"), "lt", "rt")
+    val out = joined.select("id", "rv").as[(Long, Option[String])].collect().toMap
+    assert(out == Map(1L -> None, 2L -> Some("r2"), 3L -> Some("r2"), 4L -> None, 5L -> None))
+    assert(joined.columns.length == left.columns.length + right.columns.length)
+  }
+
+  test("null keys and null times never match; empty right side emits all-null right") {
+    val right = Seq(
+      (Option("a"), Option(ts("2024-01-01 00:00:01")), "r1"),
+      (Option("a"), Option.empty[Timestamp], "rNullT"),
+      (Option.empty[String], Option(ts("2024-01-01 00:00:01")), "rNullK"))
+      .toDF("k2", "rt", "rv")
+    val left = Seq(
+      (Option("a"), Option(ts("2024-01-01 00:00:02")), 1L),
+      (Option("a"), Option.empty[Timestamp], 2L),      // null left time
+      (Option.empty[String], Option(ts("2024-01-01 00:00:02")), 3L)) // null left key
+      .toDF("k", "lt", "id")
+    val out = AsOfOps.asofJoin(left, right, Seq("k"), Seq("k2"), "lt", "rt")
+      .select("id", "rv").as[(Long, Option[String])].collect().toMap
+    assert(out == Map(1L -> Some("r1"), 2L -> None, 3L -> None))
+
+    val empty = right.filter(lit(false))
+    val out2 = AsOfOps.asofJoin(left, empty, Seq("k"), Seq("k2"), "lt", "rt")
+      .select("id", "rv").as[(Long, Option[String])].collect().toMap
+    assert(out2 == Map(1L -> None, 2L -> None, 3L -> None))
+  }
+
+  test("multi-key join and colliding-name rejection") {
+    val right = Seq(("a", 1, ts("2024-01-01 00:00:01"), "r1")).toDF("k2", "g2", "rt", "rv")
+    val left = Seq(
+      ("a", 1, ts("2024-01-01 00:00:02"), 10L),
+      ("a", 2, ts("2024-01-01 00:00:02"), 11L)).toDF("k", "g", "lt", "id")
+    val out = AsOfOps.asofJoin(left, right, Seq("k", "g"), Seq("k2", "g2"), "lt", "rt")
+      .select("id", "rv").as[(Long, Option[String])].collect().toMap
+    assert(out == Map(10L -> Some("r1"), 11L -> None))
+
+    val bad = intercept[IllegalArgumentException] {
+      AsOfOps.asofJoin(left, left, Seq("k"), Seq("k"), "lt", "lt")
+    }
+    assert(bad.getMessage.contains("collide"))
+  }
+
+  test("self-join from one scan (fresh right exprIds) is well-formed") {
+    val base = Seq(
+      ("a", ts("2024-01-01 00:00:01"), 1L),
+      ("a", ts("2024-01-01 00:00:03"), 2L)).toDF("k", "t", "id")
+    val renamed = base.toDF("k2", "t2", "id2")
+    val out = AsOfOps.asofJoin(base, renamed, Seq("k"), Seq("k2"), "t", "t2")
+      .select("id", "id2").as[(Long, Option[Long])].collect().toMap
+    // each row matches itself (equal time counts)
+    assert(out == Map(1L -> Some(1L), 2L -> Some(2L)))
+  }
+}
