@@ -52,7 +52,10 @@ object GraftFunctions {
       args => DotExpr(args.head, args(1))),
     ("hilbert_index",
       new ExpressionInfo(classOf[HilbertIndexExpr].getName, "hilbert_index"),
-      args => HilbertIndexExpr(args.head, args(1), intArg(args(2), "bits"))))
+      args => HilbertIndexExpr(args.head, args(1), intArg(args(2), "bits"))),
+    ("repetition_stats",
+      new ExpressionInfo(classOf[RepetitionStatsExpr].getName, "repetition_stats"),
+      args => RepetitionStatsExpr(args.head)))
 
   /** Register on an already-running session (temp functions). */
   def register(spark: SparkSession): Unit =

@@ -314,6 +314,41 @@ final case class HilbertIndexExpr(left: Expression, right: Expression, bits: Int
     copy(left = l, right = r)
 }
 
+/** Gopher-style repetition statistics of a space-tokenized document in
+  * one kernel pass ([[HashKernels.repetitionStats]]): character
+  * fraction of the most frequent word n-gram (n = 2..4) and duplicate
+  * n-gram fraction 1 − distinct/total (n = 2..4), as a 6-double struct.
+  */
+final case class RepetitionStatsExpr(child: Expression)
+    extends UnaryExpression with KernelCodegen {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType != StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"repetition_stats expects a string, got ${child.dataType}")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = RepetitionStatsExpr.schema
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.repetitionStats(input.asInstanceOf[UTF8String])
+
+  override protected def kernelCall(ctx: CodegenContext, c: String): String =
+    s"$kernels.repetitionStats($c)"
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    kernelGenCode(ctx, ev)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RepetitionStatsExpr {
+  val schema: StructType = StructType(
+    Seq("top2_frac", "top3_frac", "top4_frac", "dup2_frac", "dup3_frac", "dup4_frac")
+      .map(StructField(_, DoubleType, nullable = false)))
+}
+
 object HashFunctions {
 
   /** MinHash signature (array<long> of length k) over an array<string>. */
@@ -358,4 +393,8 @@ object HashFunctions {
   def hilbert_index(x: Column, y: Column, bits: Int): Column =
     ColumnBridge.column(HilbertIndexExpr(
       ColumnBridge.expression(x), ColumnBridge.expression(y), bits))
+
+  /** Repetition statistics struct (top/dup n-gram fractions, n=2..4). */
+  def repetition_stats(c: Column): Column =
+    ColumnBridge.column(RepetitionStatsExpr(ColumnBridge.expression(c)))
 }

@@ -258,6 +258,51 @@ object HashKernels {
     * contiguous curve ranges = tighter spatial tiles = better file
     * min/max locality for box queries.
     */
+  /** Gopher-style repetition statistics (Rae et al. '21 §A1.1) in ONE
+    * pass per n: for n = 2..4 the character fraction covered by the most
+    * frequent word n-gram (count × gram chars ÷ text chars; ties break
+    * to the lexicographically smallest gram so the stat is deterministic
+    * and DuckDB-oracle-able), and the duplicate-gram fraction
+    * 1 − distinct/total. Returns a 6-double struct row:
+    * (top2, top3, top4, dup2, dup3, dup4). Tokenization matches
+    * `split(text, ' ')` everywhere else in the corpus surface; fewer
+    * than n tokens → both stats 0 for that n.
+    */
+  def repetitionStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    val toks = s.split(" ", -1)
+    val chars = s.length.toDouble
+    val out = new Array[Any](6)
+    var n = 2
+    while (n <= 4) {
+      val total = toks.length - n + 1
+      if (total <= 0 || chars == 0.0) {
+        out(n - 2) = 0.0
+        out(n + 1) = 0.0
+      } else {
+        val counts = new java.util.HashMap[String, Integer](total * 2)
+        var maxCnt = 0
+        var best: String = null
+        var i = 0
+        while (i < total) {
+          val sb = new java.lang.StringBuilder(toks(i))
+          var j = 1
+          while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+          val g = sb.toString
+          val c = counts.merge(g, 1, (a, b) => a + b).intValue()
+          if (c > maxCnt || (c == maxCnt && g.compareTo(best) < 0)) {
+            maxCnt = c; best = g
+          }
+          i += 1
+        }
+        out(n - 2) = maxCnt * best.length / chars
+        out(n + 1) = 1.0 - counts.size.toDouble / total
+      }
+      n += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+  }
+
   def hilbertIndex(bits: Int, xIn: Int, yIn: Int): Long = {
     // out-of-range bits silently degenerate via Java shift wraparound
     // (bits=33 → s wraps to a 2×2 walk; bits=0 → every cell maps to 0),

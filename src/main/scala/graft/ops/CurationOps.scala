@@ -376,5 +376,66 @@ object CurationOps {
               (v, c) => pow(v - (col("mn") + c * col("scale")), 2)),
             lit(0.0), (acc, v) => acc + v) / size(col("x"))), 6).as("rmse"))
         .orderBy("vec_id")
+    },
+
+    // Gopher-style repetition filter (Rae et al. '21 §A1.1): character
+    // fraction of the most frequent word n-gram (n=2..4) and duplicate
+    // n-gram fraction 1 − distinct/total (n=2..4), one kernel pass per
+    // row (RepetitionStatsExpr — codegen'd, zero shuffle; the oracle
+    // re-derives the same stats relationally). Gopher's n≥5
+    // duplicate-character rules are omitted: measured vacuous on this
+    // corpus (all ≥5-grams unique). Thresholds are calibrated to the
+    // measured sf0.01 quantiles so keep is a real split, not 0%/100%;
+    // keep compares the ROUNDED stats so both engines decide ties
+    // identically.
+    QueryDef(
+      "q_repetition_filter",
+      """WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+        |p2 AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS s FROM toks WHERE len(t) >= 2),
+        |g2 AS (SELECT doc_id, t[s] || ' ' || t[s+1] AS gram FROM p2),
+        |c2 AS (SELECT doc_id, gram, count(*) cnt FROM g2 GROUP BY 1, 2),
+        |t2 AS (SELECT doc_id, cnt, gram FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) rn FROM c2) WHERE rn = 1),
+        |d2 AS (SELECT doc_id, 1.0 - count(DISTINCT gram) * 1.0 / count(*) AS dup FROM g2 GROUP BY 1),
+        |p3 AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS s FROM toks WHERE len(t) >= 3),
+        |g3 AS (SELECT doc_id, t[s] || ' ' || t[s+1] || ' ' || t[s+2] AS gram FROM p3),
+        |c3 AS (SELECT doc_id, gram, count(*) cnt FROM g3 GROUP BY 1, 2),
+        |t3 AS (SELECT doc_id, cnt, gram FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) rn FROM c3) WHERE rn = 1),
+        |d3 AS (SELECT doc_id, 1.0 - count(DISTINCT gram) * 1.0 / count(*) AS dup FROM g3 GROUP BY 1),
+        |p4 AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-3)) AS s FROM toks WHERE len(t) >= 4),
+        |g4 AS (SELECT doc_id, t[s] || ' ' || t[s+1] || ' ' || t[s+2] || ' ' || t[s+3] AS gram FROM p4),
+        |c4 AS (SELECT doc_id, gram, count(*) cnt FROM g4 GROUP BY 1, 2),
+        |t4 AS (SELECT doc_id, cnt, gram FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) rn FROM c4) WHERE rn = 1),
+        |d4 AS (SELECT doc_id, 1.0 - count(DISTINCT gram) * 1.0 / count(*) AS dup FROM g4 GROUP BY 1),
+        |j AS (
+        |  SELECT x.doc_id,
+        |    round(coalesce(t2.cnt * length(t2.gram) * 1.0 / length(x.text), 0), 6) AS top2_frac,
+        |    round(coalesce(t3.cnt * length(t3.gram) * 1.0 / length(x.text), 0), 6) AS top3_frac,
+        |    round(coalesce(t4.cnt * length(t4.gram) * 1.0 / length(x.text), 0), 6) AS top4_frac,
+        |    round(coalesce(d2.dup, 0), 6) AS dup2_frac,
+        |    round(coalesce(d3.dup, 0), 6) AS dup3_frac,
+        |    round(coalesce(d4.dup, 0), 6) AS dup4_frac
+        |  FROM toks x
+        |  LEFT JOIN t2 USING (doc_id) LEFT JOIN d2 USING (doc_id)
+        |  LEFT JOIN t3 USING (doc_id) LEFT JOIN d3 USING (doc_id)
+        |  LEFT JOIN t4 USING (doc_id) LEFT JOIN d4 USING (doc_id))
+        |SELECT *,
+        |  (top2_frac < 0.10 AND top3_frac < 0.10 AND top4_frac < 0.12
+        |    AND dup2_frac < 0.06) AS keep
+        |FROM j ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val stats = graft.functions.HashFunctions.repetition_stats(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), stats.as("r"))
+        .select(
+          col("doc_id"),
+          round(col("r.top2_frac"), 6).as("top2_frac"),
+          round(col("r.top3_frac"), 6).as("top3_frac"),
+          round(col("r.top4_frac"), 6).as("top4_frac"),
+          round(col("r.dup2_frac"), 6).as("dup2_frac"),
+          round(col("r.dup3_frac"), 6).as("dup3_frac"),
+          round(col("r.dup4_frac"), 6).as("dup4_frac"))
+        .withColumn("keep",
+          col("top2_frac") < 0.10 && col("top3_frac") < 0.10 &&
+            col("top4_frac") < 0.12 && col("dup2_frac") < 0.06)
+        .orderBy("doc_id")
     })
 }
