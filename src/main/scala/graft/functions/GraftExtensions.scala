@@ -55,7 +55,10 @@ object GraftFunctions {
       args => HilbertIndexExpr(args.head, args(1), intArg(args(2), "bits"))),
     ("repetition_stats",
       new ExpressionInfo(classOf[RepetitionStatsExpr].getName, "repetition_stats"),
-      args => RepetitionStatsExpr(args.head)))
+      args => RepetitionStatsExpr(args.head)),
+    ("hilbert_index_nd",
+      new ExpressionInfo(classOf[HilbertIndexNdExpr].getName, "hilbert_index_nd"),
+      args => HilbertIndexNdExpr(args.head, intArg(args(1), "bits"))))
 
   /** Register on an already-running session (temp functions). */
   def register(spark: SparkSession): Unit =

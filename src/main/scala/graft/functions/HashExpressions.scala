@@ -314,6 +314,40 @@ final case class HilbertIndexExpr(left: Expression, right: Expression, bits: Int
     copy(left = l, right = r)
 }
 
+/** n-dimensional Hilbert index over an `array<int>` of cell
+  * coordinates — the layout-clustering kernel generalized past 2-D
+  * ([[HashKernels.hilbertIndexN]], Skilling's transpose algorithm).
+  */
+final case class HilbertIndexNdExpr(child: Expression, bits: Int)
+    extends UnaryExpression with KernelCodegen {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType, _) if bits >= 1 && bits <= 31 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case ArrayType(IntegerType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hilbert_index_nd bits must be in [1, 31], got $bits")
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hilbert_index_nd expects array<int> coords, got $other")
+    }
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(HashKernels.hilbertIndexN(bits, input.asInstanceOf[ArrayData]))
+
+  override protected def kernelCall(ctx: CodegenContext, c: String): String =
+    s"$kernels.hilbertIndexN($bits, $c)"
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    kernelGenCode(ctx, ev)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Gopher-style repetition statistics of a space-tokenized document in
   * one kernel pass ([[HashKernels.repetitionStats]]): character
   * fraction of the most frequent word n-gram (n = 2..4) and duplicate
@@ -397,4 +431,8 @@ object HashFunctions {
   /** Repetition statistics struct (top/dup n-gram fractions, n=2..4). */
   def repetition_stats(c: Column): Column =
     ColumnBridge.column(RepetitionStatsExpr(ColumnBridge.expression(c)))
+
+  /** n-D Hilbert curve index of an array<int> of cell coordinates. */
+  def hilbert_index_nd(coords: Column, bits: Int): Column =
+    ColumnBridge.column(HilbertIndexNdExpr(ColumnBridge.expression(coords), bits))
 }

@@ -325,4 +325,57 @@ object HashKernels {
     }
     d
   }
+
+  /** n-dimensional Hilbert index (Skilling, "Programming the Hilbert
+    * curve", AIP CP 707, 2004 — the transpose-form algorithm): maps n
+    * coordinates of `bits` bits each to a single scalar in
+    * [0, 2^(n·bits)). Generalizes [[hilbertIndex]] beyond 2-D (vertex
+    * orientation differs from the 2-D kernel's convention; both are
+    * Hilbert-family curves — consecutive indexes step exactly ONE
+    * coordinate by exactly 1, the locality property layout clustering
+    * relies on, proven for both in KernelProperties).
+    */
+  def hilbertIndexN(bits: Int, coords: ArrayData): Long = {
+    val n = coords.numElements()
+    require(bits >= 1 && n >= 1 && n * bits <= 62,
+      s"hilbert_nd needs bits>=1 and dims*bits<=62, got dims=$n bits=$bits")
+    val x = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val c = coords.getInt(i)
+      require(c >= 0 && c < (1L << bits), s"coord $c out of [0, 2^$bits)")
+      x(i) = c.toLong
+      i += 1
+    }
+    // Skilling AxestoTranspose: inverse-undo excess work, then Gray encode
+    val m = 1L << (bits - 1)
+    var q = m
+    while (q > 1) {
+      val p = q - 1
+      i = 0
+      while (i < n) {
+        if ((x(i) & q) != 0) x(0) ^= p
+        else { val t = (x(0) ^ x(i)) & p; x(0) ^= t; x(i) ^= t }
+        i += 1
+      }
+      q >>= 1
+    }
+    i = 1
+    while (i < n) { x(i) ^= x(i - 1); i += 1 }
+    var t = 0L
+    q = m
+    while (q > 1) { if ((x(n - 1) & q) != 0) t ^= q - 1; q >>= 1 }
+    i = 0
+    while (i < n) { x(i) ^= t; i += 1 }
+    // interleave the transposed index: bit j of dim i lands at position
+    // j*n + (n-1-i) — dim 0 carries the most significant bit per level
+    var d = 0L
+    var j = bits - 1
+    while (j >= 0) {
+      i = 0
+      while (i < n) { d = (d << 1) | ((x(i) >>> j) & 1L); i += 1 }
+      j -= 1
+    }
+    d
+  }
 }

@@ -72,6 +72,43 @@ class KernelProperties extends AnyFunSuite {
     }
   }
 
+  test("property: hilbertIndexN is a bijection onto [0, 2^(d*bits)) for d in 2..4") {
+    for ((d, bits) <- Seq((2, 3), (3, 2), (3, 3), (4, 2))) {
+      val side = 1 << bits
+      val total = 1L << (d * bits)
+      val seen = new Array[Boolean](total.toInt)
+      def walk(prefix: List[Int]): Unit =
+        if (prefix.length == d) {
+          val h = HashKernels.hilbertIndexN(
+            bits, ArrayData.toArrayData(prefix.toArray))
+          assert(h >= 0 && h < total, s"$prefix -> $h out of range (d=$d bits=$bits)")
+          assert(!seen(h.toInt), s"collision at $h for $prefix (d=$d bits=$bits)")
+          seen(h.toInt) = true
+        } else (0 until side).foreach(c => walk(prefix :+ c))
+      walk(Nil)
+    }
+  }
+
+  test("property: hilbertIndexN consecutive indexes step ONE coordinate by exactly 1") {
+    for ((d, bits) <- Seq((2, 4), (3, 3), (4, 2))) {
+      val side = 1 << bits
+      val total = 1L << (d * bits)
+      // invert by exhaustive walk: index -> coords
+      val inv = new Array[Array[Int]](total.toInt)
+      def walk(prefix: List[Int]): Unit =
+        if (prefix.length == d) {
+          val c = prefix.toArray
+          inv(HashKernels.hilbertIndexN(bits, ArrayData.toArrayData(c)).toInt) = c
+        } else (0 until side).foreach(c => walk(prefix :+ c))
+      walk(Nil)
+      (1 until total.toInt).foreach { h =>
+        val diffs = inv(h).zip(inv(h - 1)).map { case (a, b) => math.abs(a - b) }
+        assert(diffs.sum == 1 && diffs.max == 1,
+          s"d=$d bits=$bits: step $h moves ${diffs.mkString(",")} (${inv(h - 1).mkString(",")} -> ${inv(h).mkString(",")})")
+      }
+    }
+  }
+
   test("property: dot is symmetric and norm2sq is non-negative") {
     val pairGen = for {
       n <- Gen.chooseNum(1, 32)
