@@ -33,14 +33,14 @@ object IvfAdcOps {
 
   final case class AdcEncoded(vec_id: Long, cluster: Int, codes: Array[Int], recon_err2: Double)
 
-  private def sub(a: Array[Double], b: Array[Double]): Array[Double] = {
+  private[ops] def sub(a: Array[Double], b: Array[Double]): Array[Double] = {
     val out = new Array[Double](a.length)
     var i = 0
     while (i < a.length) { out(i) = a(i) - b(i); i += 1 }
     out
   }
 
-  private def argminL2(e: Array[Double], cents: Array[Array[Double]]): (Int, Double) = {
+  private[ops] def argminL2(e: Array[Double], cents: Array[Array[Double]]): (Int, Double) = {
     var best = 0; var bd = Double.MaxValue; var c = 0
     while (c < cents.length) {
       var s = 0.0; var i = 0
@@ -72,20 +72,28 @@ object IvfAdcOps {
     IvfAdcModel(coarse, PqOps.PqModel(books))
   }
 
-  /** Encode every vector: its cell + PQ codes of its residual. */
-  def encode(emb: DataFrame, model: IvfAdcModel): Dataset[AdcEncoded] = {
+  /** Encode every vector: its cell + PQ codes of its residual.
+    * `residualTransform` (cell, residual) → quantization-space vector
+    * is the hook LocalOpqOps uses for per-cell rotations; identity for
+    * plain IVFADC. Must be an isometry per cell or ADC distances stop
+    * meaning L2.
+    */
+  def encode(
+      emb: DataFrame, model: IvfAdcModel,
+      residualTransform: (Int, Array[Double]) => Array[Double] = (_, r) => r)
+      : Dataset[AdcEncoded] = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(model)
+    val bc = spark.sparkContext.broadcast((model, residualTransform))
     emb.select(col("vec_id"), transform(col("embedding"), _.cast(DoubleType)).as("e"))
       .as[(Long, Seq[Double])]
       .mapPartitions { it =>
-        val mod = bc.value
+        val (mod, tf) = bc.value
         val sd = mod.pq.subdim
         it.map { case (id, eSeq) =>
           val e = eSeq.toArray
           val (cell, _) = argminL2(e, mod.centroids)
-          val r = sub(e, mod.centroids(cell))
+          val r = tf(cell, sub(e, mod.centroids(cell)))
           val codes = new Array[Int](mod.pq.m)
           var err = 0.0
           var b = 0
@@ -111,7 +119,8 @@ object IvfAdcOps {
       model: IvfAdcModel,
       topk: Int,
       nprobe: Int,
-      poolSize: Int = 0): DataFrame = {
+      poolSize: Int = 0,
+      residualTransform: (Int, Array[Double]) => Array[Double] = (_, r) => r): DataFrame = {
     val spark = encoded.sparkSession
     import spark.implicits._
     val pool = if (poolSize > 0) poolSize else 10 * topk
@@ -129,7 +138,7 @@ object IvfAdcOps {
         })
         .sortBy { case (c, d) => (d, c) }.take(nprobe).map(_._1)
       val tables = byCell.map { c =>
-        val r = sub(q, model.centroids(c))
+        val r = residualTransform(c, sub(q, model.centroids(c)))
         val t = Array.ofDim[Double](model.pq.m, model.pq.k)
         var b = 0
         while (b < model.pq.m) {

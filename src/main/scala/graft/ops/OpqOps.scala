@@ -263,6 +263,71 @@ object OpqOps {
     IvfAdcOps.search(IvfAdcOps.encode(rotated, model), rotated, rotatedQ, model, topk, nprobe)
   }
 
+  /** Local OPQ (Ge et al. CVPR'13 §5, "OPQ per cell"; FAISS
+    * multi-OPQ): one learned rotation PER coarse cell over that cell's
+    * RESIDUALS, with shared PQ codebooks trained in the rotated space.
+    * A global rotation optimizes the AVERAGE residual covariance;
+    * when cells have heterogeneous local structure (different dominant
+    * directions per region of the space — typical of real embedding
+    * manifolds) each cell's own rotation aligns ITS variance with the
+    * block structure. Each per-cell map is still an isometry, so ADC
+    * distances remain L2 and the exact re-rank contract is unchanged.
+    *
+    * Scale shape identical to IVFADC: training driver-side on the
+    * bounded hash sample (nlist d×d eigenproblems), the model
+    * broadcasts (+ nlist·d² doubles over the global variant), encode
+    * and search reuse the IVFADC passes via the residual-transform
+    * hook — nothing new shuffles.
+    */
+  final case class LocalOpqModel(
+      ivf: IvfAdcOps.IvfAdcModel,
+      rotations: Array[Rotation])
+
+  private def identityRotation(d: Int): Rotation =
+    Rotation(new Array[Double](d), Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0))
+
+  /** Cells whose sample is thinner than `minCellSample` keep the
+    * identity rotation (a covariance from 2–3 points is noise).
+    */
+  def trainLocal(emb: DataFrame, nlist: Int, m: Int, k: Int = 256, iters: Int = 8,
+      maxSample: Int = KMeans.DefaultMaxSample, minCellSample: Int = 8): LocalOpqModel = {
+    val pts = KMeans.samplePoints(emb, maxSample)
+    require(pts.nonEmpty, "local OPQ training sample is empty")
+    val d = pts(0).length
+    require(d % m == 0, s"dim $d not divisible into $m blocks")
+    val coarse = KMeans.fitArrays(pts, nlist, iters).centroids
+    val byCell = pts.groupBy(p => IvfAdcOps.argminL2(p, coarse)._1)
+    val identity = identityRotation(d)
+    val rotations = Array.tabulate(coarse.length) { c =>
+      byCell.get(c) match {
+        case Some(cell) if cell.length >= minCellSample =>
+          trainRotationPts(cell.map(p => IvfAdcOps.sub(p, coarse(c))), m)
+        case _ => identity
+      }
+    }
+    val rotated = byCell.toArray.sortBy(_._1).flatMap { case (c, cell) =>
+      cell.map(p => rotateOne(IvfAdcOps.sub(p, coarse(c)), rotations(c).mean, rotations(c).rot))
+    }
+    LocalOpqModel(
+      IvfAdcOps.IvfAdcModel(coarse, PqOps.trainArrays(rotated, m, k, iters)), rotations)
+  }
+
+  /** The per-cell residual transform for IvfAdcOps' encode/search hook. */
+  def localTransform(model: LocalOpqModel): (Int, Array[Double]) => Array[Double] = {
+    val rots = model.rotations
+    (c, r) => rotateOne(r, rots(c).mean, rots(c).rot)
+  }
+
+  def encodeLocal(emb: DataFrame, model: LocalOpqModel): Dataset[IvfAdcOps.AdcEncoded] =
+    IvfAdcOps.encode(emb, model.ivf, localTransform(model))
+
+  def searchLocal(
+      encoded: Dataset[IvfAdcOps.AdcEncoded],
+      emb: DataFrame, queries: DataFrame, model: LocalOpqModel,
+      topk: Int, nprobe: Int, poolSize: Int = 0): DataFrame =
+    IvfAdcOps.search(encoded, emb, queries, model.ivf, topk, nprobe, poolSize,
+      localTransform(model))
+
   val all: Seq[QueryDef] = Seq(
     // Same output shape as q_pq_encode (codes stringified for the
     // driver's rows-only compare); float training keeps it off the hash
@@ -288,5 +353,16 @@ object OpqOps {
         emb,
         emb.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("embedding")),
         r, nlist = 16, m = 8, k = 16, iters = 6, topk = 3, nprobe = 4)
+    },
+
+    // Per-cell rotations (local OPQ) end-to-end; LocalOpqSpec proves
+    // the per-cell isometry (re-rank == exact) and the heterogeneity win.
+    QueryDef.noOracle("q_local_opq_ann") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val model = trainLocal(emb, nlist = 16, m = 8, k = 16, iters = 6)
+      searchLocal(
+        encodeLocal(emb, model), emb,
+        emb.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("embedding")),
+        model, topk = 3, nprobe = 4)
     })
 }
