@@ -268,10 +268,25 @@ object HashKernels {
     * `split(text, ' ')` everywhere else in the corpus surface; fewer
     * than n tokens → both stats 0 for that n.
     */
+  /** Code-point comparison: identical to UTF-8 byte order, which is
+    * DuckDB's binary VARCHAR collation — plain String.compareTo is
+    * UTF-16 unit order and diverges on supplementary-plane text.
+    */
+  private def cpCompare(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
   def repetitionStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
     val s = text.toString
     val toks = s.split(" ", -1)
-    val chars = s.length.toDouble
+    // character counts are CODE POINTS (DuckDB length()), not UTF-16 units
+    val chars = s.codePointCount(0, s.length).toDouble
     val out = new Array[Any](6)
     var n = 2
     while (n <= 4) {
@@ -290,12 +305,12 @@ object HashKernels {
           while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
           val g = sb.toString
           val c = counts.merge(g, 1, (a, b) => a + b).intValue()
-          if (c > maxCnt || (c == maxCnt && g.compareTo(best) < 0)) {
+          if (c > maxCnt || (c == maxCnt && cpCompare(g, best) < 0)) {
             maxCnt = c; best = g
           }
           i += 1
         }
-        out(n - 2) = maxCnt * best.length / chars
+        out(n - 2) = maxCnt * best.codePointCount(0, best.length) / chars
         out(n + 1) = 1.0 - counts.size.toDouble / total
       }
       n += 1
@@ -342,6 +357,9 @@ object HashKernels {
     val x = new Array[Long](n)
     var i = 0
     while (i < n) {
+      // getInt on a null slot silently reads 0 — reject it loudly, a
+      // missing coordinate must never cluster as coordinate 0
+      require(!coords.isNullAt(i), s"hilbert_nd coordinate $i is null")
       val c = coords.getInt(i)
       require(c >= 0 && c < (1L << bits), s"coord $c out of [0, 2^$bits)")
       x(i) = c.toLong

@@ -23,38 +23,57 @@ final class SpaceSaving(val capacity: Int) extends Serializable {
 
   // token -> [est, err]
   val counters = new java.util.HashMap[String, Array[Long]]()
+  // est -> tokens at that estimate: O(log cap) eviction and O(1) min
+  // instead of a full counter scan per eviction (the update path is
+  // map-side per ROW — a linear scan there is O(N·capacity) on
+  // heavy-tailed streams where most rows are untracked keys)
+  private val byCount = new java.util.TreeMap[Long, java.util.TreeSet[String]]()
+
+  private def indexAdd(token: String, est: Long): Unit = {
+    var set = byCount.get(est)
+    if (set == null) { set = new java.util.TreeSet[String](); byCount.put(est, set) }
+    set.add(token); ()
+  }
+
+  private def indexRemove(token: String, est: Long): Unit = {
+    val set = byCount.get(est)
+    set.remove(token)
+    if (set.isEmpty) byCount.remove(est)
+    ()
+  }
+
+  /** Insert/overwrite a counter, maintaining the index (merge path). */
+  private[functions] def putRaw(token: String, est: Long, err: Long): Unit = {
+    val old = counters.put(token, Array(est, err))
+    if (old != null) indexRemove(token, old(0))
+    indexAdd(token, est)
+  }
 
   /** Minimum counter value; the upper bound for any untracked key.
     * 0 while the summary has spare capacity (nothing evicted yet).
     */
   def minEst: Long =
-    if (counters.size < capacity) 0L
-    else {
-      var m = Long.MaxValue
-      val it = counters.values().iterator()
-      while (it.hasNext) m = math.min(m, it.next()(0))
-      m
-    }
+    if (counters.size < capacity) 0L else byCount.firstKey()
 
   def add(token: String, inc: Long = 1L): Unit = {
     val cur = counters.get(token)
-    if (cur != null) cur(0) += inc
-    else if (counters.size < capacity) counters.put(token, Array(inc, 0L))
-    else {
+    if (cur != null) {
+      indexRemove(token, cur(0))
+      cur(0) += inc
+      indexAdd(token, cur(0))
+    } else if (counters.size < capacity) {
+      counters.put(token, Array(inc, 0L))
+      indexAdd(token, inc)
+    } else {
       // evict the minimum counter (ties: largest key, so the SMALLEST
       // key survives deterministically); inherit its count as error
-      var minK: String = null
-      var minV = Long.MaxValue
-      val it = counters.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        val v = e.getValue()(0)
-        if (v < minV || (v == minV && (minK == null || e.getKey.compareTo(minK) > 0))) {
-          minV = v; minK = e.getKey
-        }
-      }
+      val minV = byCount.firstKey()
+      val minSet = byCount.firstEntry().getValue
+      val minK = minSet.last()
       counters.remove(minK)
+      indexRemove(minK, minV)
       counters.put(token, Array(minV + inc, minV))
+      indexAdd(token, minV + inc)
     }
   }
 
@@ -77,8 +96,9 @@ final class SpaceSaving(val capacity: Int) extends Serializable {
       merged.put(k, Array(est, err))
     }
     val out = new SpaceSaving(capacity)
-    if (merged.size <= capacity) out.counters.putAll(merged)
-    else {
+    if (merged.size <= capacity) {
+      merged.forEach((k, v) => out.putRaw(k, v(0), v(1)))
+    } else {
       val top = new java.util.ArrayList[java.util.Map.Entry[String, Array[Long]]](merged.entrySet())
       top.sort { (x, y) =>
         val c = java.lang.Long.compare(y.getValue()(0), x.getValue()(0))
@@ -87,7 +107,7 @@ final class SpaceSaving(val capacity: Int) extends Serializable {
       var i = 0
       while (i < capacity) {
         val e = top.get(i)
-        out.counters.put(e.getKey, e.getValue)
+        out.putRaw(e.getKey, e.getValue()(0), e.getValue()(1))
         i += 1
       }
     }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -13,53 +13,85 @@ import org.apache.spark.sql.types._
   * batches without re-tokenizing.
   *
   * The core is a DISTRIBUTED PREFIX SUM (the textbook two-phase scan):
-  * range-partition by the order column, per-partition partial sums, a
-  * driver-side cumulative offset table (numPartitions entries — O(1)
-  * data per partition, broadcast back), then one partition-local window
-  * pass. A naive `sum().over(Window.orderBy(...))` with no partition
-  * clause would drag the whole table through ONE task — the classic
-  * global-window scale trap this operator exists to avoid; here no
-  * stage ever sees more than its own partition plus a numPartitions-row
-  * table, so the shape survives 100 TB unchanged.
+  * bucket by the order column, per-bucket partial sums, a driver-side
+  * cumulative offset table (numBuckets entries — O(1) per bucket,
+  * broadcast back), then one bucket-local window pass. A naive
+  * `sum().over(Window.orderBy(...))` with no partition clause would
+  * drag the whole table through ONE task — the classic global-window
+  * scale trap this operator exists to avoid.
+  *
+  * Buckets are a PURE FUNCTION of the row: range boundaries come from
+  * a deterministic hash sample of the order column (smallest-xxhash64
+  * rows), so the totals job and the scan job assign every row the
+  * same bucket by construction. `repartitionByRange` would NOT give
+  * that guarantee — RangePartitioner re-samples its bounds per
+  * execution in shuffle-fetch order, and the two jobs could split the
+  * key space differently.
   */
 object PackOps {
 
+  private def compareAny(a: Any, b: Any): Int =
+    a.asInstanceOf[Comparable[Any]].compareTo(b)
+
   /** `df` plus column `acc`: the exclusive prefix sum of `valueCol` in
     * `orderCol` order (the sum of all values STRICTLY before the row).
-    * `orderCol` must be unique — it is the deterministic concatenation
-    * order. Two jobs: one to size the partitions, one to scan them.
+    * `orderCol` must be unique and non-null — it is the deterministic
+    * concatenation order. Three jobs: a bounded sample for the bucket
+    * boundaries, the per-bucket totals, and the scan itself.
+    *
+    * The bucket test is a numBuckets-term indicator chain (codegen'd,
+    * no UDF) — O(numBuckets) per row, fine into the hundreds; cap
+    * `numBuckets` accordingly and let each bucket's window pass handle
+    * more rows rather than widening the chain without bound.
     */
   def exclusivePrefixSum(
-      df: DataFrame, orderCol: String, valueCol: String, acc: String): DataFrame = {
-    val pid = SkewOps.freshName(df, "pid")
-    // The offsets job and the scan job both derive from this ONE plan:
-    // RangePartitioner's bound sampling is seeded per partition index
-    // (byteswap32), so identical lineage + identical input yields the
-    // SAME split in both jobs — no cache pin needed to keep the pid
-    // assignment consistent.
-    val parted = df
-      .repartitionByRange(col(orderCol))
-      .withColumn(pid, spark_partition_id())
-    val totals = parted.groupBy(col(pid)).agg(sum(col(valueCol)).as("t"))
-        .collect().flatMap(r => Option(r.get(1)).map(t => r.getInt(0) -> t.asInstanceOf[Long]))
-        .toMap
-      val nParts = if (totals.isEmpty) 0 else totals.keys.max + 1
-      val offsets = new Array[Long](nParts + 1)
-      (0 until nParts).foreach { p =>
-        offsets(p + 1) = offsets(p) + totals.getOrElse(p, 0L)
-      }
-      // per-partition base offsets ride back as a broadcast join with a
-      // numPartitions-row table — never a numPartitions-deep expression
-      val spark = df.sparkSession
-      val base = SkewOps.freshName(parted, "base_off")
-      import spark.implicits._
-      val offDf = (0 until nParts).map(p => (p, offsets(p))).toDF(pid, base)
-      val w = Window.partitionBy(col(pid)).orderBy(col(orderCol))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      parted
-        .join(broadcast(offDf), pid)
-        .withColumn(acc, coalesce(sum(col(valueCol)).over(w), lit(0L)) + col(base))
-        .drop(pid, base)
+      df: DataFrame, orderCol: String, valueCol: String, acc: String,
+      numBuckets: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nb = {
+      val n = if (numBuckets > 0) numBuckets
+        else spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+      math.max(1, math.min(n, 512))
+    }
+    // deterministic uniform sample: the sampleSize smallest xxhash64
+    // values of orderCol (total order, data-dependent only)
+    val sampleSize = nb * 64
+    val sample = df.select(col(orderCol))
+      .orderBy(xxhash64(col(orderCol)), col(orderCol))
+      .limit(sampleSize)
+      .collect().map(_.get(0))
+    java.util.Arrays.sort(sample.asInstanceOf[Array[AnyRef]],
+      (x: AnyRef, y: AnyRef) => compareAny(x, y))
+    val bounds: Array[Any] =
+      if (sample.isEmpty) Array.empty
+      else (1 until nb)
+        .map(i => sample(math.min(i * sample.length / nb, sample.length - 1)))
+        .distinct
+        .toArray
+    val bucketExpr: Column = bounds.foldLeft(lit(0)) { (e, b) =>
+      e + when(col(orderCol) > lit(b), 1).otherwise(0)
+    }
+
+    val bkt = SkewOps.freshName(df, "bkt")
+    val withB = df.withColumn(bkt, bucketExpr)
+    val totals = withB.groupBy(col(bkt)).agg(sum(col(valueCol)).as("t"))
+      .collect().flatMap(r => Option(r.get(1)).map(t => r.getInt(0) -> t.asInstanceOf[Long]))
+      .toMap
+    val offsets = new Array[Long](bounds.length + 2)
+    (0 to bounds.length).foreach { p =>
+      offsets(p + 1) = offsets(p) + totals.getOrElse(p, 0L)
+    }
+    // per-bucket base offsets ride back as a broadcast join with a
+    // numBuckets-row table — never a numBuckets-deep expression
+    val base = SkewOps.freshName(withB, "base_off")
+    val offDf = (0 to bounds.length).map(p => (p, offsets(p))).toDF(bkt, base)
+    val w = Window.partitionBy(col(bkt)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withB
+      .join(broadcast(offDf), bkt)
+      .withColumn(acc, coalesce(sum(col(valueCol)).over(w), lit(0L)) + col(base))
+      .drop(bkt, base)
   }
 
   val all: Seq[QueryDef] = Seq(

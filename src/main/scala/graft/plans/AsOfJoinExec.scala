@@ -80,7 +80,11 @@ final case class AsOfJoinExec(
       val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
       val nullRight = new GenericInternalRow(rOut.size)
       val joined = new JoinedRow
-      val project = UnsafeProjection.create(outAttrs, lOut ++ rOut)
+      // bind against the nullable-marked OUTPUT attrs, not lOut ++ rOut:
+      // BindReferences takes nullability from the input side, and a
+      // non-nullable right column read from the null-padded row without
+      // a null check yields 0/false (or NPEs) instead of NULL
+      val project = UnsafeProjection.create(outAttrs, outAttrs)
 
       new Iterator[InternalRow] {
         // head of the right side, owned copy (child iterators reuse rows)

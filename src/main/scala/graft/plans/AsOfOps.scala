@@ -33,7 +33,10 @@ object AsOfOps {
       leftTime: String,
       rightTime: String): DataFrame = {
     require(leftKeys.length == rightKeys.length, "key arity mismatch")
-    val dup = left.columns.toSet.intersect(right.columns.toSet)
+    // the session's resolver, so case sensitivity follows
+    // spark.sql.caseSensitive like every built-in lookup
+    val resolver = left.sparkSession.sessionState.conf.resolver
+    val dup = left.columns.filter(l => right.columns.exists(r => resolver(l, r)))
     require(dup.isEmpty, s"column names collide across sides: ${dup.mkString(", ")} — rename first")
 
     val lp = left.queryExecution.analyzed
@@ -43,9 +46,13 @@ object AsOfOps {
     val rp: LogicalPlan = Project(rAliases, right.queryExecution.analyzed)
 
     def resolve(plan: LogicalPlan, name: String, side: String): Attribute =
-      plan.output.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(
-          s"$side column '$name' not in [${plan.output.map(_.name).mkString(", ")}]"))
+      plan.output.filter(a => resolver(a.name, name)) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"$side column '$name' not in [${plan.output.map(_.name).mkString(", ")}]")
+        case many => throw new IllegalArgumentException(
+          s"$side column '$name' is ambiguous: ${many.map(_.name).mkString(", ")}")
+      }
 
     val lk = leftKeys.map(resolve(lp, _, "left"))
     val rk = rightKeys.map(resolve(rp, _, "right"))

@@ -41,10 +41,17 @@ object StreamingDedup {
     if (n == 0) 0.0 else eq.toDouble / n
   }
 
-  /** Per-bucket state transition: docs arrive (processed in doc_id
-    * order for determinism within a batch), each compares against the
-    * stored signatures; a best match at or above `threshold` marks it
-    * a duplicate (ties: smallest stored id), otherwise it is accepted
+  /** Per-bucket state transition: docs are processed in doc_id order —
+    * the group iterator arrives in SHUFFLE order (not source order), so
+    * without the sort the within-batch survivor among mutual near-dups
+    * would be nondeterministic across reruns, breaking this library's
+    * determinism contract. The sort buffers the bucket's micro-batch
+    * slice: within-batch working memory is O(bucket batch size) —
+    * bound it operationally with trigger sizing (maxFilesPerTrigger /
+    * maxOffsetsPerTrigger); what `maxBucket` bounds is the state
+    * CARRIED ACROSS batches. Each doc compares against the stored
+    * signatures; a best match at or above `threshold` marks it a
+    * duplicate (ties: smallest stored id), otherwise it is accepted
     * and (capacity permitting) stored.
     */
   private[streaming] def gate(threshold: Double, maxBucket: Int)(
@@ -53,7 +60,9 @@ object StreamingDedup {
       state: GroupState[BucketState]): Iterator[Verdict] = {
     var st = state.getOption.getOrElse(BucketState(Nil, Nil))
     val out = Seq.newBuilder[Verdict]
-    docs.toSeq.sortBy(_.doc_id).foreach { d =>
+    val sorted = docs.toArray
+    scala.util.Sorting.quickSort(sorted)(Ordering.by(_.doc_id))
+    sorted.foreach { d =>
       var bestId = -1L
       var bestEst = -1.0
       var i = 0

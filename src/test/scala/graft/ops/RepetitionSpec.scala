@@ -48,6 +48,15 @@ class RepetitionSpec extends AnyFunSuite {
     assert(math.abs(dup2 - (1.0 - 1.0 / 3)) < 1e-12)
   }
 
+  test("supplementary-plane text: lengths count code points, ties break in code-point order") {
+    // U+1F600 GRINNING FACE is 2 UTF-16 units but ONE character in
+    // DuckDB's length(); text "😀 a 😀 a" = 7 code points
+    val Array(top2, _, _, dup2, _, _) = stats("😀 a 😀 a")
+    // bigrams: "😀 a"×2 (3 code points), "a 😀"×1 → top covers 2*3/7
+    assert(math.abs(top2 - 6.0 / 7) < 1e-12, s"got $top2")
+    assert(math.abs(dup2 - (1.0 - 2.0 / 3)) < 1e-12)
+  }
+
   test("SQL registration and codegen path agree with the kernel") {
     val viaSql = spark.sql(
       "SELECT round(repetition_stats('a b a b c').top2_frac, 6) AS f").head().getDouble(0)

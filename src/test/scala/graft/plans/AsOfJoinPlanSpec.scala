@@ -99,6 +99,30 @@ class AsOfJoinPlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(bad.getMessage.contains("collide"))
   }
 
+  test("unmatched rows emit NULL for NON-NULLABLE right columns (projection nullability)") {
+    // primitive-typed tuples => nullable=false schema on the right side;
+    // the null-padded row must still surface as NULL, not 0/false
+    val right = Seq(("a", ts("2024-01-01 00:00:05"), 7L, true)).toDF("k2", "rt", "rv", "rb")
+    assert(!right.schema("rv").nullable && !right.schema("rb").nullable)
+    val left = Seq(
+      ("a", ts("2024-01-01 00:00:09"), 1L), // matches -> 7, true
+      ("a", ts("2024-01-01 00:00:01"), 2L), // before -> NULL, NULL
+      ("z", ts("2024-01-01 00:00:09"), 3L)) // no key -> NULL, NULL
+      .toDF("k", "lt", "id")
+    val rows = AsOfOps.asofJoin(left, right, Seq("k"), Seq("k2"), "lt", "rt")
+      .select("id", "rv", "rb").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(rows == Map(1L -> Some(7L), 2L -> None, 3L -> None))
+  }
+
+  test("column resolution follows spark.sql.caseSensitive (default: insensitive)") {
+    val right = Seq(("a", ts("2024-01-01 00:00:01"), "r1")).toDF("k2", "rt", "rv")
+    val left = Seq(("a", ts("2024-01-01 00:00:02"), 1L)).toDF("k", "lt", "id")
+    val out = AsOfOps.asofJoin(left, right, Seq("K"), Seq("K2"), "LT", "RT")
+      .select("id", "rv").as[(Long, Option[String])].collect().toMap
+    assert(out == Map(1L -> Some("r1")))
+  }
+
   test("self-join from one scan (fresh right exprIds) is well-formed") {
     val base = Seq(
       ("a", ts("2024-01-01 00:00:01"), 1L),
