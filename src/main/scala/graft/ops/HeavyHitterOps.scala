@@ -1,8 +1,9 @@
 package graft.ops
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
-import graft.functions.SpaceSavingAgg
+import graft.functions.{SpaceSavingAgg, TopKAgg}
 
 /** Corpus vocabulary heavy hitters through the SpaceSaving typed
   * aggregate ([[graft.functions.SpaceSavingAgg]]): the token stream
@@ -32,5 +33,40 @@ object HeavyHitterOps {
         .select(explode(col("items")).as("h"))
         .select(col("h.token").as("token"), col("h.est").as("cnt"), col("h.err").as("err"))
         .orderBy(desc("cnt"), asc("token"))
+    },
+
+    // Per-key top-k through the bounded TopKAgg aggregate (map-side
+    // O(k) buffers, no whole-partition sort) — checked against the
+    // exact window formulation the DuckDB oracle runs.
+    QueryDef(
+      "q_topk_per_key",
+      """WITH r AS (
+        |  SELECT l_returnflag, l_extendedprice AS price,
+        |    l_orderkey * 10 + l_linenumber AS uid,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice DESC, l_orderkey * 10 + l_linenumber ASC) AS rn
+        |  FROM lineitem)
+        |SELECT l_returnflag, CAST(rn AS BIGINT) AS rn,
+        |  round(price, 6) AS price, uid
+        |FROM r WHERE rn <= 5 ORDER BY l_returnflag, rn""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val agg = new TopKAgg(5)
+      Tables.lineitem(s, d)
+        .select(
+          col("l_returnflag"),
+          col("l_extendedprice").cast(DoubleType),
+          (col("l_orderkey") * 10 + col("l_linenumber")).cast(LongType))
+        .as[(String, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues(t => (t._2, t._3))
+        .agg(agg.toColumn)
+        .toDF("l_returnflag", "topk")
+        .select(col("l_returnflag"), posexplode(col("topk.items")).as(Seq("pos", "e")))
+        .select(
+          col("l_returnflag"),
+          (col("pos") + 1).cast(LongType).as("rn"),
+          round(col("e.value"), 6).as("price"),
+          col("e.id").as("uid"))
+        .orderBy("l_returnflag", "rn")
     })
 }

@@ -70,6 +70,35 @@ class HeavyHitterSpec extends AnyFunSuite {
     }
   }
 
+  test("TopKAgg: bounded buffers, deterministic ties, equals the window formulation") {
+    val agg = new TopKAgg(3)
+    // reduce never lets the buffer exceed 2k+1 before compaction
+    var buf = agg.zero
+    (0 until 100).foreach { i =>
+      buf = agg.reduce(buf, (i % 7 * 1.0, i.toLong))
+      assert(buf.length <= 7)
+    }
+    // max value 6.0 occurs at ids 6,13,20,…; merging the buffer with
+    // itself duplicates entries, and ties resolve (value desc, id asc)
+    val out = agg.finish(agg.merge(buf, buf)).items
+    assert(out == Seq(TopKEntry(6.0, 6L), TopKEntry(6.0, 6L), TopKEntry(6.0, 13L)))
+
+    // distributed path equals Spark's own window top-k on driver data
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val got = graft.SparkEntry.queries("q_topk_per_key")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val li = graft.ops.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select(col("l_returnflag").as("f"), col("l_extendedprice").cast("double").as("p"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("uid"))
+    val w = Window.partitionBy(col("f")).orderBy(col("p").desc, col("uid").asc)
+    val exact = li.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("f"), col("rn").cast("long"), round(col("p"), 6), col("uid"))
+      .orderBy("f", "rn")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(got == exact)
+  }
+
   test("q_heavy_hitters: exact top-20 over the driver corpus, distributed path") {
     val out = graft.SparkEntry.queries("q_heavy_hitters")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
