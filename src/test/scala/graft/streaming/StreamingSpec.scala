@@ -439,5 +439,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(audio.filter(
       col("n_frames") =!= (lit(200) + col("media_id") % 600).cast("long")).count() == 0,
       "decoded frame count must equal the generated frame count")
+    // every video row parses through the real AVI/MJPEG container path:
+    // dims from avih, frame count from the movi chunks, fps from the
+    // header timing — all matching the generator's formulas
+    val video = viaQuery.filter(col("media_type") === "video")
+    assert(video.count() > 0)
+    assert(video.filter(
+      col("width") =!= (lit(8) + col("media_id") % 16).cast("int") ||
+        col("height") =!= (lit(8) + (col("media_id").cast("long") / 16 % 16).cast("int")).cast("int")).count() == 0,
+      "decoded AVI dims must equal the generated dims")
+    assert(video.filter(
+      col("n_frames") =!= (lit(3) + col("media_id") % 5).cast("long")).count() == 0,
+      "decoded frame count must equal the generated movi chunk count")
+    assert(video.filter(
+      col("sample_rate") =!= (lit(10) + col("media_id") % 15).cast("int")).count() == 0,
+      "decoded fps must equal the generated header timing")
+    assert(video.filter(col("lum_mean").isNull).count() == 0,
+      "first MJPEG frame must decode to a real luminance")
+  }
+
+  test("multimodal video: AVI container decode facts and corrupt-container flagging") {
+    import graft.ops.Multimodal
+    val avi = Multimodal.makeAvi(37L)
+    // seed 37: w=8+37%16=13, h=8+(37/16)%16=10, frames=3+37%5=5, fps=10+37%15=17
+    val (w, h, fps, frames, lum) = Multimodal.decodeAvi(avi).get
+    assert((w, h, fps, frames) == (13, 10, 17, 5), s"got ($w,$h,$fps,$frames)")
+    assert(lum > 0 && lum < 255)
+    assert(Multimodal.decodeAvi("RIFFxxxxAVI corrupt".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeAvi(Multimodal.makeWav(3L)).isEmpty,
+      "a RIFF/WAVE file is not an AVI")
+    // truncated container: parser must fail cleanly, not throw
+    assert(Multimodal.decodeAvi(java.util.Arrays.copyOfRange(avi, 0, avi.length / 2)).isEmpty)
   }
 }
