@@ -27,7 +27,8 @@ final case class AsOfJoin(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression)
+    rightTime: Expression,
+    tolerance: Option[Long] = None)
   extends BinaryNode {
 
   require(leftKeys.length == rightKeys.length, "as-of join key arity mismatch")

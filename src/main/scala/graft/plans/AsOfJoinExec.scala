@@ -30,9 +30,18 @@ final case class AsOfJoinExec(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
+    tolerance: Option[Long],
     left: SparkPlan,
     right: SparkPlan)
   extends BinaryExecNode {
+
+  // tolerance compares raw time differences, so it needs a long-backed
+  // time type (timestamp = µs, date = days, long/int = themselves)
+  tolerance.foreach { t =>
+    require(t >= 0, s"as-of tolerance must be >= 0, got $t")
+    require(AsOfJoinExec.longBacked(leftTime.dataType),
+      s"as-of tolerance needs a long-backed time type, got ${leftTime.dataType}")
+  }
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -86,11 +95,15 @@ final case class AsOfJoinExec(
       // a null check yields 0/false (or NPEs) instead of NULL
       val project = UnsafeProjection.create(outAttrs, outAttrs)
 
+      val tolOpt = tolerance
+      val timeAsLong: InternalRow => Long = AsOfJoinExec.longReader(timeType)
+
       new Iterator[InternalRow] {
         // head of the right side, owned copy (child iterators reuse rows)
         private var nextRight: InternalRow = _
         // last advanced-past right row whose keys+time were non-null
         private var cand: InternalRow = _
+        private var candTime: Long = 0L
 
         private def readRight(): Unit =
           nextRight = if (rIter.hasNext) rIter.next().copy() else null
@@ -110,12 +123,17 @@ final case class AsOfJoinExec(
             val kc = keyOrd.compare(rKey, lKey)
             val rTime = rTimeProj(nextRight)
             if (kc < 0 || (kc == 0 && timeOrd.compare(rTime, lTime) <= 0)) {
-              if (!rKey.anyNull && !rTime.isNullAt(0)) cand = nextRight
+              if (!rKey.anyNull && !rTime.isNullAt(0)) {
+                cand = nextRight
+                if (tolOpt.isDefined) candTime = timeAsLong(rTime)
+              }
               readRight()
               advancing = nextRight != null
             } else advancing = false
           }
-          val matched = !lNull && cand != null && keyOrd.compare(rKeyProj(cand), lKey) == 0
+          val matched = !lNull && cand != null &&
+            keyOrd.compare(rKeyProj(cand), lKey) == 0 &&
+            tolOpt.forall(t => timeAsLong(lTime) - candTime <= t)
           numOutputRows += 1
           if (matched) {
             numMatched += 1
@@ -127,4 +145,23 @@ final case class AsOfJoinExec(
       }
     }
   }
+}
+
+object AsOfJoinExec {
+  import org.apache.spark.sql.types._
+
+  private[plans] def longBacked(dt: DataType): Boolean = dt match {
+    case TimestampType | TimestampNTZType | LongType | IntegerType | DateType => true
+    case _ => false
+  }
+
+  /** Reader for the single-column time row as a raw long (timestamp =
+    * µs since epoch, date = days, int/long = themselves).
+    */
+  private[plans] def longReader(dt: DataType): org.apache.spark.sql.catalyst.InternalRow => Long =
+    dt match {
+      case TimestampType | TimestampNTZType | LongType => r => r.getLong(0)
+      case IntegerType | DateType => r => r.getInt(0).toLong
+      case other => throw new IllegalArgumentException(s"not long-backed: $other")
+    }
 }

@@ -23,7 +23,10 @@ object AsOfOps {
     * positional pairs; time columns must have identical types on both
     * sides (ordering is compared cross-side). Right-side column names
     * must not collide with left-side ones (rename before joining —
-    * both schemas survive into the output).
+    * both schemas survive into the output). `tolerance` (optional)
+    * bounds the match gap in the time type's raw units (µs for
+    * timestamps, days for dates): a latest-at-or-before row further
+    * back than that emits the null right side instead.
     */
   def asofJoin(
       left: DataFrame,
@@ -31,7 +34,8 @@ object AsOfOps {
       leftKeys: Seq[String],
       rightKeys: Seq[String],
       leftTime: String,
-      rightTime: String): DataFrame = {
+      rightTime: String,
+      tolerance: Option[Long] = None): DataFrame = {
     require(leftKeys.length == rightKeys.length, "key arity mismatch")
     // the session's resolver, so case sensitivity follows
     // spark.sql.caseSensitive like every built-in lookup
@@ -70,7 +74,7 @@ object AsOfOps {
         !spark.experimental.extraStrategies.contains(GraftStrategy)) {
       spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ GraftStrategy
     }
-    DatasetBridge.ofRows(spark, AsOfJoin(lp, rp, lk, rk, lt, rt))
+    DatasetBridge.ofRows(spark, AsOfJoin(lp, rp, lk, rk, lt, rt, tolerance))
   }
 
   private val IsoMs = "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
@@ -101,6 +105,41 @@ object AsOfOps {
       val purchases = e.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts"), col("event_id"))
       asofJoin(purchases, views, Seq("user_id"), Seq("v_user"), "ts", "v_ts")
+        .select(
+          col("event_id"), col("user_id"),
+          date_format(col("ts"), IsoMs).as("purchase_time"),
+          col("view_id").as("last_view_id"))
+        .orderBy("event_id")
+    },
+
+    // Tolerance variant: a view only attributes to a purchase within
+    // 10 minutes. DuckDB has no ASOF tolerance — the oracle post-nulls
+    // matches beyond the gap, which is semantically identical (the
+    // latest-at-or-before row either is within the gap or there is no
+    // match at all).
+    QueryDef(
+      "q_asof_tolerance",
+      """WITH v AS (
+        |  SELECT user_id, ts::TIMESTAMP AS vts, max(event_id) AS view_id
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts::TIMESTAMP),
+        |p AS (
+        |  SELECT user_id, event_id, ts::TIMESTAMP AS pts, value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id,
+        |  strftime(p.pts, '%Y-%m-%dT%H:%M:%S.%gZ') AS purchase_time,
+        |  CASE WHEN v.vts IS NOT NULL AND p.pts - v.vts <= INTERVAL 600 SECOND
+        |    THEN v.view_id END AS last_view_id
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.pts >= v.vts
+        |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      val views = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("view_id"))
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"), col("view_id"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      asofJoin(purchases, views, Seq("user_id"), Seq("v_user"), "ts", "v_ts",
+        tolerance = Some(600L * 1000000)) // 10 min in µs
         .select(
           col("event_id"), col("user_id"),
           date_format(col("ts"), IsoMs).as("purchase_time"),

@@ -123,6 +123,29 @@ class AsOfJoinPlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(out == Map(1L -> Some("r1")))
   }
 
+  test("tolerance: matches beyond the gap emit the null right side") {
+    val right = Seq(
+      ("a", ts("2024-01-01 00:00:00"), "r1"),
+      ("a", ts("2024-01-01 00:01:00"), "r2")).toDF("k2", "rt", "rv")
+    val left = Seq(
+      ("a", ts("2024-01-01 00:01:05"), 1L), // 5s after r2 -> within 10s
+      ("a", ts("2024-01-01 00:00:30"), 2L), // 30s after r1 -> beyond 10s
+      ("a", ts("2024-01-01 00:01:10"), 3L)) // exactly 10s after r2 -> inclusive
+      .toDF("k", "lt", "id")
+    val out = AsOfOps.asofJoin(left, right, Seq("k"), Seq("k2"), "lt", "rt",
+      tolerance = Some(10L * 1000000))
+      .select("id", "rv").as[(Long, Option[String])].collect().toMap
+    assert(out == Map(1L -> Some("r2"), 2L -> None, 3L -> Some("r2")))
+    // oracle twin runs the post-null formulation over driver data
+    val viaQuery = graft.SparkEntry.queries("q_asof_tolerance")(spark, sf)
+    val loose = graft.SparkEntry.queries("q_asof_native")(spark, sf)
+    val tMatched = viaQuery.filter(col("last_view_id").isNotNull).count()
+    val lMatched = loose.filter(col("last_view_id").isNotNull).count()
+    assert(viaQuery.count() == loose.count())
+    assert(tMatched < lMatched, "the tolerance must actually null out distant matches")
+    assert(tMatched > 0, "and keep the close ones")
+  }
+
   test("self-join from one scan (fresh right exprIds) is well-formed") {
     val base = Seq(
       ("a", ts("2024-01-01 00:00:01"), 1L),
