@@ -1,0 +1,63 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Per-file bloom sidecars: pruning actually skips files on a
+  * key-clustered table, results stay exact (false positives filtered),
+  * and absent keys read zero files.
+  */
+class BloomIndexSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def writeClustered(root: String): Int = {
+    // cluster by key so each file holds a narrow key range — the
+    // layout that makes file skipping pay (TableLayout's job)
+    val df = (0L until 4000L).map(i => (i % 40, i, s"payload$i"))
+      .toDF("key", "id", "payload")
+      .repartitionByRange(8, col("key"))
+    BloomIndex.write(df, root, "key", expectedKeysPerFile = 1000)
+    spark.read.parquet(root).inputFiles.length
+  }
+
+  test("point lookups read a strict subset of files; results equal a full scan") {
+    val root = Files.createTempDirectory("graft-bloomidx").toFile.getAbsolutePath + "/t"
+    val nFiles = writeClustered(root)
+    assert(nFiles >= 4, s"need multiple files for a pruning test, got $nFiles")
+
+    val probed = BloomIndex.probeFiles(spark, root, Seq(7L))
+    assert(probed.nonEmpty && probed.length < nFiles,
+      s"bloom must prune: ${probed.length} of $nFiles files survived")
+
+    val viaIndex = BloomIndex.lookup(spark, root, "key", Seq(7L))
+      .select("id").as[Long].collect().sorted.toSeq
+    val fullScan = spark.read.parquet(root).filter(col("key") === 7L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(viaIndex == fullScan && viaIndex.nonEmpty)
+
+    // multi-key probe unions the files; still exact
+    val multi = BloomIndex.lookup(spark, root, "key", Seq(3L, 33L))
+      .select("id").as[Long].collect().sorted.toSeq
+    val multiFull = spark.read.parquet(root).filter(col("key").isin(3L, 33L))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(multi == multiFull && multi.nonEmpty)
+  }
+
+  test("absent keys: no file survives the sidecar pass; lookup returns empty with schema") {
+    val root = Files.createTempDirectory("graft-bloomidx2").toFile.getAbsolutePath + "/t"
+    writeClustered(root)
+    // 1% fpp over ≤8 files: a miss on every sidecar is the overwhelming
+    // outcome; assert pruning strictly beats the full file list
+    val probed = BloomIndex.probeFiles(spark, root, Seq(99999L))
+    assert(probed.isEmpty, s"absent key should prune everything, got $probed")
+    val out = BloomIndex.lookup(spark, root, "key", Seq(99999L))
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("key", "id", "payload"))
+  }
+}
