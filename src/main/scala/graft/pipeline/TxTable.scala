@@ -232,6 +232,80 @@ object TxTable {
   def commit(spark: SparkSession, root: String, data: DataFrame, partitionCol: String): Unit =
     publish(spark, root, stage(spark, root, data, partitionCol), partitionCol)
 
+  /** Thrown by [[publishOptimistic]] when another committer changed one
+    * of THIS commit's partitions after `baseVersion` — a write-write
+    * conflict the caller must resolve by re-deriving its data from the
+    * new table state.
+    */
+  final class WriteConflictException(msg: String) extends java.io.IOException(msg)
+
+  /** Optimistic multi-writer publish (snapshot OCC, the Delta/Iceberg
+    * commit protocol in miniature): the caller read the table at
+    * `baseVersion`, derived `stagedDir` from it, and now attempts to
+    * commit. If other writers committed in between, their manifests are
+    * REBASED under ours — unless one of them touched a partition we
+    * are changing, which is a [[WriteConflictException]] (partition-
+    * level write-write conflict; blind last-wins would silently drop
+    * their rows). The manifest create is the CAS: write-tmp then
+    * rename to the next version's name, which fails when that version
+    * was taken (HDFS rename-to-existing is atomic-no; the local-FS
+    * exists-check narrows the same race for tests) — the loser
+    * re-reads, re-checks conflicts, and retries at the next number.
+    * Disjoint-partition writers therefore ALL succeed, serialized by
+    * version number; same-partition writers fail loudly.
+    *
+    * Returns the committed version.
+    */
+  def publishOptimistic(
+      spark: SparkSession, root: String, stagedDir: String, partitionCol: String,
+      baseVersion: Long, maxRetries: Int = 10): Long = {
+    val f = fs(spark, root)
+    val changed = f.listStatus(new Path(s"$root/$stagedDir"))
+      .map(_.getPath.getName)
+      .filter(_.startsWith(partitionCol + "="))
+      .map(p => p.stripPrefix(partitionCol + "=") -> s"$stagedDir/$p")
+      .toMap
+    require(changed.nonEmpty, s"staged dir $stagedDir has no $partitionCol= partitions")
+    val baseState: Map[String, String] =
+      if (baseVersion == 0L) Map.empty
+      else parseManifest(f, new Path(logDir(root), manifestName(baseVersion)))
+    val ld = new Path(logDir(root))
+    if (!f.exists(ld) && !f.mkdirs(ld))
+      throw new java.io.IOException(s"cannot create $ld")
+
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      attempt += 1
+      val (v, cur) = latest(spark, root)
+      require(v >= baseVersion, s"base version $baseVersion is ahead of the log ($v)")
+      // write-write check against every intervening commit
+      val conflicts = changed.keys.filter(k => cur.get(k) != baseState.get(k)).toSeq.sorted
+      if (conflicts.nonEmpty)
+        throw new WriteConflictException(
+          s"partitions [${conflicts.mkString(", ")}] changed since version $baseVersion — rebase required")
+      val next = v + 1
+      val dest = new Path(ld, manifestName(next))
+      val tmp = new Path(ld,
+        manifestName(next) + s".${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      val out = f.create(tmp, true)
+      try out.write(
+        (cur ++ changed).toSeq.sorted.map { case (k, dir) => s"$k\t$dir" }.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      val won = !f.exists(dest) && f.rename(tmp, dest)
+      if (won) return next
+      f.delete(tmp, false) // lost the CAS: discard and retry on the new state
+    }
+    throw new java.io.IOException(
+      s"could not commit after $maxRetries attempts — log is too contended")
+  }
+
+  /** Read-stage-publish with OCC: returns the committed version. */
+  def commitOptimistic(
+      spark: SparkSession, root: String, data: DataFrame, partitionCol: String): Long = {
+    val base = latest(spark, root)._1
+    publishOptimistic(spark, root, stage(spark, root, data, partitionCol), partitionCol, base)
+  }
+
   /** Migration guard: a pre-existing FLAT parquet table at `root` (the
     * pre-TxTable on-disk format) must not be silently shadowed — writing
     * a `_txlog` beside it would freeze the flat files forever while

@@ -161,6 +161,38 @@ class TxTableSpec extends AnyFunSuite {
     assert(snapshot(root) == before, "read identical after vacuum")
   }
 
+  test("optimistic concurrency: disjoint-partition writers both commit; same-partition conflict throws") {
+    val root = Files.createTempDirectory("graft-txocc").toFile.getAbsolutePath + "/t"
+    TxTable.commit(spark, root, rows("d1" -> 1.0, "d2" -> 2.0), "day") // v1
+
+    // A reads at v1 and stages d1; B commits d2 first; A must REBASE
+    // cleanly (disjoint partitions) and land at v3 with BOTH updates
+    val baseA = TxTable.latest(spark, root)._1
+    val stagedA = TxTable.stage(spark, root, rows("d1" -> 10.0), "day")
+    val vB = TxTable.commitOptimistic(spark, root, rows("d2" -> 20.0), "day")
+    assert(vB == 2L)
+    val vA = TxTable.publishOptimistic(spark, root, stagedA, "day", baseA)
+    assert(vA == 3L)
+    assert(snapshot(root) == Set(("d1", 10.0), ("d2", 20.0)))
+
+    // C reads at v3 and stages d2; D commits d2 in between: C's publish
+    // must fail with a write-write conflict, and the table keeps D's row
+    val baseC = TxTable.latest(spark, root)._1
+    val stagedC = TxTable.stage(spark, root, rows("d2" -> 99.0), "day")
+    TxTable.commitOptimistic(spark, root, rows("d2" -> 21.0), "day")
+    val conflict = intercept[TxTable.WriteConflictException] {
+      TxTable.publishOptimistic(spark, root, stagedC, "day", baseC)
+    }
+    assert(conflict.getMessage.contains("d2"))
+    assert(snapshot(root) == Set(("d1", 10.0), ("d2", 21.0)))
+
+    // the failed commit left only invisible debris; vacuum collects it
+    // and a subsequent rebased retry (fresh base) succeeds
+    val retry = TxTable.commitOptimistic(spark, root, rows("d2" -> 99.0), "day")
+    assert(retry == 5L)
+    assert(snapshot(root) == Set(("d1", 10.0), ("d2", 99.0)))
+  }
+
   test("the gold merge path composes with TxTable: incremental day recompute commits atomically") {
     val root = Files.createTempDirectory("txtable4").toFile.getAbsolutePath + "/gold"
     // initial gold: two days
