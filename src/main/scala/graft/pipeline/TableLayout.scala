@@ -198,6 +198,32 @@ object TableLayout {
       hilbertValue(col(xCol), col(yCol), columnBounds(df, Seq(xCol, yCol))), path, nFiles)
   }
 
+  /** n-D Hilbert clustering key (Skilling transpose kernel,
+    * `hilbert_index_nd`): the curve-adjacency property of
+    * [[hilbertValue]] at ANY dimensionality — each column scales into
+    * a `bits`-bit cell and the kernel maps the coordinate vector to
+    * its curve position in one codegen'd expression per row.
+    */
+  def hilbertValueNd(cols: Seq[org.apache.spark.sql.Column],
+      bounds: Seq[(Double, Double)], bits: Int = 8): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.array
+    require(cols.nonEmpty && cols.length == bounds.length, "one [lo,hi] bound per column")
+    require(bits * cols.length <= 62, s"$bits bits × ${cols.length} cols overflows a long")
+    val cells = cols.zip(bounds).map { case (c, (lo, hi)) => cellCode(c, lo, hi, bits) }
+    graft.functions.HashFunctions.hilbert_index_nd(array(cells: _*), bits)
+  }
+
+  /** n-D Hilbert-clustered write: [[hilbertOrderWrite]] generalized to
+    * any number of dimensions (the 2-D pair of specialists remain for
+    * their tighter 31-bit-per-axis budgets).
+    */
+  def hilbertOrderWriteNd(df: DataFrame, cols: Seq[String],
+      path: String, nFiles: Int, bits: Int = 8): Unit = {
+    import org.apache.spark.sql.functions.col
+    clusteredWrite(df,
+      hilbertValueNd(cols.map(col), columnBounds(df, cols), bits), path, nFiles)
+  }
+
   /** Save a table bucketed + sorted by `key` (requires saveAsTable — the
     * bucket metadata lives in the catalog).
     */

@@ -111,4 +111,31 @@ class ZOrderSpec extends AnyFunSuite {
     // both layouts hold the same rows
     assert(spark.read.parquet(s"$root/zorder").count() == 20000)
   }
+
+  test("n-D Hilbert layout prunes boxes on every clustered dimension (3-D)") {
+    val root = Files.createTempDirectory("graft-hilbnd").toFile.getAbsolutePath
+    // 3 genuinely independent dims on a 27k-point lattice
+    val df = (0 until 27000).map { i =>
+      (i.toLong, (i % 30).toDouble, (i / 30 % 30).toDouble, (i / 900).toDouble)
+    }.toDF("id", "x", "y", "z")
+    val nFiles = 16
+    TableLayout.hilbertOrderWriteNd(df, Seq("x", "y", "z"), s"$root/h3", nFiles, bits = 5)
+    df.repartitionByRange(nFiles, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(s"$root/by_x")
+
+    def touched(path: String, c: String): Long =
+      spark.read.parquet(path)
+        .filter(col(c).between(10, 14)) // thin box on one dimension
+        .select(input_file_name()).distinct().count()
+
+    // the x-sorted layout spreads y and z boxes over every file; the
+    // 3-D curve concentrates boxes on EACH dimension
+    assert(touched(s"$root/by_x", "y") == nFiles)
+    assert(touched(s"$root/by_x", "z") == nFiles)
+    for (c <- Seq("x", "y", "z")) {
+      val t = touched(s"$root/h3", c)
+      assert(t < nFiles, s"hilbert-3D must prune a $c-box: got $t of $nFiles")
+    }
+    assert(spark.read.parquet(s"$root/h3").count() == 27000)
+  }
 }
