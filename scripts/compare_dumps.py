@@ -31,6 +31,15 @@ def main(a, b):
                 print(f"DIFF {name}: columns {sorted(da.columns)} vs {sorted(db.columns)}")
                 n_diff += 1
                 continue
+            if len(da) == 0 or len(db) == 0:
+                # apply(axis=1) on 0 rows yields a DataFrame, not a
+                # Series — compare emptiness directly
+                if len(da) == len(db):
+                    n_same += 1
+                else:
+                    print(f"DIFF {name}: {len(da)} vs {len(db)} rows")
+                    n_diff += 1
+                continue
             sa = da[cols].astype(str).apply(lambda r: "\x00".join(r), axis=1).sort_values()
             sb = db[cols].astype(str).apply(lambda r: "\x00".join(r), axis=1).sort_values()
             if len(sa) != len(sb) or not (sa.values == sb.values).all():

@@ -1,9 +1,12 @@
 package graft.pipeline
 
-import java.io.{DataInputStream, DataOutputStream}
+import java.io.DataInputStream
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.util.sketch.BloomFilter
 
 /** Per-file bloom sidecars: file skipping past what min/max statistics
@@ -17,12 +20,21 @@ import org.apache.spark.util.sketch.BloomFilter
   *
   * This is the library-level realization of "bloom pushdown into the
   * pruner" without a custom DataSource V2: `write` lays the table down
-  * as data files + a `_bloom/` sidecar dir (one filter per data file,
-  * built from a projection-pruned per-file scan); `probeFiles` consults
-  * the sidecars driver-side (numFiles × bloomBytes — the same scale as
-  * a parquet footer pass) and hands Spark only the surviving paths.
+  * as data files + a `_bloom/` sidecar dir — ALL sidecars built by ONE
+  * job (group by `input_file_name`, Spark's own BloomFilterAggregate
+  * with map-side partial merge; a per-file loop would pay one full
+  * job-scheduling round trip per file). `probeFiles` consults the
+  * sidecars driver-side (numFiles × bloomBytes — the same scale as a
+  * parquet footer pass) and hands Spark only the surviving paths; a
+  * data file with NO sidecar (crash between data write and index
+  * build, or a file added out-of-band) is conservatively kept — the
+  * index degrades to a scan, never to a wrong or failing read.
   * Exactness is restored by the residual filter: bloom false positives
   * only cost a scanned file, never a wrong row.
+  *
+  * Convention: filters hold xxhash64(key) (the BloomFilterAggregate
+  * contract, same as BloomOps); probes hash driver-side with the
+  * identical expression.
   */
 object BloomIndex {
 
@@ -30,43 +42,60 @@ object BloomIndex {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  private def bloomDir(path: String) = new org.apache.hadoop.fs.Path(path, "_bloom")
+
+  /** xxhash64 of a driver-side value, bit-identical to `xxhash64(col)`
+    * on executors (same Literal typing, same seed).
+    */
+  private def xxh(value: Any): Long =
+    XxHash64(Seq(Literal(value)), 42L).eval(null).asInstanceOf[Long] // xxhash64()'s seed
+
   /** Write `df` to `path` (parquet) and build one bloom sidecar per
-    * data file over `keyCol`. `expectedKeysPerFile` sizes the filters
-    * (~9.6 bits/key at the default 1% fpp).
+    * data file over `keyCol`, in ONE indexing job.
+    * `expectedKeysPerFile` sizes the filters (~9.6 bits/key at the
+    * default 1% fpp).
     */
   def write(
       df: DataFrame, path: String, keyCol: String,
       expectedKeysPerFile: Long = 1000000L, fpp: Double = 0.01): Unit = {
     val spark = df.sparkSession
     df.write.mode("overwrite").parquet(path)
+    val numBits = BloomFilter.optimalNumOfBits(expectedKeysPerFile, fpp)
+    val agg = new BloomFilterAggregate(
+      ColumnBridge.expression(xxhash64(col(keyCol))),
+      Literal(expectedKeysPerFile), Literal(numBits)).toAggregateExpression()
+    val perFile = spark.read.parquet(path)
+      .groupBy(input_file_name().as("_file"))
+      .agg(ColumnBridge.column(agg).as("bf"))
+      .collect()
     val hfs = fs(spark, path)
-    val files = hfs.listStatus(new org.apache.hadoop.fs.Path(path))
-      .map(_.getPath).filter(_.getName.endsWith(".parquet"))
-    val bloomDir = new org.apache.hadoop.fs.Path(path, "_bloom")
-    hfs.mkdirs(bloomDir)
-    files.foreach { f =>
-      // per-file, projection-pruned scan; the sketch builds distributed
-      // and merges driver-side inside stat.bloomFilter
-      val bloom = spark.read.parquet(f.toString)
-        .stat.bloomFilter(keyCol, expectedKeysPerFile, fpp)
-      val out = new DataOutputStream(
-        hfs.create(new org.apache.hadoop.fs.Path(bloomDir, f.getName + ".bloom"), true))
-      try bloom.writeTo(out) finally out.close()
+    hfs.mkdirs(bloomDir(path))
+    perFile.foreach { r =>
+      val name = new org.apache.hadoop.fs.Path(r.getString(0)).getName
+      val out = hfs.create(
+        new org.apache.hadoop.fs.Path(bloomDir(path), name + ".bloom"), true)
+      try out.write(r.getAs[Array[Byte]](1)) finally out.close()
     }
   }
 
   /** Data-file paths whose blooms might contain ANY of `keys` —
-    * driver-side sidecar pass, no executor work.
+    * driver-side sidecar pass, no executor work. Files without a
+    * sidecar are kept (conservative: scan beats crash or wrong skip).
     */
   def probeFiles(spark: SparkSession, path: String, keys: Seq[Any]): Seq[String] = {
     val hfs = fs(spark, path)
+    val hashes = keys.map(xxh)
     hfs.listStatus(new org.apache.hadoop.fs.Path(path))
       .map(_.getPath).filter(_.getName.endsWith(".parquet"))
       .filter { f =>
-        val in = new DataInputStream(
-          hfs.open(new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(path, "_bloom"), f.getName + ".bloom")))
-        val bloom = try BloomFilter.readFrom(in) finally in.close()
-        keys.exists(k => bloom.mightContain(k))
+        val sidecar = new org.apache.hadoop.fs.Path(bloomDir(path), f.getName + ".bloom")
+        try {
+          val in = new DataInputStream(hfs.open(sidecar))
+          val bloom = try BloomFilter.readFrom(in) finally in.close()
+          hashes.exists(bloom.mightContainLong)
+        } catch {
+          case _: java.io.FileNotFoundException => true // unindexed file: keep
+        }
       }
       .map(_.toString).toSeq
   }

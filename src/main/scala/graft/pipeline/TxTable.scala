@@ -291,9 +291,24 @@ object TxTable {
       try out.write(
         (cur ++ changed).toSeq.sorted.map { case (k, dir) => s"$k\t$dir" }.mkString("\n").getBytes("UTF-8"))
       finally out.close()
-      val won = !f.exists(dest) && f.rename(tmp, dest)
+      // The CAS. POSIX rename(2) OVERWRITES an existing destination, so
+      // a check-then-rename on the local FS would let two racers both
+      // pass the check and the second silently clobber the first's
+      // manifest — the exact lost commit this protocol forbids. Hard
+      // LINK creation is the atomic create-if-absent POSIX does offer
+      // (link(2) fails EEXIST); HDFS rename already refuses an existing
+      // destination atomically in the namenode.
+      val won =
+        if (f.getUri.getScheme == "file") {
+          try {
+            java.nio.file.Files.createLink(
+              java.nio.file.Paths.get(dest.toUri.getPath),
+              java.nio.file.Paths.get(tmp.toUri.getPath))
+            true
+          } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        } else f.rename(tmp, dest)
+      f.delete(tmp, false) // committed via link, or lost the CAS — either way drop tmp
       if (won) return next
-      f.delete(tmp, false) // lost the CAS: discard and retry on the new state
     }
     throw new java.io.IOException(
       s"could not commit after $maxRetries attempts — log is too contended")

@@ -133,7 +133,14 @@ final case class AsOfJoinExec(
           }
           val matched = !lNull && cand != null &&
             keyOrd.compare(rKeyProj(cand), lKey) == 0 &&
-            tolOpt.forall(t => timeAsLong(lTime) - candTime <= t)
+            tolOpt.forall { t =>
+              // sort order guarantees candTime <= lTime, so the true gap
+              // is non-negative; raw-long time columns can still overflow
+              // the subtraction, and an overflowed gap is by definition
+              // beyond any tolerance
+              try java.lang.Math.subtractExact(timeAsLong(lTime), candTime) <= t
+              catch { case _: ArithmeticException => false }
+            }
           numOutputRows += 1
           if (matched) {
             numMatched += 1

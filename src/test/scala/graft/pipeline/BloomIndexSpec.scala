@@ -49,6 +49,25 @@ class BloomIndexSpec extends AnyFunSuite {
     assert(multi == multiFull && multi.nonEmpty)
   }
 
+  test("a data file without a sidecar degrades to scan, never to a crash or wrong skip") {
+    val root = Files.createTempDirectory("graft-bloomidx3").toFile.getAbsolutePath + "/t"
+    writeClustered(root)
+    // simulate a crash between data write and index build for one file
+    val dataFile = new java.io.File(root).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getName
+    val sidecar = new java.io.File(s"$root/_bloom/$dataFile.bloom")
+    assert(sidecar.exists && sidecar.delete())
+    // absent key: every indexed file prunes, the UNINDEXED file is kept
+    val probed = BloomIndex.probeFiles(spark, root, Seq(99999L))
+    assert(probed.map(p => p.substring(p.lastIndexOf('/') + 1)) == Seq(dataFile))
+    // results still exact for present keys
+    val viaIndex = BloomIndex.lookup(spark, root, "key", Seq(7L))
+      .select("id").as[Long].collect().sorted.toSeq
+    val fullScan = spark.read.parquet(root).filter(col("key") === 7L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(viaIndex == fullScan && viaIndex.nonEmpty)
+  }
+
   test("absent keys: no file survives the sidecar pass; lookup returns empty with schema") {
     val root = Files.createTempDirectory("graft-bloomidx2").toFile.getAbsolutePath + "/t"
     writeClustered(root)
