@@ -20,7 +20,13 @@ object Plans {
         // battery, keyset page as TakeOrderedAndProject, shuffle-free
         // bigram pairing, EXISTS decorrelated to left-semi
         "q_bloom_join", "q_window_funcs", "q_serve_page", "q_bigram_mine",
-        "q_exists_corr")) {
+        "q_exists_corr",
+        // round-3 continuation: the custom AsOfJoinExec between its two
+        // per-side exchanges+sorts, the bucketed distributed prefix sum
+        // (no global window), the SpaceSaving/TopK typed aggregates as
+        // partial ObjectHashAggregates, the one-pass repetition kernel
+        "q_asof_native", "q_seq_pack", "q_heavy_hitters", "q_topk_per_key",
+        "q_repetition_filter")) {
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, d).queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode))
