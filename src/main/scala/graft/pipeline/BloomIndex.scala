@@ -115,4 +115,83 @@ object BloomIndex {
       spark.read.parquet(files: _*).filter(keyColumn.isin(keys: _*))
     }
   }
+
+  /** The PUSHED-DOWN form: a DataFrame whose SCAN consults the
+    * sidecars. [[lookup]] prunes before planning; this integrates the
+    * probe into Catalyst's own file listing (a custom `FileIndex` —
+    * the planner hands it the pushed data filters, and point
+    * predicates on the key column drop files at listing time), so a
+    * plain `.filter(col(key) === x)` over the returned frame skips
+    * files with NO index-aware call at the query site, composing with
+    * whatever other predicates and projections Catalyst pushes.
+    */
+  def readIndexed(spark: SparkSession, path: String, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex}
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    import org.apache.spark.sql.types.StructType
+    val dataSchema = spark.read.parquet(path).schema
+    val index = new BloomFileIndex(spark, path, keyCol, Some(dataSchema))
+    val rel = HadoopFsRelation(
+      index, StructType(Nil), dataSchema, None, new ParquetFileFormat, Map.empty)(spark)
+    spark.baseRelationToDataFrame(rel)
+  }
+
+  /** [[InMemoryFileIndex]] that prunes its listing through the bloom
+    * sidecars whenever the pushed data filters pin the key column to
+    * specific values (`=`, `<=>`, `IN`); any other predicate shape
+    * falls back to the full listing. Missing sidecars keep their file.
+    */
+  private[pipeline] class BloomFileIndex(
+      spark: SparkSession, root: String, keyCol: String,
+      userSchema: Option[org.apache.spark.sql.types.StructType])
+    extends org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
+      spark, Seq(new org.apache.hadoop.fs.Path(root)), Map.empty, userSchema) {
+
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualNullSafe, EqualTo, Expression, In, InSet, Literal => Lit}
+    import org.apache.spark.sql.execution.datasources.PartitionDirectory
+
+    /** Internal-row key values pinned by a pushed filter, if the filter
+      * restricts `keyCol` to a finite set.
+      */
+    private def pinnedKeys(f: Expression): Option[Seq[Long]] = f match {
+      case EqualTo(a: Attribute, l: Lit) if a.name == keyCol =>
+        Some(Seq(XxHash64(Seq(l), 42L).eval(null).asInstanceOf[Long]))
+      case EqualTo(l: Lit, a: Attribute) if a.name == keyCol =>
+        Some(Seq(XxHash64(Seq(l), 42L).eval(null).asInstanceOf[Long]))
+      case EqualNullSafe(a: Attribute, l: Lit) if a.name == keyCol =>
+        Some(Seq(XxHash64(Seq(l), 42L).eval(null).asInstanceOf[Long]))
+      case In(a: Attribute, vs) if a.name == keyCol && vs.forall(_.isInstanceOf[Lit]) =>
+        Some(vs.map(v => XxHash64(Seq(v), 42L).eval(null).asInstanceOf[Long]))
+      case InSet(a: Attribute, vs) if a.name == keyCol =>
+        Some(vs.toSeq.map(v =>
+          XxHash64(Seq(Lit.create(v, a.dataType)), 42L).eval(null).asInstanceOf[Long]))
+      case _ => None
+    }
+
+    override def listFiles(
+        partitionFilters: Seq[Expression],
+        dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+      val base = super.listFiles(partitionFilters, dataFilters)
+      // every pinning filter is conjunctive: intersect by probing the
+      // tightest (fewest keys) one — probing more only re-passes files
+      dataFilters.flatMap(pinnedKeys).sortBy(_.length).headOption match {
+        case None => base
+        case Some(hashes) =>
+          val hfs = fs(spark, root)
+          base.map { pd =>
+            PartitionDirectory(pd.values, pd.files.filter { f =>
+              val sidecar = new org.apache.hadoop.fs.Path(
+                bloomDir(root), f.getPath.getName + ".bloom")
+              try {
+                val in = new DataInputStream(hfs.open(sidecar))
+                val bloom = try BloomFilter.readFrom(in) finally in.close()
+                hashes.exists(bloom.mightContainLong)
+              } catch {
+                case _: java.io.FileNotFoundException => true // unindexed: keep
+              }
+            })
+          }.filter(_.files.nonEmpty)
+      }
+    }
+  }
 }

@@ -68,6 +68,38 @@ class BloomIndexSpec extends AnyFunSuite {
     assert(viaIndex == fullScan && viaIndex.nonEmpty)
   }
 
+  test("pushed-down form: a plain filter over readIndexed skips files inside the scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+    val helper = new AdaptiveSparkPlanHelper {}
+    val root = Files.createTempDirectory("graft-bloomidx4").toFile.getAbsolutePath + "/t"
+    val nFiles = writeClustered(root)
+
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      val scans = helper.collect(df.queryExecution.executedPlan) {
+        case f: FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty, df.queryExecution.executedPlan.toString)
+      scans.map(_.metrics("numFiles").value).sum
+    }
+
+    val indexed = BloomIndex.readIndexed(spark, root, "key")
+    // point predicate: the scan itself lists fewer files
+    val pruned = scannedFiles(indexed.filter(col("key") === 7L))
+    assert(pruned > 0 && pruned < nFiles, s"scan must skip files: $pruned of $nFiles")
+    // IN-list predicate prunes too
+    val prunedIn = scannedFiles(indexed.filter(col("key").isin(3L, 33L)))
+    assert(prunedIn > 0 && prunedIn < nFiles)
+    // a non-key predicate reads everything (no false skipping)
+    assert(scannedFiles(indexed.filter(col("id") > 100L)) == nFiles)
+    // and results are identical to the plain reader
+    val a = indexed.filter(col("key") === 7L).select("id").as[Long].collect().sorted.toSeq
+    val b = spark.read.parquet(root).filter(col("key") === 7L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("absent keys: no file survives the sidecar pass; lookup returns empty with schema") {
     val root = Files.createTempDirectory("graft-bloomidx2").toFile.getAbsolutePath + "/t"
     writeClustered(root)
