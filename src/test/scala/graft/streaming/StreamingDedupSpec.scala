@@ -60,6 +60,53 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(v2(11L).dup_of.isEmpty)
   }
 
+  test("transformWithState gate: verdict-for-verdict parity with the GroupState gate across batches") {
+    val rootA = Files.createTempDirectory("graft-sdedup-tws").toFile.getAbsolutePath
+    val rootB = Files.createTempDirectory("graft-sdedup-gs").toFile.getAbsolutePath
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    def drainTws(root: String): Map[Long, Verdict] = {
+      val prev = spark.conf.getOption(providerKey)
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val schema = Seq((0L, "")).toDF("doc_id", "text").schema
+        val stream = spark.readStream.schema(schema).parquet(s"$root/in")
+        val q = StreamingDedup.nearDupVerdictsTws(stream).writeStream
+          .outputMode("append").format("parquet")
+          .option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/ckpt")
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        spark.read.parquet(s"$root/out").as[Verdict].collect().map(v => v.doc_id -> v).toMap
+      } finally {
+        prev match {
+          case Some(v) => spark.conf.set(providerKey, v)
+          case None => spark.conf.unset(providerKey)
+        }
+      }
+    }
+    val batch1 = Seq(
+      (1L, base),
+      (2L, "completely different content about spark catalyst optimizer rules " * 4),
+      (3L, base + " extra tail"))
+    val batch2 = Seq((10L, base), (11L, perturb(base, 1)))
+    for (root <- Seq(rootA, rootB)) {
+      batch1.toDF("doc_id", "text").write.mode("append").parquet(s"$root/in")
+    }
+    val tws1 = drainTws(rootA)
+    val gs1 = drain(rootB, "sdedup_gs1")
+    assert(tws1 == gs1, s"batch-1 parity\ntws=$tws1\ngs =$gs1")
+    assert(tws1(3L).dup_of.contains(1L))
+    for (root <- Seq(rootA, rootB)) {
+      batch2.toDF("doc_id", "text").write.mode("append").parquet(s"$root/in")
+    }
+    val tws2 = drainTws(rootA)
+    val gs2 = drain(rootB, "sdedup_gs2")
+    assert(tws2 == gs2, s"batch-2 parity (state crossed the restart)\ntws=$tws2\ngs =$gs2")
+    assert(tws2(10L).dup_of.contains(1L) && tws2(10L).est_jaccard == 1.0)
+  }
+
   test("gate function: cap stops admission but never stops matching; ties pick smallest id") {
     // exercise via the public dataset API on a tiny batch instead of
     // constructing GroupState: batch Dataset also supports
