@@ -183,6 +183,63 @@ object StreamingDedup {
       .as[DocSig]
   }
 
+  /** Multi-band verdicts: every doc fans out to ALL `bands` band
+    * buckets (band index salted into the bucket hash so band b's
+    * buckets never collide with band b′'s), one [[DedupProcessor]]
+    * gate runs per bucket, and [[foldVerdicts]] ORs each doc's band
+    * verdicts. Classic LSH recall: a near-dup pair is caught if ANY
+    * band agrees — band⁻¹ of the single-probe gate's misses survive
+    * per extra band.
+    *
+    * Because a doc's b gate verdicts are all emitted in the SAME
+    * micro-batch, the OR is batch-local — run [[foldVerdicts]] inside
+    * `foreachBatch` (no second stateful operator, no watermark
+    * plumbing). Admission is per-band-independent, so a duplicate can
+    * still be admitted into the bands that did NOT match it; `dup_of`
+    * chains may therefore need transitive resolution downstream —
+    * the batch pipeline's connected components is the canonical
+    * resolver (DedupOps.dedupGroups).
+    */
+  def multiBandVerdicts(
+      docs: DataFrame,
+      bands: Int = 4,
+      threshold: Double = 0.7,
+      k: Int = 32,
+      bandR: Int = 4,
+      shingleN: Int = 3,
+      maxBucket: Int = 64): Dataset[Verdict] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(bands >= 1 && bands * bandR <= k,
+      s"$bands bands × $bandR rows need a signature of ≥ ${bands * bandR} (k=$k)")
+    val sigd = docs.withColumn("sig",
+      HashFunctions.minhash_sig(HashFunctions.ngram_shingles(col("text"), shingleN), k))
+    val banded = (0 until bands).map { b =>
+      sigd.select(
+        col("doc_id"),
+        hash(lit(b), slice(col("sig"), b * bandR + 1, bandR)).cast("long").as("bucket"),
+        col("sig"))
+    }.reduce(_ unionByName _).as[DocSig]
+    banded
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(gate(threshold, maxBucket))
+  }
+
+  /** OR a doc's per-band verdicts (batch-local — see
+    * [[multiBandVerdicts]]): dup if ANY band matched; among matching
+    * bands keep the highest estimate, ties to the smallest dup_of.
+    */
+  def foldVerdicts(verdicts: DataFrame): DataFrame =
+    verdicts
+      .groupBy("doc_id")
+      .agg(
+        max(col("est_jaccard")).as("est_jaccard"),
+        min_by(col("dup_of"), when(col("dup_of").isNotNull,
+          struct((-col("est_jaccard")).as("k1"), col("dup_of").as("k2"))).otherwise(
+          struct(lit(Double.MaxValue).as("k1"), lit(Long.MaxValue).as("k2")))).as("dup_of"))
+      .select(col("doc_id"), col("dup_of"), col("est_jaccard"))
+
   /** docs (doc_id, text) → streaming verdicts. `k` signature length,
     * `bandR` rows in the primary band, `shingleN` word-shingle width.
     */

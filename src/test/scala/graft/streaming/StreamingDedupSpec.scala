@@ -107,6 +107,61 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(tws2(10L).dup_of.contains(1L) && tws2(10L).est_jaccard == 1.0)
   }
 
+  test("multi-band gate catches near-dups the single-probe gate misses") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.HashKernels
+    def sig(text: String): Array[Long] = {
+      val arr = HashKernels.minhashSig(
+        HashKernels.ngramShingles(UTF8String.fromString(text), 3), 32)
+      (0 until 32).map(arr.getLong).toArray
+    }
+    def est(a: Array[Long], b: Array[Long]): Double =
+      a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
+    def band(s: Array[Long], b: Int): Seq[Long] = s.slice(b * 4, b * 4 + 4).toSeq
+    // deterministically hunt a perturbation where band 0 disagrees but
+    // SOME later band agrees, with overall similarity >= threshold
+    val sBase = sig(base)
+    // replaceFirst keeps the other two phrase repetitions intact, so
+    // similarity stays high while a few signature positions move
+    val variant = (1 to 800).iterator.map(i => base.replaceFirst("lazy", s"lazy$i")).find { v =>
+      val sv = sig(v)
+      est(sBase, sv) >= 0.7 &&
+        band(sBase, 0) != band(sv, 0) &&
+        (1 until 8).exists(b => band(sBase, b) == band(sv, b))
+    }.getOrElse(fail("no suitable perturbation in 800 candidates — widen the search"))
+
+    val root = Files.createTempDirectory("graft-sdedup-mb").toFile.getAbsolutePath
+    val docs = Seq(
+      (1L, base), (2L, variant),
+      (3L, "entirely unrelated words about bloom filters " * 5))
+    docs.toDF("doc_id", "text").write.mode("append").parquet(s"$root/in")
+    docs.toDF("doc_id", "text").write.mode("append").parquet(s"$root/single/in")
+
+    // single-probe gate: band 0 differs => doc 2 sails through
+    val single = drain(s"$root/single", "sdedup_mb_single")
+    assert(single(2L).dup_of.isEmpty, s"premise broken: ${single(2L)}")
+
+    // multi-band gate with per-batch fold: some band catches it
+    val schema = Seq((0L, "")).toDF("doc_id", "text").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$root/in")
+    val q = StreamingDedup.multiBandVerdicts(stream, bands = 8).writeStream
+      .outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Verdict], _: Long) =>
+        StreamingDedup.foldVerdicts(df.toDF())
+          .write.mode("append").parquet(s"$root/out")
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val folded = spark.read.parquet(s"$root/out").as[Verdict]
+      .collect().map(v => v.doc_id -> v).toMap
+    assert(folded(1L).dup_of.isEmpty)
+    assert(folded(2L).dup_of.contains(1L) && folded(2L).est_jaccard >= 0.7,
+      s"multi-band must catch the planted near-dup: ${folded(2L)}")
+    assert(folded(3L).dup_of.isEmpty)
+  }
+
   test("gate function: cap stops admission but never stops matching; ties pick smallest id") {
     // exercise via the public dataset API on a tiny batch instead of
     // constructing GroupState: batch Dataset also supports
