@@ -78,25 +78,41 @@ object BloomIndex {
     }
   }
 
+  /** Load a sidecar, or None when it is missing OR unreadable — a
+    * truncated bloom from a crash mid-index-build must degrade to
+    * "scan this file", never fail the read path (same contract as a
+    * missing sidecar).
+    */
+  private def loadSidecar(
+      hfs: org.apache.hadoop.fs.FileSystem, path: String, fileName: String): Option[BloomFilter] =
+    try {
+      val in = new DataInputStream(
+        hfs.open(new org.apache.hadoop.fs.Path(bloomDir(path), fileName + ".bloom")))
+      Some(try BloomFilter.readFrom(in) finally in.close())
+    } catch { case _: java.io.IOException => None }
+
+  /** Shared probe decision: keep the file when any key might be in its
+    * bloom, or when it has no readable bloom at all.
+    */
+  private def survives(
+      hfs: org.apache.hadoop.fs.FileSystem, path: String, fileName: String,
+      hashes: Seq[Long]): Boolean =
+    loadSidecar(hfs, path, fileName) match {
+      case Some(bloom) => hashes.exists(bloom.mightContainLong)
+      case None => true // unindexed or unreadable: conservative keep
+    }
+
   /** Data-file paths whose blooms might contain ANY of `keys` —
     * driver-side sidecar pass, no executor work. Files without a
-    * sidecar are kept (conservative: scan beats crash or wrong skip).
+    * readable sidecar are kept (conservative: scan beats crash or
+    * wrong skip).
     */
   def probeFiles(spark: SparkSession, path: String, keys: Seq[Any]): Seq[String] = {
     val hfs = fs(spark, path)
     val hashes = keys.map(xxh)
     hfs.listStatus(new org.apache.hadoop.fs.Path(path))
       .map(_.getPath).filter(_.getName.endsWith(".parquet"))
-      .filter { f =>
-        val sidecar = new org.apache.hadoop.fs.Path(bloomDir(path), f.getName + ".bloom")
-        try {
-          val in = new DataInputStream(hfs.open(sidecar))
-          val bloom = try BloomFilter.readFrom(in) finally in.close()
-          hashes.exists(bloom.mightContainLong)
-        } catch {
-          case _: java.io.FileNotFoundException => true // unindexed file: keep
-        }
-      }
+      .filter(f => survives(hfs, path, f.getName, hashes))
       .map(_.toString).toSeq
   }
 
@@ -131,6 +147,13 @@ object BloomIndex {
     import org.apache.spark.sql.types.StructType
     val dataSchema = spark.read.parquet(path).schema
     val index = new BloomFileIndex(spark, path, keyCol, Some(dataSchema))
+    // the relation below declares NO partition columns; a
+    // Hive-partitioned dir (key=.../part-*.parquet) would make the
+    // inherited listing infer a partition spec the relation cannot
+    // represent — reject it loudly instead of reading nulls
+    require(index.partitionSpec().partitionColumns.isEmpty,
+      s"readIndexed expects a flat (non-Hive-partitioned) dir; $path has partition columns " +
+        index.partitionSpec().partitionColumns.fieldNames.mkString(", "))
     val rel = HadoopFsRelation(
       index, StructType(Nil), dataSchema, None, new ParquetFileFormat, Map.empty)(spark)
     spark.baseRelationToDataFrame(rel)
@@ -160,6 +183,8 @@ object BloomIndex {
         Some(Seq(XxHash64(Seq(l), 42L).eval(null).asInstanceOf[Long]))
       case EqualNullSafe(a: Attribute, l: Lit) if a.name == keyCol =>
         Some(Seq(XxHash64(Seq(l), 42L).eval(null).asInstanceOf[Long]))
+      case EqualNullSafe(l: Lit, a: Attribute) if a.name == keyCol =>
+        Some(Seq(XxHash64(Seq(l), 42L).eval(null).asInstanceOf[Long]))
       case In(a: Attribute, vs) if a.name == keyCol && vs.forall(_.isInstanceOf[Lit]) =>
         Some(vs.map(v => XxHash64(Seq(v), 42L).eval(null).asInstanceOf[Long]))
       case InSet(a: Attribute, vs) if a.name == keyCol =>
@@ -167,6 +192,23 @@ object BloomIndex {
           XxHash64(Seq(Lit.create(v, a.dataType)), 42L).eval(null).asInstanceOf[Long]))
       case _ => None
     }
+
+    // the sidecars are write-once beside the (cached) listing, and
+    // every query over the frame re-enters listFiles — memoize the
+    // deserialized blooms so planning doesn't re-open N files per query
+    @transient private lazy val bloomCache =
+      new java.util.concurrent.ConcurrentHashMap[String, Option[BloomFilter]]()
+
+    override def refresh(): Unit = {
+      bloomCache.clear()
+      super.refresh()
+    }
+
+    private def cachedSurvives(fileName: String, hashes: Seq[Long]): Boolean =
+      bloomCache.computeIfAbsent(fileName, n => loadSidecar(fs(spark, root), root, n)) match {
+        case Some(bloom) => hashes.exists(bloom.mightContainLong)
+        case None => true // unindexed or unreadable: conservative keep
+      }
 
     override def listFiles(
         partitionFilters: Seq[Expression],
@@ -177,19 +219,9 @@ object BloomIndex {
       dataFilters.flatMap(pinnedKeys).sortBy(_.length).headOption match {
         case None => base
         case Some(hashes) =>
-          val hfs = fs(spark, root)
           base.map { pd =>
-            PartitionDirectory(pd.values, pd.files.filter { f =>
-              val sidecar = new org.apache.hadoop.fs.Path(
-                bloomDir(root), f.getPath.getName + ".bloom")
-              try {
-                val in = new DataInputStream(hfs.open(sidecar))
-                val bloom = try BloomFilter.readFrom(in) finally in.close()
-                hashes.exists(bloom.mightContainLong)
-              } catch {
-                case _: java.io.FileNotFoundException => true // unindexed: keep
-              }
-            })
+            PartitionDirectory(pd.values,
+              pd.files.filter(f => cachedSurvives(f.getPath.getName, hashes)))
           }.filter(_.files.nonEmpty)
       }
     }

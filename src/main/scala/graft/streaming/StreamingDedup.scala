@@ -14,12 +14,13 @@ import graft.functions.HashFunctions
   * Shape: signatures and bucket keys are row-local column kernels
   * (same `minhash_sig` expression as batch); the only shuffle keys on
   * the PRIMARY band bucket, and `flatMapGroupsWithState` holds a
-  * bounded signature list per bucket. Single-probe LSH: one band, one
-  * stateful stage — a deliberate recall/plumbing tradeoff. Production
-  * recall runs b of these gates in parallel (one per band) and ORs the
-  * verdicts, or backfills with the batch pipeline; multi-band in ONE
-  * query needs chained stateful operators, which Structured Streaming
-  * restricts in append mode.
+  * bounded signature list per bucket. [[nearDupVerdicts]] is the
+  * single-probe (one band) gate; [[multiBandVerdicts]] +
+  * [[foldVerdicts]] deliver full b-band LSH recall in ONE query with
+  * ONE stateful stage — the doc fans into all b band buckets and the
+  * OR over its band verdicts is batch-local, so no chained stateful
+  * operators are needed. [[nearDupVerdictsTws]] runs the gate on
+  * Spark 4's transformWithState (typed ListState, optional TTL).
   *
   * State is capped at `maxBucket` signatures per bucket (the batch
   * pipeline's boilerplate-skew cap, DedupOps): a bucket beyond the cap
@@ -141,7 +142,11 @@ object StreamingDedup {
 
   /** [[nearDupVerdicts]] on the transformWithState runtime. `ttl`
     * bounds bucket lifetime (processing time); default keeps state
-    * forever, matching the GroupState variant.
+    * forever, matching the GroupState variant. NOTE: a non-default ttl
+    * forces processing-time mode, in which the runtime schedules
+    * NO-DATA micro-batches to advance timers — the query never
+    * quiesces, so drive it with a real trigger (or stop explicitly),
+    * not `processAllAvailable`.
     */
   def nearDupVerdictsTws(
       docs: DataFrame,
@@ -164,11 +169,16 @@ object StreamingDedup {
         "spark.sql.streaming.stateStore.providerClass=" +
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider " +
         s"(current: $provider)")
+    // a TTL'd state variable is only legal under processing-time mode
+    // (StatefulProcessorHandleImpl.validateTTLConfig) — TimeMode.None
+    // with a non-NONE ttl would throw at query start
+    val timeMode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
     signed(docs, k, bandR, shingleN)
       .groupByKey(_.bucket)
       .transformWithState(
         new DedupProcessor(threshold, maxBucket, ttl),
-        TimeMode.None(), OutputMode.Append())
+        timeMode, OutputMode.Append())
   }
 
   /** Shared signature/bucket computation for both state runtimes. */
@@ -212,14 +222,16 @@ object StreamingDedup {
     import spark.implicits._
     require(bands >= 1 && bands * bandR <= k,
       s"$bands bands × $bandR rows need a signature of ≥ ${bands * bandR} (k=$k)")
-    val sigd = docs.withColumn("sig",
-      HashFunctions.minhash_sig(HashFunctions.ngram_shingles(col("text"), shingleN), k))
-    val banded = (0 until bands).map { b =>
-      sigd.select(
-        col("doc_id"),
-        hash(lit(b), slice(col("sig"), b * bandR + 1, bandR)).cast("long").as("bucket"),
-        col("sig"))
-    }.reduce(_ unionByName _).as[DocSig]
+    // signature computed ONCE per doc, then exploded into the b bucket
+    // keys — a b-way union would re-run the minhash kernel (and rescan
+    // the source) once per band
+    val buckets = array((0 until bands).map(b =>
+      hash(lit(b), slice(col("sig"), b * bandR + 1, bandR)).cast("long")): _*)
+    val banded = docs
+      .withColumn("sig",
+        HashFunctions.minhash_sig(HashFunctions.ngram_shingles(col("text"), shingleN), k))
+      .select(col("doc_id"), explode(buckets).as("bucket"), col("sig"))
+      .as[DocSig]
     banded
       .groupByKey(_.bucket)
       .flatMapGroupsWithState(

@@ -68,6 +68,34 @@ class BloomIndexSpec extends AnyFunSuite {
     assert(viaIndex == fullScan && viaIndex.nonEmpty)
   }
 
+  test("corrupt (truncated) sidecar degrades to scan; partitioned dirs are rejected loudly") {
+    val root = Files.createTempDirectory("graft-bloomidx5").toFile.getAbsolutePath + "/t"
+    writeClustered(root)
+    val dataFile = new java.io.File(root).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getName
+    val sidecar = new java.io.File(s"$root/_bloom/$dataFile.bloom")
+    // truncate mid-file: readFrom now throws EOF, which must read as
+    // "keep the file", not kill the query
+    val bytes = java.nio.file.Files.readAllBytes(sidecar.toPath)
+    java.nio.file.Files.write(sidecar.toPath, bytes.take(bytes.length / 2))
+    val probed = BloomIndex.probeFiles(spark, root, Seq(99999L))
+    assert(probed.map(p => p.substring(p.lastIndexOf('/') + 1)) == Seq(dataFile))
+    val viaIndex = BloomIndex.lookup(spark, root, "key", Seq(7L))
+      .select("id").as[Long].collect().sorted.toSeq
+    val fullScan = spark.read.parquet(root).filter(col("key") === 7L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(viaIndex == fullScan)
+
+    // Hive-partitioned layout: refuse rather than silently read nulls
+    val proot = Files.createTempDirectory("graft-bloomidx6").toFile.getAbsolutePath + "/t"
+    (0L until 100L).map(i => (i % 4, i)).toDF("key", "id")
+      .write.partitionBy("key").parquet(proot)
+    val err = intercept[IllegalArgumentException] {
+      BloomIndex.readIndexed(spark, proot, "key")
+    }
+    assert(err.getMessage.contains("partition columns"))
+  }
+
   test("pushed-down form: a plain filter over readIndexed skips files inside the scan") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper

@@ -105,6 +105,41 @@ class StreamingDedupSpec extends AnyFunSuite {
     val gs2 = drain(rootB, "sdedup_gs2")
     assert(tws2 == gs2, s"batch-2 parity (state crossed the restart)\ntws=$tws2\ngs =$gs2")
     assert(tws2(10L).dup_of.contains(1L) && tws2(10L).est_jaccard == 1.0)
+
+    // a non-default TTL must actually start (processing-time mode is
+    // selected automatically — TimeMode.None + TTL throws at startup)
+    val rootC = Files.createTempDirectory("graft-sdedup-ttl").toFile.getAbsolutePath
+    batch1.toDF("doc_id", "text").write.mode("append").parquet(s"$rootC/in")
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val schema = Seq((0L, "")).toDF("doc_id", "text").schema
+      val stream = spark.readStream.schema(schema).parquet(s"$rootC/in")
+      val q = StreamingDedup.nearDupVerdictsTws(stream,
+        ttl = org.apache.spark.sql.streaming.TTLConfig(java.time.Duration.ofHours(1)))
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", s"$rootC/out")
+        .option("checkpointLocation", s"$rootC/ckpt")
+        .start()
+      // processing-time mode (which TTL forces) keeps issuing no-data
+      // batches to advance timers, so processAllAvailable never
+      // quiesces — poll for the output instead
+      def ttlOut() =
+        try spark.read.parquet(s"$rootC/out").as[Verdict]
+          .collect().map(v => v.doc_id -> v).toMap
+        catch { case _: Exception => Map.empty[Long, Verdict] }
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      while (ttlOut().size < 3 && System.nanoTime() < deadline) Thread.sleep(200)
+      q.stop()
+      val out = ttlOut()
+      assert(out(3L).dup_of.contains(1L), s"TTL'd gate must still match: $out")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
   }
 
   test("multi-band gate catches near-dups the single-probe gate misses") {
