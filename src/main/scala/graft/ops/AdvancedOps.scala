@@ -305,5 +305,46 @@ object AdvancedOps {
         .groupBy(col("n_name"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // Range (interval) join, equi-join-ified: every (purchase, view)
+    // pair by the same user within ±300 s. A raw |pt−vt| <= W join
+    // condition plans a nested-loop (O(n²) per user); bucketing time
+    // into W-wide cells and exploding ONE side to its 3 adjacent cells
+    // turns it into a plain hash equi-join on (user, bucket) + an
+    // exact refine — each qualifying pair matches in EXACTLY one
+    // bucket (the purchase's own), so no dedup pass is needed. The
+    // oracle runs the raw inequality join; both sides compare
+    // µs-truncated timestamps so the boundary is engine-identical.
+    QueryDef(
+      "q_range_join",
+      """WITH v AS (
+        |  SELECT user_id, event_id AS view_id, ts::TIMESTAMP AS vts
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT user_id, event_id AS purchase_id, ts::TIMESTAMP AS pts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, v.view_id,
+        |  CAST(datediff('microseconds', v.vts, p.pts) AS BIGINT) AS gap_us
+        |FROM p JOIN v ON p.user_id = v.user_id
+        |  AND p.pts BETWEEN v.vts - INTERVAL 300 SECOND AND v.vts + INTERVAL 300 SECOND
+        |ORDER BY p.purchase_id, v.view_id""".stripMargin) { (s, d) =>
+      val wUs = 300L * 1000000
+      val e = Tables.events(s, d)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          unix_micros(col("ts")).as("p_us"))
+        .withColumn("bkt", expr(s"p_us div $wUs"))
+      val v = e.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+          unix_micros(col("ts")).as("v_us"))
+        .withColumn("vb", expr(s"v_us div $wUs"))
+        .withColumn("bkt", explode(array(col("vb") - 1, col("vb"), col("vb") + 1)))
+      p.join(v,
+        col("user_id") === col("v_user") && p("bkt") === v("bkt") &&
+          abs(col("p_us") - col("v_us")) <= wUs)
+        .select(col("purchase_id"), col("view_id"),
+          (col("p_us") - col("v_us")).as("gap_us"))
+        .orderBy("purchase_id", "view_id")
     })
 }

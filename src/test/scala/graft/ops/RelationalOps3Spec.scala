@@ -67,4 +67,24 @@ class RelationalOps3Spec extends AnyFunSuite {
       assert(!r.isNullAt(1) && !r.isNullAt(2))
     }
   }
+
+  test("q_range_join: bucketized interval join matches a brute-force driver reference") {
+    // the bucketing trick must be invisible: compare against the raw
+    // |Δ| <= W pairing on the driver data, exercising the ±300 s
+    // INCLUSIVE boundary across bucket edges
+    val out = graft.SparkEntry.queries("q_range_join")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val e = graft.ops.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_type"), col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val views = e.filter(_._1 == "view")
+    val purchases = e.filter(_._1 == "purchase")
+    val brute = for {
+      p <- purchases
+      v <- views
+      if p._2 == v._2 && math.abs(p._4 - v._4) <= 300L * 1000000
+    } yield (p._3, v._3, p._4 - v._4)
+    assert(out.toSet == brute.toSet)
+    assert(out.toSeq == out.sortBy(t => (t._1, t._2)).toSeq, "total order")
+  }
 }
