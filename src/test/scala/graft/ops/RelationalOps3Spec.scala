@@ -72,9 +72,11 @@ class RelationalOps3Spec extends AnyFunSuite {
     // the bucketing trick must be invisible: compare against the raw
     // |Δ| <= W pairing on the driver data, exercising the ±300 s
     // INCLUSIVE boundary across bucket edges
-    val out = graft.SparkEntry.queries("q_range_join")(spark, "/root/testdata/sf0.001")
+    // sf0.01, not sf0.001: the smallest SF has ZERO qualifying pairs
+    // and the comparison would be vacuous
+    val out = graft.SparkEntry.queries("q_range_join")(spark, "/root/testdata/sf0.01")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val e = graft.ops.Tables.events(spark, "/root/testdata/sf0.001")
+    val e = graft.ops.Tables.events(spark, "/root/testdata/sf0.01")
       .select(col("event_type"), col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     val views = e.filter(_._1 == "view")
@@ -84,6 +86,7 @@ class RelationalOps3Spec extends AnyFunSuite {
       v <- views
       if p._2 == v._2 && math.abs(p._4 - v._4) <= 300L * 1000000
     } yield (p._3, v._3, p._4 - v._4)
+    assert(brute.nonEmpty, "comparison must not be vacuous at this SF")
     assert(out.toSet == brute.toSet)
     assert(out.toSeq == out.sortBy(t => (t._1, t._2)).toSeq, "total order")
   }
