@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 
 /** Crash-safe multi-partition commits without a table-format jar — the
   * transactional twin of the reference's Postgres MERGE atomicity
@@ -213,6 +213,15 @@ object TxTable {
     // round-trips to a different directory string (e.g. day=00123
     // re-inferred as int and rewritten day=123), duplicating its rows
     val entries = if (replaceAll) changed else old ++ changed
+    writeManifest(f, root, next, entries,
+      s"staged data remains at $root/$stagedDir")
+  }
+
+  /** Write-temp + atomic-rename of manifest `next` (the single-writer
+    * publish tail shared by [[publishImpl]] and [[deleteWhere]]).
+    */
+  private def writeManifest(f: org.apache.hadoop.fs.FileSystem, root: String,
+      next: Long, entries: Map[String, String], onFailure: String): Unit = {
     val ld = new Path(logDir(root))
     if (!f.exists(ld) && !f.mkdirs(ld))
       throw new java.io.IOException(s"cannot create $ld")
@@ -223,7 +232,7 @@ object TxTable {
     finally out.close()
     if (!f.rename(tmp, new Path(ld, manifestName(next))))
       throw new java.io.IOException(
-        s"manifest publish failed for version $next; staged data remains at $root/$stagedDir")
+        s"manifest publish failed for version $next; $onFailure")
   }
 
   /** Stage + publish in one call: the crash-safe replacement for a
@@ -231,6 +240,65 @@ object TxTable {
     */
   def commit(spark: SparkSession, root: String, data: DataFrame, partitionCol: String): Unit =
     publish(spark, root, stage(spark, root, data, partitionCol), partitionCol)
+
+  /** Row-level delete — the takedown/right-to-erasure path: remove every
+    * row where `predicate` is TRUE (NULL = keep, standard SQL DELETE
+    * three-valued semantics) by rewriting ONLY the partitions that
+    * contain matches, published atomically as one new version. Untouched
+    * partitions keep their existing files (their manifest entries carry
+    * over byte-identically — at 100 TB a takedown of one user's rows
+    * rewrites a handful of partitions, not the table). A partition whose
+    * every row matches is dropped from the manifest entirely. Returns
+    * the number of rows deleted (0 = no-op, no version published).
+    *
+    * Time travel ([[readAt]]) still reaches the pre-delete versions
+    * until [[vacuum]] — the deletion audit trail; run vacuum to make the
+    * erasure physical.
+    *
+    * Single-writer, same as [[publish]]. Partition values must
+    * round-trip `CAST AS STRING` → directory name (dates, numbers,
+    * simple strings — checked loudly below, never assumed).
+    */
+  def deleteWhere(spark: SparkSession, root: String,
+      partitionCol: String, predicate: Column): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, not}
+    val f = fs(spark, root)
+    val (v, old) = latest(spark, root)
+    require(v > 0 && old.nonEmpty, s"no committed version at $root")
+    val cur = read(spark, root)
+    val hit = coalesce(predicate, lit(false)) // NULL predicate = keep the row
+    // ONE action finds the affected partitions AND the per-partition
+    // delete counts (driver-side result is bounded by |partitions|)
+    val perPart = cur.filter(hit)
+      .groupBy(col(partitionCol).cast("string").as("p"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+    if (perPart.isEmpty) return 0L
+    val affected = perPart.map(_.getString(0)).toSet
+    val deleted = perPart.map(_.getLong(1)).sum
+    val unknown = (affected -- old.keySet).toSeq.sorted
+    require(unknown.isEmpty,
+      s"partition values [${unknown.mkString(", ")}] do not round-trip to manifest keys — " +
+        s"deleteWhere supports partition columns whose CAST AS STRING equals the " +
+        s"partition directory value (no nulls, no chars the writer escapes)")
+    val survivors = cur
+      .filter(col(partitionCol).cast("string").isin(affected.toSeq: _*))
+      .filter(not(hit))
+    // fully-deleted partitions simply never appear in the staged dir
+    val stagedDir = stage(spark, root, survivors, partitionCol)
+    val changed = f.listStatus(new Path(s"$root/$stagedDir"))
+      .map(_.getPath.getName)
+      .filter(_.startsWith(partitionCol + "="))
+      .map(p => p.stripPrefix(partitionCol + "=") -> s"$stagedDir/$p")
+      .toMap
+    val entries = (old -- affected) ++ changed
+    require(entries.nonEmpty,
+      s"deleteWhere would remove every row of $root — refusing (an empty table has no " +
+        s"manifest representation); drop the table root explicitly instead")
+    writeManifest(f, root, v + 1, entries,
+      s"staged survivors remain at $root/$stagedDir")
+    deleted
+  }
 
   /** Thrown by [[publishOptimistic]] when another committer changed one
     * of THIS commit's partitions after `baseVersion` — a write-write

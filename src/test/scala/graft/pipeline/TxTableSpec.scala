@@ -193,6 +193,46 @@ class TxTableSpec extends AnyFunSuite {
     assert(snapshot(root) == Set(("d1", 10.0), ("d2", 99.0)))
   }
 
+  test("deleteWhere: partial-partition rewrite, full-partition drop, untouched files shared, audit trail") {
+    val root = Files.createTempDirectory("txdel").toFile.getAbsolutePath + "/t"
+    TxTable.commit(spark, root,
+      rows("d1" -> 1.0, "d1" -> 2.0, "d2" -> 3.0, "d3" -> 4.0), "day")
+    val before = TxTable.latest(spark, root)._2
+
+    // delete one row of d1 and ALL of d2 in one takedown
+    val n = TxTable.deleteWhere(spark, root, "day",
+      col("value") === 2.0 || col("day") === "d2")
+    assert(n == 2L)
+    assert(snapshot(root) == Set("d1" -> 1.0, "d3" -> 4.0))
+    val after = TxTable.latest(spark, root)._2
+    assert(after("d3") == before("d3"), "untouched partition keeps its original files")
+    assert(!after.contains("d2"), "fully-deleted partition leaves the manifest")
+    assert(after("d1") != before("d1"), "matched partition rewritten into a new version dir")
+
+    // the pre-delete state stays travelable until vacuum — the audit trail
+    assert(TxTable.readAt(spark, root, 1)
+      .select(col("day").cast("string"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet ==
+      Set("d1" -> 1.0, "d1" -> 2.0, "d2" -> 3.0, "d3" -> 4.0))
+
+    // no-match delete: 0 rows, NO new version published
+    val v = TxTable.latest(spark, root)._1
+    assert(TxTable.deleteWhere(spark, root, "day", col("value") === 99.0) == 0L)
+    assert(TxTable.latest(spark, root)._1 == v)
+
+    // NULL predicate rows are KEPT (SQL DELETE three-valued semantics):
+    // when() without otherwise() is NULL off the matched branch
+    val n2 = TxTable.deleteWhere(spark, root, "day",
+      when(col("value") === 1.0, lit(true)))
+    assert(n2 == 1L)
+    assert(snapshot(root) == Set("d3" -> 4.0))
+
+    // deleting every remaining row refuses loudly
+    intercept[IllegalArgumentException](
+      TxTable.deleteWhere(spark, root, "day", lit(true)))
+    assert(snapshot(root) == Set("d3" -> 4.0), "refused delete changes nothing")
+  }
+
   test("the gold merge path composes with TxTable: incremental day recompute commits atomically") {
     val root = Files.createTempDirectory("txtable4").toFile.getAbsolutePath + "/gold"
     // initial gold: two days
