@@ -42,8 +42,10 @@ final class SpaceSaving(val capacity: Int) extends Serializable {
     ()
   }
 
-  /** Insert/overwrite a counter, maintaining the index (merge path). */
-  private[functions] def putRaw(token: String, est: Long, err: Long): Unit = {
+  /** Insert/overwrite a counter, maintaining the index (merge path;
+    * also the state-rehydration path of the streaming processor).
+    */
+  private[graft] def putRaw(token: String, est: Long, err: Long): Unit = {
     val old = counters.put(token, Array(est, err))
     if (old != null) indexRemove(token, old(0))
     indexAdd(token, est)

@@ -113,6 +113,55 @@ object ProfileOps {
         .orderBy("doc_id")
     },
 
+    // Deterministic train/val/test split: assignment from an md5-uniform
+    // on the doc id — 90/5/5 by hex-prefix range, so the split is
+    // reproducible on any engine, stable under repartitioning, and new
+    // docs land in a split without reshuffling old ones (the property
+    // rand()-based splits lose). Emits the assignment, not three tables:
+    // downstream writers partition by `split` in one pass.
+    QueryDef(
+      "q_split_assign",
+      """SELECT doc_id, lang,
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'train'
+        |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'f3333333' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val u = substring(md5(col("doc_id").cast(StringType)), 1, 8)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          when(u < "e6666666", "train") // 0xe6666666/2^32 = 0.9
+            .when(u < "f3333333", "val") // next 0.05
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    },
+
+    // Reproducible global corpus shuffle: every doc's POSITION in a total
+    // order by md5(doc_id) — decorrelates training order from ingest
+    // order identically on every run and engine; epoch reshuffles just
+    // salt the key. A global `row_number()` window would drag the table
+    // through ONE task, so the position is a distributed prefix sum of 1
+    // over the shuffle key ([[PackOps.exclusivePrefixSum]]: deterministic
+    // hash-sampled buckets, driver-side offset table, bucket-local
+    // windows). The key gets the zero-padded doc id appended so it is
+    // unique by construction — not by md5-collision luck.
+    QueryDef(
+      "q_corpus_shuffle",
+      """SELECT CAST(row_number() OVER (
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)) || lpad(CAST(doc_id AS VARCHAR), 20, '0')) AS BIGINT) AS pos,
+        |  doc_id
+        |FROM documents
+        |ORDER BY pos""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"),
+        concat(md5(col("doc_id").cast(StringType)),
+          lpad(col("doc_id").cast(StringType), 20, "0")).as("shufkey"),
+        lit(1L).as("one"))
+      PackOps.exclusivePrefixSum(docs, "shufkey", "one", "acc")
+        .select((col("acc") + lit(1L)).as("pos"), col("doc_id"))
+        .orderBy("pos")
+    },
+
     // Cross-document duplicated spans (the exact-substring flavor of
     // training-data dedup): every word 5-gram that appears in ≥2
     // distinct documents, with its document count and first/last
@@ -134,6 +183,10 @@ object ProfileOps {
         |HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY gram_md5""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
+        // explicit ≥5-token guard to mirror the SQL: the shingle kernel
+        // emits ONE whole-text shingle for shorter docs, which the
+        // SQL's range comprehension does not
+        .filter(size(split(col("text"), " ", -1)) >= 5)
         .select(col("doc_id"),
           explode(array_distinct(DedupOps.shingles(col("text"), 5))).as("gram"))
         .select(col("doc_id"), md5(col("gram")).as("gram_md5"))
@@ -144,5 +197,72 @@ object ProfileOps {
           max(col("doc_id")).as("last_doc"))
         .filter(col("n_docs") >= 2)
         .orderBy("gram_md5")
+    },
+
+    // Span-cut dedup — the CONSUMER of q_dup_spans (Lee et al. '22
+    // exact-substring dedup, re-expressed relationally): every token
+    // position covered by a 5-gram that also appears in another doc is
+    // cut, UNLESS this doc is the gram's first carrier (min doc_id) —
+    // one canonical copy of every span survives corpus-wide. Emits the
+    // reconstructed text per doc. Exchanges carry only (doc_id, pos)
+    // pairs and 32-char hashes; text is reassembled once per doc at the
+    // end (array_sort over the kept (pos, token) structs — collect_list
+    // order is NOT deterministic, the sort is what restores it).
+    QueryDef(
+      "q_span_dedup",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest([{'pos': i - 1, 'gram': array_to_string(toks[i:i+4], ' ')} FOR i IN range(1, greatest(len(toks) - 4, 0) + 1)], recursive := true)
+        |  FROM toks WHERE len(toks) >= 5),
+        |dup AS (
+        |  SELECT md5(gram) AS h, min(doc_id) AS first_doc
+        |  FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |cuts AS (
+        |  SELECT DISTINCT g.doc_id, g.pos + off.off AS cutpos
+        |  FROM g JOIN dup ON md5(g.gram) = dup.h AND g.doc_id <> dup.first_doc
+        |  CROSS JOIN (SELECT unnest(range(0, 5)) AS off) off),
+        |tk AS (
+        |  SELECT doc_id, unnest([{'tpos': i - 1, 'tok': toks[i]} FOR i IN range(1, len(toks) + 1)], recursive := true)
+        |  FROM toks),
+        |kept AS (
+        |  SELECT tk.doc_id, tk.tpos, tk.tok FROM tk
+        |  LEFT JOIN cuts ON tk.doc_id = cuts.doc_id AND tk.tpos = cuts.cutpos
+        |  WHERE cuts.doc_id IS NULL),
+        |clean AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text,
+        |    CAST(count(*) AS BIGINT) AS n_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(c.clean_text, '') AS clean_text,
+        |  coalesce(c.n_kept, CAST(0 AS BIGINT)) AS n_kept
+        |FROM documents d LEFT JOIN clean c ON d.doc_id = c.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val g = docs
+        .filter(size(split(col("text"), " ", -1)) >= 5)
+        .select(col("doc_id"),
+          posexplode(DedupOps.shingles(col("text"), 5)).as(Seq("pos", "gram")))
+        .select(col("doc_id"), col("pos"), md5(col("gram")).as("h"))
+      val dup = g.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("n_docs"), min(col("doc_id")).as("first_doc"))
+        .filter(col("n_docs") >= 2)
+        .select("h", "first_doc")
+      val cuts = g.join(dup, "h")
+        .filter(col("doc_id") =!= col("first_doc"))
+        .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + 4)).as("cutpos"))
+        .distinct()
+      val tk = docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ", -1)).as(Seq("tpos", "tok")))
+      val kept = tk.join(cuts,
+        tk("doc_id") === cuts("doc_id") && tk("tpos") === cuts("cutpos"), "left_anti")
+      val clean = kept.groupBy("doc_id").agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("tpos"), col("tok")))), x => x("tok")),
+          " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+      docs.select("doc_id").join(clean, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy("doc_id")
     })
 }

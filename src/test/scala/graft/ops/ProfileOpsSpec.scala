@@ -42,6 +42,53 @@ class ProfileOpsSpec extends AnyFunSuite {
     assert(q("q_domain_mix").join(docs, Seq("doc_id"), "left_anti").isEmpty)
   }
 
+  test("q_split_assign: 90/5/5 shares, total coverage, rerun-stable") {
+    val a = q("q_split_assign").cache()
+    val n = Tables.documents(spark, sf).count()
+    assert(a.count() == n, "every doc gets a split")
+    val shares = a.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble / n).toMap
+    assert(math.abs(shares("train") - 0.9) < 0.06, s"train ${shares("train")}")
+    assert(math.abs(shares("val") - 0.05) < 0.04, s"val ${shares.get("val")}")
+    assert(math.abs(shares("test") - 0.05) < 0.04, s"test ${shares.get("test")}")
+    // determinism: the assignment is a pure function of doc_id
+    assert(q("q_split_assign").exceptAll(a).isEmpty)
+    a.unpersist()
+    ()
+  }
+
+  test("q_corpus_shuffle: positions are an exact permutation of 1..N and rerun-stable") {
+    val s1 = q("q_corpus_shuffle").cache()
+    val n = s1.count()
+    assert(s1.select("pos").distinct().count() == n, "pos must be unique")
+    val mm = s1.agg(min("pos"), max("pos")).head()
+    assert(mm.getLong(0) == 1L && mm.getLong(1) == n, "pos covers 1..N with no gaps")
+    assert(q("q_corpus_shuffle").exceptAll(s1).isEmpty, "shuffle is reproducible")
+    s1.unpersist()
+    ()
+  }
+
+  test("q_span_dedup: first carrier keeps its text; kept counts match the rebuilt text") {
+    val docs = Tables.documents(spark, sf)
+    val out = q("q_span_dedup").cache()
+    assert(out.count() == docs.count())
+    // the globally-smallest doc_id (>=5 tokens) is the first carrier of
+    // every gram it holds — it must come through uncut
+    val minId = docs.filter(size(split(col("text"), " ", -1)) >= 5)
+      .agg(min("doc_id")).head().getLong(0)
+    val orig = docs.filter(col("doc_id") === minId).head().getAs[String]("text")
+    assert(out.filter(col("doc_id") === minId).head().getAs[String]("clean_text") == orig)
+    // n_kept is exactly the token count of the rebuilt text
+    val broken = out.filter(col("n_kept") =!=
+      when(col("clean_text") === "", 0L).otherwise(size(split(col("clean_text"), " ", -1)).cast("long")))
+    assert(broken.isEmpty, s"n_kept/text mismatch: ${broken.head(3).mkString}")
+    // something was actually cut on this corpus (near-dups exist)
+    assert(out.agg(sum("n_kept")).head().getLong(0) <
+      docs.select(sum(size(split(col("text"), " ", -1)))).head().getLong(0))
+    out.unpersist()
+    ()
+  }
+
   test("q_dup_spans: near-dup docs surface as shared spans with doc attribution") {
     val docs = Tables.documents(spark, sf)
     val spans = q("q_dup_spans").cache()
