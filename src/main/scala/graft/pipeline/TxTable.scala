@@ -34,6 +34,19 @@ object TxTable {
   private def fs(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Staged partition dirs as manifest entries: partition VALUE (in the
+    * writer's escaped directory form) -> dir relative to root. The one
+    * place dir names become manifest keys — [[publishImpl]],
+    * [[publishOptimistic]] and [[deleteWhere]] all go through it.
+    */
+  private def listStaged(f: org.apache.hadoop.fs.FileSystem, root: String,
+      stagedDir: String, partitionCol: String): Map[String, String] =
+    f.listStatus(new Path(s"$root/$stagedDir"))
+      .map(_.getPath.getName)
+      .filter(_.startsWith(partitionCol + "="))
+      .map(p => p.stripPrefix(partitionCol + "=") -> s"$stagedDir/$p")
+      .toMap
+
   private def logDir(root: String) = root + "/_txlog"
   private def manifestName(v: Long) = f"$v%08d.manifest"
 
@@ -201,11 +214,7 @@ object TxTable {
       partitionCol: String, replaceAll: Boolean): Unit = {
     val f = fs(spark, root)
     val (v, old) = latest(spark, root)
-    val changed = f.listStatus(new Path(s"$root/$stagedDir"))
-      .map(_.getPath.getName)
-      .filter(_.startsWith(partitionCol + "="))
-      .map(p => p.stripPrefix(partitionCol + "=") -> s"$stagedDir/$p")
-      .toMap
+    val changed = listStaged(f, root, stagedDir, partitionCol)
     require(changed.nonEmpty, s"staged dir $stagedDir has no $partitionCol= partitions")
     val next = v + 1
     // replaceAll (compaction): the staged dir IS the whole table — a
@@ -255,17 +264,32 @@ object TxTable {
     * until [[vacuum]] — the deletion audit trail; run vacuum to make the
     * erasure physical.
     *
-    * Single-writer, same as [[publish]]. Partition values must
-    * round-trip `CAST AS STRING` → directory name (dates, numbers,
-    * simple strings — checked loudly below, never assumed).
+    * Single-writer, same as [[publish]]. `predicate` must be
+    * DETERMINISTIC (checked): it is evaluated in two separate jobs —
+    * the affected-partition discovery and the survivor rewrite — and a
+    * nondeterministic predicate (rand(), wall-clock) would delete a
+    * different row set than it counted. Manifest keys are matched via
+    * the writer's own path escaping, so partition values that need
+    * escaping (or alias each other's escaped form) are handled, not
+    * assumed away; null partition values are rejected.
     */
   def deleteWhere(spark: SparkSession, root: String,
       partitionCol: String, predicate: Column): Long = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
     import org.apache.spark.sql.functions.{coalesce, col, count, lit, not}
     val f = fs(spark, root)
     val (v, old) = latest(spark, root)
     require(v > 0 && old.nonEmpty, s"no committed version at $root")
     val cur = read(spark, root)
+    // deterministic-after-analysis: expr("rand() < 0.5") only resolves to
+    // a Nondeterministic node once analyzed against the actual table
+    val analyzedDet = cur.filter(predicate).queryExecution.analyzed.collectFirst {
+      case flt: org.apache.spark.sql.catalyst.plans.logical.Filter => flt.condition.deterministic
+    }.getOrElse(true)
+    require(analyzedDet,
+      "deleteWhere predicate must be deterministic — it is evaluated once to find " +
+        "affected partitions and again to rewrite survivors; rand()/shuffle-order-" +
+        "dependent predicates would delete a different set than they report")
     val hit = coalesce(predicate, lit(false)) // NULL predicate = keep the row
     // ONE action finds the affected partitions AND the per-partition
     // delete counts (driver-side result is bounded by |partitions|)
@@ -274,24 +298,26 @@ object TxTable {
       .agg(count(lit(1)).as("n"))
       .collect()
     if (perPart.isEmpty) return 0L
-    val affected = perPart.map(_.getString(0)).toSet
+    require(!perPart.exists(_.isNullAt(0)),
+      s"deleteWhere matched rows with a NULL $partitionCol — null partition values " +
+        "are not supported by the manifest log")
+    // raw values filter ROWS; writer-escaped values address MANIFEST
+    // KEYS (a raw value may alias a DIFFERENT value's escaped dir name —
+    // comparing raw strings to keys would drop the wrong partition)
+    val affectedRaw = perPart.map(_.getString(0)).toSet
+    val affectedKeys = affectedRaw.map(escapePathName)
     val deleted = perPart.map(_.getLong(1)).sum
-    val unknown = (affected -- old.keySet).toSeq.sorted
+    val unknown = (affectedKeys -- old.keySet).toSeq.sorted
     require(unknown.isEmpty,
-      s"partition values [${unknown.mkString(", ")}] do not round-trip to manifest keys — " +
-        s"deleteWhere supports partition columns whose CAST AS STRING equals the " +
-        s"partition directory value (no nulls, no chars the writer escapes)")
+      s"escaped partition values [${unknown.mkString(", ")}] are not manifest keys — " +
+        s"the table was not written through TxTable.stage, or $partitionCol does not " +
+        "round-trip CAST AS STRING")
     val survivors = cur
-      .filter(col(partitionCol).cast("string").isin(affected.toSeq: _*))
+      .filter(col(partitionCol).cast("string").isin(affectedRaw.toSeq: _*))
       .filter(not(hit))
     // fully-deleted partitions simply never appear in the staged dir
     val stagedDir = stage(spark, root, survivors, partitionCol)
-    val changed = f.listStatus(new Path(s"$root/$stagedDir"))
-      .map(_.getPath.getName)
-      .filter(_.startsWith(partitionCol + "="))
-      .map(p => p.stripPrefix(partitionCol + "=") -> s"$stagedDir/$p")
-      .toMap
-    val entries = (old -- affected) ++ changed
+    val entries = (old -- affectedKeys) ++ listStaged(f, root, stagedDir, partitionCol)
     require(entries.nonEmpty,
       s"deleteWhere would remove every row of $root — refusing (an empty table has no " +
         s"manifest representation); drop the table root explicitly instead")
@@ -328,11 +354,7 @@ object TxTable {
       spark: SparkSession, root: String, stagedDir: String, partitionCol: String,
       baseVersion: Long, maxRetries: Int = 10): Long = {
     val f = fs(spark, root)
-    val changed = f.listStatus(new Path(s"$root/$stagedDir"))
-      .map(_.getPath.getName)
-      .filter(_.startsWith(partitionCol + "="))
-      .map(p => p.stripPrefix(partitionCol + "=") -> s"$stagedDir/$p")
-      .toMap
+    val changed = listStaged(f, root, stagedDir, partitionCol)
     require(changed.nonEmpty, s"staged dir $stagedDir has no $partitionCol= partitions")
     val baseState: Map[String, String] =
       if (baseVersion == 0L) Map.empty

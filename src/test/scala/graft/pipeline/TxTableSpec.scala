@@ -233,6 +233,48 @@ class TxTableSpec extends AnyFunSuite {
     assert(snapshot(root) == Set("d3" -> 4.0), "refused delete changes nothing")
   }
 
+  test("deleteWhere: nondeterministic predicate refused — it would delete a different set than it counts") {
+    val root = Files.createTempDirectory("txdelnd").toFile.getAbsolutePath + "/t"
+    TxTable.commit(spark, root, rows("d1" -> 1.0, "d2" -> 2.0), "day")
+    val ex = intercept[IllegalArgumentException](
+      TxTable.deleteWhere(spark, root, "day", rand() < 0.5))
+    assert(ex.getMessage.contains("deterministic"))
+    // expr-string form resolves to the same Nondeterministic node
+    intercept[IllegalArgumentException](
+      TxTable.deleteWhere(spark, root, "day", expr("rand() < 0.5")))
+    assert(snapshot(root) == Set("d1" -> 1.0, "d2" -> 2.0), "refused delete changes nothing")
+  }
+
+  test("deleteWhere: partition values the writer escapes (':' in dir names) address the right manifest keys") {
+    val root = Files.createTempDirectory("txdelesc").toFile.getAbsolutePath + "/t"
+    // ':' is illegal in a Hadoop path segment — partitionBy writes day=a%3Ab;
+    // the manifest key is that ESCAPED form, while rows hold the raw value
+    TxTable.commit(spark, root, rows("a:b" -> 1.0, "a:b" -> 2.0, "plain" -> 3.0), "day")
+    val before = TxTable.latest(spark, root)._2
+    assert(before.contains("a%3Ab"), s"writer-escaped manifest key expected: $before")
+    val n = TxTable.deleteWhere(spark, root, "day", col("value") === 1.0)
+    assert(n == 1L)
+    assert(snapshot(root) == Set("a:b" -> 2.0, "plain" -> 3.0))
+    val after = TxTable.latest(spark, root)._2
+    assert(after("plain") == before("plain"), "untouched partition keeps its files")
+    assert(after("a%3Ab") != before("a%3Ab"), "escaped-key partition rewritten, not duplicated")
+    // deleting the remaining a:b row drops the escaped key entirely
+    assert(TxTable.deleteWhere(spark, root, "day", col("day") === "a:b") == 1L)
+    assert(!TxTable.latest(spark, root)._2.contains("a%3Ab"))
+    assert(snapshot(root) == Set("plain" -> 3.0))
+  }
+
+  test("deleteWhere: rows with a NULL partition value are refused, not silently mis-addressed") {
+    val root = Files.createTempDirectory("txdelnull").toFile.getAbsolutePath + "/t"
+    val data = Seq((Some("d1"), 1.0), (None, 2.0)).toDF("day", "value")
+    TxTable.commit(spark, root, data, "day")
+    val ex = intercept[IllegalArgumentException](
+      TxTable.deleteWhere(spark, root, "day", col("value") === 2.0))
+    assert(ex.getMessage.contains("NULL"))
+    // a delete touching only NON-null partitions still works on this table
+    assert(TxTable.deleteWhere(spark, root, "day", col("value") === 1.0) == 1L)
+  }
+
   test("the gold merge path composes with TxTable: incremental day recompute commits atomically") {
     val root = Files.createTempDirectory("txtable4").toFile.getAbsolutePath + "/gold"
     // initial gold: two days
