@@ -43,7 +43,7 @@ object IvfOps {
         transform(col("emb"), e => e / col("norm")).as("embedding"))
 
   /** cell assignment: argmax cosine over broadcast centroids. */
-  private def assign(s: org.apache.spark.sql.SparkSession, d: String, nlist: Int) = {
+  private[ops] def assign(s: org.apache.spark.sql.SparkSession, d: String, nlist: Int) = {
     val base = withNorm(Tables.embeddings(s, d))
     val cents = base.filter(col("vec_id") < nlist).select(
       col("vec_id").as("cid"), col("emb").as("cemb"), col("norm").as("cnorm"))
@@ -55,7 +55,7 @@ object IvfOps {
       .select(col("vec_id"), col("cid").as("cluster"), col("emb"), col("norm"))
   }
 
-  private val assignSql =
+  private[ops] val assignSql =
     """WITH e AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS emb,
       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
