@@ -1,0 +1,179 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.DedupOps
+
+/** Persisted incremental near-duplicate index: the batch MinHash+LSH
+  * pipeline ([[DedupOps]]) turned into a GROWING corpus gate. At 100 TB
+  * you never re-minhash the whole corpus per ingest — each increment is
+  * signed once, PROBED against the stored band table, and the survivors'
+  * bands are appended; cost is O(increment + matched buckets), never
+  * O(corpus).
+  *
+  * The index is a [[TxTable]] partitioned by band_id with rows
+  * (band_id, band_hash, doc_id, sig): self-contained — matching uses the
+  * stored k-long signature (estimated Jaccard = fraction of agreeing
+  * positions, the [[graft.streaming.StreamingDedup]] estimator), so the
+  * original text never needs to be fetched again (it may be gone). The
+  * k-long payload rides each of the k/rowsPerBand band rows — a bounded
+  * constant (~2 KB/doc at k=32), the price of probe-side self-containment.
+  *
+  * Each ingest commits through [[TxTable.appendCommit]]: a crash
+  * mid-ingest leaves the previous index version intact (verdicts are
+  * derived from data, so re-running the failed ingest is idempotent —
+  * its dups resolve identically and its survivors append once).
+  * Concurrent ingests of DISJOINT increments are safe at the storage
+  * layer (blind appends never conflict) but the GATE is
+  * last-writer-blind: two simultaneous ingests cannot see each other's
+  * survivors, so near-dups ACROSS concurrently-ingested increments pass
+  * through — serialize ingests when that matters (single-writer, the
+  * same contract as the reference's hourly DAG).
+  *
+  * Within-increment semantics are GREEDY FIRST-WIN (the
+  * [[graft.ops.SemDedupOps]] rule): a doc is dropped when the index
+  * matches, or when ANY earlier (lower-id) increment-mate matches —
+  * `dup_of` may therefore name a doc that was itself dropped
+  * (attribution chains). The sequential one-at-a-time semantics of the
+  * streaming gate would make each verdict depend on the previous doc's
+  * verdict — an inherently serial scan the streaming tier provides
+  * ([[graft.streaming.StreamingDedup.nearDupVerdicts]]); batch ingest
+  * trades that for one parallel pass.
+  *
+  * Bucket skew: stored buckets are capped at `maxBucket` rows — an
+  * oversized (boilerplate) bucket still matches probes against its
+  * stored rows but stops admitting new ones, bounding both state and
+  * probe fan-out at any scale. Admission order within one ingest is the
+  * bucket-seeded hash of [[DedupOps.minhashNearDups]] (no systematic
+  * high-id recall bias). The per-ingest bucket-count pass scans only
+  * the buckets the increment touches (semi-join pruned); a production
+  * deployment would keep a bucket-stats sidecar table instead.
+  */
+object DedupIndex {
+
+  final case class Params(
+      n: Int = 3,
+      k: Int = 32,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.5,
+      maxBucket: Int = 64)
+
+  /** (band_id, band_hash, doc_id, sig) rows for every doc with at least
+    * one shingle. Docs shorter than n words shingle to ONE all-tokens
+    * shingle (the [[DedupOps.shingles]] convention), which makes their
+    * matching effectively exact-text; the size guard mirrors the batch
+    * pipeline and only drops degenerate empties.
+    */
+  def bandRows(docs: DataFrame, p: Params): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), DedupOps.shingles(col("text"), p.n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    sh.select(col("doc_id"), DedupOps.minhashSignature(col("sh"), p.k).as("sig"))
+      .select(col("doc_id"), col("sig"),
+        explode(DedupOps.bands(col("sig"), p.k, p.rowsPerBand)).as("b"))
+      .select(
+        col("b.band_id").as("band_id"), col("b.band_hash").as("band_hash"),
+        col("doc_id"), col("sig"))
+  }
+
+  /** Estimated Jaccard between two stored signatures: fraction of
+    * agreeing positions. Exact rational m/k — binary-exact for the
+    * power-of-two k defaults, so no rounding is needed for determinism.
+    */
+  private def estJaccard(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    size(filter(zip_with(a, b, (x, y) => x === y), m => m)).cast(DoubleType) /
+      size(a).cast(DoubleType)
+
+  /** Cap admission: within each (band_id, band_hash) bucket, admit new
+    * rows only while existing + rank <= maxBucket, ranked by the
+    * bucket-seeded hash (deterministic, no high-id bias).
+    */
+  private[pipeline] def admitWithCap(
+      newBands: DataFrame, bucketCounts: DataFrame, maxBucket: Int): DataFrame = {
+    val w = Window.partitionBy("band_id", "band_hash")
+      .orderBy(xxhash64(col("band_hash"), col("doc_id")), col("doc_id"))
+    newBands
+      .join(bucketCounts, Seq("band_id", "band_hash"), "left")
+      .withColumn("_existing", coalesce(col("cnt"), lit(0L)))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_existing") + col("_rk") <= maxBucket)
+      .select(newBands.columns.map(col).toSeq: _*)
+  }
+
+  /** Ingest an increment: gate every doc against the stored index AND
+    * its earlier increment-mates, append the survivors' bands (one
+    * atomic [[TxTable.appendCommit]]), and return per-doc verdicts
+    * (doc_id, dup_of, est_jaccard, accepted) — dup_of/est_jaccard null
+    * for accepted docs. Creating the index IS the first ingest on an
+    * empty root.
+    */
+  def ingest(spark: SparkSession, root: String, newDocs: DataFrame,
+      p: Params = Params()): DataFrame = {
+    val newBands = bandRows(newDocs, p).persist()
+    val hasIndex = TxTable.latest(spark, root)._1 > 0
+    val index = if (hasIndex) Some(TxTable.read(spark, root)) else None
+
+    // probe: stored candidates sharing any bucket with a new doc
+    val indexCand = index.map { idx =>
+      newBands.join(
+        idx.select(
+          col("band_id"), col("band_hash"),
+          col("doc_id").as("cand"), col("sig").as("cand_sig")),
+        Seq("band_id", "band_hash"))
+        .select(col("doc_id"), col("cand"), col("sig"), col("cand_sig"))
+        .dropDuplicates("doc_id", "cand")
+    }
+    // within-increment: earlier-id increment-mates sharing any bucket
+    val earlier = newBands.select(
+      col("band_id"), col("band_hash"), col("doc_id").as("cand"), col("sig").as("cand_sig"))
+    val batchCand = newBands
+      .join(earlier, Seq("band_id", "band_hash"))
+      .filter(col("cand") < col("doc_id"))
+      .select(col("doc_id"), col("cand"), col("sig"), col("cand_sig"))
+      .dropDuplicates("doc_id", "cand")
+
+    val cand = indexCand.map(_.unionByName(batchCand)).getOrElse(batchCand)
+      .dropDuplicates("doc_id", "cand") // a doc re-ingested twice is its own index candidate
+      .withColumn("est", estJaccard(col("sig"), col("cand_sig")))
+      .filter(col("est") >= p.threshold)
+    // best match: highest estimate, ties to the smallest candidate id
+    // (the StreamingDedup rule)
+    val w = Window.partitionBy("doc_id").orderBy(col("est").desc, col("cand"))
+    val best = cand
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("doc_id"), col("cand").as("dup_of"), col("est").as("est_jaccard"))
+
+    val verdicts = newDocs.select("doc_id")
+      .join(best, Seq("doc_id"), "left")
+      .withColumn("accepted", col("dup_of").isNull)
+
+    // append survivors' bands, bucket-capped, in ONE atomic commit
+    val survivorBands = newBands
+      .join(verdicts.filter(col("accepted")).select("doc_id"), Seq("doc_id"), "leftsemi")
+    val bucketCounts = index.map { idx =>
+      idx.join(newBands.select("band_id", "band_hash").distinct(),
+        Seq("band_id", "band_hash"), "leftsemi")
+        .groupBy("band_id", "band_hash").agg(count(lit(1)).as("cnt"))
+    }.getOrElse(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("band_id", IntegerType), StructField("band_hash", LongType),
+          StructField("cnt", LongType)))))
+    val admitted = admitWithCap(survivorBands, bucketCounts, p.maxBucket)
+    if (!admitted.isEmpty)
+      TxTable.appendCommit(spark, root, admitted, "band_id")
+    newBands.unpersist()
+    // Safe to return lazily: TxTable.read resolved the index's dir list
+    // when the manifest was parsed ABOVE, so a caller evaluating the
+    // verdicts after the append (or after later ingests) still compares
+    // against exactly the pre-ingest index — deterministic, never
+    // self-matching. (Post-unpersist evaluation recomputes the signature
+    // kernels; a cost, not a correctness, concern.)
+    verdicts
+  }
+}

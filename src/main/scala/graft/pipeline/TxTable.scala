@@ -50,6 +50,18 @@ object TxTable {
   private def logDir(root: String) = root + "/_txlog"
   private def manifestName(v: Long) = f"$v%08d.manifest"
 
+  /** Manifest entry values are TAB-joined lists of dirs relative to root:
+    * a partition written once maps to one dir; every [[appendCommit]]
+    * adds another dir to its list instead of rewriting. Tab is safe as
+    * the separator because the writer percent-escapes control characters
+    * in partition directory names (a literal tab can never appear).
+    */
+  private def dirsOf(entry: String): Seq[String] = {
+    val ds = entry.split("\t").toSeq
+    require(ds.forall(_.nonEmpty), s"malformed manifest entry '$entry'")
+    ds
+  }
+
   /** Latest committed state: (version, partitionValue -> dir relative to
     * root). (0, empty) when the table has no committed version.
     */
@@ -107,7 +119,7 @@ object TxTable {
 
   private def readManifest(
       spark: SparkSession, root: String, entries: Map[String, String]): DataFrame = {
-    val byVersion = entries.values.groupBy(_.takeWhile(_ != '/'))
+    val byVersion = entries.values.toSeq.flatMap(dirsOf).groupBy(_.takeWhile(_ != '/'))
     // allowMissingColumns = schema evolution: a commit may ADD columns;
     // partitions still living in older version dirs read as null for
     // them (and a column dropped by a new commit survives as null on the
@@ -374,35 +386,87 @@ object TxTable {
         throw new WriteConflictException(
           s"partitions [${conflicts.mkString(", ")}] changed since version $baseVersion — rebase required")
       val next = v + 1
-      val dest = new Path(ld, manifestName(next))
-      val tmp = new Path(ld,
-        manifestName(next) + s".${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-      val out = f.create(tmp, true)
-      try out.write(
-        (cur ++ changed).toSeq.sorted.map { case (k, dir) => s"$k\t$dir" }.mkString("\n").getBytes("UTF-8"))
-      finally out.close()
-      // The CAS. POSIX rename(2) OVERWRITES an existing destination, so
-      // a check-then-rename on the local FS would let two racers both
-      // pass the check and the second silently clobber the first's
-      // manifest — the exact lost commit this protocol forbids. Hard
-      // LINK creation is the atomic create-if-absent POSIX does offer
-      // (link(2) fails EEXIST); HDFS rename already refuses an existing
-      // destination atomically in the namenode.
-      val won =
-        if (f.getUri.getScheme == "file") {
-          try {
-            java.nio.file.Files.createLink(
-              java.nio.file.Paths.get(dest.toUri.getPath),
-              java.nio.file.Paths.get(tmp.toUri.getPath))
-            true
-          } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-        } else f.rename(tmp, dest)
-      f.delete(tmp, false) // committed via link, or lost the CAS — either way drop tmp
-      if (won) return next
+      if (casManifest(f, root, next, cur ++ changed)) return next
     }
     throw new java.io.IOException(
       s"could not commit after $maxRetries attempts — log is too contended")
   }
+
+  /** Atomic create-if-absent of manifest `next`. POSIX rename(2)
+    * OVERWRITES an existing destination, so a check-then-rename on the
+    * local FS would let two racers both pass the check and the second
+    * silently clobber the first's manifest — the exact lost commit the
+    * OCC protocol forbids. Hard LINK creation is the atomic
+    * create-if-absent POSIX does offer (link(2) fails EEXIST); HDFS
+    * rename already refuses an existing destination atomically in the
+    * namenode. Returns whether THIS writer won version `next`.
+    */
+  private def casManifest(f: org.apache.hadoop.fs.FileSystem, root: String,
+      next: Long, entries: Map[String, String]): Boolean = {
+    val ld = new Path(logDir(root))
+    val dest = new Path(ld, manifestName(next))
+    val tmp = new Path(ld,
+      manifestName(next) + s".${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = f.create(tmp, true)
+    try out.write(
+      entries.toSeq.sorted.map { case (k, dir) => s"$k\t$dir" }.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val won =
+      if (f.getUri.getScheme == "file") {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dest.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else f.rename(tmp, dest)
+    f.delete(tmp, false) // committed via link, or lost the CAS — either way drop tmp
+    won
+  }
+
+  /** BLIND APPEND: add `stagedDir`'s partitions to the table WITHOUT
+    * rewriting anything — each touched partition's manifest entry grows
+    * by one dir; its existing dirs (and every untouched partition) carry
+    * over verbatim. Appends COMMUTE, so unlike [[publishOptimistic]]
+    * there is no write-write conflict under any concurrency: concurrent
+    * appenders race only on the manifest CAS and the loser simply
+    * remerges on top of the winner (the Delta "blind appends never
+    * conflict" rule). The scale rationale: an incremental ingest at
+    * 100 TB must cost O(increment), never O(partition) — rewrite-commit
+    * ([[commit]]) rewrites every touched partition, append-commit writes
+    * only the new rows.
+    *
+    * Tradeoff: each append adds one dir (and its files) to the
+    * partition's scan list — run [[compactAll]] when accumulated appends
+    * fragment reads, exactly like Delta OPTIMIZE.
+    *
+    * Returns the committed version.
+    */
+  def appendPublish(spark: SparkSession, root: String, stagedDir: String,
+      partitionCol: String, maxRetries: Int = 10): Long = {
+    val f = fs(spark, root)
+    val changed = listStaged(f, root, stagedDir, partitionCol)
+    require(changed.nonEmpty, s"staged dir $stagedDir has no $partitionCol= partitions")
+    val ld = new Path(logDir(root))
+    if (!f.exists(ld) && !f.mkdirs(ld))
+      throw new java.io.IOException(s"cannot create $ld")
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      attempt += 1
+      val (v, cur) = latest(spark, root)
+      val entries = cur ++ changed.map { case (k, dir) =>
+        k -> cur.get(k).map(_ + "\t" + dir).getOrElse(dir)
+      }
+      if (casManifest(f, root, v + 1, entries)) return v + 1
+    }
+    throw new java.io.IOException(
+      s"could not append after $maxRetries attempts — log is too contended")
+  }
+
+  /** Stage + blind-append in one call: the O(increment) ingest commit. */
+  def appendCommit(spark: SparkSession, root: String, data: DataFrame,
+      partitionCol: String): Long =
+    appendPublish(spark, root, stage(spark, root, data, partitionCol), partitionCol)
 
   /** Read-stage-publish with OCC: returns the committed version. */
   def commitOptimistic(
@@ -460,7 +524,7 @@ object TxTable {
     if (v == 0) return
     val manifestMtime =
       f.getFileStatus(new Path(logDir(root), manifestName(v))).getModificationTime
-    val live = entries.values.map(_.takeWhile(_ != '/')).toSet
+    val live = entries.values.flatMap(dirsOf).map(_.takeWhile(_ != '/')).toSet
     f.listStatus(new Path(root)).foreach { st =>
       val p = st.getPath
       if (p.getName.startsWith("v") && !live.contains(p.getName) && p.getName != "_txlog" &&

@@ -1,0 +1,107 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** The persisted incremental near-dup index: each ingest gates against
+  * everything already accepted (across ALL previous ingests), survivors'
+  * bands append atomically, and the gate's verdicts match the batch
+  * pipeline's greedy first-win semantics.
+  */
+class DedupIndexSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // near-dup pair: long shared prefix, one word changed at the end;
+  // unique docs share no 3-shingles at all
+  private val docA = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+  private val docA2 = docA.replace("today", "tonight")
+  private val docB = "large scale data pipelines shuffle partition and aggregate billions of rows hourly"
+  private val docB2 = docB.replace("hourly", "daily")
+  private val docC = "completely unrelated text about cooking pasta with garlic olive oil and basil"
+
+  private def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+
+  private def verdictMap(df: org.apache.spark.sql.DataFrame): Map[Long, (Option[Long], Boolean)] =
+    df.collect().map(r =>
+      r.getLong(0) -> (Option(r.get(1)).map(_.toString.toLong), r.getBoolean(3))).toMap
+
+  test("first ingest self-dedups greedily; second ingest is gated by the STORED index and grows it") {
+    val root = Files.createTempDirectory("dedupidx").toFile.getAbsolutePath + "/idx"
+    // ingest 1: A and its near-dup A2 (same batch), plus unique B
+    val v1 = verdictMap(DedupIndex.ingest(spark, root, docs(1L -> docA, 2L -> docA2, 3L -> docB)))
+    assert(v1(1L) == (None, true), "earliest of the pair is kept")
+    assert(v1(2L)._2 == false, "within-batch near-dup dropped")
+    assert(v1(2L)._1 == Some(1L), "attributed to the earlier batch-mate")
+    assert(v1(3L) == (None, true))
+    // index holds bands for survivors only
+    val stored1 = TxTable.read(spark, root).select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(stored1 == Set(1L, 3L), s"only survivors indexed: $stored1")
+
+    // ingest 2: near-dup of stored B, an EXACT re-send of A, and novel C
+    val v2 = verdictMap(DedupIndex.ingest(spark, root, docs(10L -> docB2, 11L -> docA, 12L -> docC)))
+    assert(v2(10L)._1 == Some(3L), "near-dup of a doc stored by a PREVIOUS ingest")
+    assert(v2(11L)._1 == Some(1L), "exact resend matches its original")
+    assert(v2(12L) == (None, true))
+
+    // ingest 3 proves ingest 2's survivor is probe-able (the index grew)
+    val v3 = verdictMap(DedupIndex.ingest(spark, root, docs(20L -> docC)))
+    assert(v3(20L)._1 == Some(12L))
+  }
+
+  test("incremental ingests match a one-shot build when dup pairs don't straddle semantics edges") {
+    val all = docs(1L -> docA, 2L -> docB, 3L -> docC, 4L -> docA2, 5L -> docB2)
+    val r1 = Files.createTempDirectory("dedupidx-one").toFile.getAbsolutePath + "/idx"
+    val r2 = Files.createTempDirectory("dedupidx-inc").toFile.getAbsolutePath + "/idx"
+    val oneShot = verdictMap(DedupIndex.ingest(spark, r1, all))
+    val incA = verdictMap(DedupIndex.ingest(spark, r2, docs(1L -> docA, 2L -> docB, 3L -> docC)))
+    val incB = verdictMap(DedupIndex.ingest(spark, r2, docs(4L -> docA2, 5L -> docB2)))
+    assert(oneShot == incA ++ incB,
+      s"one-shot $oneShot vs incremental ${incA ++ incB}")
+    // same surviving doc set in the stored index
+    def survivors(root: String) = TxTable.read(spark, root)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(survivors(r1) == survivors(r2))
+  }
+
+  test("short docs shingle to one all-tokens shingle: matching is exact-text, and resends are caught") {
+    val root = Files.createTempDirectory("dedupidx-short").toFile.getAbsolutePath + "/idx"
+    val v = verdictMap(DedupIndex.ingest(spark, root, docs(1L -> "tiny", 2L -> docA)))
+    assert(v(1L) == (None, true))
+    val stored = TxTable.read(spark, root).select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(stored == Set(1L, 2L), "short doc indexed under its single shingle")
+    // exact resend matches (sig is k copies of the one shingle hash);
+    // a DIFFERENT short doc does not
+    val v2 = verdictMap(DedupIndex.ingest(spark, root, docs(9L -> "tiny", 10L -> "other")))
+    assert(v2(9L)._1 == Some(1L))
+    assert(v2(10L) == (None, true))
+  }
+
+  test("admitWithCap: bucket fills to maxBucket across existing+new, hash-ranked, and stops") {
+    val newBands = Seq(
+      (0, 100L, 1L, Seq(1L)), (0, 100L, 2L, Seq(2L)), (0, 100L, 3L, Seq(3L)),
+      (1, 200L, 4L, Seq(4L)))
+      .toDF("band_id", "band_hash", "doc_id", "sig")
+    val counts = Seq((0, 100L, 2L)).toDF("band_id", "band_hash", "cnt")
+    val got = DedupIndex.admitWithCap(newBands, counts, maxBucket = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // bucket (0,100) has 2 stored: exactly ONE of the three new rows fits;
+    // bucket (1,200) is empty: its row always fits
+    assert(got.contains(4L))
+    assert((got - 4L).size == 1, s"one admission into the nearly-full bucket: $got")
+    // deterministic: the same call admits the same row
+    val again = DedupIndex.admitWithCap(newBands, counts, maxBucket = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == again)
+    // a FULL bucket admits nothing
+    val full = DedupIndex.admitWithCap(newBands, Seq((0, 100L, 3L)).toDF("band_id", "band_hash", "cnt"), 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(full == Set(4L))
+  }
+}

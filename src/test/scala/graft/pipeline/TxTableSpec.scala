@@ -193,6 +193,61 @@ class TxTableSpec extends AnyFunSuite {
     assert(snapshot(root) == Set(("d1", 10.0), ("d2", 99.0)))
   }
 
+  test("appendCommit: O(increment) — existing partition dirs carry over verbatim, new rows union in") {
+    val root = Files.createTempDirectory("txappend").toFile.getAbsolutePath + "/t"
+    val v1 = TxTable.appendCommit(spark, root, rows("d1" -> 1.0, "d2" -> 2.0), "day")
+    assert(v1 == 1L)
+    val before = TxTable.latest(spark, root)._2
+    val v2 = TxTable.appendCommit(spark, root, rows("d1" -> 10.0, "d3" -> 3.0), "day")
+    assert(v2 == 2L)
+    assert(snapshot(root) == Set("d1" -> 1.0, "d1" -> 10.0, "d2" -> 2.0, "d3" -> 3.0))
+    val after = TxTable.latest(spark, root)._2
+    assert(after("d2") == before("d2"), "untouched partition: same entry")
+    assert(after("d1").startsWith(before("d1") + "\t"),
+      s"appended partition keeps its old dir first and GROWS: ${after("d1")}")
+    assert(after("d1").split("\t").length == 2)
+    // an overwrite-commit afterwards collapses the dir list again
+    TxTable.commit(spark, root, rows("d1" -> 99.0), "day")
+    assert(snapshot(root) == Set("d1" -> 99.0, "d2" -> 2.0, "d3" -> 3.0))
+    assert(!TxTable.latest(spark, root)._2("d1").contains("\t"))
+  }
+
+  test("blind appends never conflict: two appenders to the SAME partition both land (the Delta append rule)") {
+    val root = Files.createTempDirectory("txappend2").toFile.getAbsolutePath + "/t"
+    TxTable.commit(spark, root, rows("d1" -> 1.0), "day")
+    // both stage before either publishes — maximal race
+    val sA = TxTable.stage(spark, root, rows("d1" -> 2.0), "day")
+    val sB = TxTable.stage(spark, root, rows("d1" -> 3.0), "day")
+    val vA = TxTable.appendPublish(spark, root, sA, "day")
+    val vB = TxTable.appendPublish(spark, root, sB, "day")
+    assert(Set(vA, vB) == Set(2L, 3L))
+    assert(snapshot(root) == Set("d1" -> 1.0, "d1" -> 2.0, "d1" -> 3.0),
+      "no lost append: all three rows visible")
+    // vacuum keeps every dir a multi-dir entry references
+    TxTable.vacuum(spark, root)
+    assert(snapshot(root) == Set("d1" -> 1.0, "d1" -> 2.0, "d1" -> 3.0))
+    // and deleteWhere still rewrites the fragmented partition correctly
+    assert(TxTable.deleteWhere(spark, root, "day", col("value") === 2.0) == 1L)
+    assert(snapshot(root) == Set("d1" -> 1.0, "d1" -> 3.0))
+    assert(!TxTable.latest(spark, root)._2("d1").contains("\t"),
+      "delete's rewrite collapses the dir list")
+  }
+
+  test("appends compact away: compactAll collapses accumulated append dirs into one") {
+    val root = Files.createTempDirectory("txappend3").toFile.getAbsolutePath + "/t"
+    TxTable.appendCommit(spark, root, rows("d1" -> 1.0), "day")
+    TxTable.appendCommit(spark, root, rows("d1" -> 2.0), "day")
+    TxTable.appendCommit(spark, root, rows("d1" -> 3.0), "day")
+    val frag = TxTable.latest(spark, root)._2("d1")
+    assert(frag.split("\t").length == 3, s"three appends -> three dirs: $frag")
+    TxTable.compactAll(spark, root, "day")
+    TxTable.vacuum(spark, root)
+    assert(!TxTable.latest(spark, root)._2("d1").contains("\t"))
+    assert(snapshot(root) == Set("d1" -> 1.0, "d1" -> 2.0, "d1" -> 3.0))
+    val live = new java.io.File(root).listFiles().map(_.getName).filter(_.startsWith("v")).toSet
+    assert(live.size == 1, s"one version dir after compact+vacuum: $live")
+  }
+
   test("deleteWhere: partial-partition rewrite, full-partition drop, untouched files shared, audit trail") {
     val root = Files.createTempDirectory("txdel").toFile.getAbsolutePath + "/t"
     TxTable.commit(spark, root,
