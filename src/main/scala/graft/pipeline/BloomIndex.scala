@@ -50,6 +50,42 @@ object BloomIndex {
   private def xxh(value: Any): Long =
     XxHash64(Seq(Literal(value)), 42L).eval(null).asInstanceOf[Long] // xxhash64()'s seed
 
+  /** ROW-GROUP-granular bloom pruning via parquet's NATIVE filters —
+    * the tier below the per-file sidecars, with no custom reader at
+    * all: parquet-mr ≥1.12 writes an SBBF per row group when asked,
+    * and every read whose pushed predicate pins `keyCol` to values
+    * (`=`/`IN`) consults it during row-group filtering — Spark's
+    * vectorized parquet scan included, because Spark pushes those
+    * predicates into parquet-mr (`spark.sql.parquet.filterPushdown`,
+    * on by default).
+    *
+    * Dictionary encoding is DISABLED for the key column on purpose:
+    * a dictionary-encoded column is already exactly row-group-prunable
+    * (the reader checks the dictionary), so blooms would be dead
+    * weight — but real high-cardinality keys overflow the dictionary
+    * and silently fall back to plain encoding mid-file, losing that
+    * pruning exactly where tables are big. Plain + bloom is the
+    * honest at-scale layout; `ndvPerRowGroup` sizes each filter.
+    *
+    * The three tiers compose on one table: `write` sidecars skip FILES,
+    * these skip ROW GROUPS inside surviving files, the residual filter
+    * drops rows. `BloomIndexSpec` proves the row-group skip at the
+    * parquet-mr level (filtered row-group count < total for an absent
+    * key that min/max stats cannot exclude).
+    */
+  def writeRowGroupBlooms(
+      df: DataFrame, path: String, keyCol: String,
+      ndvPerRowGroup: Long = 100000L, fpp: Double = 0.01,
+      rowGroupBytes: Long = 128L * 1024 * 1024): Unit = {
+    df.write
+      .option(s"parquet.bloom.filter.enabled#$keyCol", "true")
+      .option(s"parquet.bloom.filter.expected.ndv#$keyCol", ndvPerRowGroup.toString)
+      .option(s"parquet.bloom.filter.fpp#$keyCol", fpp.toString)
+      .option(s"parquet.enable.dictionary#$keyCol", "false")
+      .option("parquet.block.size", rowGroupBytes.toString)
+      .parquet(path)
+  }
+
   /** Write `df` to `path` (parquet) and build one bloom sidecar per
     * data file over `keyCol`, in ONE indexing job.
     * `expectedKeysPerFile` sizes the filters (~9.6 bits/key at the
