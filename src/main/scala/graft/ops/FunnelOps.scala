@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Product-analytics shapes over the `events` stream: cohort retention
+  * and a strict-order conversion funnel — the two standard event-table
+  * workloads a warehouse engine must express well.
+  *
+  * Scale shapes:
+  *   - retention: two aggregates over one event scan (first-touch per
+  *     user, distinct user-weeks), joined on user_id — every shuffle
+  *     keys on user_id or (cohort, offset); no window, no driver state.
+  *   - funnel: strict sequencing (first click AFTER first view, first
+  *     purchase AFTER that click) is inherently staged — three
+  *     event-type-pruned scans (the type predicate reaches parquet),
+  *     each reduced to a user-level min before the next stage joins it
+  *     back. The per-stage frames are user-dimension-sized, orders of
+  *     magnitude under the event count; their joins co-partition on
+  *     user_id. A single-pass window formulation would sort EVERY
+  *     user's full event history instead.
+  */
+object FunnelOps {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Weekly cohort retention triangle: users bucketed by first-event
+    // week, counted per whole-week offset of later activity.
+    QueryDef(
+      "q_cohort_retention",
+      """WITH f AS (
+        |  SELECT user_id, date_trunc('week', min(ts::TIMESTAMP)) AS cohort
+        |  FROM events GROUP BY user_id),
+        |a AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts::TIMESTAMP) AS wk
+        |  FROM events)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+        |  CAST(date_diff('day', cohort, wk) / 7 AS BIGINT) AS week_offset,
+        |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY cohort, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val first = ev.groupBy("user_id")
+        .agg(date_trunc("week", min(col("ts"))).as("cohort"))
+      val act = ev.select(col("user_id"), date_trunc("week", col("ts")).as("wk")).distinct()
+      act.join(first, "user_id")
+        .groupBy(
+          col("cohort"),
+          (datediff(col("wk"), col("cohort")) / 7).cast(LongType).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("users"))
+        .select(
+          date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+          col("week_offset"), col("users"))
+        .orderBy("cohort_week", "week_offset")
+    },
+
+    // Strict-order funnel view -> click -> purchase: each stage counts
+    // users whose first qualifying event falls AFTER their previous
+    // stage's timestamp (not merely users who did all three in any
+    // order — the distinction IS the funnel). Confined to the first
+    // day: the driver's synthetic stream is dense enough that an
+    // unbounded window converts EVERYONE (a vacuous 1500/1500/1500 at
+    // sf0.1); one day measures 56/19/3 at sf0.01 — a real funnel. The
+    // day bound rides ts_ns so it prunes at the parquet scan.
+    QueryDef(
+      "q_funnel_steps",
+      """WITH e AS (
+        |  SELECT user_id, event_type, ts::TIMESTAMP AS ts FROM events
+        |  WHERE ts::TIMESTAMP >= TIMESTAMP '2024-01-01'
+        |    AND ts::TIMESTAMP < TIMESTAMP '2024-01-02'),
+        |v AS (
+        |  SELECT user_id, min(ts) AS t1
+        |  FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(ts) AS t2
+        |  FROM e JOIN v ON e.user_id = v.user_id
+        |  WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(ts) AS t3
+        |  FROM e JOIN c ON e.user_id = c.user_id
+        |  WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage, 'view' AS event_type,
+        |    CAST(count(*) AS BIGINT) AS users FROM v
+        |  UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM c
+        |  UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM p)
+        |ORDER BY stage""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).filter(Tables.tsNsRange("2024-01-01", "2024-01-02"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      def stage(n: Int, name: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("users"))
+          .select(lit(n.toLong).as("stage"), lit(name).as("event_type"), col("users"))
+      stage(1, "view", v).unionAll(stage(2, "click", c)).unionAll(stage(3, "purchase", p))
+        .orderBy("stage")
+    })
+}
