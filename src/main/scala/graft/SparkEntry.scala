@@ -18,7 +18,8 @@ object SparkEntry {
       Multimodal.all ++ SkewOps.all ++ CurationOps.all ++ PqOps.all ++ IvfAdcOps.all ++
       WindowOps.all ++ TextOps3.all ++ BloomOps.all ++ OpqOps.all ++ RelationalOps3.all ++
       IrOps.all ++ PackOps.all ++ HeavyHitterOps.all ++ graft.plans.AsOfOps.all ++
-      ProfileOps.all ++ LmOps.all ++ SemDedupOps.all ++ TpchMoreOps.all ++ FunnelOps.all
+      ProfileOps.all ++ LmOps.all ++ SemDedupOps.all ++ TpchMoreOps.all ++ FunnelOps.all ++
+      SampleOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
