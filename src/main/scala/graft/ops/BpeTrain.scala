@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Word as a symbol sequence with its corpus frequency — the BPE
+  * training unit.
+  */
+final case class BpeWord(syms: Seq[String], n: Long)
+
+/** Distributed BPE tokenizer TRAINING (Sennrich et al. 2016): learn the
+  * merge table from the corpus itself, not just apply a fixed one
+  * (`bpe_tokens`/`q_bpe_tokens` is the application side).
+  *
+  * The classic algorithm is a loop over (count all adjacent symbol
+  * pairs, merge the most frequent); its distributed shape here:
+  *
+  *   - the corpus collapses ONCE to a word-frequency table (one shuffle
+  *     over words) — every later iteration works on DISTINCT words
+  *     weighted by count, which is vocabulary-sized, not corpus-sized.
+  *     This is what makes whole-corpus training tractable at 100 TB
+  *     where the usual practice is single-node training on a sample.
+  *   - per merge iteration: adjacent pairs come from a row-local
+  *     zip-with-tail explode (no window, no self-join), ONE hash agg on
+  *     (a, b) picks the winner, and exactly one row reaches the driver
+  *     (the argmax — the scalar-watermark precedent, never data).
+  *   - the merge application is a typed Dataset.map: per-row imperative
+  *     leftmost-non-overlapping rewriting is genuinely iterative logic,
+  *     the documented case where map beats any expression encoding.
+  *   - lineage: each iteration caches its words table and every 8th is
+  *     localCheckpoint'd (the connectedComponents discipline) so k
+  *     merges never stack k plans.
+  *
+  * Determinism: ties on pair count break lexicographically on (a, b) —
+  * training is a pure function of the corpus multiset, stable across
+  * partitioning and reruns (spec'd 1-vs-8 partitions).
+  */
+object BpeTrain {
+
+  /** Leftmost-first non-overlapping merge of adjacent (a, b) into a+b —
+    * the standard BPE rewrite step.
+    */
+  private[ops] def mergePair(syms: Seq[String], a: String, b: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += a + b; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** Corpus -> word-frequency table, each word as its character
+    * symbols plus the `</w>` end marker (so merges can distinguish
+    * word-final units, per the original formulation).
+    */
+  def wordCounts(docs: DataFrame): Dataset[BpeWord] = {
+    import docs.sparkSession.implicits._
+    docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .map(r => BpeWord(r.getString(0).map(_.toString) :+ "</w>", r.getLong(1)))
+  }
+
+  /** Learn up to `numMerges` merges; stops early when the best pair
+    * falls under `minCount`. Returns merges in learned order.
+    */
+  def learnMerges(docs: DataFrame, numMerges: Int, minCount: Long = 2L): Seq[(String, String)] = {
+    import docs.sparkSession.implicits._
+    var words = wordCounts(docs).persist()
+    words.count()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var iter = 0
+    while (iter < numMerges) {
+      val top = words.toDF("syms", "n")
+        .select(
+          col("n"),
+          explode(zip_with(
+            slice(col("syms"), lit(1), size(col("syms")) - 1),
+            slice(col("syms"), lit(2), size(col("syms")) - 1),
+            (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+        .groupBy(col("p.a"), col("p.b"))
+        .agg(sum(col("n")).as("c"))
+        .orderBy(col("c").desc, col("a"), col("b"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty || top(0).getLong(2) < minCount) iter = numMerges
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        val prev = words
+        words = prev.map(w => BpeWord(mergePair(w.syms, a, b), w.n)).persist()
+        if (merges.size % 8 == 0) { words = words.localCheckpoint(); () }
+        words.count()
+        prev.unpersist()
+        iter += 1
+      }
+    }
+    words.unpersist()
+    merges.toSeq
+  }
+
+  /** Apply a learned merge table to one word (driver- or executor-side;
+    * used by [[tokenize]]'s Dataset.map).
+    */
+  def encodeWord(word: String, merges: Seq[(String, String)]): Seq[String] =
+    merges.foldLeft[Seq[String]](word.map(_.toString) :+ "</w>") {
+      case (syms, (a, b)) => mergePair(syms, a, b)
+    }
+
+  /** Tokenize a corpus with a learned merge table: (doc_id, tokens). */
+  def tokenize(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    import docs.sparkSession.implicits._
+    val m = merges // stable local for the closure
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        (id, text.split(" ").filter(_.nonEmpty).toSeq.flatMap(w => encodeWord(w, m)))
+      }
+      .toDF("doc_id", "tokens")
+  }
+}
