@@ -91,8 +91,14 @@ object BpeTrain {
         val (a, b) = (top(0).getString(0), top(0).getString(1))
         merges += ((a, b))
         val prev = words
-        words = prev.map(w => BpeWord(mergePair(w.syms, a, b), w.n)).persist()
-        if (merges.size % 8 == 0) { words = words.localCheckpoint(); () }
+        val mapped = prev.map(w => BpeWord(mergePair(w.syms, a, b), w.n)).persist()
+        // every 8th merge: cut lineage, then RELEASE the pre-checkpoint
+        // cache — rebinding without the unpersist would leak one
+        // vocabulary-sized cached table per checkpoint for the whole
+        // training run
+        words =
+          if (merges.size % 8 == 0) { val cp = mapped.localCheckpoint(); mapped.unpersist(); cp }
+          else mapped
         words.count()
         prev.unpersist()
         iter += 1

@@ -30,7 +30,8 @@ object CovisitOps {
       "q_covisitation",
       s"""WITH ui AS (
          |  SELECT DISTINCT user_id, CAST(props->>'$$.k' AS BIGINT) AS item
-         |  FROM events WHERE event_type = 'view'),
+         |  FROM events
+         |  WHERE event_type = 'view' AND (props->>'$$.k') IS NOT NULL),
          |capped AS (
          |  SELECT user_id, item FROM (
          |    SELECT user_id, item, row_number() OVER (
@@ -46,10 +47,14 @@ object CovisitOps {
          |HAVING count(*) >= 3
          |ORDER BY users DESC, item_a, item_b
          |LIMIT 100""".stripMargin) { (s, d) =>
+      // null guard BEFORE the cap window: a props row without 'k' would
+      // otherwise rank NULLS FIRST in Spark but NULLS LAST in DuckDB,
+      // shifting which items survive the cap
       val ui = Tables.events(s, d)
         .filter(col("event_type") === "view")
         .select(col("user_id"),
           get_json_object(col("props"), "$.k").cast(LongType).as("item"))
+        .filter(col("item").isNotNull)
         .distinct()
       val w = Window.partitionBy("user_id").orderBy(
         md5(concat(col("user_id").cast(StringType), lit("#"), col("item").cast(StringType))),

@@ -69,7 +69,7 @@ object BloomIndex {
     *
     * The three tiers compose on one table: `write` sidecars skip FILES,
     * these skip ROW GROUPS inside surviving files, the residual filter
-    * drops rows. `BloomIndexSpec` proves the row-group skip at the
+    * drops rows. `RowGroupBloomSpec` proves the row-group skip at the
     * parquet-mr level (filtered row-group count < total for an absent
     * key that min/max stats cannot exclude).
     */

@@ -116,13 +116,19 @@ object DedupIndex {
     val hasIndex = TxTable.latest(spark, root)._1 > 0
     val index = if (hasIndex) Some(TxTable.read(spark, root)) else None
 
-    // probe: stored candidates sharing any bucket with a new doc
+    // probe: stored candidates sharing any bucket with a new doc. The
+    // doc's OWN stored bands (a replayed ingest after a successful
+    // append) are excluded — matching yourself would flip every
+    // previously-accepted doc to dup_of=itself on retry; ids are
+    // single-assignment (a DIFFERENT text reusing a stored id is the
+    // caller's bug, not a duplicate).
     val indexCand = index.map { idx =>
       newBands.join(
         idx.select(
           col("band_id"), col("band_hash"),
           col("doc_id").as("cand"), col("sig").as("cand_sig")),
         Seq("band_id", "band_hash"))
+        .filter(col("cand") =!= col("doc_id"))
         .select(col("doc_id"), col("cand"), col("sig"), col("cand_sig"))
         .dropDuplicates("doc_id", "cand")
     }
@@ -151,9 +157,14 @@ object DedupIndex {
       .join(best, Seq("doc_id"), "left")
       .withColumn("accepted", col("dup_of").isNull)
 
-    // append survivors' bands, bucket-capped, in ONE atomic commit
-    val survivorBands = newBands
-      .join(verdicts.filter(col("accepted")).select("doc_id"), Seq("doc_id"), "leftsemi")
+    // append survivors' bands, bucket-capped, in ONE atomic commit —
+    // minus docs ALREADY stored (the replayed-ingest case: their
+    // verdicts recompute identically above, and re-appending their
+    // bands would duplicate index rows), making retry a true no-op
+    val survivorBands = index.foldLeft(
+      newBands.join(verdicts.filter(col("accepted")).select("doc_id"), Seq("doc_id"), "leftsemi")) {
+      (bands, idx) => bands.join(idx.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+    }
     val bucketCounts = index.map { idx =>
       idx.join(newBands.select("band_id", "band_hash").distinct(),
         Seq("band_id", "band_hash"), "leftsemi")

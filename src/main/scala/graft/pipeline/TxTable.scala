@@ -25,9 +25,11 @@ import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
   *
   * Single-writer by design (the reference's hourly DAG is too).
   * Concurrent committers stage into UNIQUE nonce-named dirs (never
-  * touching each other's files) and race only on the whole-manifest
-  * rename — last complete manifest wins; a reader can never observe a
-  * torn mix. See [[publish]] for the exact semantics.
+  * touching each other's files) and race only on the manifest
+  * create-if-absent CAS — the loser FAILS LOUDLY (never a silent
+  * clobber of a committed manifest); a reader can never observe a torn
+  * mix. [[publishOptimistic]]/[[appendPublish]] retry that race,
+  * [[publish]] treats it as a single-writer-contract violation.
   */
 object TxTable {
 
@@ -214,10 +216,12 @@ object TxTable {
     *
     * Concurrency: the table is single-writer by contract. If two
     * publishers race anyway, each writes a complete self-consistent
-    * manifest; on HDFS the loser's rename fails loudly (dest exists),
-    * on the local FS rename overwrites so the LAST publisher wins — in
-    * neither case can a reader observe a torn mix, because manifests
-    * are only ever replaced whole.
+    * manifest and the version-number CAS picks exactly one winner — the
+    * loser throws (on the local FS too: hard-link create-if-absent, not
+    * an overwriting rename, so a committed manifest — e.g. a concurrent
+    * [[appendPublish]] — can never be silently clobbered). A reader can
+    * never observe a torn mix, because manifests are only ever created
+    * whole.
     */
   def publish(spark: SparkSession, root: String, stagedDir: String, partitionCol: String): Unit =
     publishImpl(spark, root, stagedDir, partitionCol, replaceAll = false)
@@ -238,23 +242,21 @@ object TxTable {
       s"staged data remains at $root/$stagedDir")
   }
 
-  /** Write-temp + atomic-rename of manifest `next` (the single-writer
-    * publish tail shared by [[publishImpl]] and [[deleteWhere]]).
+  /** Single-writer publish tail shared by [[publishImpl]] and
+    * [[deleteWhere]]: one create-if-absent CAS attempt at version
+    * `next`. Routed through [[casManifest]] rather than a plain rename
+    * because POSIX rename OVERWRITES — a concurrent [[appendPublish]]
+    * that just CAS-committed the same version number would be silently
+    * clobbered (a lost committed append). Losing the CAS here means
+    * another writer took the version: the single-writer contract was
+    * violated, so fail LOUDLY with the recovery hint instead.
     */
   private def writeManifest(f: org.apache.hadoop.fs.FileSystem, root: String,
-      next: Long, entries: Map[String, String], onFailure: String): Unit = {
-    val ld = new Path(logDir(root))
-    if (!f.exists(ld) && !f.mkdirs(ld))
-      throw new java.io.IOException(s"cannot create $ld")
-    val tmp = new Path(ld, manifestName(next) + ".tmp")
-    val out = f.create(tmp, true)
-    try out.write(
-      entries.toSeq.sorted.map { case (k, dir) => s"$k\t$dir" }.mkString("\n").getBytes("UTF-8"))
-    finally out.close()
-    if (!f.rename(tmp, new Path(ld, manifestName(next))))
+      next: Long, entries: Map[String, String], onFailure: String): Unit =
+    if (!casManifest(f, root, next, entries))
       throw new java.io.IOException(
-        s"manifest publish failed for version $next; $onFailure")
-  }
+        s"manifest publish failed for version $next (a concurrent writer " +
+          s"committed it first — this path is single-writer by contract); $onFailure")
 
   /** Stage + publish in one call: the crash-safe replacement for a
     * multi-partition dir-swap merge.
@@ -376,7 +378,7 @@ object TxTable {
       throw new java.io.IOException(s"cannot create $ld")
 
     var attempt = 0
-    while (attempt <= maxRetries) {
+    while (attempt < maxRetries) {
       attempt += 1
       val (v, cur) = latest(spark, root)
       require(v >= baseVersion, s"base version $baseVersion is ahead of the log ($v)")
@@ -404,6 +406,8 @@ object TxTable {
   private def casManifest(f: org.apache.hadoop.fs.FileSystem, root: String,
       next: Long, entries: Map[String, String]): Boolean = {
     val ld = new Path(logDir(root))
+    if (!f.exists(ld) && !f.mkdirs(ld))
+      throw new java.io.IOException(s"cannot create $ld")
     val dest = new Path(ld, manifestName(next))
     val tmp = new Path(ld,
       manifestName(next) + s".${java.util.UUID.randomUUID().toString.take(8)}.tmp")
@@ -451,7 +455,7 @@ object TxTable {
     if (!f.exists(ld) && !f.mkdirs(ld))
       throw new java.io.IOException(s"cannot create $ld")
     var attempt = 0
-    while (attempt <= maxRetries) {
+    while (attempt < maxRetries) {
       attempt += 1
       val (v, cur) = latest(spark, root)
       val entries = cur ++ changed.map { case (k, dir) =>
@@ -533,7 +537,9 @@ object TxTable {
     }
     f.listStatus(new Path(logDir(root))).map(_.getPath).foreach { p =>
       val n = p.getName
-      if (n.endsWith(".manifest.tmp")) f.delete(p, false)
+      // both tmp shapes: legacy "N.manifest.tmp" and casManifest's
+      // nonce'd "N.manifest.<nonce>.tmp"
+      if (n.endsWith(".tmp") && n.contains(".manifest")) f.delete(p, false)
       else if (n.endsWith(".manifest") && n.stripSuffix(".manifest").toLong < v)
         f.delete(p, false)
     }

@@ -83,6 +83,23 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(v2(10L) == (None, true))
   }
 
+  test("replayed ingest is idempotent: same verdicts, no self-matches, no duplicate index rows") {
+    val root = Files.createTempDirectory("dedupidx-retry").toFile.getAbsolutePath + "/idx"
+    val inc = docs(1L -> docA, 2L -> docA2, 3L -> docB)
+    val first = verdictMap(DedupIndex.ingest(spark, root, inc))
+    val rowsAfterFirst = TxTable.read(spark, root).count()
+    // the crash-retry scenario: the SAME increment ingested again —
+    // previously-accepted docs must NOT become duplicates of themselves,
+    // and the index must not grow duplicate band rows
+    val replay = verdictMap(DedupIndex.ingest(spark, root, inc))
+    assert(replay == first, s"replay verdicts changed: $replay vs $first")
+    assert(TxTable.read(spark, root).count() == rowsAfterFirst,
+      "replay must not append duplicate bands")
+    // and the gate still works after the replay
+    val v = verdictMap(DedupIndex.ingest(spark, root, docs(9L -> docB2)))
+    assert(v(9L)._1 == Some(3L))
+  }
+
   test("admitWithCap: bucket fills to maxBucket across existing+new, hash-ranked, and stops") {
     val newBands = Seq(
       (0, 100L, 1L, Seq(1L)), (0, 100L, 2L, Seq(2L)), (0, 100L, 3L, Seq(3L)),
