@@ -87,6 +87,37 @@ object DedupIndex {
     size(filter(zip_with(a, b, (x, y) => x === y), m => m)).cast(DoubleType) /
       size(a).cast(DoubleType)
 
+  /** Index-side prefilter: drop stored band rows whose bucket the
+    * increment never touches, BEFORE the probe join shuffles anything —
+    * without it the join reshuffles the ENTIRE index every ingest,
+    * which is O(index), not the O(increment + matched buckets) this
+    * module promises. Two regimes, picked by a bounded probe (the
+    * [[graft.streaming.StreamingEnrich]] pattern): few distinct
+    * increment buckets → isin literal list (exact); many → one
+    * distributed bloom over the increment's bucket keys + a codegen'd
+    * might_contain on the stored side (a SUPERSET — false positives
+    * are cleared by the exact equi-join that still runs). Both regimes
+    * leave verdicts bit-identical. The index SCAN remains O(index) —
+    * the shuffle is what this kills; a stored layout sorted by
+    * band_hash would let stats prune the scan too.
+    */
+  private[pipeline] def prefilterIndex(idx: DataFrame, newBands: DataFrame,
+      maxInListBuckets: Int = 1024, fpp: Double = 0.01): DataFrame = {
+    val bucketKey = xxhash64(col("band_id"), col("band_hash"))
+    val buckets = newBands.select(bucketKey.as("bk")).distinct()
+    val probe = buckets.limit(maxInListBuckets + 1).collect()
+    if (probe.length <= maxInListBuckets) {
+      if (probe.isEmpty) idx.filter(lit(false))
+      else idx.filter(bucketKey.isin(probe.map(_.getLong(0)).toSeq: _*))
+    } else {
+      val n = buckets.count()
+      graft.ops.BloomOps.buildBloom(buckets, col("bk"), n, fpp) match {
+        case Some(b) => idx.filter(graft.ops.BloomOps.mightContain(b, bucketKey))
+        case None => idx.filter(lit(false))
+      }
+    }
+  }
+
   /** Cap admission: within each (band_id, band_hash) bucket, admit new
     * rows only while existing + rank <= maxBucket, ranked by the
     * bucket-seeded hash (deterministic, no high-id bias).
@@ -114,7 +145,10 @@ object DedupIndex {
       p: Params = Params()): DataFrame = {
     val newBands = bandRows(newDocs, p).persist()
     val hasIndex = TxTable.latest(spark, root)._1 > 0
-    val index = if (hasIndex) Some(TxTable.read(spark, root)) else None
+    // every index consumer below (probe, bucket counts, replay
+    // anti-join) works on the bucket-prefiltered view — the full index
+    // never reaches a shuffle
+    val index = if (hasIndex) Some(prefilterIndex(TxTable.read(spark, root), newBands)) else None
 
     // probe: stored candidates sharing any bucket with a new doc. The
     // doc's OWN stored bands (a replayed ingest after a successful
@@ -160,7 +194,10 @@ object DedupIndex {
     // append survivors' bands, bucket-capped, in ONE atomic commit —
     // minus docs ALREADY stored (the replayed-ingest case: their
     // verdicts recompute identically above, and re-appending their
-    // bands would duplicate index rows), making retry a true no-op
+    // bands would duplicate index rows), making retry a true no-op.
+    // The PREFILTERED index suffices for this anti-join: a replayed
+    // doc's stored bands are by definition the increment's own buckets,
+    // so the prefilter always keeps them.
     val survivorBands = index.foldLeft(
       newBands.join(verdicts.filter(col("accepted")).select("doc_id"), Seq("doc_id"), "leftsemi")) {
       (bands, idx) => bands.join(idx.select("doc_id").distinct(), Seq("doc_id"), "left_anti")

@@ -100,6 +100,28 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(v(9L)._1 == Some(3L))
   }
 
+  test("prefilterIndex: both regimes keep exactly the matched buckets' rows (IN exact, bloom a superset)") {
+    val idx = (0 until 400).map(i => (i % 8, i.toLong * 100, i.toLong, Seq(i.toLong)))
+      .toDF("band_id", "band_hash", "doc_id", "sig")
+    // increment touches 5 specific buckets
+    val inc = Seq((0, 0L, 900L, Seq(9L)), (1, 101L * 100, 901L, Seq(9L)),
+      (2, 202L * 100, 902L, Seq(9L)), (3, 303L * 100, 903L, Seq(9L)), (4, 44L * 100, 904L, Seq(9L)))
+      .toDF("band_id", "band_hash", "doc_id", "sig")
+    val matched = idx.join(inc.select("band_id", "band_hash").distinct(),
+      Seq("band_id", "band_hash"), "leftsemi").collect().map(_.toString).toSet
+    // IN regime: exact
+    val inFiltered = DedupIndex.prefilterIndex(idx, inc, maxInListBuckets = 1024)
+    assert(inFiltered.collect().map(_.toString).toSet == matched)
+    assert(matched.size < 400, "prefilter must actually drop rows")
+    // bloom regime (forced): a superset that still contains every match
+    val bloomFiltered = DedupIndex.prefilterIndex(idx, inc, maxInListBuckets = 2)
+    val bloomSet = bloomFiltered.collect().map(_.toString).toSet
+    assert(matched.subsetOf(bloomSet), "bloom must never drop a matched bucket")
+    assert(bloomSet.size < 400, s"bloom prefilter must drop most rows, kept ${bloomSet.size}")
+    // empty increment: nothing survives
+    assert(DedupIndex.prefilterIndex(idx, inc.filter(lit(false))).count() == 0)
+  }
+
   test("admitWithCap: bucket fills to maxBucket across existing+new, hash-ranked, and stops") {
     val newBands = Seq(
       (0, 100L, 1L, Seq(1L)), (0, 100L, 2L, Seq(2L)), (0, 100L, 3L, Seq(3L)),
