@@ -171,6 +171,94 @@ object TpchMoreOps {
         .limit(100)
     },
 
+    // Q8: national market share — NATION_1's volume share per year
+    // within ASIA's PROMO-part market. Two nation roles again (customer
+    // region membership vs supplier nationality); the share is a
+    // conditional-sum ratio like Q14.
+    QueryDef(
+      "q_tpch_q8",
+      """SELECT year(o_orderdate) AS o_year,
+        |  round(sum(CASE WHEN n2.n_name = 'NATION_1'
+        |                 THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        |    / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val n1 = Tables.nation(s, d).select(
+        col("n_nationkey").as("n1_key"), col("n_regionkey").as("n1_region"))
+      val n2 = Tables.nation(s, d).select(
+        col("n_nationkey").as("n2_key"), col("n_name").as("supp_nation"))
+      val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).filter(col("p_type") === "PROMO")),
+          col("p_partkey") === col("l_partkey"))
+        .join(broadcast(Tables.supplier(s, d)), col("s_suppkey") === col("l_suppkey"))
+        .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("n1_key"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n1_region") === col("r_regionkey"))
+        .join(broadcast(n2), col("s_nationkey") === col("n2_key"))
+        .groupBy(year(col("o_orderdate")).cast(LongType).as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_1", vol).otherwise(0)) / sum(vol),
+          6).as("mkt_share"))
+        .orderBy("o_year")
+    },
+
+    // Q13: customer order-count distribution — the LEFT-join histogram
+    // (customers with zero orders must appear in the c_count=0 bucket,
+    // which an inner join would silently drop).
+    QueryDef(
+      "q_tpch_q13",
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (
+        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // Q17: small-quantity-order revenue — a CORRELATED scalar threshold
+    // (0.2 × that part's average quantity). The DataFrame form computes
+    // the per-part averages as a plain aggregate and joins them back —
+    // what Catalyst's subquery decorrelation would produce. avg of
+    // integer-valued doubles is an exact sum / correctly-rounded
+    // divide, so the threshold comparison cannot flip between engines.
+    QueryDef(
+      "q_tpch_q17",
+      """SELECT round(sum(l_extendedprice) / 7.0, 6) AS avg_yearly
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand = 'Brand#3'
+        |  AND l.l_quantity < (
+        |    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+        |    WHERE l2.l_partkey = p.p_partkey)""".stripMargin) { (s, d) =>
+      val partAvg = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey").as("avg_key"))
+        .agg((lit(0.2) * avg(col("l_quantity"))).as("qty_cap"))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).filter(col("p_brand") === "Brand#3")),
+          col("p_partkey") === col("l_partkey"))
+        .join(partAvg, col("avg_key") === col("l_partkey"))
+        .filter(col("l_quantity") < col("qty_cap"))
+        .agg(round(sum(col("l_extendedprice")) / 7.0, 6).as("avg_yearly"))
+    },
+
     QueryDef(
       "q_tpch_q19",
       """SELECT round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
