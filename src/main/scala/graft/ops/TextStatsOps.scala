@@ -47,6 +47,37 @@ object TextStatsOps {
         count(lit(1)).as("vocab"))
     },
 
+    // Domain drift: KL(P_source || P_corpus) over unigram distributions
+    // — how far each source's language deviates from the pooled corpus
+    // (the mixing-weight diagnostic next to q_domain_mix). No smoothing
+    // needed: the corpus distribution is a superset of every source's
+    // support, so p_corpus(t) > 0 wherever p_source(t) > 0.
+    QueryDef(
+      "q_domain_kl",
+      """WITH t AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |sc AS (SELECT source, tok, CAST(count(*) AS DOUBLE) AS c FROM t GROUP BY 1, 2),
+        |st AS (SELECT source, sum(c) AS n FROM sc GROUP BY source),
+        |cc AS (SELECT tok, sum(c) AS cn FROM sc GROUP BY tok),
+        |ct AS (SELECT sum(cn) AS n FROM cc)
+        |SELECT sc.source,
+        |  round(sum((sc.c / st.n) * ln((sc.c / st.n) / (cc.cn / (SELECT n FROM ct)))), 6) AS kl
+        |FROM sc JOIN st ON sc.source = st.source JOIN cc ON sc.tok = cc.tok
+        |GROUP BY sc.source ORDER BY sc.source""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      val sc = t.groupBy("source", "tok").agg(count(lit(1)).cast(DoubleType).as("c"))
+      val st = sc.groupBy("source").agg(sum(col("c")).as("n"))
+      val cc = sc.groupBy("tok").agg(sum(col("c")).as("cn"))
+      val total = cc.agg(sum(col("cn"))).head().getDouble(0)
+      val ps = col("c") / col("n")
+      sc.join(st, "source")
+        .join(cc, "tok") // vocab-sized: AQE broadcasts when it fits
+        .groupBy("source")
+        .agg(round(sum(ps * log(ps / (col("cn") / total))), 6).as("kl"))
+        .orderBy("source")
+    },
+
     // Per-source lexical diversity: type-token ratio and hapax (freq=1
     // within the source) fraction of the vocabulary.
     QueryDef(
