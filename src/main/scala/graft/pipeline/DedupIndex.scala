@@ -134,6 +134,17 @@ object DedupIndex {
       .select(newBands.columns.map(col).toSeq: _*)
   }
 
+  /** Index maintenance: collapse the per-ingest append fragments into
+    * one version dir and reclaim superseded dirs — run when
+    * [[TxTable.history]] shows dir count far above partition count
+    * (every ingest adds one dir per touched band partition). Contents
+    * and verdicts are unchanged; single-writer, like ingest itself.
+    */
+  def compact(spark: SparkSession, root: String): Unit = {
+    TxTable.compactAll(spark, root, "band_id")
+    TxTable.vacuum(spark, root)
+  }
+
   /** Ingest an increment: gate every doc against the stored index AND
     * its earlier increment-mates, append the survivors' bands (one
     * atomic [[TxTable.appendCommit]]), and return per-doc verdicts

@@ -514,6 +514,28 @@ object TxTable {
     publishImpl(spark, root, stage(spark, root, read(spark, root), partitionCol),
       partitionCol, replaceAll = true)
 
+  /** Table history (the DESCRIBE HISTORY analog): one row per
+    * still-travelable version — (version, committedAt millis, partition
+    * count, dir count). Dir count > partition count measures append
+    * fragmentation (when the gap grows, run [[compactAll]]). Reads only
+    * the manifest log; never touches data files.
+    */
+  def history(spark: SparkSession, root: String): Seq[(Long, Long, Int, Int)] = {
+    val f = fs(spark, root)
+    val ld = new Path(logDir(root))
+    if (!f.exists(ld)) return Seq.empty
+    f.listStatus(ld)
+      .filter(_.getPath.getName.endsWith(".manifest"))
+      .sortBy(_.getPath.getName)
+      .map { st =>
+        val entries = parseManifest(f, st.getPath)
+        (st.getPath.getName.stripSuffix(".manifest").toLong,
+          st.getModificationTime,
+          entries.size,
+          entries.values.map(dirsOf(_).size).sum)
+      }.toSeq
+  }
+
   /** Drop version dirs no longer referenced by the latest manifest (and
     * superseded manifests). Safe to run concurrently with a writer: an
     * unreferenced dir at least as new as the latest manifest may be an

@@ -233,6 +233,23 @@ class TxTableSpec extends AnyFunSuite {
       "delete's rewrite collapses the dir list")
   }
 
+  test("history reports every travelable version with its fragmentation") {
+    val root = Files.createTempDirectory("txhist").toFile.getAbsolutePath + "/t"
+    assert(TxTable.history(spark, root).isEmpty)
+    TxTable.commit(spark, root, rows("d1" -> 1.0, "d2" -> 2.0), "day")
+    TxTable.appendCommit(spark, root, rows("d1" -> 3.0), "day")
+    TxTable.appendCommit(spark, root, rows("d1" -> 4.0), "day")
+    val h = TxTable.history(spark, root)
+    assert(h.map(_._1) == Seq(1L, 2L, 3L))
+    assert(h.map(x => (x._3, x._4)) == Seq((2, 2), (2, 3), (2, 4)),
+      s"partition/dir counts must show the append fragmentation: $h")
+    TxTable.compactAll(spark, root, "day")
+    TxTable.vacuum(spark, root)
+    val h2 = TxTable.history(spark, root)
+    assert(h2.map(_._1) == Seq(4L), "vacuum drops superseded versions from history")
+    assert(h2.head._3 == 2 && h2.head._4 == 2, "compaction collapses dirs to one per partition")
+  }
+
   test("appends compact away: compactAll collapses accumulated append dirs into one") {
     val root = Files.createTempDirectory("txappend3").toFile.getAbsolutePath + "/t"
     TxTable.appendCommit(spark, root, rows("d1" -> 1.0), "day")
