@@ -51,6 +51,34 @@ object BloomOps {
       Literal.create(bloom, BinaryType),
       ColumnBridge.expression(xxhash64(key))))
 
+  /** Two-regime key-set restriction: keep only `df` rows whose `dfKey`
+    * (probably) appears in `keys` (a single-column frame). Few keys →
+    * an `isin` literal list — EXACT, and Catalyst pushes the `In` to
+    * the scan (BloomIndex file-skips it). Many keys → one distributed
+    * bloom build + a codegen'd `might_contain` — a SUPERSET (fpp false
+    * positives), so callers must still run their exact join/filter.
+    * The regime probe is `limit(k+1)`, never a full count. Shared by
+    * [[graft.streaming.StreamingEnrich.enrichBatch]] (stream batch →
+    * huge static side) and
+    * [[graft.pipeline.DedupIndex.prefilterIndex]] (increment buckets →
+    * stored band table) so the regime thresholds and empty-set
+    * semantics cannot drift apart.
+    */
+  def filterToKeySet(df: DataFrame, dfKey: Column, keys: DataFrame,
+      maxInList: Int = 1024, fpp: Double = 0.01): DataFrame = {
+    val probe = keys.limit(maxInList + 1).collect()
+    if (probe.length <= maxInList) {
+      if (probe.isEmpty) df.filter(lit(false))
+      else df.filter(dfKey.isin(probe.map(_.get(0)).toSeq: _*))
+    } else {
+      val n = keys.count() // counted only in the big regime, to size the bloom
+      buildBloom(keys, col(keys.columns.head), n, fpp) match {
+        case Some(bloom) => df.filter(mightContain(bloom, dfKey))
+        case None => df.filter(lit(false))
+      }
+    }
+  }
+
   /** The composed runtime-filter join: bloom-prefilter `fact`, then the
     * exact join. Result is IDENTICAL to `fact.join(dim, cond)` — the
     * join clears the bloom's false positives — but the fact-side shuffle

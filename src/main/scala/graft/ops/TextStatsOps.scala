@@ -69,12 +69,16 @@ object TextStatsOps {
       val sc = t.groupBy("source", "tok").agg(count(lit(1)).cast(DoubleType).as("c"))
       val st = sc.groupBy("source").agg(sum(col("c")).as("n"))
       val cc = sc.groupBy("tok").agg(sum(col("c")).as("cn"))
-      val total = cc.agg(sum(col("cn"))).head().getDouble(0)
+      // corpus total rides the plan as a broadcast 1-row frame — an
+      // eager head() here would run the tokenize+aggregate pipeline a
+      // second time just to bake a literal in
+      val total = cc.agg(sum(col("cn")).as("tot"))
       val ps = col("c") / col("n")
       sc.join(st, "source")
         .join(cc, "tok") // vocab-sized: AQE broadcasts when it fits
+        .crossJoin(broadcast(total))
         .groupBy("source")
-        .agg(round(sum(ps * log(ps / (col("cn") / total))), 6).as("kl"))
+        .agg(round(sum(ps * log(ps / (col("cn") / col("tot")))), 6).as("kl"))
         .orderBy("source")
     },
 

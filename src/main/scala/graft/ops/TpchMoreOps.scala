@@ -248,12 +248,19 @@ object TpchMoreOps {
         |  AND l.l_quantity < (
         |    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
         |    WHERE l2.l_partkey = p.p_partkey)""".stripMargin) { (s, d) =>
+      // only Brand#3 parts' averages are ever consumed — semi-join the
+      // aggregate's input down by the brand selectivity before the
+      // per-part groupBy (identical averages: each part's avg depends
+      // only on its own rows)
+      val brandParts = broadcast(
+        Tables.part(s, d).filter(col("p_brand") === "Brand#3"))
       val partAvg = Tables.lineitem(s, d)
+        .join(brandParts.select(col("p_partkey").as("bp_key")),
+          col("bp_key") === col("l_partkey"), "left_semi")
         .groupBy(col("l_partkey").as("avg_key"))
         .agg((lit(0.2) * avg(col("l_quantity"))).as("qty_cap"))
       Tables.lineitem(s, d)
-        .join(broadcast(Tables.part(s, d).filter(col("p_brand") === "Brand#3")),
-          col("p_partkey") === col("l_partkey"))
+        .join(brandParts, col("p_partkey") === col("l_partkey"))
         .join(partAvg, col("avg_key") === col("l_partkey"))
         .filter(col("l_quantity") < col("qty_cap"))
         .agg(round(sum(col("l_extendedprice")) / 7.0, 6).as("avg_yearly"))

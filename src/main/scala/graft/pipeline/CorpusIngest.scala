@@ -40,11 +40,21 @@ object CorpusIngest {
   def ingestBatch(
       spark: SparkSession, corpusRoot: String, indexRoot: String,
       batch: DataFrame, params: DedupIndex.Params = DedupIndex.Params()): IngestStats = {
-    val received = batch.count()
-    val quality = CurationOps.withQuality(batch).persist()
+    // one row per doc_id BEFORE anything else: the within-increment gate
+    // compares cand < doc_id, so two rows with the SAME id would both
+    // pass it and append twice. Deterministic winner (lowest text) —
+    // dropDuplicates would pick by partition order.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("text")
+    val unique = batch
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+    val quality = CurationOps.withQuality(unique).persist()
+    val received = quality.count() // counts the deduplicated batch, one scan
     val passed = quality.filter(col("keep"))
       .select("doc_id", "text", "lang", "source")
-    val verdicts = DedupIndex.ingest(spark, indexRoot, passed, params)
+    // verdicts drive three consumers (append set, dup count, accept
+    // count) — persist, or each one re-runs the minhash+probe pipeline
+    val verdicts = DedupIndex.ingest(spark, indexRoot, passed, params).persist()
     val acceptedIds = verdicts.filter(col("accepted")).select("doc_id")
     val accepted = passed.join(acceptedIds, Seq("doc_id"), "leftsemi")
     // corpus-side idempotence: never re-append a doc_id already
@@ -58,9 +68,9 @@ object CorpusIngest {
     val toAppend = novel.persist()
     val appended = toAppend.count()
     if (appended > 0) TxTable.appendCommit(spark, corpusRoot, toAppend, "source")
-    val nPassed = passed.count()
+    val nPassed = verdicts.count() // = passed rows, off the cached verdicts
     val nDup = verdicts.filter(!col("accepted")).count()
-    quality.unpersist(); toAppend.unpersist()
+    quality.unpersist(); verdicts.unpersist(); toAppend.unpersist()
     IngestStats(received, received - nPassed, nDup, appended)
   }
 

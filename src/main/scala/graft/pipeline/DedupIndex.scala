@@ -105,17 +105,7 @@ object DedupIndex {
       maxInListBuckets: Int = 1024, fpp: Double = 0.01): DataFrame = {
     val bucketKey = xxhash64(col("band_id"), col("band_hash"))
     val buckets = newBands.select(bucketKey.as("bk")).distinct()
-    val probe = buckets.limit(maxInListBuckets + 1).collect()
-    if (probe.length <= maxInListBuckets) {
-      if (probe.isEmpty) idx.filter(lit(false))
-      else idx.filter(bucketKey.isin(probe.map(_.getLong(0)).toSeq: _*))
-    } else {
-      val n = buckets.count()
-      graft.ops.BloomOps.buildBloom(buckets, col("bk"), n, fpp) match {
-        case Some(b) => idx.filter(graft.ops.BloomOps.mightContain(b, bucketKey))
-        case None => idx.filter(lit(false))
-      }
-    }
+    graft.ops.BloomOps.filterToKeySet(idx, bucketKey, buckets, maxInListBuckets, fpp)
   }
 
   /** Cap admission: within each (band_id, band_hash) bucket, admit new
@@ -138,11 +128,40 @@ object DedupIndex {
     * one version dir and reclaim superseded dirs — run when
     * [[TxTable.history]] shows dir count far above partition count
     * (every ingest adds one dir per touched band partition). Contents
-    * and verdicts are unchanged; single-writer, like ingest itself.
+    * are unchanged, but the vacuum DELETES superseded version dirs: any
+    * still-unevaluated verdicts frame from an earlier [[ingest]] (whose
+    * plan pins the pre-ingest dir list) must be materialized first.
+    * Single-writer, like ingest itself.
     */
   def compact(spark: SparkSession, root: String): Unit = {
     TxTable.compactAll(spark, root, "band_id")
     TxTable.vacuum(spark, root)
+  }
+
+  /** The index's band geometry is pinned at creation (`_graft_params`
+    * beside the log): signatures and bucket layout are functions of
+    * (n, k, rowsPerBand), so probing or appending with DIFFERENT
+    * values silently mis-buckets — including the replay case, where a
+    * params change between attempt and retry would defeat the
+    * stored-doc anti-join (new buckets ≠ stored buckets) and duplicate
+    * bands. Ingest therefore refuses a geometry mismatch loudly.
+    */
+  private def pinParams(spark: SparkSession, root: String, p: Params): Unit = {
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val path = new org.apache.hadoop.fs.Path(root, "_graft_params")
+    val geometry = s"n=${p.n},k=${p.k},rowsPerBand=${p.rowsPerBand}"
+    if (f.exists(path)) {
+      val in = f.open(path)
+      val stored = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      require(stored == geometry,
+        s"index at $root was built with [$stored]; ingest called with [$geometry] — " +
+          "band geometry is immutable (rebuild the index to change it)")
+    } else {
+      val out = f.create(path, false)
+      try out.write(geometry.getBytes("UTF-8")) finally out.close()
+    }
   }
 
   /** Ingest an increment: gate every doc against the stored index AND
@@ -154,6 +173,7 @@ object DedupIndex {
     */
   def ingest(spark: SparkSession, root: String, newDocs: DataFrame,
       p: Params = Params()): DataFrame = {
+    pinParams(spark, root, p)
     val newBands = bandRows(newDocs, p).persist()
     val hasIndex = TxTable.latest(spark, root)._1 > 0
     // every index consumer below (probe, bucket counts, replay

@@ -527,12 +527,17 @@ object TxTable {
     f.listStatus(ld)
       .filter(_.getPath.getName.endsWith(".manifest"))
       .sortBy(_.getPath.getName)
-      .map { st =>
-        val entries = parseManifest(f, st.getPath)
-        (st.getPath.getName.stripSuffix(".manifest").toLong,
-          st.getModificationTime,
-          entries.size,
-          entries.values.map(dirsOf(_).size).sum)
+      .flatMap { st =>
+        // a concurrent vacuum may delete a superseded manifest between
+        // the listing and this read — skip it, like latest() effectively
+        // does (vacuum never deletes the max manifest)
+        try {
+          val entries = parseManifest(f, st.getPath)
+          Some((st.getPath.getName.stripSuffix(".manifest").toLong,
+            st.getModificationTime,
+            entries.size,
+            entries.values.map(dirsOf(_).size).sum))
+        } catch { case _: java.io.FileNotFoundException => None }
       }.toSeq
   }
 

@@ -48,22 +48,9 @@ object StreamingEnrich {
       maxInListKeys: Int = 1024, fpp: Double = 0.01): DataFrame = {
     val cond: Column = col(streamKey) === col(staticKey)
     val keys = batch.select(col(streamKey)).na.drop().distinct()
-    // bounded probe: fetches at most maxInListKeys+1 rows, so deciding
-    // the regime never materializes an unbounded batch on the driver
-    val probe = keys.limit(maxInListKeys + 1).collect()
-    val filtered =
-      if (probe.length <= maxInListKeys) {
-        if (probe.isEmpty) static.filter(lit(false))
-        else static.filter(col(staticKey).isin(probe.map(_.get(0)).toSeq: _*))
-      } else {
-        // distinct-key count only in the big regime, to size the bloom
-        val n = keys.count()
-        BloomOps.buildBloom(keys, col(streamKey), n, fpp) match {
-          case Some(bloom) => static.filter(BloomOps.mightContain(bloom, col(staticKey)))
-          case None => static.filter(lit(false))
-        }
-      }
-    batch.join(filtered, cond, "left")
+    batch.join(
+      BloomOps.filterToKeySet(static, col(staticKey), keys, maxInListKeys, fpp),
+      cond, "left")
   }
 
   /** File-source stream → per-batch pushdown enrichment → parquet

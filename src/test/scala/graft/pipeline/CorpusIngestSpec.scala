@@ -60,6 +60,22 @@ class CorpusIngestSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet == Set(1L, 3L))
   }
 
+  test("the same doc_id twice in ONE batch appends once, deterministically") {
+    val base = Files.createTempDirectory("corpus-intradup").toFile.getAbsolutePath
+    val (corpus, index) = (base + "/corpus", base + "/index")
+    // id 1 appears twice with different text: the lexicographically
+    // smallest text wins (a deterministic pick, not partition order)
+    val batch = docs(1L -> good2, 3L -> good3)
+      .unionByName(docs(1L -> good1))
+    val s = CorpusIngest.ingestBatch(spark, corpus, index, batch)
+    assert(s.appended == 2, s.toString)
+    val got = TxTable.read(spark, corpus)
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.keySet == Set(1L, 3L))
+    assert(got(1L) == good2, "deterministic winner: lexicographically lowest text")
+    assert(TxTable.read(spark, corpus).count() == 2, "no duplicate rows for the repeated id")
+  }
+
   test("the same pipeline runs through a checkpointed AvailableNow stream") {
     val base = Files.createTempDirectory("corpus-stream").toFile.getAbsolutePath
     val (corpus, index, src) = (base + "/corpus", base + "/index", base + "/src")

@@ -100,6 +100,18 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(v(9L)._1 == Some(3L))
   }
 
+  test("band geometry is pinned at creation: ingest with different (n, k, rowsPerBand) refuses loudly") {
+    val root = Files.createTempDirectory("dedupidx-params").toFile.getAbsolutePath + "/idx"
+    DedupIndex.ingest(spark, root, docs(1L -> docA))
+    val ex = intercept[IllegalArgumentException](
+      DedupIndex.ingest(spark, root, docs(2L -> docB), DedupIndex.Params(rowsPerBand = 8)))
+    assert(ex.getMessage.contains("geometry"))
+    // non-geometry knobs (threshold, cap) may vary per ingest
+    val v = verdictMap(DedupIndex.ingest(spark, root, docs(2L -> docB),
+      DedupIndex.Params(threshold = 0.9, maxBucket = 16)))
+    assert(v(2L)._2 == true)
+  }
+
   test("prefilterIndex: both regimes keep exactly the matched buckets' rows (IN exact, bloom a superset)") {
     val idx = (0 until 400).map(i => (i % 8, i.toLong * 100, i.toLong, Seq(i.toLong)))
       .toDF("band_id", "band_hash", "doc_id", "sig")
