@@ -82,6 +82,77 @@ object TextStatsOps {
         .orderBy("source")
     },
 
+    // Robust outlier screen: median/MAD z-scores per event type — the
+    // screen that survives the contamination it is looking for (one
+    // extreme value drags a mean/stddev z-score's own baseline; the
+    // median and MAD move by at most one order statistic). Median =
+    // exact interpolated percentile on BOTH engines (linear
+    // interpolation of the same two order statistics — correctly-
+    // rounded arithmetic on identical values, so the threshold cannot
+    // flip).
+    QueryDef(
+      "q_mad_outlier",
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY event_type),
+        |dev AS (
+        |  SELECT e.event_type, e.event_id, e.value, m.med,
+        |    abs(e.value - m.med) AS adev
+        |  FROM events e JOIN med m ON e.event_type = m.event_type),
+        |mad AS (
+        |  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        |  FROM dev GROUP BY event_type)
+        |SELECT d.event_id, d.event_type, d.value,
+        |  round((d.value - d.med) / (1.4826 * x.mad), 6) AS robust_z
+        |FROM dev d JOIN mad x ON d.event_type = x.event_type
+        |WHERE x.mad > 0 AND abs((d.value - d.med) / (1.4826 * x.mad)) > 1.2
+        |ORDER BY d.event_type, d.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val med = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5D)").as("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("adev", abs(col("value") - col("med")))
+      val mad = dev.groupBy(col("event_type").as("et2"))
+        .agg(expr("percentile(adev, 0.5D)").as("mad"))
+        .filter(col("mad") > 0)
+      val z = (col("value") - col("med")) / (lit(1.4826) * col("mad"))
+      dev.join(broadcast(mad), col("event_type") === col("et2"))
+        .filter(abs(z) > 1.2)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(z, 6).as("robust_z"))
+        .orderBy("event_type", "event_id")
+    },
+
+    // Gini coefficient of the token-frequency distribution — corpus
+    // concentration in one number (0 = uniform usage, →1 = a few tokens
+    // dominate). Rank window over the VOCABULARY (the q_tpch_q15 /
+    // q_zipf_slope single-partition exception: thousands of rows after
+    // the count agg, never the corpus).
+    QueryDef(
+      "q_token_gini",
+      """WITH f AS (
+        |  SELECT tok, CAST(count(*) AS DOUBLE) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY tok),
+        |r AS (
+        |  SELECT c, CAST(row_number() OVER (ORDER BY c, tok) AS DOUBLE) AS i,
+        |    CAST(count(*) OVER () AS DOUBLE) AS n
+        |  FROM f)
+        |SELECT round(2.0 * sum(i * c) / (max(n) * sum(c)) - (max(n) + 1) / max(n), 6) AS gini,
+        |  CAST(max(n) AS BIGINT) AS vocab
+        |FROM r""".stripMargin) { (s, d) =>
+      val f = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).cast(DoubleType).as("c"))
+      val r = f
+        .withColumn("i", row_number().over(Window.orderBy(col("c"), col("tok"))).cast(DoubleType))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()).cast(DoubleType))
+      r.agg(
+        round(lit(2.0) * sum(col("i") * col("c")) / (max(col("n")) * sum(col("c")))
+          - (max(col("n")) + 1) / max(col("n")), 6).as("gini"),
+        max(col("n")).cast(LongType).as("vocab"))
+    },
+
     // Per-source lexical diversity: type-token ratio and hapax (freq=1
     // within the source) fraction of the vocabulary.
     QueryDef(
