@@ -47,6 +47,51 @@ object TextStatsOps {
         count(lit(1)).as("vocab"))
     },
 
+    // Asymmetric containment |A∩B|/|A| alongside Jaccard over the same
+    // neighbor pairs as q_ngram_jaccard: containment is the measure
+    // that catches QUOTES and subsets — a short doc fully embedded in a
+    // long one scores containment ≈ 1 while Jaccard stays near
+    // |A|/|B| ≈ 0 (Broder's two resemblance measures; dedup pipelines
+    // screen on both).
+    QueryDef(
+      "q_ngram_containment",
+      """WITH sh AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+        |    list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, greatest(len(toks) - 2, 0) + 1)]) AS grams
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents)
+        |  WHERE len(toks) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.grams AS ga, b.grams AS gb
+        |  FROM sh a JOIN sh b ON a.source = b.source AND b.rn = a.rn + 1)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(len(list_intersect(ga, gb)) AS DOUBLE) / len(ga), 6) AS cont_a_in_b,
+        |  round(CAST(len(list_intersect(ga, gb)) AS DOUBLE) / len(gb), 6) AS cont_b_in_a,
+        |  round(CAST(len(list_intersect(ga, gb)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(ga, gb))), 6) AS jaccard
+        |FROM pairs ORDER BY doc_a""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val wSrc = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      val sh = Tables.documents(s, d)
+        .filter(size(split(col("text"), " ")) >= 3)
+        .select(
+          col("doc_id"), col("source"),
+          row_number().over(wSrc).as("rn"),
+          array_distinct(DedupOps.shingles(col("text"), 3)).as("grams"))
+      val aa = sh.select(col("doc_id").as("doc_a"), col("source"), col("rn"), col("grams").as("ga"))
+      val bb = sh.select(
+        col("doc_id").as("doc_b"), col("source").as("source_b"),
+        col("rn").as("rn_b"), col("grams").as("gb"))
+      val inter = size(array_intersect(col("ga"), col("gb"))).cast(DoubleType)
+      aa.join(bb, col("source") === col("source_b") && col("rn_b") === col("rn") + 1)
+        .select(
+          col("doc_a"), col("doc_b"),
+          round(inter / size(col("ga")), 6).as("cont_a_in_b"),
+          round(inter / size(col("gb")), 6).as("cont_b_in_a"),
+          round(inter / size(array_union(col("ga"), col("gb"))), 6).as("jaccard"))
+        .orderBy("doc_a")
+    },
+
     // Domain drift: KL(P_source || P_corpus) over unigram distributions
     // — how far each source's language deviates from the pooled corpus
     // (the mixing-weight diagnostic next to q_domain_mix). No smoothing
