@@ -66,17 +66,25 @@ object BloomOps {
     */
   def filterToKeySet(df: DataFrame, dfKey: Column, keys: DataFrame,
       maxInList: Int = 1024, fpp: Double = 0.01): DataFrame = {
-    val probe = keys.limit(maxInList + 1).collect()
-    if (probe.length <= maxInList) {
-      if (probe.isEmpty) df.filter(lit(false))
-      else df.filter(dfKey.isin(probe.map(_.get(0)).toSeq: _*))
-    } else {
-      val n = keys.count() // counted only in the big regime, to size the bloom
-      buildBloom(keys, col(keys.columns.head), n, fpp) match {
-        case Some(bloom) => df.filter(mightContain(bloom, dfKey))
-        case None => df.filter(lit(false))
+    // the big regime evaluates `keys` three times (probe, sizing count,
+    // bloom build) — persist so a derived key set (e.g. a per-batch
+    // distinct in StreamingEnrich) computes once. Both regimes finish
+    // their actions inside this call (isin literals / eager bloom
+    // head()), so the cache can be dropped before returning.
+    val cached = keys.persist()
+    try {
+      val probe = cached.limit(maxInList + 1).collect()
+      if (probe.length <= maxInList) {
+        if (probe.isEmpty) df.filter(lit(false))
+        else df.filter(dfKey.isin(probe.map(_.get(0)).toSeq: _*))
+      } else {
+        val n = cached.count() // counted only in the big regime, to size the bloom
+        buildBloom(cached, col(cached.columns.head), n, fpp) match {
+          case Some(bloom) => df.filter(mightContain(bloom, dfKey))
+          case None => df.filter(lit(false))
+        }
       }
-    }
+    } finally cached.unpersist()
   }
 
   /** The composed runtime-filter join: bloom-prefilter `fact`, then the

@@ -54,15 +54,24 @@ object LmOps {
 
   /** Per-document perplexity under the corpus unigram model:
     * exp(-(1/n) * sum ln p(w)). Returns (doc_id, n_tokens, ppl).
+    *
+    * One lazy plan, no eager totals action: the (T, V) totals ride as a
+    * broadcast single-row cross join, so `cnt` appears twice in the SAME
+    * plan and its tok-shuffle runs once via ReuseExchange — previously
+    * the totals `head()` re-ran the whole tokenize+aggregate before the
+    * score join even started.
     */
   def unigramPerplexity(docs: DataFrame): DataFrame = {
-    val (cnt, t, v) = unigramModel(docs)
+    val cnt = toks(docs).groupBy("tok")
+      .agg(count(lit(1)).cast(DoubleType).as("c"))
+    val tot = cnt.agg(sum(col("c")).as("t"), count(lit(1)).cast(DoubleType).as("v"))
     val tf = toks(docs).groupBy("doc_id", "tok")
       .agg(count(lit(1)).cast(DoubleType).as("tf"))
     tf.join(cnt, "tok") // vocab-sized right side: AQE broadcasts when it fits
+      .crossJoin(broadcast(tot)) // one row: (T, V)
       .groupBy("doc_id")
       .agg(
-        sum(col("tf") * log((col("c") + K) / (t + K * v))).as("lp"),
+        sum(col("tf") * log((col("c") + K) / (col("t") + lit(K) * col("v")))).as("lp"),
         sum(col("tf")).as("n"))
       .select(
         col("doc_id"), col("n").cast(LongType).as("n_tokens"),
@@ -75,7 +84,9 @@ object LmOps {
     * and are excluded (their bigram perplexity is undefined, not 1.0).
     */
   def bigramPerplexity(docs: DataFrame): DataFrame = {
-    val v = toks(docs).agg(countDistinct(col("tok"))).head().getLong(0).toDouble
+    // same lazy-totals shape as [[unigramPerplexity]]: V joins in as a
+    // broadcast single row instead of a separate eager head() job
+    val vocab = toks(docs).agg(countDistinct(col("tok")).cast(DoubleType).as("v"))
     // consecutive pairs ROW-LOCALLY: zip the token array with its own
     // tail — no exchange, no sort. (A lead() window costs a doc_id
     // shuffle + sort per reference, and this subtree is referenced
@@ -99,9 +110,10 @@ object LmOps {
     bgTf
       .join(bgCnt, Seq("w1", "w2")) // corpus-sized model: shuffle join, never broadcast
       .join(w1Cnt, Seq("w1"))
+      .crossJoin(broadcast(vocab)) // one row: V
       .groupBy("doc_id")
       .agg(
-        sum(col("tf") * log((col("c2") + K) / (col("c1") + K * v))).as("lp"),
+        sum(col("tf") * log((col("c2") + K) / (col("c1") + lit(K) * col("v")))).as("lp"),
         sum(col("tf")).as("m"))
       .select(
         col("doc_id"), col("m").cast(LongType).as("n_bigrams"),

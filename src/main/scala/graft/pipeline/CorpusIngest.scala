@@ -30,8 +30,20 @@ import graft.ops.CurationOps
   */
 object CorpusIngest {
 
+  /** Why-counts for one ingest batch. `received` counts RAW input rows
+    * (before any dedup), and every received row lands in exactly one of
+    * the other five buckets, so the six fields always reconcile:
+    * received = dedupedInBatch + rejectedQuality + rejectedDup +
+    * alreadyCommitted + appended. On a replay/resend the drops show up
+    * as `alreadyCommitted` (or `rejectedDup` once the index knows the
+    * bands) instead of silently vanishing from the arithmetic.
+    */
   final case class IngestStats(
-      received: Long, rejectedQuality: Long, rejectedDup: Long, appended: Long)
+      received: Long, dedupedInBatch: Long, rejectedQuality: Long,
+      rejectedDup: Long, alreadyCommitted: Long, appended: Long) {
+    def reconciles: Boolean =
+      received == dedupedInBatch + rejectedQuality + rejectedDup + alreadyCommitted + appended
+  }
 
   /** Ingest one (micro-)batch: returns the why-counts after committing
     * survivors to `corpusRoot` (partitioned by `source`) and their
@@ -44,12 +56,14 @@ object CorpusIngest {
     // compares cand < doc_id, so two rows with the SAME id would both
     // pass it and append twice. Deterministic winner (lowest text) —
     // dropDuplicates would pick by partition order.
+    val raw = batch.persist() // counted once raw, scanned once more for the window
+    val received = raw.count()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("text")
-    val unique = batch
+    val unique = raw
       .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
     val quality = CurationOps.withQuality(unique).persist()
-    val received = quality.count() // counts the deduplicated batch, one scan
+    val uniqueCnt = quality.count()
     val passed = quality.filter(col("keep"))
       .select("doc_id", "text", "lang", "source")
     // verdicts drive three consumers (append set, dup count, accept
@@ -70,8 +84,16 @@ object CorpusIngest {
     if (appended > 0) TxTable.appendCommit(spark, corpusRoot, toAppend, "source")
     val nPassed = verdicts.count() // = passed rows, off the cached verdicts
     val nDup = verdicts.filter(!col("accepted")).count()
-    quality.unpersist(); verdicts.unpersist(); toAppend.unpersist()
-    IngestStats(received, received - nPassed, nDup, appended)
+    raw.unpersist(); quality.unpersist(); verdicts.unpersist(); toAppend.unpersist()
+    IngestStats(
+      received = received,
+      dedupedInBatch = received - uniqueCnt,
+      rejectedQuality = uniqueCnt - nPassed,
+      rejectedDup = nDup,
+      // accepted by the index but anti-joined away by the corpus —
+      // a replay or a later-batch resend of an already-committed doc
+      alreadyCommitted = (nPassed - nDup) - appended,
+      appended = appended)
   }
 
   /** File-source stream → per-batch composed ingest (AvailableNow). */

@@ -409,23 +409,39 @@ object TxTable {
     if (!f.exists(ld) && !f.mkdirs(ld))
       throw new java.io.IOException(s"cannot create $ld")
     val dest = new Path(ld, manifestName(next))
-    val tmp = new Path(ld,
-      manifestName(next) + s".${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    val out = f.create(tmp, true)
-    try out.write(
-      entries.toSeq.sorted.map { case (k, dir) => s"$k\t$dir" }.mkString("\n").getBytes("UTF-8"))
-    finally out.close()
-    val won =
-      if (f.getUri.getScheme == "file") {
-        try {
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(dest.toUri.getPath),
-            java.nio.file.Paths.get(tmp.toUri.getPath))
-          true
-        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      } else f.rename(tmp, dest)
-    f.delete(tmp, false) // committed via link, or lost the CAS — either way drop tmp
-    won
+    // A concurrent [[vacuum]] may sweep our tmp between create and link
+    // (its mtime grace makes that vanishingly rare but not impossible on
+    // a clock-skewed FS) — that is NOT a lost CAS, just a lost tmp, so
+    // recreate and re-attempt; only dest-exists decides who won.
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val tmp = new Path(ld,
+        manifestName(next) + s".${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      val out = f.create(tmp, true)
+      try out.write(
+        entries.toSeq.sorted.map { case (k, dir) => s"$k\t$dir" }.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      try {
+        val won =
+          if (f.getUri.getScheme == "file") {
+            try {
+              java.nio.file.Files.createLink(
+                java.nio.file.Paths.get(dest.toUri.getPath),
+                java.nio.file.Paths.get(tmp.toUri.getPath))
+              true
+            } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+          } else f.rename(tmp, dest)
+        f.delete(tmp, false) // committed via link, or lost the CAS — either way drop tmp
+        return won
+      } catch {
+        case e: java.nio.file.NoSuchFileException =>
+          if (attempt >= 3) throw new java.io.IOException(
+            s"manifest tmp vanished $attempt times publishing version $next " +
+              "(is a vacuum running in a tight loop?)", e)
+      }
+    }
+    false // unreachable
   }
 
   /** BLIND APPEND: add `stagedDir`'s partitions to the table WITHOUT
@@ -562,12 +578,18 @@ object TxTable {
           st.getModificationTime < manifestMtime)
         f.delete(p, true)
     }
-    f.listStatus(new Path(logDir(root))).map(_.getPath).foreach { p =>
+    f.listStatus(new Path(logDir(root))).foreach { st =>
+      val p = st.getPath
       val n = p.getName
       // both tmp shapes: legacy "N.manifest.tmp" and casManifest's
-      // nonce'd "N.manifest.<nonce>.tmp"
-      if (n.endsWith(".tmp") && n.contains(".manifest")) f.delete(p, false)
-      else if (n.endsWith(".manifest") && n.stripSuffix(".manifest").toLong < v)
+      // nonce'd "N.manifest.<nonce>.tmp". Same modification-time grace
+      // as data dirs: a tmp at least as new as the latest manifest may
+      // be a concurrent casManifest between create and link — deleting
+      // it would abort that writer's allowed commit. Older tmps are
+      // provably crash debris (their publish either won long ago or died).
+      if (n.endsWith(".tmp") && n.contains(".manifest")) {
+        if (st.getModificationTime < manifestMtime) f.delete(p, false)
+      } else if (n.endsWith(".manifest") && n.stripSuffix(".manifest").toLong < v)
         f.delete(p, false)
     }
   }

@@ -37,21 +37,26 @@ class CorpusIngestSpec extends AnyFunSuite {
     val s1 = CorpusIngest.ingestBatch(spark, corpus, index,
       docs(1L -> good1, 2L -> good1Dup, 3L -> good2, 4L -> junk))
     assert(s1 == CorpusIngest.IngestStats(
-      received = 4, rejectedQuality = 1, rejectedDup = 1, appended = 2), s1.toString)
+      received = 4, dedupedInBatch = 0, rejectedQuality = 1, rejectedDup = 1,
+      alreadyCommitted = 0, appended = 2), s1.toString)
+    assert(s1.reconciles, s1.toString)
     assert(corpusIds(corpus) == Set(1L, 3L))
 
     // batch 2: a near-dup of a doc accepted in batch 1, plus a novel doc
     val s2 = CorpusIngest.ingestBatch(spark, corpus, index,
       docs(10L -> good1, 11L -> good3))
-    assert(s2 == CorpusIngest.IngestStats(2, 0, 1, 1), s2.toString)
+    assert(s2 == CorpusIngest.IngestStats(2, 0, 0, 1, 0, 1), s2.toString)
+    assert(s2.reconciles, s2.toString)
     assert(corpusIds(corpus) == Set(1L, 3L, 11L))
 
     // full batch-2 replay (crash-retry): verdicts identical, corpus and
-    // index unchanged, no new version published for a zero-row append
+    // index unchanged, no new version published for a zero-row append.
+    // Doc 11 now lands in alreadyCommitted — the replay still reconciles.
     val v = TxTable.latest(spark, corpus)._1
     val s2r = CorpusIngest.ingestBatch(spark, corpus, index,
       docs(10L -> good1, 11L -> good3))
-    assert(s2r.appended == 0, s2r.toString)
+    assert(s2r == CorpusIngest.IngestStats(2, 0, 0, 1, 1, 0), s2r.toString)
+    assert(s2r.reconciles, s2r.toString)
     assert(corpusIds(corpus) == Set(1L, 3L, 11L))
     assert(TxTable.latest(spark, corpus)._1 == v, "zero-row replay must not publish")
 
@@ -68,7 +73,10 @@ class CorpusIngestSpec extends AnyFunSuite {
     val batch = docs(1L -> good2, 3L -> good3)
       .unionByName(docs(1L -> good1))
     val s = CorpusIngest.ingestBatch(spark, corpus, index, batch)
-    assert(s.appended == 2, s.toString)
+    assert(s == CorpusIngest.IngestStats(
+      received = 3, dedupedInBatch = 1, rejectedQuality = 0, rejectedDup = 0,
+      alreadyCommitted = 0, appended = 2), s.toString)
+    assert(s.reconciles, s.toString)
     val got = TxTable.read(spark, corpus)
       .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got.keySet == Set(1L, 3L))

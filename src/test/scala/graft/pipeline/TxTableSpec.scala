@@ -48,12 +48,23 @@ class TxTableSpec extends AnyFunSuite {
     TxTable.commit(spark, root, rows("d1" -> 1.0), "day")
     // simulate a publish that died mid-manifest-write
     Files.createDirectories(java.nio.file.Paths.get(s"$root/_txlog"))
-    Files.writeString(java.nio.file.Paths.get(s"$root/_txlog/00000002.manifest.tmp"),
-      "d1\tv2/day=d1")
+    val tmp = java.nio.file.Paths.get(s"$root/_txlog/00000002.manifest.tmp")
+    Files.writeString(tmp, "d1\tv2/day=d1")
     assert(snapshot(root) == Set("d1" -> 1.0), "partial manifest must be invisible")
+    // a tmp at least as new as the latest manifest gets the same
+    // modification-time grace as data dirs (it may be a LIVE concurrent
+    // casManifest between create and link) — one vacuum leaves it alone
     TxTable.vacuum(spark, root)
-    assert(!new java.io.File(s"$root/_txlog/00000002.manifest.tmp").exists())
+    assert(new java.io.File(tmp.toString).exists(),
+      "fresh tmp survives vacuum — it is indistinguishable from an in-flight publish")
     assert(snapshot(root) == Set("d1" -> 1.0))
+    // after the NEXT successful commit the tmp is provably debris
+    // (strictly older than the new latest manifest) and is collected
+    TxTable.commit(spark, root, rows("d2" -> 2.0), "day")
+    TxTable.vacuum(spark, root)
+    assert(!new java.io.File(tmp.toString).exists(),
+      "tmp older than the latest manifest is crash debris — collected")
+    assert(snapshot(root) == Set("d1" -> 1.0, "d2" -> 2.0))
   }
 
   test("vacuum drops superseded versions but keeps every partition the latest manifest references") {
