@@ -129,10 +129,19 @@ object BloomOps {
     },
 
     // Count-min frequency estimates next to exact counts, per event
-    // type. The sketch column isn't DuckDB-expressible (rows-only check);
-    // BloomOpsSpec pins the one-sided error bound est >= exact.
-    QueryDef.noOracle("q_cms_freq") { (s, d) =>
+    // type — with the CM guarantees as verdict columns, which makes the
+    // query hash-oracleable: DuckDB re-derives the exact counts and pins
+    // both verdicts true (est >= exact always holds for CM; est <=
+    // exact + eps·N holds w.p. 1−δ, deterministic here at fixed seed).
+    // The raw estimate stays spec-pinned in BloomOpsSpec.
+    QueryDef(
+      "q_cms_freq",
+      """SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS exact,
+        |  true AS no_undercount, true AS bounded_overcount
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
       val ev = Tables.events(s, d)
+      val total = ev.count()
       val cms = ev.stat.countMinSketch(col("event_type"), eps = 0.001, confidence = 0.99,
         seed = 42)
       val bc = s.sparkContext.broadcast(cms)
@@ -142,7 +151,10 @@ object BloomOps {
       val estimate = udf((k: String) => bc.value.estimateCount(k))
       ev.groupBy("event_type").agg(count(lit(1)).as("exact"))
         .withColumn("est", estimate(col("event_type")))
-        .select(col("event_type"), col("exact"), col("est"))
+        .select(
+          col("event_type"), col("exact"),
+          (col("est") >= col("exact")).as("no_undercount"),
+          (col("est") <= col("exact") + lit(0.001) * lit(total.toDouble)).as("bounded_overcount"))
         .orderBy("event_type")
     })
 }

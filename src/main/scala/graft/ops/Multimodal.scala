@@ -377,9 +377,28 @@ object Multimodal {
   }
 
   val all: Seq[QueryDef] = Seq(
-    // binary-column decode plumbing (real javax.imageio decode for
-    // images; JVM-side math isn't DuckDB-expressible; ScalaTest-verified)
-    QueryDef.noOracle("q_multimodal_features") { (s, d) =>
-      mediaFeatures(s, d).orderBy("media_id")
+    // Binary-column decode ROUND-TRIP, hash-oracled: the synthetic media
+    // payloads plant dimensions/rate/frame-count as pure functions of the
+    // id (makeImage/makeWav/makeAvi above), the query decodes them back
+    // through the real codecs (javax.imageio PNG+JPEG, WAVE header, RIFF
+    // walk), and DuckDB re-derives the EXPECTED values from doc_id — so a
+    // codec/parse regression breaks the hash. The float features
+    // (lum_mean, rms, entropy, fingerprint) are still computed in the
+    // same pass and stay ScalaTest-pinned (MultimodalSpec).
+    QueryDef(
+      "q_multimodal_features",
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  true AS ok,
+        |  CASE WHEN doc_id % 3 IN (0, 2) THEN CAST(8 + doc_id % 16 AS INT) END AS width,
+        |  CASE WHEN doc_id % 3 IN (0, 2) THEN CAST(8 + (doc_id // 16) % 16 AS INT) END AS height,
+        |  CASE WHEN doc_id % 3 = 1 THEN CAST(8000 AS INT)
+        |       WHEN doc_id % 3 = 2 THEN CAST(10 + doc_id % 15 AS INT) END AS sample_rate,
+        |  CASE WHEN doc_id % 3 = 1 THEN CAST(200 + doc_id % 600 AS BIGINT)
+        |       WHEN doc_id % 3 = 2 THEN CAST(3 + doc_id % 5 AS BIGINT) END AS n_frames
+        |FROM documents ORDER BY media_id""".stripMargin) { (s, d) =>
+      mediaFeatures(s, d)
+        .select("media_id", "media_type", "ok", "width", "height", "sample_rate", "n_frames")
+        .orderBy("media_id")
     })
 }

@@ -328,19 +328,33 @@ object OpqOps {
     IvfAdcOps.search(encoded, emb, queries, model.ivf, topk, nprobe, poolSize,
       localTransform(model))
 
+  /** A FIXED orthogonal rotation for the oracle-checkable encode path:
+    * the stride-`s` dimension permutation (y_j = x_{(s·j) mod d}, s
+    * coprime to d). A permutation matrix is a genuine orthogonal OPQ
+    * pre-transform (isometric, block-reshuffling) whose application is
+    * float-exact — each output coordinate is a plain copy — so the
+    * rotate→encode composition stays bit-reproducible in DuckDB.
+    * Learned rotations (dense eigenvector matrices) remain the
+    * production path (q_opq_ivfadc_ann / q_local_opq_ann + OpqSpec).
+    */
+  def fixedPermutationRotation(dim: Int, stride: Int = 17): Rotation = {
+    require(BigInt(stride).gcd(BigInt(dim)) == 1, s"stride $stride must be coprime to $dim")
+    Rotation(
+      new Array[Double](dim),
+      Array.tabulate(dim, dim)((i, j) => if (i == (stride * j) % dim) 1.0 else 0.0))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    // Same output shape as q_pq_encode (codes stringified for the
-    // driver's rows-only compare); float training keeps it off the hash
-    // oracle — OpqSpec carries the semantics.
-    QueryDef.noOracle("q_opq_encode") { (s, d) =>
-      val emb = Tables.embeddings(s, d)
-      val model = train(emb, m = 8, k = 16, iters = 6)
-      encode(emb, model).toDF()
-        .select(
-          col("vec_id"),
-          array_join(col("codes").cast("array<string>"), ",").as("codes"),
-          round(sqrt(col("recon_err2")), 6).as("recon_err"))
-        .orderBy("vec_id")
+    // Rotate (fixed permutation) + PQ-encode (fixed dyadic codebook,
+    // salt "opq") through the production kernels — hash-oracled: the
+    // DuckDB twin reads the permuted embedding index directly. Float
+    // TRAINING stays off the oracle (q_opq_ivfadc_ann + OpqSpec).
+    QueryDef(
+      "q_opq_encode",
+      PqOps.fixedEncodeSql("opq", i => s"((17 * $i) % 64)")) { (s, d) =>
+      PqOps.encodeReport(
+        rotate(Tables.embeddings(s, d), fixedPermutationRotation(64)),
+        PqOps.fixedModel(dim = 64, m = 8, k = 16, salt = "opq"))
     },
 
     // The full composed stack end-to-end (rotation + IVF + residual PQ

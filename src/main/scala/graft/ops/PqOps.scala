@@ -47,6 +47,25 @@ object PqOps {
       maxSample: Int = KMeans.DefaultMaxSample): PqModel =
     trainArrays(KMeans.samplePoints(emb, maxSample), m, k, iters) // ONE sampling convention with IVF training
 
+  /** Deterministic FIXED codebook for the oracle-checkable encode path:
+    * entry (b, c, j) = first 52 md5 bits of "salt:b:c:j" / 2^52 − 0.5 —
+    * a centered dyadic rational both engines represent exactly, so
+    * DuckDB re-derives the identical codebook from the same md5 and the
+    * whole encode (sequential squared-diff fold, argmin with lowest-id
+    * tie-break) is bit-for-bit reproducible in SQL. Training stays the
+    * production path ([[train]]); this pins the ENCODE kernel itself to
+    * the hash oracle the way `q_minhash_lsh_md5` pins banding.
+    */
+  def fixedModel(dim: Int, m: Int, k: Int, salt: String = "pq"): PqModel = {
+    val sub = dim / m
+    PqModel(Array.tabulate(m, k, sub) { (b, c, j) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$salt:$b:$c:$j".getBytes("UTF-8"))
+      val hex = md.map(x => f"$x%02x").mkString.substring(0, 13)
+      java.lang.Long.parseLong(hex, 16).toDouble / 4503599627370496.0 - 0.5
+    })
+  }
+
   /** Points-based variant — shared with OPQ, which trains on ROTATED
     * sample points rather than a fresh sample.
     */
@@ -191,21 +210,59 @@ object PqOps {
     exactRerank(searchAdc(encoded, queries, model, pool), emb, queries, topk)
   }
 
+  /** The shared encode→report projection (codes stringified: the
+    * driver's compare sorts in pandas, where an array column is an
+    * unhashable ndarray — round-2 red row).
+    */
+  private[ops] def encodeReport(emb: DataFrame, model: PqModel): DataFrame =
+    encode(emb, model).toDF()
+      .select(
+        col("vec_id"),
+        array_join(col("codes").cast("array<string>"), ",").as("codes"),
+        round(sqrt(col("recon_err2")), 6).as("recon_err"))
+      .orderBy("vec_id")
+
+  /** DuckDB re-derivation of [[encode]] under [[fixedModel]]: identical
+    * dyadic codebook from md5, identical sequential fold order (float
+    * addition is order-sensitive — list_reduce and the kernel's while
+    * loop both run in index order, so the doubles match bit-for-bit),
+    * identical lowest-id argmin tie-break. `perm(i)` maps logical
+    * dimension i to the embedding index read — identity for plain PQ,
+    * a stride permutation for the OPQ twin.
+    */
+  private[ops] def fixedEncodeSql(salt: String, perm: String => String): String = {
+    val idx = perm("(cbl.b * 8 + j)")
+    s"""WITH cb AS (
+       |  SELECT b, c, j,
+       |    CAST(CAST(('0x' || substring(md5('$salt:' || b || ':' || c || ':' || j), 1, 13)) AS BIGINT)
+       |      AS DOUBLE) / 4503599627370496.0 - 0.5 AS v
+       |  FROM generate_series(0, 7) AS gb(b), generate_series(0, 15) AS gc(c), generate_series(0, 7) AS gj(j)),
+       |cbl AS (SELECT b, c, list(v ORDER BY j) AS cv FROM cb GROUP BY b, c),
+       |dist AS (
+       |  SELECT e.vec_id, cbl.b, cbl.c,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      [ (CAST(e.embedding[$idx + 1] AS DOUBLE) - cbl.cv[j + 1])
+       |        * (CAST(e.embedding[$idx + 1] AS DOUBLE) - cbl.cv[j + 1]) FOR j IN range(0, 8) ]),
+       |      (a, x) -> a + x) AS d
+       |  FROM embeddings e, cbl),
+       |best AS (
+       |  SELECT vec_id, b, c, d, row_number() OVER (PARTITION BY vec_id, b ORDER BY d, c) AS rn
+       |  FROM dist),
+       |enc AS (
+       |  SELECT vec_id,
+       |    string_agg(c, ',' ORDER BY b) AS codes,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(d ORDER BY b)), (a, x) -> a + x) AS err2
+       |  FROM best WHERE rn = 1 GROUP BY vec_id)
+       |SELECT vec_id, codes, round(sqrt(err2), 6) AS recon_err FROM enc ORDER BY vec_id""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
-    // PQ encode + corpus-level compression report (trained float
-    // codebooks — not oracle-expressible; PqSpec pins the semantics).
-    // Codes are emitted as a comma-joined string, not a raw array: the
-    // driver's rows-only compare sorts results in pandas, and an array
-    // column there is an unhashable ndarray (round-2 red row).
-    QueryDef.noOracle("q_pq_encode") { (s, d) =>
-      val emb = Tables.embeddings(s, d)
-      val model = train(emb, m = 8, k = 16, iters = 6)
-      encode(emb, model).toDF()
-        .select(
-          col("vec_id"),
-          array_join(col("codes").cast("array<string>"), ",").as("codes"),
-          round(sqrt(col("recon_err2")), 6).as("recon_err"))
-        .orderBy("vec_id")
+    // PQ encode through the production kernel under the FIXED dyadic
+    // codebook — hash-oracled end to end (codes AND reconstruction
+    // error). The trained-codebook path stays exercised by q_pq_ann and
+    // PqSpec (float k-means keeps training off the oracle).
+    QueryDef("q_pq_encode", fixedEncodeSql("pq", identity)) { (s, d) =>
+      encodeReport(Tables.embeddings(s, d), fixedModel(dim = 64, m = 8, k = 16, salt = "pq"))
     },
 
     // PQ ADC + exact re-rank end-to-end: train, encode, candidate-pool

@@ -240,19 +240,34 @@ object RelationalOps3 {
     // The percentile SCALE twin: approx_percentile (Greenwald-Khanna
     // summaries, bounded memory, mergeable map-side) next to the exact
     // form q_percentile uses. Exact percentile buffers every group value
-    // — at 100 TB the approx path is the only viable plan; summary-merge
-    // order isn't oracle-reproducible, so rows-only + the error-bound
-    // spec carry the verification.
-    QueryDef.noOracle("q_percentile_approx") { (s, d) =>
+    // — at 100 TB the approx path is the only viable plan. The raw GK
+    // values aren't oracle-reproducible (summary-merge order), so the
+    // query emits the exact group count plus IN-BOUNDS verdicts: each
+    // approx quantile must land between the exact percentiles at q∓0.02
+    // (GK rank error at accuracy 10000 is 1e-4 — 200× slack). DuckDB
+    // re-derives the count and pins the verdicts true; a GK regression
+    // flips a boolean and the hash.
+    QueryDef(
+      "q_percentile_approx",
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  true AS p50_ok, true AS p90_ok, true AS p99_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
-        .agg(expr(
-          "approx_percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D), 10000)").as("qs"))
+        .agg(
+          count(lit(1)).as("n"),
+          expr(
+            "approx_percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D), 10000)").as("qs"),
+          expr(
+            "percentile(l_extendedprice, array(0.48D, 0.52D, 0.88D, 0.92D, 0.97D, 1.0D))").as("ex"))
         .select(
-          col("l_returnflag"),
-          round(element_at(col("qs"), 1), 6).as("p50"),
-          round(element_at(col("qs"), 2), 6).as("p90"),
-          round(element_at(col("qs"), 3), 6).as("p99"))
+          col("l_returnflag"), col("n"),
+          element_at(col("qs"), 1).between(
+            element_at(col("ex"), 1), element_at(col("ex"), 2)).as("p50_ok"),
+          element_at(col("qs"), 2).between(
+            element_at(col("ex"), 3), element_at(col("ex"), 4)).as("p90_ok"),
+          element_at(col("qs"), 3).between(
+            element_at(col("ex"), 5), element_at(col("ex"), 6)).as("p99_ok"))
         .orderBy("l_returnflag")
     },
 

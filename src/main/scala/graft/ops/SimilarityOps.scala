@@ -140,12 +140,27 @@ object SimilarityOps {
         .orderBy("q_id", "rank")
     },
 
-    // approx_count_distinct (HLL++) — approximate, so no hash oracle;
-    // ScalaTest bounds it against the exact count.
-    QueryDef.noOracle("q_approx_distinct") { (s, d) =>
+    // approx_count_distinct (HLL++) next to the exact count, with the
+    // 3σ error-bound VERDICT as a column (default rsd 0.05 → ±15%).
+    // The sketch value itself is engine-specific, but the exact count
+    // and the verdict are oracle-checkable: DuckDB re-derives the exact
+    // side from the data and pins the verdict true — a Spark regression
+    // that breaks the HLL bound flips the boolean and the hash.
+    QueryDef(
+      "q_approx_distinct",
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  true AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
       Tables.events(s, d)
         .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .select(
+          col("event_type"), col("exact_users"),
+          (col("approx_users") >= col("exact_users") * 0.85 &&
+            col("approx_users") <= col("exact_users") * 1.15).as("approx_ok"))
         .orderBy("event_type")
     })
 }

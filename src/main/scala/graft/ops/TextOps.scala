@@ -13,6 +13,50 @@ object TextOps {
 
   private val stopwords = Seq("the", "a", "of", "and")
 
+  /** DuckDB re-implementation of [[graft.functions.LangId.detect]] —
+    * possible because the profiles are fixed literals and the score is
+    * one exact integer division. Mirrors, in order: '_' normalization
+    * of lowercased trimmed text; trigram windows (singleton [norm] under
+    * 3 chars); per-language hit count over the gram LIST (dups counted)
+    * except zh, which counts raw text chars; divide by gram count;
+    * argmax by (score, lang) — ORDER BY score DESC, lang DESC matches
+    * Scala's maxBy on the tuple; null/blank/zero-score → 'und'.
+    */
+  private def langIdNgramSql: String = {
+    def lit(l: Seq[String]) = l.map(g => s"'$g'").mkString("[", ",", "]")
+    import graft.functions.LangId.profiles
+    val values = Seq("en", "es", "de", "fr", "zh")
+      .map(l => s"('$l', ${lit(profiles(l).toSeq.sorted)})").mkString(",\n  ")
+    s"""WITH prof(lang, grams) AS (VALUES
+       |  $values),
+       |norm AS (
+       |  SELECT doc_id, text,
+       |    '_' || regexp_replace(lower(trim(text)), '\\s+', '_', 'g') || '_' AS n
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN length(n) < 3 THEN [n]
+       |         ELSE [substring(n, CAST(i AS INT), 3) FOR i IN range(1, length(n) - 1)] END AS g
+       |  FROM norm),
+       |scored AS (
+       |  SELECT g.doc_id, p.lang,
+       |    CASE WHEN p.lang = 'zh'
+       |      THEN len(list_filter([substring(g.text, CAST(i AS INT), 1) FOR i IN range(1, length(g.text) + 1)], c -> list_contains(p.grams, c)))
+       |      ELSE len(list_filter(g.g, x -> list_contains(p.grams, x))) END
+       |      / CAST(len(g.g) AS DOUBLE) AS score
+       |  FROM grams g, prof p),
+       |best AS (
+       |  SELECT doc_id, lang, score,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+       |  FROM scored)
+       |SELECT d.doc_id,
+       |  CASE WHEN d.text IS NULL OR trim(d.text) = '' THEN 'und'
+       |       WHEN b.score <= 0.0 THEN 'und'
+       |       ELSE b.lang END AS lang_pred
+       |FROM documents d JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // Token counting: whitespace tokens + distinct tokens.
@@ -78,9 +122,13 @@ object TextOps {
         .orderBy("doc_id")
     },
 
-    // Char-n-gram language ID over documents (native expression; hash of
-    // the heuristic isn't DuckDB-expressible → rows-only + ScalaTest).
-    QueryDef.noOracle("q_lang_id_ngram") { (s, d) =>
+    // Char-n-gram language ID over documents (native LangIdExpr). The
+    // classifier is a pure function of fixed literal profiles, so the
+    // DuckDB twin re-implements it whole in SQL: trigram windows over
+    // the '_'-normalized text, per-language hit rate (raw-char count for
+    // zh), argmax with the (score, lang) tuple tie-break, 'und' floor.
+    // Score equality is exact across engines (one integer division).
+    QueryDef("q_lang_id_ngram", langIdNgramSql) { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
           graft.functions.LangIdFunctions.lang_id(col("text")).as("lang_pred"))

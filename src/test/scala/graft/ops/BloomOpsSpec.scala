@@ -54,14 +54,26 @@ class BloomOpsSpec extends AnyFunSuite {
   }
 
   test("count-min estimates are one-sided: est >= exact, within the eps bound") {
-    val rows = graft.SparkEntry.queries("q_cms_freq")(spark, sf)
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // probe the sketch directly for the NUMERIC one-sided bound (the
+    // query now emits the verdict booleans the oracle checks)
+    import graft.ops.Tables
+    val ev = Tables.events(spark, sf)
+    val cms = ev.stat.countMinSketch(col("event_type"), eps = 0.001, confidence = 0.99,
+      seed = 42)
+    val rows = ev.groupBy("event_type").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(rows.nonEmpty)
     val total = rows.map(_._2).sum
-    rows.foreach { case (k, exact, est) =>
+    rows.foreach { case (k, exact) =>
+      val est = cms.estimateCount(k)
       assert(est >= exact, s"CMS must never underestimate: $k est=$est exact=$exact")
       assert(est <= exact + math.max(1L, (0.001 * 2 * total).toLong),
         s"overestimate beyond eps bound: $k est=$est exact=$exact total=$total")
     }
+    // and the query-surface verdicts agree
+    val verdicts = graft.SparkEntry.queries("q_cms_freq")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getBoolean(2), r.getBoolean(3)))
+    assert(verdicts.nonEmpty && verdicts.forall { case (_, a, b) => a && b },
+      verdicts.mkString(", "))
   }
 }

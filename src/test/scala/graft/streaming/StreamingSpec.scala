@@ -454,7 +454,10 @@ class StreamingSpec extends AnyFunSuite {
     assert(video.filter(
       col("sample_rate") =!= (lit(10) + col("media_id") % 15).cast("int")).count() == 0,
       "decoded fps must equal the generated header timing")
-    assert(video.filter(col("lum_mean").isNull).count() == 0,
+    // lum_mean is no longer in the query projection (the oracled columns
+    // are the id-derivable round-trip facts) — check it on the full frame
+    assert(graft.ops.Multimodal.mediaFeatures(spark, "/root/testdata/sf0.001")
+      .filter(col("media_type") === "video").filter(col("lum_mean").isNull).count() == 0,
       "first MJPEG frame must decode to a real luminance")
   }
 
