@@ -218,11 +218,15 @@ object DedupOps {
       import spark.implicits._
       return rows.toDF("doc_id", "component")
     }
+    val spark = pairs.sparkSession
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
+    var cached: DataFrame = null // the persisted frame backing `labels`
     var converged = false
     var i = 0
+    val iterMs = scala.collection.mutable.ArrayBuffer.empty[Long]
     while (!converged && i < maxIters) {
+      val t0 = System.nanoTime()
       // each node's candidate label: min of its own and its neighbors'
       val neighborLabels = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
@@ -232,11 +236,22 @@ object DedupOps {
         .persist()
       val changed = updated.join(labels.withColumnRenamed("component", "old"), "id")
         .filter(col("component") =!= col("old")).count()
-      labels.unpersist()
-      labels = updated
+      if (cached != null) cached.unpersist()
+      cached = updated
+      // LINEAGE CUT, not just a cache: re-root the next round's frame on
+      // the just-materialized cache as a bare RDD scan. Without this,
+      // round i's logical plan nests all i−1 predecessors — the cache
+      // only short-circuits EXECUTION (CacheManager substitutes at
+      // physical planning), while analysis/optimization still walks the
+      // whole nested tree, so per-round driver cost grows linearly and
+      // total time quadratically. A high-diameter component (adversarial
+      // dup chain, CcScaleSpec) turns that into the dominant cost.
+      labels = spark.createDataFrame(updated.rdd, updated.schema)
       converged = changed == 0
       i += 1
+      iterMs += (System.nanoTime() - t0) / 1000000
     }
+    lastIterationMillis = iterMs.toSeq
     edges.unpersist()
     if (!converged)
       throw new IllegalStateException(
@@ -248,9 +263,16 @@ object DedupOps {
     // directly would leak one cached table per call)
     val out = labels.select(col("id").as("doc_id"), col("component"))
       .localCheckpoint(true)
-    labels.unpersist()
+    if (cached != null) cached.unpersist()
     out
   }
+
+  /** Per-round wall times (ms) of the most recent [[connectedComponents]]
+    * iterative run — instrumentation for the adversarial-diameter scale
+    * demo (CcScaleSpec asserts the rounds stay flat; SCALE.md records
+    * the measurement). Driver-side only, overwritten per call.
+    */
+  @volatile private[ops] var lastIterationMillis: Seq[Long] = Seq.empty
 
   /** The md5 MinHash-LSH + recursive-CTE connected-components CTE chain
     * (everything between `WITH RECURSIVE` and the final select),
