@@ -15,6 +15,30 @@ import graft.parse.LineParser
   */
 object Serve {
 
+  /** The POST /data request envelope (data.py:39-68) as a pure function:
+    * content-type must be `text/plain*` (data.py:42-44), the body must be
+    * non-blank (data.py:46-48), blank interior lines are skipped, and
+    * EVERY remaining line must parse — all-or-nothing, one bad line
+    * rejects the whole batch and nothing is appended (data.py:55-59
+    * returns before save_to_bronze). On success returns the stripped
+    * non-blank lines exactly as the reference appends them to Bronze
+    * (readings.py:9-21 strips each line and skips blanks); Left(reason)
+    * is the engine twin of `{"success": false}`.
+    */
+  def postData(
+      contentType: Option[String],
+      body: Option[String]): Either[String, Seq[String]] =
+    if (!contentType.exists(_.startsWith("text/plain")))
+      Left("content-type must be text/plain") // data.py:42-44
+    else
+      body.map(_.strip).filter(_.nonEmpty) match {
+        case None => Left("empty body") // data.py:46-48
+        case Some(raw) =>
+          val kept = raw.split("\n", -1).toSeq.map(_.strip).filter(_.nonEmpty)
+          if (kept.forall(l => LineParser.parseLine(l).isDefined)) Right(kept)
+          else Left("unparseable line") // all-or-nothing, data.py:55-59
+      }
+
   def range(
       silver: DataFrame,
       gold: DataFrame,

@@ -58,6 +58,22 @@ object StreamingPipeline {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeBatchToSilver(batch, batchId, silverPath, goldPath)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** One micro-batch of raw lines (`value: string`) merged into the
+    * Silver target (and optionally Gold) — the single merge body shared
+    * by the checkpointed file tier ([[runBronzeToSilverAvailableNow]])
+    * and the socket connector tier ([[runSocketToSilver]]).
+    */
+  def mergeBatchToSilver(
+      batch: DataFrame,
+      batchId: Long,
+      silverPath: String,
+      goldPath: Option[String]): Unit = {
         // replay-stable ids: row_number over the CONTENT (a mono-id order
         // would differ on batch re-execution) + the batchId base. A
         // failed batch replayed with the same files yields identical
@@ -136,10 +152,36 @@ object StreamingPipeline {
         // marts ordering per hourly run, sensor_data_pipeline.py:88)
         goldPath.foreach(gp => goldTxCommit(spark, silverPath, gp))
         ()
+  }
+
+  /** IoT socket-source connector variant (north star "Structured
+    * Streaming + IoT source connectors"): raw newline-delimited readings
+    * from a TCP socket, each micro-batch merged with the SAME body as
+    * the file tier. No Kafka jar ships in /opt/spark/jars (zero-egress
+    * environment), so the socket source is the network connector this
+    * repo can drive end-to-end — a Kafka variant is the identical shape
+    * behind `format("kafka")` plus a `CAST(value AS STRING)` (README
+    * notes the limitation). The socket source keeps no replay log, so
+    * this tier is at-least-once delivery; the merge itself stays
+    * idempotent (content-stable ids within a batch), and exactly-once
+    * ingest remains the checkpointed file tier's contract. Caller stops
+    * the returned query (socket supports no AvailableNow drain).
+    */
+  def runSocketToSilver(
+      spark: SparkSession,
+      host: String,
+      port: Int,
+      silverPath: String,
+      checkpointDir: String,
+      goldPath: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("socket")
+      .option("host", host).option("port", port).load()
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeBatchToSilver(batch, batchId, silverPath, goldPath)
       }
       .start()
-    q.awaitTermination()
-  }
 
   /** One Gold increment committed through the [[graft.pipeline.TxTable]]
     * manifest log: recompute the affected days (full day content) and
