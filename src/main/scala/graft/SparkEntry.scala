@@ -19,7 +19,8 @@ object SparkEntry {
       WindowOps.all ++ TextOps3.all ++ BloomOps.all ++ OpqOps.all ++ RelationalOps3.all ++
       IrOps.all ++ PackOps.all ++ HeavyHitterOps.all ++ graft.plans.AsOfOps.all ++
       ProfileOps.all ++ LmOps.all ++ SemDedupOps.all ++ TpchMoreOps.all ++ FunnelOps.all ++
-      SampleOps.all ++ ChunkOps.all ++ CovisitOps.all ++ TextStatsOps.all ++ RollingOps.all
+      SampleOps.all ++ ChunkOps.all ++ CovisitOps.all ++ TextStatsOps.all ++ RollingOps.all ++
+      DataSelectOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
