@@ -274,6 +274,81 @@ object DedupOps {
     */
   @volatile private[ops] var lastIterationMillis: Seq[Long] = Seq.empty
 
+  /** Large-star/small-star connected components (Kiveris et al. 2014,
+    * "Connected Components in MapReduce and Beyond"): alternate
+    *  - large-star: every node links its STRICTLY LARGER neighbors to
+    *    the minimum of its closed neighborhood, and
+    *  - small-star: every node links its smaller neighbors (and itself)
+    *    to the minimum of that set,
+    * until the edge set reaches its fixpoint — a forest of stars rooted
+    * at each component's minimum id. Converges in **O(log n) rounds
+    * regardless of component DIAMETER**, vs the min-label loop's
+    * O(diameter): on the adversarial dup CHAIN (CcScaleSpec's worst
+    * case) a 64-node component needs ~8 rounds here vs 64 there. Each
+    * round costs two groupBy+join pairs (both keyed on node id) instead
+    * of min-label's one — the tradeoff only pays when deep components
+    * are possible, which is exactly the regime a 100 TB dedup graph
+    * can't rule out. Same contract as [[connectedComponents]]:
+    * (doc_id, component = min reachable id), every endpoint labeled.
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
+    // same per-round lineage cut as the min-label loop (see above)
+    def reroot(df: DataFrame): DataFrame = spark.createDataFrame(df.rdd, df.schema)
+    def nbrs(e: DataFrame): DataFrame =
+      e.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+    def largeStar(e: DataFrame): DataFrame = {
+      val n = nbrs(e)
+      val m = n.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      n.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val small = nbrs(e).filter(col("v") < col("u"))
+      val m = small.groupBy("u").agg(min(col("v")).as("m"))
+      small.join(m, "u").filter(col("v") =!= col("m"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .unionByName(m.select(col("u").as("a"), col("m").as("b")))
+        .distinct()
+    }
+    var e = pairs
+      .select(
+        greatest(col("doc_a"), col("doc_b")).as("a"),
+        least(col("doc_a"), col("doc_b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().persist()
+    e.count()
+    var cached = e
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxIters) {
+      val next = smallStar(largeStar(e)).persist()
+      // exact fixpoint test on canonical distinct sets: equal counts +
+      // empty difference (a fingerprint could false-converge silently)
+      converged = e.count() == next.count() && next.except(e).limit(1).count() == 0
+      cached.unpersist()
+      cached = next
+      e = reroot(next)
+      rounds += 1
+    }
+    lastStarRounds = rounds
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIters rounds — " +
+          "component labels would be wrong; the two-phase algorithm needs " +
+          "O(log n) rounds, so this indicates a bug, not a deep graph")
+    val out = e.select(col("a").as("doc_id"), col("b").as("component"))
+      .unionByName(e.select(col("b").as("doc_id"), col("b").as("component")))
+      .distinct()
+      .localCheckpoint(true)
+    cached.unpersist()
+    out
+  }
+
+  /** Round count of the most recent [[connectedComponentsStar]] run. */
+  @volatile private[ops] var lastStarRounds: Int = 0
+
   /** The md5 MinHash-LSH + recursive-CTE connected-components CTE chain
     * (everything between `WITH RECURSIVE` and the final select),
     * parameterized by the source relation — the SINGLE source of truth
