@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -329,6 +330,53 @@ object CurationOps {
           col("token"), col("df"),
           round(log(lit(nDocs.toDouble) / col("df")), 6).as("idf"))
         .orderBy("token")
+    },
+
+    // TF-IDF keyword extraction: top-3 terms per document by
+    // tf·idf — the per-doc summary a curation report samples. Shape:
+    // one explode → groupBy(doc,term) for tf; df derived FROM the tf
+    // frame (one row per (doc,term) already, so count(*) per term IS
+    // document frequency — no second distinct-explode); tf ⋈ df on
+    // term (vocab-sized build side, no broadcast hint — vocabulary is
+    // heavy-tailed but fact-sized at production scale, AQE may
+    // broadcast at test SFs); per-doc top-k window. Rank is taken on
+    // the ROUNDED score with a term tie-break (q_tpch_q15 rule), and
+    // the score multiplies the exact integer tf by the 6-dp-rounded
+    // idf — one correctly-rounded multiply on identical operands.
+    QueryDef(
+      "q_tfidf_keywords",
+      """WITH n AS (SELECT count(*) AS nd FROM documents),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tok GROUP BY doc_id, token),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token HAVING count(*) >= 5),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf,
+        |    round(tf.tf * round(ln(CAST((SELECT nd FROM n) AS DOUBLE) / df.df), 6), 6) AS tfidf
+        |  FROM tf JOIN df USING (token)),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rk
+        |  FROM sc)
+        |SELECT doc_id, token, tf, tfidf, CAST(rk AS BIGINT) AS rank
+        |FROM rk WHERE rk <= 3 ORDER BY doc_id, rank""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val nDocs = docs.count()
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("doc_id", "token")
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("token").agg(count(lit(1)).as("df")).filter(col("df") >= 5)
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("token"))
+      tf.join(df, Seq("token"))
+        .select(
+          col("doc_id"), col("token"), col("tf"),
+          round(
+            col("tf") * round(log(lit(nDocs.toDouble) / col("df")), 6), 6).as("tfidf"))
+        .withColumn("rank", row_number().over(w).cast(LongType))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("token"), col("tf"), col("tfidf"), col("rank"))
+        .orderBy("doc_id", "rank")
     },
 
     // int8 scalar quantization of embeddings (the storage/serving
