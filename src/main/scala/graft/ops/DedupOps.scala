@@ -221,7 +221,6 @@ object DedupOps {
     val spark = pairs.sparkSession
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
-    var cached: DataFrame = null // the persisted frame backing `labels`
     var converged = false
     var i = 0
     val iterMs = scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -231,22 +230,25 @@ object DedupOps {
       val neighborLabels = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("component"))
+      // LINEAGE CUT, not just a cache: localCheckpoint materializes the
+      // round AND truncates the RDD DAG (parents dropped). A bare
+      // persist + re-root on `updated.rdd` only cuts the LOGICAL plan —
+      // the physical RDD graph still nests every prior round, so one
+      // evicted cache block under memory pressure recomputes the whole
+      // nested chain recursively (observed as a flaky task-side
+      // StackOverflowError when other suites fill the block manager).
+      // Checkpointed blocks spill to disk instead of recomputing.
+      // Cluster note: local (non-reliable) checkpoint trades executor-
+      // loss recovery for speed; a 1000-executor run would reliable-
+      // checkpoint every ~5 rounds to the cluster FS instead. Old
+      // rounds' blocks are reclaimed by the ContextCleaner once the
+      // loop's references drop.
       val updated = labels.unionByName(neighborLabels)
         .groupBy("id").agg(min("component").as("component"))
-        .persist()
+        .localCheckpoint(false) // lazy: the changed-count below is the round's one materializing job
       val changed = updated.join(labels.withColumnRenamed("component", "old"), "id")
         .filter(col("component") =!= col("old")).count()
-      if (cached != null) cached.unpersist()
-      cached = updated
-      // LINEAGE CUT, not just a cache: re-root the next round's frame on
-      // the just-materialized cache as a bare RDD scan. Without this,
-      // round i's logical plan nests all i−1 predecessors — the cache
-      // only short-circuits EXECUTION (CacheManager substitutes at
-      // physical planning), while analysis/optimization still walks the
-      // whole nested tree, so per-round driver cost grows linearly and
-      // total time quadratically. A high-diameter component (adversarial
-      // dup chain, CcScaleSpec) turns that into the dominant cost.
-      labels = spark.createDataFrame(updated.rdd, updated.schema)
+      labels = updated
       converged = changed == 0
       i += 1
       iterMs += (System.nanoTime() - t0) / 1000000
@@ -258,12 +260,10 @@ object DedupOps {
         s"connectedComponents did not converge in $maxIters iterations — " +
           "component labels would be wrong (duplicates would survive dedup); " +
           "raise maxIters for graphs with diameter > maxIters")
-    // localCheckpoint materializes the result and cuts lineage so the
-    // iteration caches can be released (returning the persisted frame
-    // directly would leak one cached table per call)
+    // final projection gets its own checkpoint so the last round's
+    // blocks (and the edge cache) become unreferenced and reclaimable
     val out = labels.select(col("id").as("doc_id"), col("component"))
       .localCheckpoint(true)
-    if (cached != null) cached.unpersist()
     out
   }
 
@@ -293,17 +293,21 @@ object DedupOps {
     */
   def connectedComponentsStar(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     val spark = pairs.sparkSession
-    // same per-round lineage cut as the min-label loop (see above)
-    def reroot(df: DataFrame): DataFrame = spark.createDataFrame(df.rdd, df.schema)
     def nbrs(e: DataFrame): DataFrame =
       e.select(col("a").as("u"), col("b").as("v"))
         .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+    // groupBy+join (NOT a window min over u): partial aggregation
+    // absorbs hub nodes map-side, where a window would sort a hub's
+    // whole neighborhood in one task — and star roots are hubs by
+    // construction. The large-star output skips its own distinct
+    // (small-star ends in one; duplicate edges are min-neutral in
+    // between), saving an exchange per round.
     def largeStar(e: DataFrame): DataFrame = {
       val n = nbrs(e)
       val m = n.groupBy("u").agg(min(col("v")).as("mv"))
         .select(col("u"), least(col("mv"), col("u")).as("m"))
       n.join(m, "u").filter(col("v") > col("u"))
-        .select(col("v").as("a"), col("m").as("b")).distinct()
+        .select(col("v").as("a"), col("m").as("b"))
     }
     def smallStar(e: DataFrame): DataFrame = {
       val small = nbrs(e).filter(col("v") < col("u"))
@@ -313,24 +317,64 @@ object DedupOps {
         .unionByName(m.select(col("u").as("a"), col("m").as("b")))
         .distinct()
     }
+    // (count, order-free fingerprint) in ONE job — the cheap precheck.
+    // Convergence stays EXACT: the set-difference probe runs only when
+    // the precheck matches, i.e. once per call, so a colliding
+    // fingerprint can never declare convergence by itself.
+    def sig(e: DataFrame): (Long, Long) = {
+      // bit_xor: order-free and overflow-free under ANSI (sum of raw
+      // xxhash64 values overflows long); XOR-cancellation needs
+      // duplicate rows, which a distinct set cannot have
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(a, b))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    // localCheckpoint per round, not persist + logical re-root: it
+    // materializes AND truncates the RDD DAG, so a block evicted under
+    // memory pressure re-reads from disk instead of recursively
+    // recomputing every prior round (the flaky StackOverflowError mode
+    // the min-label loop documents above). Same cluster caveat: a
+    // reliable checkpoint every ~5 rounds replaces this at fleet scale.
     var e = pairs
       .select(
         greatest(col("doc_a"), col("doc_b")).as("a"),
         least(col("doc_a"), col("doc_b")).as("b"))
-      .filter(col("a") =!= col("b")).distinct().persist()
-    e.count()
-    var cached = e
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint(false)
+    var eSig = sig(e) // materializes the lazy checkpoint in the same job
     var converged = false
     var rounds = 0
-    while (!converged && rounds < maxIters) {
-      val next = smallStar(largeStar(e)).persist()
-      // exact fixpoint test on canonical distinct sets: equal counts +
-      // empty difference (a fingerprint could false-converge silently)
-      converged = e.count() == next.count() && next.except(e).limit(1).count() == 0
-      cached.unpersist()
-      cached = next
-      e = reroot(next)
-      rounds += 1
+    // Each round chains ~6 sequential exchanges; their task count is
+    // pure overhead when the (LSH-shrunken) edge set is small. Size the
+    // loop's shuffle partitions to the MEASURED edge count — ~1M edges
+    // per partition, floor 4, never above the session setting — and
+    // restore the session value after. At 100 TB the formula keeps
+    // full parallelism; at test SFs it stops paying 32-task stages to
+    // move a few hundred rows. (Scoped conf set: the loop materializes
+    // every action it owns before returning.)
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val sessionAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val loopParts =
+      math.max(4L, math.min(sessionParts.toLong, eSig._1 / 1000000L + 4L))
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    // With partitions already sized to the data, AQE's per-exchange
+    // materialize-and-replan is pure scheduling overhead on the ~6
+    // tiny sequential exchanges each round chains — turn it off for
+    // the loop's jobs only. (At 100 TB loopParts is large and static
+    // sizing is exactly what the formula above provides; skew in a
+    // star graph is absorbed map-side by the partial min aggregation,
+    // so AQE's skew-join rescue has nothing to do here either.)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      while (!converged && rounds < maxIters) {
+        val next = smallStar(largeStar(e)).localCheckpoint(false)
+        val nextSig = sig(next) // one job: computes, checkpoints, and signs the round
+        converged = eSig == nextSig && next.except(e).limit(1).count() == 0
+        eSig = nextSig
+        e = next
+        rounds += 1
+      }
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
+      spark.conf.set("spark.sql.adaptive.enabled", sessionAqe)
     }
     lastStarRounds = rounds
     if (!converged)
@@ -342,7 +386,6 @@ object DedupOps {
       .unionByName(e.select(col("b").as("doc_id"), col("b").as("component")))
       .distinct()
       .localCheckpoint(true)
-    cached.unpersist()
     out
   }
 
@@ -553,6 +596,34 @@ object DedupOps {
         |FROM documents d2 LEFT JOIN comps c ON c.id = d2.doc_id
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       dedupGroupsMd5(Tables.documents(s, d)).orderBy("doc_id")
+    },
+
+    // The star algorithm under the hash ORACLE: synthetic block chains
+    // (doc i — i+1 within blocks of 8, doc_ids are contiguous 0..N−1
+    // in the driver tables) give EVERY component diameter 8 — deeper
+    // than any real LSH dup group in this corpus, so more propagation
+    // rounds are exercised than the md5 pair set would force — while
+    // the correct labels have a CLOSED FORM (the block base), letting
+    // DuckDB certify the distributed algorithm without re-walking the
+    // graph. Cheap by construction: the input is a projection of
+    // doc_id, no LSH pipeline in front of the loop.
+    QueryDef(
+      "q_cc_star_chain",
+      """SELECT doc_id, CAST(doc_id - (doc_id % 8) AS BIGINT) AS component
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = docs.filter(col("doc_id") % 8 =!= 7)
+        .select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
+        // a table ending mid-block would leave a dangling edge to a
+        // nonexistent id; keep only edges whose endpoint exists
+        .join(docs.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+      val comps = connectedComponentsStar(pairs)
+      docs.select(col("doc_id"))
+        .join(comps, Seq("doc_id"), "left")
+        // an isolated single-node block (N ≡ 1 mod 8) has no edges: its
+        // label is itself, which IS its block base
+        .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
+        .orderBy("doc_id")
     },
 
     // MinHash-as-estimator, calibrated: signature-position agreement
