@@ -100,5 +100,56 @@ object FunnelOps {
           .select(lit(n.toLong).as("stage"), lit(name).as("event_type"), col("users"))
       stage(1, "view", v).unionAll(stage(2, "click", c)).unionAll(stage(3, "purchase", p))
         .orderBy("stage")
+    },
+
+    // Event-time interval join: every purchase within 1 hour AFTER a
+    // view by the same user. The join core below is stream-agnostic —
+    // the SAME function runs here on batch frames (oracle twin) and in
+    // graft.streaming.StreamingJoin on watermarked streams, so the
+    // oracle certifies exactly the condition the streaming path
+    // executes. delta_us is an exact integer (µs difference), so the
+    // row hash is engine-stable with no float tier involved.
+    QueryDef(
+      "q_interval_join",
+      """SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+        |  epoch_us(p.ts::TIMESTAMP) - epoch_us(v.ts::TIMESTAMP) AS delta_us
+        |FROM events v JOIN events p
+        |  ON v.event_type = 'view' AND p.event_type = 'purchase'
+        |  AND v.user_id = p.user_id
+        |  AND p.ts::TIMESTAMP > v.ts::TIMESTAMP
+        |  AND p.ts::TIMESTAMP <= v.ts::TIMESTAMP + INTERVAL 1 HOUR
+        |ORDER BY view_id, purchase_id""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      viewPurchasePairs(
+        e.filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id").as("v_user"), col("ts").as("v_ts")),
+        e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"), col("ts").as("p_ts")))
+        .orderBy("view_id", "purchase_id")
     })
+
+  /** Interval-join core: purchases within (v_ts, v_ts + 1 hour] by the
+    * same user. Stream-agnostic by construction — Structured Streaming's
+    * unified Dataset API means this exact plan runs as a batch
+    * sort-merge join on the equi-key (oracle twin above) AND as a
+    * watermarked stream-stream join ([[graft.streaming.StreamingJoin]]),
+    * where the time-range bound is what lets Spark evict state: view
+    * rows are dropped once the watermark passes v_ts + 1 hour, purchase
+    * rows once it passes p_ts. At 100 TB the batch shape is one shuffle
+    * keyed on user_id with the range predicate evaluated post-merge —
+    * never a time-unbounded cross product per user.
+    *
+    * Inputs: views(view_id, v_user, v_ts), purchases(purchase_id,
+    * p_user, p_ts). Output: (view_id, purchase_id, delta_us).
+    */
+  def viewPurchasePairs(
+      views: org.apache.spark.sql.DataFrame,
+      purchases: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    views.join(purchases,
+      col("v_user") === col("p_user") &&
+        col("p_ts") > col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
+      .select(
+        col("view_id"), col("purchase_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("delta_us"))
 }
