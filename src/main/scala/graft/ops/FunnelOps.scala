@@ -126,6 +126,35 @@ object FunnelOps {
         e.filter(col("event_type") === "purchase")
           .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"), col("ts").as("p_ts")))
         .orderBy("view_id", "purchase_id")
+    },
+
+    // Left-outer variant: EVERY view, with its purchases in the hour or
+    // nulls — the "abandoned view" funnel metric, and in streaming form
+    // the harder semantic (null-padded rows may only emit once the
+    // watermark proves no match can still arrive; StreamingJoinSpec
+    // pins that across checkpointed drains). Sort key coalesces the
+    // nullable id: Spark orders NULLS FIRST, DuckDB NULLS LAST, so a
+    // raw ORDER BY on purchase_id would shuffle the row order between
+    // engines even with identical rows.
+    QueryDef(
+      "q_interval_join_left",
+      """SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+        |  epoch_us(p.ts::TIMESTAMP) - epoch_us(v.ts::TIMESTAMP) AS delta_us
+        |FROM events v LEFT JOIN events p
+        |  ON p.event_type = 'purchase'
+        |  AND v.user_id = p.user_id
+        |  AND p.ts::TIMESTAMP > v.ts::TIMESTAMP
+        |  AND p.ts::TIMESTAMP <= v.ts::TIMESTAMP + INTERVAL 1 HOUR
+        |WHERE v.event_type = 'view'
+        |ORDER BY view_id, coalesce(purchase_id, -1)""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      viewPurchasePairs(
+        e.filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id").as("v_user"), col("ts").as("v_ts")),
+        e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"), col("ts").as("p_ts")),
+        "left_outer")
+        .orderBy(col("view_id"), coalesce(col("purchase_id"), lit(-1L)))
     })
 
   /** Interval-join core: purchases within (v_ts, v_ts + 1 hour] by the
@@ -144,11 +173,13 @@ object FunnelOps {
     */
   def viewPurchasePairs(
       views: org.apache.spark.sql.DataFrame,
-      purchases: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      purchases: org.apache.spark.sql.DataFrame,
+      joinType: String = "inner"): org.apache.spark.sql.DataFrame =
     views.join(purchases,
       col("v_user") === col("p_user") &&
         col("p_ts") > col("v_ts") &&
-        col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"),
+      joinType)
       .select(
         col("view_id"), col("purchase_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("delta_us"))

@@ -33,8 +33,10 @@ object StreamingJoin {
   def viewPurchaseStream(
       views: DataFrame,
       purchases: DataFrame,
-      delay: String = "2 hours"): DataFrame =
+      delay: String = "2 hours",
+      joinType: String = "inner"): DataFrame =
     graft.ops.FunnelOps.viewPurchasePairs(
       views.withWatermark("v_ts", delay),
-      purchases.withWatermark("p_ts", delay))
+      purchases.withWatermark("p_ts", delay),
+      joinType)
 }

@@ -24,11 +24,12 @@ class StreamingJoinSpec extends AnyFunSuite {
   private val pSchema = new StructType()
     .add("purchase_id", LongType).add("p_user", LongType).add("p_ts", TimestampType)
 
-  private def drain(vDir: String, pDir: String, out: String, ckpt: String, delay: String): Unit = {
+  private def drain(vDir: String, pDir: String, out: String, ckpt: String, delay: String,
+      joinType: String = "inner"): Unit = {
     val joined = StreamingJoin.viewPurchaseStream(
       spark.readStream.schema(vSchema).parquet(vDir),
       spark.readStream.schema(pSchema).parquet(pDir),
-      delay)
+      delay, joinType)
     val q = joined.writeStream
       .format("parquet").option("path", out).option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
@@ -95,5 +96,42 @@ class StreamingJoinSpec extends AnyFunSuite {
       "batch over all files sees all three pairs")
     assert(streamed.map(x => (x._1, x._2)) == Seq((1L, 11L), (4L, 13L)),
       "stream drops exactly the pair behind the watermark and emits the on-time one")
+  }
+
+  test("left-outer: unmatched views emit null-padded once the watermark proves no match can come") {
+    val root = Files.createTempDirectory("graft-ssj3").toFile.getAbsolutePath
+    def vRows(rows: Seq[(Long, Long, String)]) =
+      rows.toDF("view_id", "v_user", "t")
+        .select(col("view_id"), col("v_user"), to_timestamp(col("t")).as("v_ts"))
+    def pRows(rows: Seq[(Long, Long, String)]) =
+      rows.toDF("purchase_id", "p_user", "t")
+        .select(col("purchase_id"), col("p_user"), to_timestamp(col("t")).as("p_ts"))
+
+    // A matched view, an unmatched view, and clock rows on both sides
+    vRows(Seq((1L, 100L, "2024-06-01 10:00:00"), (2L, 200L, "2024-06-01 10:00:00"),
+      (90L, 900L, "2024-06-01 20:00:00")))
+      .coalesce(1).write.parquet(s"$root/v")
+    pRows(Seq((11L, 100L, "2024-06-01 10:30:00"), (91L, 901L, "2024-06-01 20:00:00")))
+      .coalesce(1).write.parquet(s"$root/p")
+    drain(s"$root/v", s"$root/p", s"$root/out", s"$root/ckpt", "1 hour", "left_outer")
+
+    // advance the watermark to 22:00: view 90 (no-match horizon 21:00)
+    // becomes provably unmatched; view 92 (horizon 24:00) stays pending
+    vRows(Seq((92L, 902L, "2024-06-01 23:00:00")))
+      .coalesce(1).write.mode("append").parquet(s"$root/v")
+    pRows(Seq((93L, 903L, "2024-06-01 23:00:00")))
+      .coalesce(1).write.mode("append").parquet(s"$root/p")
+    drain(s"$root/v", s"$root/p", s"$root/out", s"$root/ckpt", "1 hour", "left_outer")
+
+    val streamed = spark.read.schema(
+      new StructType().add("view_id", LongType).add("purchase_id", LongType).add("delta_us", LongType))
+      .parquet(s"$root/out")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq.sorted
+    // view 2's null row needs only the drain-1 no-data batch (horizon
+    // 11:00 < watermark 19:00); view 90 needs drain 2; view 92 must NOT
+    // appear — its no-match horizon is past the final watermark
+    assert(streamed == Seq((1L, 11L), (2L, -1L), (90L, -1L)),
+      "null-padded rows emit exactly when the watermark passes each view's match horizon")
   }
 }
