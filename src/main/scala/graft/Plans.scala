@@ -26,7 +26,11 @@ object Plans {
         // (no global window), the SpaceSaving/TopK typed aggregates as
         // partial ObjectHashAggregates, the one-pass repetition kernel
         "q_asof_native", "q_seq_pack", "q_heavy_hitters", "q_topk_per_key",
-        "q_repetition_filter")) {
+        "q_repetition_filter",
+        // round 4: the interval-join batch twins (pushed type filters,
+        // equi-join on user_id with the time range as join residual —
+        // the same plan family the streaming state machine partitions)
+        "q_interval_join", "q_interval_join_left")) {
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, d).queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode))
