@@ -75,6 +75,13 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out).toAbsolutePath.getParent)
     java.nio.file.Files.write(java.nio.file.Paths.get(out), (json + "\n").getBytes("UTF-8"))
+    // Compact summary as the VERY LAST stdout line: the full line above
+    // (~165-entry per-query map) overflows a bounded tail capture, which
+    // left the r3/r4 driver records with "parsed": null. This one stays
+    // under a few hundred bytes no matter how many queries exist, so a
+    // tail parser always gets metric/value/failed/calibration.
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":${failed.mkString("[", ",", "]")},"calibration":{"before_sec":$calBefore,"after_sec":$calAfter},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -70,8 +70,13 @@ object BloomOps {
     // bloom build) — persist so a derived key set (e.g. a per-batch
     // distinct in StreamingEnrich) computes once. Both regimes finish
     // their actions inside this call (isin literals / eager bloom
-    // head()), so the cache can be dropped before returning.
-    val cached = keys.persist()
+    // head()), so the cache can be dropped before returning. Spark
+    // caching is NOT ref-counted: if the caller already persisted
+    // `keys` for its own reuse, persisting/unpersisting here would
+    // silently evict THEIR cache — so only manage the cache when the
+    // frame arrives unpersisted.
+    val ownCache = keys.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val cached = if (ownCache) keys.persist() else keys
     try {
       val probe = cached.limit(maxInList + 1).collect()
       if (probe.length <= maxInList) {
@@ -84,7 +89,7 @@ object BloomOps {
           case None => df.filter(lit(false))
         }
       }
-    } finally cached.unpersist()
+    } finally if (ownCache) { cached.unpersist(); () }
   }
 
   /** The composed runtime-filter join: bloom-prefilter `fact`, then the
@@ -134,6 +139,11 @@ object BloomOps {
     // both verdicts true (est >= exact always holds for CM; est <=
     // exact + eps·N holds w.p. 1−δ, deterministic here at fixed seed).
     // The raw estimate stays spec-pinned in BloomOpsSpec.
+    // TRIAGE MARGIN: no_undercount is a hard CM invariant — false IS a
+    // regression, always. bounded_overcount holds only w.p. 1−δ = 0.99
+    // per key at eps = 0.001: deterministic at the fixed seed/SF today,
+    // but a new SF, seed, or Spark CM-impl change can flip it without
+    // any bug — compare est − exact against eps·N before escalating.
     QueryDef(
       "q_cms_freq",
       """SELECT event_type,

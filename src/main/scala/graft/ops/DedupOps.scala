@@ -224,6 +224,7 @@ object DedupOps {
     var converged = false
     var i = 0
     val iterMs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val iterDepth = scala.collection.mutable.ArrayBuffer.empty[Int]
     while (!converged && i < maxIters) {
       val t0 = System.nanoTime()
       // each node's candidate label: min of its own and its neighbors'
@@ -252,8 +253,12 @@ object DedupOps {
       converged = changed == 0
       i += 1
       iterMs += (System.nanoTime() - t0) / 1000000
+      // the count job above materialized (and truncated) the checkpoint,
+      // so this measures the depth the NEXT round actually builds on
+      iterDepth += rddLineageDepth(updated.rdd)
     }
     lastIterationMillis = iterMs.toSeq
+    lastIterationLineageDepth = iterDepth.toSeq
     edges.unpersist()
     if (!converged)
       throw new IllegalStateException(
@@ -273,6 +278,19 @@ object DedupOps {
     * the measurement). Driver-side only, overwritten per call.
     */
   @volatile private[ops] var lastIterationMillis: Seq[Long] = Seq.empty
+
+  /** Per-round RDD lineage depth of the iterative loop's labels frame,
+    * measured AFTER each round's materializing job. The load-INSENSITIVE
+    * twin of [[lastIterationMillis]]: with the per-round localCheckpoint
+    * cut the depth is a small constant from round 2 on; remove the cut
+    * and every round's physical DAG nests its predecessor, so the depth
+    * climbs monotonically — CcScaleSpec asserts on this instead of
+    * wall-clock, which co-tenant load can inflate without a regression.
+    */
+  @volatile private[ops] var lastIterationLineageDepth: Seq[Int] = Seq.empty
+
+  private def rddLineageDepth(r: org.apache.spark.rdd.RDD[_]): Int =
+    1 + r.dependencies.foldLeft(0)((m, d) => math.max(m, rddLineageDepth(d.rdd)))
 
   /** Large-star/small-star connected components (Kiveris et al. 2014,
     * "Connected Components in MapReduce and Beyond"): alternate
@@ -334,12 +352,12 @@ object DedupOps {
     // recomputing every prior round (the flaky StackOverflowError mode
     // the min-label loop documents above). Same cluster caveat: a
     // reliable checkpoint every ~5 rounds replaces this at fleet scale.
-    var e = pairs
+    val e0 = pairs
       .select(
         greatest(col("doc_a"), col("doc_b")).as("a"),
         least(col("doc_a"), col("doc_b")).as("b"))
       .filter(col("a") =!= col("b")).distinct().localCheckpoint(false)
-    var eSig = sig(e) // materializes the lazy checkpoint in the same job
+    var eSig = sig(e0) // materializes the lazy checkpoint in the same job
     var converged = false
     var rounds = 0
     // Each round chains ~6 sequential exchanges; their task count is
@@ -351,10 +369,18 @@ object DedupOps {
     // move a few hundred rows. (Scoped conf set: the loop materializes
     // every action it owns before returning.)
     val sessionParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val sessionAqe = spark.conf.get("spark.sql.adaptive.enabled")
     val loopParts =
       math.max(4L, math.min(sessionParts.toLong, eSig._1 / 1000000L + 4L))
-    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    // Conf ISOLATION: spark.conf is session-global, so setting the
+    // loop's sizing on the caller's session would silently apply to any
+    // query running concurrently on it (and overlapping star runs would
+    // race the restore). Run the loop on a CLONED session instead —
+    // shared SparkContext (so the localCheckpoint blocks are shared),
+    // private conf, nothing to restore. Plans cross sessions zero-copy
+    // through a uniquely-named global temp view; the checkpointed
+    // result is re-bound to the caller's session the same way.
+    val loopSession = spark.newSession()
+    loopSession.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
     // With partitions already sized to the data, AQE's per-exchange
     // materialize-and-replan is pure scheduling overhead on the ~6
     // tiny sequential exchanges each round chains — turn it off for
@@ -362,30 +388,40 @@ object DedupOps {
     // sizing is exactly what the formula above provides; skew in a
     // star graph is absorbed map-side by the partial min aggregation,
     // so AQE's skew-join rescue has nothing to do here either.)
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
-      while (!converged && rounds < maxIters) {
-        val next = smallStar(largeStar(e)).localCheckpoint(false)
-        val nextSig = sig(next) // one job: computes, checkpoints, and signs the round
-        converged = eSig == nextSig && next.except(e).limit(1).count() == 0
-        eSig = nextSig
-        e = next
-        rounds += 1
+    loopSession.conf.set("spark.sql.adaptive.enabled", "false")
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val (inView, outView) = (s"graft_cc_in_$tag", s"graft_cc_out_$tag")
+    val out =
+      try {
+        e0.createOrReplaceGlobalTempView(inView)
+        var e = loopSession.table(s"global_temp.$inView")
+        while (!converged && rounds < maxIters) {
+          val next = smallStar(largeStar(e)).localCheckpoint(false)
+          val nextSig = sig(next) // one job: computes, checkpoints, and signs the round
+          converged = eSig == nextSig && next.except(e).limit(1).count() == 0
+          eSig = nextSig
+          e = next
+          rounds += 1
+        }
+        lastStarRounds = rounds
+        if (!converged)
+          throw new IllegalStateException(
+            s"connectedComponentsStar did not converge in $maxIters rounds — " +
+              "component labels would be wrong; the two-phase algorithm needs " +
+              "O(log n) rounds, so this indicates a bug, not a deep graph")
+        e.select(col("a").as("doc_id"), col("b").as("component"))
+          .unionByName(e.select(col("b").as("doc_id"), col("b").as("component")))
+          .distinct()
+          .localCheckpoint(true)
+          .createOrReplaceGlobalTempView(outView)
+        // Dataset analysis is eager and inlines the view's plan (a scan
+        // of the eager checkpoint), so the views can drop right after.
+        spark.table(s"global_temp.$outView")
+      } finally {
+        spark.catalog.dropGlobalTempView(inView)
+        spark.catalog.dropGlobalTempView(outView)
+        ()
       }
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
-      spark.conf.set("spark.sql.adaptive.enabled", sessionAqe)
-    }
-    lastStarRounds = rounds
-    if (!converged)
-      throw new IllegalStateException(
-        s"connectedComponentsStar did not converge in $maxIters rounds — " +
-          "component labels would be wrong; the two-phase algorithm needs " +
-          "O(log n) rounds, so this indicates a bug, not a deep graph")
-    val out = e.select(col("a").as("doc_id"), col("b").as("component"))
-      .unionByName(e.select(col("b").as("doc_id"), col("b").as("component")))
-      .distinct()
-      .localCheckpoint(true)
     out
   }
 

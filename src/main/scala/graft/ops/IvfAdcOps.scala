@@ -180,7 +180,125 @@ object IvfAdcOps {
     PqOps.exactRerank(cand, emb, queries, topk)
   }
 
+  /** Deterministic stand-in model for the oracle twins: coarse cells =
+    * the first `nlist` embeddings (the q_ivf_assign convention — DuckDB
+    * reads them straight off the table), residual codebooks = the
+    * md5-dyadic [[PqOps.fixedModel]]. Training stays the production
+    * path ([[train]]); this pins the encode/probe/ADC/re-rank KERNELS
+    * to the hash oracle.
+    */
+  def fixedModel(emb: DataFrame, nlist: Int, salt: String): IvfAdcModel = {
+    val cents = emb.filter(col("vec_id") < nlist)
+      .select(col("vec_id"), transform(col("embedding"), _.cast(DoubleType)).as("e"))
+      .orderBy("vec_id")
+      .collect().map(_.getSeq[Double](1).toArray) // nlist×dim doubles — bounded
+    require(cents.length == nlist, s"expected $nlist centroid rows, got ${cents.length}")
+    IvfAdcModel(cents, PqOps.fixedModel(dim = 64, m = 8, k = 16, salt = salt))
+  }
+
+  /** DuckDB re-derivation of the FULL fixed-model IVFADC search
+    * ([[encode]] → probe → residual-ADC pool → exact re-rank). Every
+    * float step mirrors the production kernels bit-for-bit (sequential
+    * folds in dimension/block order, raw-double pool rank exactly as
+    * the kernel ranks, lowest-id tie-breaks everywhere).
+    *
+    * `evIdx(i)` maps logical (possibly rotated) dimension i to the raw
+    * embedding index — identity for plain IVFADC, a stride permutation
+    * for the global-OPQ twin. `residIdx(cell, i)` maps residual
+    * dimension i within `cell` — identity except for the local-OPQ
+    * twin's per-cell stride permutation. Both permutations are
+    * float-exact (plain copies), so the composition stays on the
+    * oracle.
+    */
+  private[ops] def fixedAnnSql(
+      salt: String,
+      evIdx: String => String,
+      residIdx: (String, String) => String): String = {
+    def rterm(cell: String): String = {
+      val p = residIdx(cell, "(cbl.b * 8 + j)")
+      s"((ev.de[$p + 1] - ct.ce[$p + 1]) - cbl.cv[j + 1])"
+    }
+    s"""WITH cb AS (
+       |  SELECT b, c, j,
+       |    CAST(CAST(('0x' || substring(md5('$salt:' || b || ':' || c || ':' || j), 1, 13)) AS BIGINT)
+       |      AS DOUBLE) / 4503599627370496.0 - 0.5 AS v
+       |  FROM generate_series(0, 7) AS gb(b), generate_series(0, 15) AS gc(c), generate_series(0, 7) AS gj(j)),
+       |cbl AS (SELECT b, c, list(v ORDER BY j) AS cv FROM cb GROUP BY b, c),
+       |ev AS (
+       |  SELECT vec_id,
+       |    [ CAST(embedding[${evIdx("i")} + 1] AS DOUBLE) FOR i IN range(0, 64) ] AS de
+       |  FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, de AS ce FROM ev WHERE vec_id < 16),
+       |cd AS (
+       |  SELECT ev.vec_id, cent.cid,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      [ (ev.de[i + 1] - cent.ce[i + 1]) * (ev.de[i + 1] - cent.ce[i + 1]) FOR i IN range(0, 64) ]),
+       |      (a, x) -> a + x) AS d
+       |  FROM ev, cent),
+       |asg AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM cd)
+       |  WHERE rn = 1),
+       |rdist AS (
+       |  SELECT ev.vec_id, a.cell, cbl.b, cbl.c,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      [ ${rterm("a.cell")} * ${rterm("a.cell")} FOR j IN range(0, 8) ]),
+       |      (acc, x) -> acc + x) AS d
+       |  FROM ev JOIN asg a ON a.vec_id = ev.vec_id JOIN cent ct ON ct.cid = a.cell, cbl),
+       |enc AS (
+       |  SELECT vec_id, cell, b, c FROM (
+       |    SELECT vec_id, cell, b, c, row_number() OVER (PARTITION BY vec_id, b ORDER BY d, c) AS rn
+       |    FROM rdist)
+       |  WHERE rn = 1),
+       |probe AS (
+       |  SELECT vec_id AS q_id, cid AS cell FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |    FROM cd WHERE vec_id < 10)
+       |  WHERE rn <= 4),
+       |qtab AS (
+       |  SELECT p.q_id, p.cell, cbl.b, cbl.c,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      [ ${rterm("p.cell")} * ${rterm("p.cell")} FOR j IN range(0, 8) ]),
+       |      (acc, x) -> acc + x) AS t
+       |  FROM probe p JOIN ev ON ev.vec_id = p.q_id JOIN cent ct ON ct.cid = p.cell, cbl),
+       |adist AS (
+       |  SELECT qt.q_id, en.vec_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(qt.t ORDER BY qt.b)),
+       |      (a, x) -> a + x) AS adist
+       |  FROM enc en JOIN qtab qt ON qt.cell = en.cell AND qt.b = en.b AND qt.c = en.c
+       |  WHERE qt.q_id <> en.vec_id
+       |  GROUP BY qt.q_id, en.vec_id),
+       |pool AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rn
+       |    FROM adist)
+       |  WHERE rn <= 30),
+       |rer AS (
+       |  SELECT p.q_id, p.vec_id,
+       |    list_dot_product(v.de, v.de) - 2.0 * list_dot_product(v.de, q.de)
+       |      + list_dot_product(q.de, q.de) AS d2raw
+       |  FROM pool p JOIN ev v ON v.vec_id = p.vec_id JOIN ev q ON q.vec_id = p.q_id)
+       |SELECT q_id, vec_id, round(d2raw, 6) AS dist2, CAST(rn AS BIGINT) AS rank FROM (
+       |  SELECT q_id, vec_id, d2raw,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY d2raw, vec_id) AS rn FROM rer)
+       |WHERE rn <= 3 ORDER BY q_id, rank""".stripMargin
+  }
+
+  private[ops] val identIdx: String => String = i => s"($i)"
+  private[ops] val identResidIdx: (String, String) => String = (_, i) => s"($i)"
+
   val all: Seq[QueryDef] = Seq(
+    // The SAME production kernels (encode → probe → residual-ADC pool →
+    // exact re-rank) under the fixed stand-in model — the oracle twin
+    // of q_ivfadc_ann.
+    QueryDef("q_ivfadc_ann_md5", fixedAnnSql("ivfadc", identIdx, identResidIdx)) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val model = fixedModel(emb, nlist = 16, salt = "ivfadc")
+      search(encode(emb, model), emb,
+        emb.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("embedding")),
+        model, topk = 3, nprobe = 4)
+    },
+
     // end-to-end composed index over the driver embeddings (trained
     // float models — IvfAdcSpec carries the verification)
     QueryDef.noOracle("q_ivfadc_ann") { (s, d) =>

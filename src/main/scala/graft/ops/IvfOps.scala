@@ -158,20 +158,140 @@ object IvfOps {
     // partitions by magnitude too — which is orthogonal to cosine and
     // guts recall. Training never shuffles the corpus (broadcast
     // centroids both ways); serving is identical to q_ivf_assign.
-    QueryDef.noOracle("q_ivf_assign_trained") { (s, d) =>
-      assignTrained(Tables.embeddings(s, d), nlist = 16).orderBy("vec_id")
+    //
+    // ORACLED since r5: training is driver-side and bit-deterministic
+    // (fitSample — proven cross-parallelism identical), so the query
+    // dumps the fitted centroids to a tiny sf-keyed parquet and DuckDB
+    // re-derives the distributed argmin assignment from them — the
+    // model is an input (like the md5 codebooks), the OPERATOR is what
+    // the oracle checks. The dump path embeds the sf-dir basename so a
+    // bench run at another SF can never clobber the sf0.01 dump the
+    // driver's compare reads.
+    QueryDef("q_ivf_assign_trained", trainedAssignSql) { (s, d) =>
+      val unit = unitEmb(Tables.embeddings(s, d))
+      val model = KMeans.fitSample(unit, k = 16, iters = 5, spherical = true)
+      dumpCentroids(s, d, model.centroids)
+      KMeans.assignClusters(unit, model.centroids)
+        .select(col("vec_id"), col("cluster").cast(LongType).as("cluster"))
+        .orderBy("vec_id")
     },
 
     // Trained IVF search: probe the 2 nearest trained cells (L2 on unit
     // vectors ≡ cosine), exact cosine re-rank inside — same plan shape
-    // as q_ivf_ann, real centroids. Verified by IvfTrainedSpec: honest
-    // recall bars (signal over random probing on the isotropic driver
-    // corpus; near-perfect on clustered data) — NOT "matches the
-    // stand-in", whose 29/30 is a query⊆centroids artifact.
-    QueryDef.noOracle("q_ivf_ann_trained") { (s, d) =>
-      annTrained(Tables.embeddings(s, d), col("vec_id") < 10,
-        k = 3, nlist = 16, nprobe = 2)
+    // as q_ivf_ann, real centroids. IvfTrainedSpec keeps the honest
+    // recall bars; the hash oracle (same centroid-dump scheme as
+    // q_ivf_assign_trained) checks probe + candidate-join + re-rank
+    // row-for-row.
+    QueryDef("q_ivf_ann_trained", trainedAnnSql) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val model = KMeans.fitSample(unitEmb(emb), k = 16, iters = 5, spherical = true)
+      dumpCentroids(s, d, model.centroids)
+      annWithModel(emb, col("vec_id") < 10, k = 3, nprobe = 2, model)
     })
+
+  /** Fitted-centroid dump for the trained-IVF oracles: nlist×dim
+    * doubles to a fixed /tmp path keyed by the sf-dir basename (so only
+    * the sf the oracle SQL names can ever populate its path).
+    */
+  private def dumpCentroids(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      centroids: Array[Array[Double]]): Unit = {
+    val sf = new java.io.File(d).getName
+    KMeans.centroidDf(s, centroids).coalesce(1).write.mode("overwrite")
+      .parquet(s"/tmp/graft_oracle/ivf_centroids_sph16_$sf")
+  }
+
+  /** The shared DuckDB front half: dumped centroids + unit-normalized
+    * corpus + the spherical-argmin machinery, mirroring [[unitEmb]] +
+    * [[KMeans.assignClusters]] float-for-float (sqrt and division are
+    * correctly rounded; list_dot_product matches the native dot
+    * kernel's summation order).
+    */
+  private def trainedCtes =
+    """WITH cent AS (
+      |  SELECT cid, cemb
+      |  FROM read_parquet('/tmp/graft_oracle/ivf_centroids_sph16_sf0.01/*.parquet')),
+      |n AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS de,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+      |  FROM embeddings),
+      |u AS (
+      |  SELECT vec_id, de, norm, list_transform(de, x -> x / norm) AS ue
+      |  FROM n WHERE norm > 0)""".stripMargin
+
+  private def sphD2(u: String, c: String) =
+    s"list_dot_product($u, $u) - 2.0 * list_dot_product($u, $c) + list_dot_product($c, $c)"
+
+  private def trainedAssignSql =
+    s"""$trainedCtes,
+       |d AS (
+       |  SELECT u.vec_id, c.cid,
+       |    ${sphD2("u.ue", "c.cemb")} AS d2
+       |  FROM u, cent c)
+       |SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM (
+       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d)
+       |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
+  private def trainedAnnSql =
+    s"""$trainedCtes,
+       |asg AS (
+       |  SELECT vec_id, cid AS cluster FROM (
+       |    SELECT u.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY u.vec_id ORDER BY ${sphD2("u.ue", "c.cemb")}, c.cid) AS rn
+       |    FROM u, cent c)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, de AS qe, norm AS qn, cid FROM (
+       |    SELECT u.vec_id, u.de, u.norm, c.cid,
+       |      row_number() OVER (PARTITION BY u.vec_id ORDER BY ${sphD2("u.ue", "c.cemb")}, c.cid) AS rn
+       |    FROM u, cent c WHERE u.vec_id < 10)
+       |  WHERE rn <= 2),
+       |cand AS (
+       |  SELECT p.q_id, u2.vec_id,
+       |    round(list_dot_product(u2.de, p.qe) / (u2.norm * p.qn), 6) AS cosine
+       |  FROM probes p JOIN asg a ON a.cluster = p.cid JOIN u u2 ON u2.vec_id = a.vec_id
+       |  WHERE u2.vec_id <> p.q_id)
+       |SELECT q_id, vec_id, cosine, CAST(rn AS BIGINT) AS rank FROM (
+       |  SELECT q_id, vec_id, cosine,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn FROM cand)
+       |WHERE rn <= 3 ORDER BY q_id, rank""".stripMargin
+
+  /** [[annTrained]] with an already-fitted model — the serve side alone. */
+  private def annWithModel(
+      emb: org.apache.spark.sql.DataFrame,
+      queryPred: org.apache.spark.sql.Column,
+      k: Int,
+      nprobe: Int,
+      model: KMeans.Model): org.apache.spark.sql.DataFrame = {
+    val s = emb.sparkSession
+    val unit = unitEmb(emb)
+    val base = withNorm(emb)
+    val corpus = base.join(
+      KMeans.assignClusters(unit, model.centroids).select(col("vec_id"), col("cluster")),
+      "vec_id")
+    val cents = KMeans.centroidDf(s, model.centroids)
+    def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("d2").asc, col("cid").asc)
+    val probes = base.filter(queryPred)
+      .filter(col("norm") > 0) // zero-norm queries have no cosine ranking
+      .select(
+        col("vec_id").as("q_id"), col("emb").as("q_emb"), col("norm").as("q_norm"),
+        transform(col("emb"), e => e / col("norm")).as("q_unit"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d2", d2(col("q_unit"), col("cemb")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe)
+      .select("q_id", "q_emb", "q_norm", "cid")
+    val wr = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    corpus
+      .join(broadcast(probes), col("cluster") === col("cid") && col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", round(dot(col("emb"), col("q_emb")) / (col("norm") * col("q_norm")), 6))
+      .withColumn("rn", row_number().over(wr))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"), col("cosine"), col("rn").cast(LongType).as("rank"))
+      .orderBy("q_id", "rank")
+  }
 
   /** FAISS-style IVF parameter heuristics from corpus stats — the
     * autotuning knob the roadmap promised. nlist ≈ 4·√N (the FAISS
@@ -244,36 +364,7 @@ object IvfOps {
       k: Int,
       nlist: Int,
       nprobe: Int,
-      iters: Int = 5): org.apache.spark.sql.DataFrame = {
-    val s = emb.sparkSession
-    val unit = unitEmb(emb)
-    val model = KMeans.fitSample(unit, k = nlist, iters = iters, spherical = true)
-    val base = withNorm(emb)
-    val corpus = base.join(
-      KMeans.assignClusters(unit, model.centroids).select(col("vec_id"), col("cluster")),
-      "vec_id")
-    val cents = KMeans.centroidDf(s, model.centroids)
-    // unit query vs centroid: argmin L2 ≡ argmax cosine on the sphere
-    def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
-    val wq = Window.partitionBy(col("q_id")).orderBy(col("d2").asc, col("cid").asc)
-    val probes = base.filter(queryPred)
-      .filter(col("norm") > 0) // zero-norm queries have no cosine ranking
-      .select(
-        col("vec_id").as("q_id"), col("emb").as("q_emb"), col("norm").as("q_norm"),
-        transform(col("emb"), e => e / col("norm")).as("q_unit"))
-      .crossJoin(broadcast(cents))
-      .withColumn("d2", d2(col("q_unit"), col("cemb")))
-      .withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= nprobe)
-      .select("q_id", "q_emb", "q_norm", "cid")
-    val wr = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
-    corpus
-      .join(broadcast(probes), col("cluster") === col("cid") && col("vec_id") =!= col("q_id"))
-      .withColumn("cosine", round(dot(col("emb"), col("q_emb")) / (col("norm") * col("q_norm")), 6))
-      .withColumn("rn", row_number().over(wr))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("vec_id"), col("cosine"), col("rn").cast(LongType).as("rank"))
-      .orderBy("q_id", "rank")
-  }
+      iters: Int = 5): org.apache.spark.sql.DataFrame =
+    annWithModel(emb, queryPred, k, nprobe,
+      KMeans.fitSample(unitEmb(emb), k = nlist, iters = iters, spherical = true))
 }

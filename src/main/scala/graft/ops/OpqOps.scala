@@ -357,6 +357,43 @@ object OpqOps {
         PqOps.fixedModel(dim = 64, m = 8, k = 16, salt = "opq"))
     },
 
+    // The full composed OPQ→IVFADC stack through the SAME production
+    // kernels under fixed models: stride-17 permutation rotation (a
+    // float-exact orthogonal transform), first-16-rotated-vectors
+    // coarse cells, md5-dyadic residual codebooks. The oracle twin of
+    // q_opq_ivfadc_ann — DuckDB replays the whole pipeline reading the
+    // permuted embedding index directly.
+    QueryDef(
+      "q_opq_ivfadc_ann_md5",
+      IvfAdcOps.fixedAnnSql("opq", i => s"((17 * ($i)) % 64)", IvfAdcOps.identResidIdx)) {
+      (s, d) =>
+        val emb = Tables.embeddings(s, d)
+        val r = fixedPermutationRotation(64)
+        val rotated = rotate(emb, r)
+        val rotQ = rotate(emb.filter(col("vec_id") < 10), r)
+          .select(col("vec_id").as("q_id"), col("embedding"))
+        val model = IvfAdcOps.fixedModel(rotated, nlist = 16, salt = "opq")
+        IvfAdcOps.search(IvfAdcOps.encode(rotated, model), rotated, rotQ, model,
+          topk = 3, nprobe = 4)
+    },
+
+    // Local OPQ through the SAME production kernels under fixed models:
+    // per-cell stride-(2c+1) permutation rotations (each a float-exact
+    // isometry of the cell's residual space), first-16 coarse cells,
+    // md5-dyadic shared codebooks. The oracle twin of q_local_opq_ann.
+    QueryDef(
+      "q_local_opq_ann_md5",
+      IvfAdcOps.fixedAnnSql("lopq", IvfAdcOps.identIdx,
+        (cell, i) => s"(((2 * $cell + 1) * ($i)) % 64)")) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val model = LocalOpqModel(
+        IvfAdcOps.fixedModel(emb, nlist = 16, salt = "lopq"),
+        Array.tabulate(16)(c => fixedPermutationRotation(64, stride = 2 * c + 1)))
+      searchLocal(encodeLocal(emb, model), emb,
+        emb.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("embedding")),
+        model, topk = 3, nprobe = 4)
+    },
+
     // The full composed stack end-to-end (rotation + IVF + residual PQ
     // + exact re-rank); OpqSpec proves re-ranked results equal the
     // UNROTATED index's (isometry) and the codebook-efficiency win.

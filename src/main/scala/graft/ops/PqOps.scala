@@ -230,7 +230,11 @@ object PqOps {
     * dimension i to the embedding index read — identity for plain PQ,
     * a stride permutation for the OPQ twin.
     */
-  private[ops] def fixedEncodeSql(salt: String, perm: String => String): String = {
+  /** The shared cb/cbl/dist CTE prefix: md5-dyadic codebook + per
+    * (vec_id, b, c) block distance of every embedding to every code —
+    * the common front half of the encode twin and the full-ANN twin.
+    */
+  private def fixedDistCtes(salt: String, perm: String => String): String = {
     val idx = perm("(cbl.b * 8 + j)")
     s"""WITH cb AS (
        |  SELECT b, c, j,
@@ -244,7 +248,11 @@ object PqOps {
        |      [ (CAST(e.embedding[$idx + 1] AS DOUBLE) - cbl.cv[j + 1])
        |        * (CAST(e.embedding[$idx + 1] AS DOUBLE) - cbl.cv[j + 1]) FOR j IN range(0, 8) ]),
        |      (a, x) -> a + x) AS d
-       |  FROM embeddings e, cbl),
+       |  FROM embeddings e, cbl)""".stripMargin
+  }
+
+  private[ops] def fixedEncodeSql(salt: String, perm: String => String): String = {
+    s"""${fixedDistCtes(salt, perm)},
        |best AS (
        |  SELECT vec_id, b, c, d, row_number() OVER (PARTITION BY vec_id, b ORDER BY d, c) AS rn
        |  FROM dist),
@@ -256,6 +264,48 @@ object PqOps {
        |SELECT vec_id, codes, round(sqrt(err2), 6) AS recon_err FROM enc ORDER BY vec_id""".stripMargin
   }
 
+  /** DuckDB re-derivation of the FULL fixed-codebook PQ search
+    * ([[encode]] → [[searchAdc]] pool → [[exactRerank]]) — every float
+    * step mirrors the production kernels bit-for-bit: the ADC table for
+    * query q IS its own `dist` rows (a query's per-(b, c) block distance
+    * to every code is exactly the m×k table [[searchAdc]] precomputes);
+    * the candidate score sums the 8 looked-up entries in block order
+    * (list_reduce over ORDER BY b = the kernel's while-loop); the pool
+    * rank reproduces `math.rint(s*1e6)/1e6` via round_even (verified
+    * rint-identical on tie cases); the re-rank ranks FULL-precision
+    * v·v − 2v·q + q·q, safe because list_dot_product and the native dot
+    * kernel share left-to-right summation order.
+    */
+  private[ops] def fixedAnnSql(salt: String): String = {
+    s"""${fixedDistCtes(salt, identity)},
+       |enc AS (
+       |  SELECT vec_id, b, c FROM (
+       |    SELECT vec_id, b, c, row_number() OVER (PARTITION BY vec_id, b ORDER BY d, c) AS rn FROM dist)
+       |  WHERE rn = 1),
+       |adist AS (
+       |  SELECT qd.vec_id AS q_id, en.vec_id AS vec_id,
+       |    round_even(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(qd.d ORDER BY qd.b)),
+       |      (a, x) -> a + x) * 1000000.0, 0) / 1000000.0 AS adist
+       |  FROM enc en JOIN dist qd ON qd.b = en.b AND qd.c = en.c
+       |  WHERE qd.vec_id < 10 AND qd.vec_id <> en.vec_id
+       |  GROUP BY qd.vec_id, en.vec_id),
+       |pool AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rn
+       |    FROM adist)
+       |  WHERE rn <= 30),
+       |ed AS (SELECT vec_id, embedding::DOUBLE[] AS de FROM embeddings),
+       |rer AS (
+       |  SELECT p.q_id, p.vec_id,
+       |    list_dot_product(v.de, v.de) - 2.0 * list_dot_product(v.de, q.de)
+       |      + list_dot_product(q.de, q.de) AS d2raw
+       |  FROM pool p JOIN ed v ON v.vec_id = p.vec_id JOIN ed q ON q.vec_id = p.q_id)
+       |SELECT q_id, vec_id, round(d2raw, 6) AS dist2, CAST(rn AS BIGINT) AS rank FROM (
+       |  SELECT q_id, vec_id, d2raw,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY d2raw, vec_id) AS rn FROM rer)
+       |WHERE rn <= 3 ORDER BY q_id, rank""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     // PQ encode through the production kernel under the FIXED dyadic
     // codebook — hash-oracled end to end (codes AND reconstruction
@@ -263,6 +313,18 @@ object PqOps {
     // PqSpec (float k-means keeps training off the oracle).
     QueryDef("q_pq_encode", fixedEncodeSql("pq", identity)) { (s, d) =>
       encodeReport(Tables.embeddings(s, d), fixedModel(dim = 64, m = 8, k = 16, salt = "pq"))
+    },
+
+    // The SAME production search kernels (encode → ADC pool → exact
+    // re-rank) under the fixed dyadic codebook — the oracle twin of
+    // q_pq_ann, extending q_pq_encode's coverage from the encode kernel
+    // to the whole search path (the q_minhash_lsh_md5 move).
+    QueryDef("q_pq_ann_md5", fixedAnnSql("pq")) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val model = fixedModel(dim = 64, m = 8, k = 16, salt = "pq")
+      searchAdcRerank(encode(emb, model), emb,
+        emb.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("embedding")),
+        model, topk = 3)
     },
 
     // PQ ADC + exact re-rank end-to-end: train, encode, candidate-pool

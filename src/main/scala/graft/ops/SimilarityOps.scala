@@ -146,6 +146,13 @@ object SimilarityOps {
     // and the verdict are oracle-checkable: DuckDB re-derives the exact
     // side from the data and pins the verdict true — a Spark regression
     // that breaks the HLL bound flips the boolean and the hash.
+    // TRIAGE MARGIN (a future red row here may be estimator variance,
+    // not a regression): ±15% is the 3σ band of rsd=0.05, i.e. an
+    // honest sketch still lands outside it with p ≈ 0.003 per group —
+    // deterministic at the fixed driver data/SF today, but a NEW SF or
+    // a Spark-side HLL++ implementation change can legitimately flip
+    // the boolean. Check est/exact against the band before assuming a
+    // correctness bug.
     QueryDef(
       "q_approx_distinct",
       """SELECT event_type,

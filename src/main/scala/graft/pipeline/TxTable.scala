@@ -431,7 +431,18 @@ object TxTable {
                 java.nio.file.Paths.get(tmp.toUri.getPath))
               true
             } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-          } else f.rename(tmp, dest)
+          } else {
+            val renamed = f.rename(tmp, dest)
+            // Hadoop rename() reports BOTH "dest already exists" (a
+            // genuinely lost CAS) and "tmp vanished" (a vacuum-swept
+            // tmp) as plain `false`. Only dest-exists decides who won:
+            // if dest is absent the CAS is still open — surface it as
+            // the same lost-tmp retry the hardlink path takes, instead
+            // of a spurious concurrent-writer verdict.
+            if (!renamed && !f.exists(dest))
+              throw new java.nio.file.NoSuchFileException(tmp.toString)
+            renamed
+          }
         f.delete(tmp, false) // committed via link, or lost the CAS — either way drop tmp
         return won
       } catch {

@@ -37,18 +37,23 @@ class CcScaleSpec extends AnyFunSuite {
     // min-label travels one hop per round: full propagation needs ~n−1
     // rounds plus one no-change round to detect the fixpoint
     assert(ms.length >= n - 1, s"expected ≈$n rounds for a diameter-$n chain, got ${ms.length}")
-    // flatness: the last rounds may not cost more than a small constant
-    // over the early ones (generous 4× guard absorbs host jitter; the
-    // pre-lineage-cut quadratic regime fails it by a wide margin)
-    // flatness on MEDIANS (sums are hostage to one GC/compaction spike):
-    // post-fix runs measure late/early ≈ 1.2–1.4×; the pre-lineage-cut
-    // quadratic regime exceeds any constant bound as diameter grows
-    def median(xs: Seq[Long]): Long = xs.sorted.apply(xs.length / 2)
-    val early = median(ms.slice(2, 10))
-    val late = median(ms.takeRight(8))
+    // Flatness is asserted on the LOAD-INSENSITIVE proxy: per-round RDD
+    // lineage depth. With the per-round localCheckpoint cut every round
+    // from the second on builds on a truncated DAG of identical shape
+    // (round 1 still nests the un-checkpointed initial labels), so the
+    // depth is exactly constant; remove the cut and each round's DAG
+    // nests its predecessor, so the depth climbs monotonically — the
+    // quadratic regime this test exists to catch. Wall-clock stays
+    // info-only: this host's ambient load drifts up to ~70%, and a GC
+    // or co-tenant burst concentrated in the last rounds failed the
+    // old 3×-median timing guard without any code regression.
+    val depths = DedupOps.lastIterationLineageDepth
     info(s"per-round ms (${ms.length} rounds): ${ms.mkString(",")}")
-    assert(late <= 3 * early,
-      s"per-round cost must stay flat across the run — medians early=$early late=$late of $ms")
+    info(s"per-round lineage depth: ${depths.mkString(",")}")
+    val steady = depths.drop(1)
+    assert(steady.nonEmpty && steady.distinct.size == 1,
+      s"per-round lineage depth must be constant after round 1 (the checkpoint " +
+        s"cut truncates each round's DAG) — got $depths")
   }
 
   test("chain + clique mix: components and labels exact on the iterative path") {
