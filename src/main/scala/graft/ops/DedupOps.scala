@@ -314,21 +314,27 @@ object DedupOps {
     def nbrs(e: DataFrame): DataFrame =
       e.select(col("a").as("u"), col("b").as("v"))
         .unionByName(e.select(col("b").as("u"), col("a").as("v")))
-    // groupBy+join (NOT a window min over u): partial aggregation
-    // absorbs hub nodes map-side, where a window would sort a hub's
-    // whole neighborhood in one task — and star roots are hubs by
-    // construction. The large-star output skips its own distinct
-    // (small-star ends in one; duplicate edges are min-neutral in
-    // between), saving an exchange per round.
+    // ONE exchange per star, shared by the min-agg and the join: the
+    // neighbor set is repartition(u)'d explicitly, so the groupBy needs
+    // no further exchange and the join finds both sides co-partitioned
+    // — without this, the agg side (partial-agged) and the join side
+    // (raw) shuffle the SAME rows through two incompatible exchanges
+    // that ReusedExchange cannot dedup. Strictly less shuffle volume
+    // too: the raw neighborhood must reach the join's partition anyway,
+    // so the old agg-side shuffle was pure extra. Hub skew is unchanged
+    // — a star root's neighborhood always lands on one partition
+    // because the JOIN requires it; the min-agg rides along. The
+    // large-star output skips its own distinct (small-star ends in one;
+    // duplicate edges are min-neutral in between).
     def largeStar(e: DataFrame): DataFrame = {
-      val n = nbrs(e)
+      val n = nbrs(e).repartition(col("u"))
       val m = n.groupBy("u").agg(min(col("v")).as("mv"))
         .select(col("u"), least(col("mv"), col("u")).as("m"))
       n.join(m, "u").filter(col("v") > col("u"))
         .select(col("v").as("a"), col("m").as("b"))
     }
     def smallStar(e: DataFrame): DataFrame = {
-      val small = nbrs(e).filter(col("v") < col("u"))
+      val small = nbrs(e).filter(col("v") < col("u")).repartition(col("u"))
       val m = small.groupBy("u").agg(min(col("v")).as("m"))
       small.join(m, "u").filter(col("v") =!= col("m"))
         .select(col("v").as("a"), col("m").as("b"))
@@ -369,8 +375,13 @@ object DedupOps {
     // move a few hundred rows. (Scoped conf set: the loop materializes
     // every action it owns before returning.)
     val sessionParts = spark.conf.get("spark.sql.shuffle.partitions")
+    // floor 1, not 4: below ~250k edges (a few MB) a single shuffle
+    // partition is strictly cheaper — every exchange in the ~6-stage
+    // round chain becomes one task. One partition per ~250k edges from
+    // there up to the session cap; at 100 TB the edge term saturates
+    // the cap and nothing changes
     val loopParts =
-      math.max(4L, math.min(sessionParts.toLong, eSig._1 / 1000000L + 4L))
+      math.max(1L, math.min(sessionParts.toLong, eSig._1 / 250000L))
     // Conf ISOLATION: spark.conf is session-global, so setting the
     // loop's sizing on the caller's session would silently apply to any
     // query running concurrently on it (and overlapping star runs would
@@ -396,7 +407,12 @@ object DedupOps {
         e0.createOrReplaceGlobalTempView(inView)
         var e = loopSession.table(s"global_temp.$inView")
         while (!converged && rounds < maxIters) {
-          val next = smallStar(largeStar(e)).localCheckpoint(false)
+          // checkpoint the large-star output too: smallStar consumes it
+          // through two differently-shaped exchanges (partial-agg vs
+          // raw shuffle on u), which ReusedExchange cannot dedup — an
+          // un-cut intermediate would recompute the large-star chain
+          // 2-3x inside every round's one materializing job
+          val next = smallStar(largeStar(e).localCheckpoint(false)).localCheckpoint(false)
           val nextSig = sig(next) // one job: computes, checkpoints, and signs the round
           converged = eSig == nextSig && next.except(e).limit(1).count() == 0
           eSig = nextSig
@@ -642,12 +658,17 @@ object DedupOps {
     // the correct labels have a CLOSED FORM (the block base), letting
     // DuckDB certify the distributed algorithm without re-walking the
     // graph. Cheap by construction: the input is a projection of
-    // doc_id, no LSH pipeline in front of the loop.
+    // doc_id, no LSH pipeline in front of the loop — and SUBSAMPLED to
+    // one block in eight (doc_id % 64 < 8 keeps whole contiguous
+    // blocks, so the diameter and the closed-form labels are
+    // unchanged): the loop's cost is rounds × fixed exchange overhead,
+    // not rows, so the demo buys the same round count with an eighth
+    // of the data (r4 bench: this one query was 4% of the total).
     QueryDef(
       "q_cc_star_chain",
       """SELECT doc_id, CAST(doc_id - (doc_id % 8) AS BIGINT) AS component
-        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val docs = Tables.documents(s, d)
+        |FROM documents WHERE doc_id % 64 < 8 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("doc_id") % 64 < 8)
       val pairs = docs.filter(col("doc_id") % 8 =!= 7)
         .select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
         // a table ending mid-block would leave a dangling edge to a

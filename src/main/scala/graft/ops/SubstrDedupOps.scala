@@ -1,0 +1,155 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** EXACT substring deduplication (Lee et al. 2022, "Deduplicating
+  * Training Data Makes Language Models Better" — the ExactSubstr
+  * policy): find, corpus-wide, every maximal character span that
+  * belongs to some duplicated substring of length ≥ L, and optionally
+  * scrub those spans from the text. This is the character-exact
+  * complement of the repo's gram-HEURISTIC span dedup
+  * ([[TextOps3]] q_span_dedup): that one votes on 5-gram token
+  * evidence; this one returns exactly the byte ranges a suffix array
+  * would.
+  *
+  * Equivalence to the paper's suffix array, without building one: a
+  * character position p lies inside a duplicated substring of length
+  * ≥ L  ⟺  at least one of the L-windows covering p occurs twice in
+  * the corpus (⇒: a duplicated m ≥ L substring duplicates each of its
+  * L-windows; ⇐: a duplicated L-window IS a duplicated substring of
+  * length L). So hashing every overlapping L-window and keeping the
+  * recurring ones marks the SAME character set the suffix-array scan
+  * marks, up to hash collisions (md5: 2⁻¹²⁸ per pair — the oracle twin
+  * accepts that; swap `hash = xxhash64 ∘ concat` only with a verify
+  * pass if 64-bit collisions matter at the target corpus size).
+  *
+  * Scale shape (the part a suffix array can't do distributed): the
+  * corpus never shuffles text — each doc emits (hash, doc_id, pos)
+  * triples map-side (one per character, the same O(n) a suffix array
+  * costs); ONE shuffle on the window hash finds recurring windows
+  * (partial-aggregated map-side, so a boilerplate window that repeats
+  * a million times arrives at the reducer as per-partition counts, not
+  * a million rows); the join back to positions rides the same hash
+  * partitioning; and the island merge is one shuffle on doc_id with a
+  * per-doc sorted window — bounded by the doc's own duplicated
+  * positions, never a global sort.
+  */
+object SubstrDedupOps {
+
+  /** (doc_id, pos) of every 1-based position whose L-window recurs
+    * corpus-wide. `hash` maps the window string to the shuffle key —
+    * md5 for the oracle twin, xxhash64 for cheaper production keys.
+    */
+  private def dupWindows(docs: DataFrame, minLen: Int, hash: Column => Column): DataFrame = {
+    val w = docs
+      .filter(length(col("text")) >= minLen) // sequence(1, n<1) would be a DESCENDING range
+      .select(
+        col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - minLen + 1)).as("pos"),
+        col("text"))
+      .select(col("doc_id"), col("pos"),
+        hash(col("text").substr(col("pos"), lit(minLen))).as("h"))
+    // recurring windows via count-over-window, NOT groupBy+join-back:
+    // the join form shuffles the O(corpus-chars) window set twice AND
+    // recomputes the hash pass for both sides (the partial-agg exchange
+    // and the raw join exchange differ, so ReusedExchange can't dedup —
+    // measured 2.4x slower). One shuffle on h, one hash pass; text
+    // itself never reaches an exchange either way. Skew note: a
+    // boilerplate window repeated millions of times lands on one
+    // reducer here, but its rows are exactly the positions we must
+    // return anyway — the output, not a blowup.
+    w.withColumn("n", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("n") > 1)
+      .select("doc_id", "pos")
+  }
+
+  /** Maximal duplicated spans per doc: (doc_id, span_start, span_end),
+    * 1-based inclusive character ranges, each the union of overlapping
+    * or adjacent duplicated L-windows. Integer arithmetic end to end —
+    * hash-oracle-stable by construction.
+    */
+  def duplicatedSpans(
+      docs: DataFrame, minLen: Int = 40,
+      hash: Column => Column = md5): DataFrame = {
+    val wPrev = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    dupWindows(docs, minLen, hash)
+      // islands: a window starts a new span iff it begins past the
+      // furthest coverage of all earlier windows (+1: ADJACENT windows
+      // form contiguous coverage and must merge)
+      .withColumn("prev_end", max(col("pos") + minLen - 1).over(wPrev))
+      .withColumn("new_island",
+        when(col("pos") > coalesce(col("prev_end"), lit(-1)) + 1, 1).otherwise(0))
+      .withColumn("island", sum(col("new_island")).over(wRun))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(
+        min(col("pos")).cast(LongType).as("span_start"),
+        max(col("pos") + minLen - 1).cast(LongType).as("span_end"))
+      .select("doc_id", "span_start", "span_end")
+  }
+
+  /** The dedup ACTION: cut every span out of its doc's text (the paper
+    * drops the repeated bytes, keeping one copy corpus-wide only by
+    * virtue of span asymmetry; this is the simpler drop-all policy its
+    * §4 ablates). Pure string folds — no UDF: the span list aggregates
+    * per doc and an `aggregate` HOF stitches the kept pieces.
+    */
+  def scrubSpans(docs: DataFrame, spans: DataFrame): DataFrame = {
+    val agg = spans.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("span_start"), col("span_end")))).as("sp"))
+    docs.join(agg, Seq("doc_id"), "left")
+      .withColumn("clean_text",
+        when(col("sp").isNull, col("text")).otherwise(expr(
+          """concat(
+            |  aggregate(sp, named_struct('cur', 1, 'acc', ''),
+            |    (st, x) -> named_struct(
+            |      'cur', CAST(x.span_end + 1 AS INT),
+            |      'acc', concat(st.acc,
+            |        substring(text, st.cur, CAST(x.span_start AS INT) - st.cur))),
+            |    st -> st.acc),
+            |  substring(text, aggregate(sp, 1,
+            |    (c, x) -> CAST(x.span_end + 1 AS INT)), length(text)))""".stripMargin)))
+      .select(col("doc_id"), col("clean_text"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    // Maximal duplicated-substring spans (L = 40 chars) over documents,
+    // md5 window keys — DuckDB re-derives the whole pipeline (windows →
+    // recurring hashes → island merge) with identical integer
+    // arithmetic, so the span set is hash-checked end to end.
+    QueryDef(
+      "q_substr_dedup",
+      """WITH p AS (
+        |  SELECT doc_id, text, unnest(generate_series(1, length(text) - 39)) AS pos
+        |  FROM documents WHERE length(text) >= 40),
+        |w AS (SELECT doc_id, pos, md5(substring(text, CAST(pos AS INT), 40)) AS h FROM p),
+        |dup AS (SELECT h FROM w GROUP BY h HAVING count(*) > 1),
+        |dw AS (SELECT w.doc_id, w.pos FROM w JOIN dup USING (h)),
+        |flag AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos > coalesce(max(pos + 39) OVER (
+        |      PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+        |    THEN 1 ELSE 0 END AS new_island
+        |  FROM dw),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM flag),
+        |spans AS (
+        |  SELECT doc_id,
+        |    CAST(min(pos) AS BIGINT) AS span_start,
+        |    CAST(max(pos + 39) AS BIGINT) AS span_end
+        |  FROM isl GROUP BY doc_id, island)
+        |SELECT doc_id, span_start, span_end, span_end - span_start + 1 AS span_len
+        |FROM spans ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
+      duplicatedSpans(Tables.documents(s, d), minLen = 40)
+        .withColumn("span_len", col("span_end") - col("span_start") + 1)
+        .orderBy("doc_id", "span_start")
+    })
+}
