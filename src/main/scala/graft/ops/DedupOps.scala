@@ -277,7 +277,7 @@ object DedupOps {
     * demo (CcScaleSpec asserts the rounds stay flat; SCALE.md records
     * the measurement). Driver-side only, overwritten per call.
     */
-  @volatile private[ops] var lastIterationMillis: Seq[Long] = Seq.empty
+  @volatile private[graft] var lastIterationMillis: Seq[Long] = Seq.empty
 
   /** Per-round RDD lineage depth of the iterative loop's labels frame,
     * measured AFTER each round's materializing job. The load-INSENSITIVE
@@ -287,7 +287,7 @@ object DedupOps {
     * climbs monotonically — CcScaleSpec asserts on this instead of
     * wall-clock, which co-tenant load can inflate without a regression.
     */
-  @volatile private[ops] var lastIterationLineageDepth: Seq[Int] = Seq.empty
+  @volatile private[graft] var lastIterationLineageDepth: Seq[Int] = Seq.empty
 
   private def rddLineageDepth(r: org.apache.spark.rdd.RDD[_]): Int =
     1 + r.dependencies.foldLeft(0)((m, d) => math.max(m, rddLineageDepth(d.rdd)))
@@ -442,7 +442,7 @@ object DedupOps {
   }
 
   /** Round count of the most recent [[connectedComponentsStar]] run. */
-  @volatile private[ops] var lastStarRounds: Int = 0
+  @volatile private[graft] var lastStarRounds: Int = 0
 
   /** The md5 MinHash-LSH + recursive-CTE connected-components CTE chain
     * (everything between `WITH RECURSIVE` and the final select),

@@ -58,12 +58,19 @@ object PqOps {
     */
   def fixedModel(dim: Int, m: Int, k: Int, salt: String = "pq"): PqModel = {
     val sub = dim / m
-    PqModel(Array.tabulate(m, k, sub) { (b, c, j) =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$salt:$b:$c:$j".getBytes("UTF-8"))
-      val hex = md.map(x => f"$x%02x").mkString.substring(0, 13)
-      java.lang.Long.parseLong(hex, 16).toDouble / 4503599627370496.0 - 0.5
-    })
+    PqModel(Array.tabulate(m, k, sub) { (b, c, j) => md5Dyadic(s"$salt:$b:$c:$j") })
+  }
+
+  /** First 52 md5 bits of `key` as a centered dyadic rational in
+    * [-0.5, 0.5) — exactly representable in both engines, so DuckDB
+    * re-derives the identical double from the same md5. The shared
+    * derivation behind every fixed stand-in model (PQ/IVFADC codebooks,
+    * RHP hyperplanes).
+    */
+  private[ops] def md5Dyadic(key: String): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5").digest(key.getBytes("UTF-8"))
+    val hex = md.map(x => f"$x%02x").mkString.substring(0, 13)
+    java.lang.Long.parseLong(hex, 16).toDouble / 4503599627370496.0 - 0.5
   }
 
   /** Points-based variant — shared with OPQ, which trains on ROTATED

@@ -42,6 +42,23 @@ object SimilarityOps {
   def lshSignature(emb: Column, nbits: Int, table: Int = 0): Column =
     graft.functions.HashFunctions.rhp_bucket(emb, nbits, table)
 
+  /** FIXED md5-dyadic random hyperplanes — the oracle-checkable bucket
+    * kernel for [[annLsh]]'s twin: plane component (table, bit, i) =
+    * [[PqOps.md5Dyadic]] of "salt:t:b:i"; projection = the native dot
+    * kernel (list_dot_product summation order); bucket = the sign
+    * bits assembled little-endian. A genuine random-hyperplane family
+    * (md5 bits are as orientation-uniform as xxhash64's), just one
+    * DuckDB can re-derive. Production stays on the xxhash64 kernel
+    * ([[lshSignature]] — no per-row literal arrays).
+    */
+  def fixedRhpBucket(dim: Int, salt: String): (Column, Int, Int) => Column =
+    (embCol, nbits, table) =>
+      (0 until nbits).map { b =>
+        val plane = array(Array.tabulate(dim)(i =>
+          lit(PqOps.md5Dyadic(s"$salt:$table:$b:$i"))): _*)
+        when(dot(embCol, plane) >= 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+
   /** Brute-force cosine top-k: queries broadcast against all candidates. */
   def cosineTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
     val base = emb.select(
@@ -71,11 +88,12 @@ object SimilarityOps {
       queryPred: Column,
       k: Int,
       nbits: Int = 4,
-      ntables: Int = 8): DataFrame = {
+      ntables: Int = 8,
+      bucketFn: (Column, Int, Int) => Column = lshSignature(_, _, _)): DataFrame = {
     val base = emb.select(col("vec_id"), embDouble(col("embedding")).as("emb"))
       .withColumn("norm", l2norm(col("emb")))
       .withColumn("buckets",
-        array((0 until ntables).map(t => lshSignature(col("emb"), nbits, t)): _*))
+        array((0 until ntables).map(t => bucketFn(col("emb"), nbits, t)): _*))
     val tabled = base.select(
       col("vec_id"), col("emb"), col("norm"),
       posexplode(col("buckets")).as(Seq("table_id", "bucket")))
@@ -133,8 +151,53 @@ object SimilarityOps {
         .orderBy("q_id", "rank")
     },
 
+    // The SAME multi-table LSH pipeline (bucket → OR-amplified probe
+    // join → dedup → exact cosine re-rank) under FIXED md5-dyadic
+    // hyperplanes — the oracle twin of q_ann_lsh: plane component
+    // (t, b, i) is a centered dyadic rational both engines derive from
+    // the same md5, each projection is one list_dot_product-order fold,
+    // and the sign bits assemble the bucket integer identically.
+    QueryDef(
+      "q_ann_lsh_md5",
+      """WITH pl AS (
+        |  SELECT t, b, i,
+        |    CAST(CAST(('0x' || substring(md5('rhp:' || t || ':' || b || ':' || i), 1, 13)) AS BIGINT)
+        |      AS DOUBLE) / 4503599627370496.0 - 0.5 AS v
+        |  FROM generate_series(0, 7) AS gt(t), generate_series(0, 3) AS gb(b),
+        |       generate_series(0, 63) AS gi(i)),
+        |pll AS (SELECT t, b, list(v ORDER BY i) AS pv FROM pl GROUP BY t, b),
+        |e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS de,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        |  FROM embeddings),
+        |proj AS (
+        |  SELECT e.vec_id, pll.t, pll.b, list_dot_product(e.de, pll.pv) AS p
+        |  FROM e, pll),
+        |buck AS (
+        |  SELECT vec_id, t,
+        |    CAST(sum(CASE WHEN p >= 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM proj GROUP BY vec_id, t),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id
+        |  FROM buck q JOIN buck c ON c.t = q.t AND c.bucket = q.bucket
+        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |scored AS (
+        |  SELECT cand.q_id, cand.vec_id,
+        |    round(list_dot_product(a.de, b.de) / (a.norm * b.norm), 6) AS cosine
+        |  FROM cand JOIN e a ON a.vec_id = cand.q_id JOIN e b ON b.vec_id = cand.vec_id)
+        |SELECT q_id, vec_id, cosine, CAST(rn AS BIGINT) AS rank FROM (
+        |  SELECT q_id, vec_id, cosine,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn
+        |  FROM scored)
+        |WHERE rn <= 3 ORDER BY q_id, rank""".stripMargin) { (s, d) =>
+      annLsh(Tables.embeddings(s, d), col("vec_id") < 10, 3,
+        bucketFn = fixedRhpBucket(dim = 64, salt = "rhp"))
+        .orderBy("q_id", "rank")
+    },
+
     // LSH-bucketed ANN (xxhash64 hyperplanes — not DuckDB-expressible;
-    // recall vs exact is ScalaTest-verified).
+    // recall vs exact is ScalaTest-verified). q_ann_lsh_md5 above is
+    // the fixed-plane oracle twin of this pipeline.
     QueryDef.noOracle("q_ann_lsh") { (s, d) =>
       annLsh(Tables.embeddings(s, d), col("vec_id") < 10, 3)
         .orderBy("q_id", "rank")
