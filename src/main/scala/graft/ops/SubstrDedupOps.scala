@@ -29,13 +29,13 @@ import org.apache.spark.sql.types._
   * Scale shape (the part a suffix array can't do distributed): the
   * corpus never shuffles text — each doc emits (hash, doc_id, pos)
   * triples map-side (one per character, the same O(n) a suffix array
-  * costs); ONE shuffle on the window hash finds recurring windows
-  * (partial-aggregated map-side, so a boilerplate window that repeats
-  * a million times arrives at the reducer as per-partition counts, not
-  * a million rows); the join back to positions rides the same hash
-  * partitioning; and the island merge is one shuffle on doc_id with a
-  * per-doc sorted window — bounded by the doc's own duplicated
-  * positions, never a global sort.
+  * costs); the recurring-window set comes from a true map-side partial
+  * aggregate on the window hash (only (h, count) partials cross its
+  * exchange) semi-joined back to positions with a streaming probe — see
+  * [[dupWindows]] for why neither a count-over-window nor a shared
+  * explicit repartition survives at scale; and the island merge is one
+  * shuffle on doc_id with a per-doc sorted window — bounded by the
+  * doc's own duplicated positions, never a global sort.
   */
 object SubstrDedupOps {
 
@@ -52,17 +52,29 @@ object SubstrDedupOps {
         col("text"))
       .select(col("doc_id"), col("pos"),
         hash(col("text").substr(col("pos"), lit(minLen))).as("h"))
-    // recurring windows via count-over-window, NOT groupBy+join-back:
-    // the join form shuffles the O(corpus-chars) window set twice AND
-    // recomputes the hash pass for both sides (the partial-agg exchange
-    // and the raw join exchange differ, so ReusedExchange can't dedup —
-    // measured 2.4x slower). One shuffle on h, one hash pass; text
-    // itself never reaches an exchange either way. Skew note: a
-    // boilerplate window repeated millions of times lands on one
-    // reducer here, but its rows are exactly the positions we must
-    // return anyway — the output, not a blowup.
-    w.withColumn("n", count(lit(1)).over(Window.partitionBy("h")))
-      .filter(col("n") > 1)
+    // Recurring windows via groupBy + semi-join-back, NOT
+    // `count(*) over (partition by h)`: the window form shares a single
+    // exchange but WindowExec buffers each hash group WHOLE on its
+    // reducer — a boilerplate 40-char window (license headers) repeated
+    // 1e8 times at corpus scale becomes one task's in-memory group
+    // buffer. Here the recurring-hash set is built by a true map-side
+    // partial aggregate (only per-partition (h, count) partials cross
+    // its exchange) and joins back as a left-semi that STREAMS the
+    // probe side — worst-case skew costs a sort spill, never a
+    // monolithic buffer. Price: the explode+md5 map pass runs once per
+    // side (the two subtrees' exchanges differ, so ReusedExchange
+    // cannot dedup, and an explicit shared repartition(h) doesn't
+    // survive the optimizer — PushDownLeftSemiAntiJoin rewrites the
+    // join back below it). That pass is embarrassingly parallel,
+    // skew-free, and cheaper than caching O(corpus-chars) triples; at
+    // oracle SF AQE broadcasts the dup set so the probe side never
+    // exchanges on h at all. Text never reaches an exchange either way.
+    // The hot hash's positions still land on one partition in the SMJ
+    // case, but they are exactly the rows the operator must RETURN —
+    // output, not blowup.
+    val dup = w.groupBy("h").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).select("h")
+    w.join(dup, Seq("h"), "left_semi")
       .select("doc_id", "pos")
   }
 
@@ -151,5 +163,52 @@ object SubstrDedupOps {
       duplicatedSpans(Tables.documents(s, d), minLen = 40)
         .withColumn("span_len", col("span_end") - col("span_start") + 1)
         .orderBy("doc_id", "span_start")
+    },
+    // The scrub ACTION (Lee et al. §4 drop-all policy): every doc's text
+    // with its duplicated spans cut out. DuckDB re-derives the span set
+    // with the same CTE chain, then re-assembles each doc character by
+    // character, keeping exactly the positions outside every span — an
+    // independent formulation of the same stitch the Spark `aggregate`
+    // HOF performs (piece-wise substring concat), so agreement checks
+    // the span semantics AND the splice arithmetic. The char explode is
+    // oracle-only cost (~150k rows at sf0.01); the Spark side never
+    // explodes characters.
+    QueryDef(
+      "q_substr_scrub",
+      """WITH p AS (
+        |  SELECT doc_id, text, unnest(generate_series(1, length(text) - 39)) AS pos
+        |  FROM documents WHERE length(text) >= 40),
+        |w AS (SELECT doc_id, pos, md5(substring(text, CAST(pos AS INT), 40)) AS h FROM p),
+        |dup AS (SELECT h FROM w GROUP BY h HAVING count(*) > 1),
+        |dw AS (SELECT w.doc_id, w.pos FROM w JOIN dup USING (h)),
+        |flag AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos > coalesce(max(pos + 39) OVER (
+        |      PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+        |    THEN 1 ELSE 0 END AS new_island
+        |  FROM dw),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM flag),
+        |spans AS (
+        |  SELECT doc_id,
+        |    CAST(min(pos) AS BIGINT) AS span_start,
+        |    CAST(max(pos + 39) AS BIGINT) AS span_end
+        |  FROM isl GROUP BY doc_id, island),
+        |covered AS (
+        |  SELECT doc_id, unnest(generate_series(span_start, span_end)) AS pos FROM spans),
+        |chars AS (
+        |  SELECT doc_id, unnest(generate_series(1, length(text))) AS pos, text
+        |  FROM documents),
+        |kept AS (
+        |  SELECT c.doc_id, c.pos, substring(c.text, CAST(c.pos AS INT), 1) AS ch
+        |  FROM chars c ANTI JOIN covered v ON c.doc_id = v.doc_id AND c.pos = v.pos)
+        |SELECT d.doc_id, coalesce(string_agg(k.ch, '' ORDER BY k.pos), '') AS clean_text
+        |FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      scrubSpans(docs, duplicatedSpans(docs, minLen = 40)).orderBy("doc_id")
     })
 }
