@@ -42,9 +42,24 @@ object Bench {
     // attributable probe-by-probe.
     val midProbes = scala.collection.mutable.ArrayBuffer.empty[Double]
     var sinceProbe = 0
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      sinceProbe += 1
-      if (sinceProbe >= 25) { sinceProbe = 0; midProbes += calibrate() }
+    // Per-query clean-run references (flat {"name": sec} JSON, committed
+    // as bench_reference.json and refreshed from each round's clean
+    // run). A query far above its reference is only CONTENTION if the
+    // host is provably busy at that moment — which the trigger probe
+    // below tests directly — so the references gate when the probe even
+    // fires, keeping a genuinely-regressed query from hiding behind a
+    // retry: on a quiet host the trigger probe reads fast and the slow
+    // first measurement STANDS.
+    val reference: Map[String, Double] = {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_reference.json"))
+      if (java.nio.file.Files.isReadable(p)) {
+        val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r.findAllMatchIn(s)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } else Map.empty
+    }
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // noop sink, NOT count(): count() lets Catalyst prune every
       // projected expression and drop final sorts, so pure-projection
@@ -60,15 +75,46 @@ object Bench {
         }
       // -1 sentinel for failures: elapsed-to-failure would make a
       // fast-failing query read as a fast run in the JSON
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
+    // (name -> (first_sec, trigger_probe_sec)) for queries whose first
+    // measurement is suspect: >3x the clean reference (>5 s absolute
+    // when no reference exists) AND an immediately-fired calibration
+    // probe confirms the host is degraded RIGHT NOW (>2 s; clean
+    // probes read 0.5-1.7 s across every recorded run). Both conditions
+    // — a co-tenant burst can't poison the artifact, and a real
+    // regression on a quiet host can't hide behind the retry queue.
+    val suspects = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    val firstPass = SparkEntry.queries.map { case (name, fn) =>
+      sinceProbe += 1
+      if (sinceProbe >= 25) { sinceProbe = 0; midProbes += calibrate() }
+      var sec = runOnce(name, fn)
+      if (sec > 2.0 && sec > reference.get(name).map(_ * 3).getOrElse(5.0)) {
+        val probe = calibrate()
+        if (probe > 2.0) suspects(name) = (sec, probe)
+      }
+      name -> sec
+    }
+    // one end-of-run retry per suspect (the burst has had the whole
+    // remaining run to pass); keep the better of the two measurements —
+    // the first is CONTAMINATED BY EVIDENCE (its trigger probe), not
+    // merely slow. A failed retry keeps the successful first number.
+    val retries = suspects.toMap.map { case (name, _) =>
+      name -> runOnce(name, SparkEntry.queries(name))
+    }
+    val results = firstPass.map { case (name, sec) =>
+      name -> retries.get(name).filter(r => r > 0 && r < sec).getOrElse(sec)
     }
     val calAfter = calibrate()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.values.filter(_ >= 0).sum
+    val suspectJson = suspects.map { case (k, (first, probe)) =>
+      s"""\"$k\":{"first_sec":$first,"trigger_probe_sec":$probe,"retry_sec":${retries.getOrElse(k, -1.0)}}"""
+    }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"calibration":{"before_sec":$calBefore,"after_sec":$calAfter,"mid_sec":${midProbes.mkString("[", ",", "]")}},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"suspect":$suspectJson,"calibration":{"before_sec":$calBefore,"after_sec":$calAfter,"mid_sec":${midProbes.mkString("[", ",", "]")}},"sf":"$sfDir"}"""
     println(json)
     // durable per-query artifact — a truncated stdout tail must never
     // again be the only record of a run
@@ -81,7 +127,7 @@ object Bench {
     // under a few hundred bytes no matter how many queries exist, so a
     // tail parser always gets metric/value/failed/calibration.
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":${failed.mkString("[", ",", "]")},"calibration":{"before_sec":$calBefore,"after_sec":$calAfter},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":${failed.mkString("[", ",", "]")},"n_suspect":${suspects.size},"calibration":{"before_sec":$calBefore,"after_sec":$calAfter},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

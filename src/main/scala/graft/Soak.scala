@@ -36,7 +36,14 @@ object Soak {
       }
     })
     def measure[T](name: String)(body: => T): T = {
-      // quiesce the listener bus so a prior phase's stages don't bleed in
+      // quiesce the listener bus so a prior phase's stages don't bleed
+      // in. BEST-EFFORT attribution: the bus is async and these fixed
+      // waits are a heuristic — under heavy ambient load a stage
+      // completion can still land in the wrong phase's counters (wall
+      // time is exact; the shuffle/taskTime split is approximate, and
+      // the printed tag says so). Exact attribution would need
+      // per-phase stage-id bookkeeping; the soak numbers are coarse
+      // evidence, not a benchmark, so the honest label is enough.
       Thread.sleep(300)
       shuffleRead.set(0); shuffleWrite.set(0); taskMs.set(0)
       val t0 = System.nanoTime()
@@ -45,7 +52,7 @@ object Soak {
       println(f"[soak] $name%-28s wall=${(System.nanoTime() - t0) / 1e9}%7.2f s  " +
         f"shuffleRead=${shuffleRead.get / 1048576.0}%8.1f MiB  " +
         f"shuffleWrite=${shuffleWrite.get / 1048576.0}%8.1f MiB  " +
-        f"taskTime=${taskMs.get / 1000.0}%7.1f s")
+        f"taskTime=${taskMs.get / 1000.0}%7.1f s  (shuffle/task best-effort)")
       r
     }
   }

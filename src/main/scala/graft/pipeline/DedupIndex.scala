@@ -180,7 +180,14 @@ object DedupIndex {
     // full shingle+minhash+banding subtree before either's blocks
     // land (profiled: the kernel pass ran ~15× per ingest through the
     // assorted joins/broadcasts/counts). One materialization job up
-    // front makes every consumer a block read.
+    // front makes every consumer a block read. CLUSTER CAVEAT (the same
+    // one the CC loops carry): localCheckpoint blocks are NON-reliable —
+    // on a real cluster a lost executor after ingest makes later
+    // evaluation of the returned verdicts THROW instead of recomputing
+    // (the old persist() behavior), and blocks are only released by
+    // driver GC. At fleet scale swap for a reliable checkpoint (or
+    // persist + an explicit first-consumer barrier); callers holding
+    // verdicts long-lived should copy them out promptly either way.
     val newBands = bandRows(newDocs, p).localCheckpoint(true)
     val hasIndex = TxTable.latest(spark, root)._1 > 0
     // every index consumer below (probe, bucket counts, replay
