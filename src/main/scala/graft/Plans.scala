@@ -30,7 +30,12 @@ object Plans {
         // round 4: the interval-join batch twins (pushed type filters,
         // equi-join on user_id with the time range as join residual —
         // the same plan family the streaming state machine partitions)
-        "q_interval_join", "q_interval_join_left")) {
+        "q_interval_join", "q_interval_join_left",
+        // round 5/6: ExactSubstr recurring-window counting as a true
+        // map-side partial aggregate + streaming left-semi (the
+        // WindowExec group-buffer form is gone), and the multi-table
+        // random-hyperplane LSH oracle twin's constant-folded planes
+        "q_substr_dedup", "q_ann_lsh_md5")) {
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, d).queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode))
