@@ -14,10 +14,13 @@ import graft.pipeline.CorpusIngest
   * one-off synthetic corpus 10× the sf0.1 documents table (50k docs,
   * seeded, with planted near-dup families whose chain structure gives
   * the CC phases real multi-hop components), then runs the composed
-  * ingest, the LSH pair pipeline, and BOTH connected-components
-  * algorithms over it, printing per-phase wall time, shuffle bytes
-  * (from stage metrics), and round counts. The numbers land in
-  * SCALE.md §10; driver testdata is never touched.
+  * ingest, the LSH pair pipeline, BOTH connected-components
+  * algorithms, and the two STREAMING ingest gates (near-dup band gate,
+  * semantic cell gate) — each drained through a checkpointed
+  * file-source stream and then restarted from its checkpoint over a
+  * +10% increment — printing per-phase wall time, shuffle bytes
+  * (from stage metrics), verdict/state counts, and round counts. The
+  * numbers land in SCALE.md §10; driver testdata is never touched.
   *
   * Run: `sbt "runMain graft.Soak"` (optional arg: doc count).
   */
@@ -63,9 +66,15 @@ object Soak {
     * not necessarily family ends — multi-hop CC components by
     * construction, the regime the star algorithm exists for.
     */
-  private[graft] def genDocsPublic(spark: SparkSession, n: Long): DataFrame = genDocs(spark, n)
+  private[graft] def genDocsPublic(spark: SparkSession, n: Long): DataFrame =
+    genDocs(spark, 0L, n)
 
-  private def genDocs(spark: SparkSession, n: Long): DataFrame = {
+  /** Id-keyed generation over [from, until): the family structure is a
+    * pure function of the id, so an INCREMENT range continues the same
+    * corpus — new blocks, same statistics — which is exactly what the
+    * streaming restart phases feed through a resumed checkpoint.
+    */
+  private def genDocs(spark: SparkSession, from: Long, until: Long): DataFrame = {
     import spark.implicits._
     val vocabBc = spark.sparkContext.broadcast(
       Array.tabulate(2000)(i => s"w${i}x${(i * 2654435761L & 0xffff).toHexString}"))
@@ -73,7 +82,7 @@ object Soak {
     // stopword-ratio floor (>= 0.03) passes — without it the whole
     // corpus is rejectedQuality and the ingest path is vacuous
     val stops = Array("the", "and", "of", "to", "in", "is")
-    spark.range(0, n, 1, 64).as[Long].mapPartitions { it =>
+    spark.range(from, until, 1, 64).as[Long].mapPartitions { it =>
       val vocab = vocabBc.value
       it.map { id =>
         // family structure from the id: blocks of 10; in each block,
@@ -94,6 +103,29 @@ object Soak {
     }.toDF("doc_id", "text", "lang", "source")
   }
 
+  /** Seeded unit embeddings with the SAME block-of-10 family structure
+    * as [[genDocs]]: ids 6–9 of each block share a base direction with
+    * per-member jitter (pairwise cosine ≈ 0.99, well above the gate
+    * threshold); ids 0–5 are independent gaussians (expected pairwise
+    * cosine ≈ 0 at dim 32, far below it).
+    */
+  private def genVecs(spark: SparkSession, from: Long, until: Long, dim: Int = 32): DataFrame = {
+    import spark.implicits._
+    spark.range(from, until, 1, 64).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val block = id / 10
+        val off = (id % 10).toInt
+        val (seedId, hop) = if (off < 6) (id, 0) else (block * 10 + 6, off - 6)
+        val rnd = new scala.util.Random(seedId * 7000003L + 29)
+        val base = Array.fill(dim)(rnd.nextGaussian())
+        val jr = new scala.util.Random(id * 911382323L + 3)
+        val v = if (hop == 0) base else base.map(x => x + 0.06 * jr.nextGaussian())
+        val norm = math.sqrt(v.map(x => x * x).sum)
+        (id, v.map(_ / norm).toSeq)
+      }
+    }.toDF("vec_id", "embedding")
+  }
+
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 50000L
     val spark = SparkSession.builder()
@@ -111,7 +143,7 @@ object Soak {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
 
     val docs = meter.measure("generate+write corpus") {
-      genDocs(spark, n).write.mode("overwrite").parquet(s"$root/docs")
+      genDocs(spark, 0L, n).write.mode("overwrite").parquet(s"$root/docs")
       spark.read.parquet(s"$root/docs")
     }
     val textMb = docs.agg(sum(length(col("text")))).head().getLong(0) / 1048576.0
@@ -149,6 +181,58 @@ object Soak {
       println(s"[soak] groups: ${g.count()} rows, " +
         s"${g.filter(!col("is_canonical")).count()} non-canonical")
     }
+
+    // ---- streaming gates: the ingest-time dedup path, drained through
+    // a real checkpointed file-source stream at the same 50k scale, then
+    // RESTARTED from the checkpoint over a +10% increment — state
+    // continuity means increment docs still dedup against batch-1 state.
+    import graft.streaming.{StreamingDedup, StreamingSemDedup}
+    def maxStateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+      q.recentProgress.flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .map(_.numRowsTotal).foldLeft(0L)(math.max)
+    def drain(name: String, start: () => org.apache.spark.sql.streaming.StreamingQuery,
+        verdictPath: String): Unit = {
+      val q = meter.measure(name) {
+        val q0 = start(); q0.processAllAvailable(); q0
+      }
+      val state = maxStateRows(q)
+      q.stop()
+      val v = spark.read.parquet(verdictPath)
+      val nv = v.count()
+      val nd = v.filter(col("dup_of").isNotNull).count()
+      println(s"[soak] $name: verdicts=$nv dups=$nd stateRows=$state")
+    }
+
+    val sroot = s"$root/stream_neardup"
+    def docStream() = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "8").parquet(s"$root/docs")
+    def nearDupQuery() = StreamingDedup.nearDupVerdicts(docStream())
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", s"$sroot/verdicts")
+      .option("checkpointLocation", s"$sroot/ckpt").start()
+    drain("stream near-dup drain", () => nearDupQuery(), s"$sroot/verdicts")
+    // +10% increment lands as NEW files; the restarted query resumes the
+    // file-source log + band-bucket state from the checkpoint
+    genDocs(spark, n, n + n / 10).write.mode("append").parquet(s"$root/docs")
+    drain("stream near-dup restart +10%", () => nearDupQuery(), s"$sroot/verdicts")
+
+    val vroot = s"$root/stream_semantic"
+    genVecs(spark, 0L, n).write.mode("overwrite").parquet(s"$root/vecs")
+    val vecs = spark.read.parquet(s"$root/vecs")
+    // cell model trained OUTSIDE the stream on a bounded batch sample —
+    // the same serving split as IVF (and the production SemDeDup gate)
+    val cellModel = graft.ops.KMeans.fitSample(vecs, k = 16, iters = 5, spherical = true)
+    def vecStream() = spark.readStream.schema(vecs.schema)
+      .option("maxFilesPerTrigger", "8").parquet(s"$root/vecs")
+    def semQuery() = StreamingSemDedup.semanticVerdicts(
+        vecStream(), cellModel.centroids, threshold = 0.9, maxCell = 4096)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", s"$vroot/verdicts")
+      .option("checkpointLocation", s"$vroot/ckpt").start()
+    drain("stream semantic drain", () => semQuery(), s"$vroot/verdicts")
+    genVecs(spark, n, n + n / 10).write.mode("append").parquet(s"$root/vecs")
+    drain("stream semantic restart +10%", () => semQuery(), s"$vroot/verdicts")
+
     spark.stop()
   }
 }
