@@ -62,7 +62,7 @@ object FunnelOps {
     // day: the driver's synthetic stream is dense enough that an
     // unbounded window converts EVERYONE (a vacuous 1500/1500/1500 at
     // sf0.1); one day measures 56/19/3 at sf0.01 — a real funnel. The
-    // day bound rides ts_ns so it prunes at the parquet scan.
+    // day bound rides the raw scan column so it prunes at the parquet scan.
     QueryDef(
       "q_funnel_steps",
       """WITH e AS (
@@ -86,7 +86,8 @@ object FunnelOps {
         |  UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM c
         |  UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM p)
         |ORDER BY stage""".stripMargin) { (s, d) =>
-      val ev = Tables.events(s, d).filter(Tables.tsNsRange("2024-01-01", "2024-01-02"))
+      val ev0 = Tables.events(s, d)
+      val ev = ev0.filter(Tables.tsRange(ev0, "2024-01-01", "2024-01-02"))
       val v = ev.filter(col("event_type") === "view")
         .groupBy("user_id").agg(min(col("ts")).as("t1"))
       val c = ev.filter(col("event_type") === "click")

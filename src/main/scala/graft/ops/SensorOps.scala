@@ -146,10 +146,11 @@ object SensorOps {
         |FROM events
         |WHERE ts::TIMESTAMP >= TIMESTAMP '2024-01-05' AND ts::TIMESTAMP < TIMESTAMP '2024-01-20'
         |ORDER BY event_id""".stripMargin) { (s, d) =>
-      Tables.events(s, d)
-        // raw-ns predicate: pushes to parquet row-group stats (a filter on
-        // the converted timestamp column blocks pushdown entirely)
-        .filter(Tables.tsNsRange("2024-01-05", "2024-01-20"))
+      val ev = Tables.events(s, d)
+      ev
+        // raw-column predicate: pushes to parquet row-group stats (a filter
+        // on the converted/cast timestamp column blocks pushdown entirely)
+        .filter(Tables.tsRange(ev, "2024-01-05", "2024-01-20"))
         .select(
           col("event_id"),
           date_format(col("ts"), IsoMs).as("time"),
@@ -227,7 +228,7 @@ object SensorOps {
         |ORDER BY time, name, value""".stripMargin) { (s, d) =>
       val e = Tables.events(s, d).filter(col("event_type").isin("view", "click"))
       val silver = e
-        .filter(Tables.tsNsRange("2024-01-05", "2024-01-20"))
+        .filter(Tables.tsRange(e, "2024-01-05", "2024-01-20"))
         .select(
           date_format(col("ts"), IsoMs).as("time"),
           col("event_type").as("name"),

@@ -82,7 +82,7 @@ object WindowOps {
 
     // Keyset pagination: resume strictly after the anchor row under the
     // total (ts, event_id) order. TakeOrderedAndProject + the pushed
-    // ts_ns lower bound keep this O(page) however deep the cursor is —
+    // raw-column lower bound keep this O(page) however deep the cursor is —
     // OFFSET/LIMIT at page N would scan and discard N pages every call.
     QueryDef(
       "q_serve_page",
@@ -100,11 +100,11 @@ object WindowOps {
       val anchorInstant = java.time.Instant.parse("2024-01-15T12:00:00Z")
       val anchorTs = lit(anchorInstant.toString.replace("T", " ").stripSuffix("Z"))
         .cast(TimestampType)
-      val anchorNs = anchorInstant.getEpochSecond * 1000000000L
-      Tables.events(s, d)
-        // coarse pushdown bound on the raw parquet long (statistics
+      val ev = Tables.events(s, d)
+      ev
+        // coarse pushdown bound on the raw parquet column (statistics
         // pruning), then the exact keyset predicate on the µs timestamp
-        .filter(col("ts_ns") >= lit(anchorNs - 1000000000L))
+        .filter(Tables.tsAtLeast(ev, anchorInstant.minusSeconds(1)))
         .filter(col("ts") > anchorTs ||
           (col("ts") === anchorTs && col("event_id") > 0))
         // top-100 selected under the µs-precision (ts, event_id) order —

@@ -38,11 +38,11 @@ class WindowOpsSpec extends AnyFunSuite {
       s"top-50 must be TakeOrderedAndProject, not a global sort:\n$p")
   }
 
-  test("q_serve_page: keyset page is TakeOrderedAndProject with a pushed ts_ns bound") {
+  test("q_serve_page: keyset page is TakeOrderedAndProject with a pushed ts bound") {
     val p = plan("q_serve_page")
     assert(p.contains("TakeOrderedAndProject"), s"page must not globally sort:\n$p")
     assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(ts"),
-      s"coarse ts_ns bound must reach the parquet scan:\n$p")
+      s"coarse raw-ts bound must reach the parquet scan:\n$p")
   }
 
   test("q_window_range results: trailing 5-minute sum includes exactly the in-range rows") {
