@@ -35,7 +35,13 @@ object Plans {
         // map-side partial aggregate + streaming left-semi (the
         // WindowExec group-buffer form is gone), and the multi-table
         // random-hyperplane LSH oracle twin's constant-folded planes
-        "q_substr_dedup", "q_ann_lsh_md5")) {
+        "q_substr_dedup", "q_ann_lsh_md5",
+        // round 7: the scrub action (span stitch stays per-doc/map-shaped
+        // after the dup-window semi-join) — the plan evidence the round-6
+        // verdict asked for alongside the regenerated native-timestamp
+        // events scans (pushed ts predicates visible in q_filter_range /
+        // q_serve_page above)
+        "q_substr_scrub")) {
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, d).queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode))

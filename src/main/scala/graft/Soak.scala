@@ -22,7 +22,10 @@ import graft.pipeline.CorpusIngest
   * (from stage metrics), verdict/state counts, and round counts. The
   * numbers land in SCALE.md §10; driver testdata is never touched.
   *
-  * Run: `sbt "runMain graft.Soak"` (optional arg: doc count).
+  * Run: `sbt "runMain graft.Soak"` (optional args: doc count, semantic
+  * nlist — the 500k trend point passes nlist per the √N FAISS sizing
+  * rule SCALE.md §10 documents, the 50k row keeps the deliberately
+  * tiny 16 to show the cell-count bound).
   */
 object Soak {
 
@@ -128,6 +131,7 @@ object Soak {
 
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 50000L
+    val nlist = if (args.length > 1) args(1).toInt else 16
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
       .master("local[32]")
@@ -221,7 +225,7 @@ object Soak {
     val vecs = spark.read.parquet(s"$root/vecs")
     // cell model trained OUTSIDE the stream on a bounded batch sample —
     // the same serving split as IVF (and the production SemDeDup gate)
-    val cellModel = graft.ops.KMeans.fitSample(vecs, k = 16, iters = 5, spherical = true)
+    val cellModel = graft.ops.KMeans.fitSample(vecs, k = nlist, iters = 5, spherical = true)
     def vecStream() = spark.readStream.schema(vecs.schema)
       .option("maxFilesPerTrigger", "8").parquet(s"$root/vecs")
     def semQuery() = StreamingSemDedup.semanticVerdicts(
