@@ -118,6 +118,32 @@ final case class RollingHashExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** All overlapping `minLen`-code-point window rolling hashes of a
+  * string (Karp–Rabin mod 2^61-1, [[HashKernels.windowHashes]]) —
+  * array<long>, one element per 1-based window start. Exists for
+  * ExactSubstr dedup: O(n) total hash work where the per-position
+  * `xxhash64(substr(...))` enumeration costs O(n·minLen) plus a
+  * substring copy per window.
+  */
+final case class WindowHashesExpr(child: Expression, minLen: Int)
+    extends UnaryExpression with KernelCodegen {
+  require(minLen >= 1, s"window_hashes minLen must be >= 1, got $minLen")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.windowHashes(input.asInstanceOf[UTF8String], minLen)
+
+  override protected def kernelCall(ctx: CodegenContext, c: String): String =
+    s"$kernels.windowHashes($c, $minLen)"
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    kernelGenCode(ctx, ev)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Random-hyperplane LSH bucket (Charikar '02) over an array<double>
   * embedding: nbits sign-bits of dot products with deterministic
   * pseudo-random hyperplanes (component for (bit,dim) derived from
@@ -408,6 +434,12 @@ object HashFunctions {
   /** Karp-Rabin polynomial rolling hash of a string. */
   def rolling_hash(c: Column): Column =
     ColumnBridge.column(RollingHashExpr(ColumnBridge.expression(c)))
+
+  /** All overlapping `minLen`-char window rolling hashes (array<long>,
+    * one per 1-based window start; Karp–Rabin mod 2^61-1).
+    */
+  def window_hashes(c: Column, minLen: Int): Column =
+    ColumnBridge.column(WindowHashesExpr(ColumnBridge.expression(c), minLen))
 
   /** Dot product of two array<double> columns (sequential fold). */
   def dot_product(a: Column, b: Column): Column =

@@ -90,6 +90,75 @@ object HashKernels {
     acc
   }
 
+  // ---- Mersenne-61 modular arithmetic for the window rolling hash.
+  // p = 2^61-1 keeps products reducible with one multiplyHigh: for
+  // a,b < p the 122-bit product hi·2^64 + lo reduces via 2^61 ≡ 1
+  // (so 2^64 ≡ 8) to (hi·8 + lo₆₃₋₆₁) + lo₆₀₋₀ < 2^62, then one more
+  // fold. Fixed 61-bit base; strong enough that structured text cannot
+  // collide by construction (unlike mod-2^64 polynomial hashes, whose
+  // ±1-character difference patterns cancel on Thue–Morse-like input).
+  private final val M61 = (1L << 61) - 1
+  private final val WinBase = 0x2545F4914F6CDD1DL & M61
+
+  private def mulMod61(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    var r = ((hi << 3) | (lo >>> 61)) + (lo & M61)
+    r = (r & M61) + (r >>> 61)
+    if (r >= M61) r - M61 else r
+  }
+
+  /** All overlapping `minLen`-code-point window hashes of `text`, one
+    * per 1-based start position `1 .. numChars-minLen+1` (empty array
+    * below `minLen` chars): Karp–Rabin polynomial rolling hash over
+    * code points mod 2^61-1. The O(n) substitute for enumerating
+    * `xxhash64(substr(text, pos, minLen))` per position — same window
+    * partitioning w.h.p. (collision expectation reaches ~1 only near
+    * √p ≈ 1.5·10⁹ distinct windows; a collision over-marks, never
+    * misses), at 1/minLen the hash work and zero per-window substring
+    * copies. Positions count CODE POINTS — the unit Spark's
+    * `substr`/`length` and DuckDB's `substring` agree on — so spans
+    * derived from these positions splice correctly in either engine.
+    */
+  def windowHashes(text: UTF8String, minLen: Int): ArrayData = {
+    val s = text.toString
+    val nChars = s.codePointCount(0, s.length)
+    if (nChars < minLen) return new GenericArrayData(Array.emptyLongArray)
+    val cps = new Array[Int](nChars)
+    var i = 0
+    var k = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      cps(k) = cp
+      k += 1
+      i += Character.charCount(cp)
+    }
+    val m = nChars - minLen + 1
+    val out = new Array[Long](m)
+    var h = 0L
+    var j = 0
+    while (j < minLen) {
+      h = mulMod61(h, WinBase) + cps(j)
+      if (h >= M61) h -= M61
+      j += 1
+    }
+    out(0) = h
+    // pw = base^(minLen-1): the weight of the window's leading char
+    var pw = 1L
+    j = 0
+    while (j < minLen - 1) { pw = mulMod61(pw, WinBase); j += 1 }
+    var p = 1
+    while (p < m) {
+      h = h - mulMod61(cps(p - 1), pw)
+      if (h < 0) h += M61
+      h = mulMod61(h, WinBase) + cps(p + minLen - 1)
+      if (h >= M61) h -= M61
+      out(p) = h
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** md5-based MinHash signature: for each permutation j < k, the
     * minimum 16-hex-char prefix of md5("j:" + shingle) over all
     * shingles — byte-identical to the SQL

@@ -22,14 +22,19 @@ import org.apache.spark.sql.types._
   * L-windows; ⇐: a duplicated L-window IS a duplicated substring of
   * length L). So hashing every overlapping L-window and keeping the
   * recurring ones marks the SAME character set the suffix-array scan
-  * marks, up to hash collisions. The default key is xxhash64 (codegen'd
-  * long keys — measured 2.3× faster end to end than md5's 32-char
-  * string keys through the agg+join, and SubstrDedupSpec proves the
-  * span sets identical on the test corpus; the DuckDB oracle
-  * independently derives the same spans via md5, so the twin also
-  * cross-checks the key choice). A 64-bit key's collision expectation
-  * reaches ~1 only near 2³² ≈ 4·10⁹ windows — beyond that (a true
-  * 100 TB corpus is ~10¹⁴ windows) pass a 128-bit `hash`, e.g.
+  * marks, up to hash collisions. The default key is the
+  * `window_hashes` rolling kernel (Karp–Rabin mod 2^61-1,
+  * [[graft.functions.HashKernels.windowHashes]]): ONE O(n) pass emits
+  * every window's 61-bit key, where the earlier per-position
+  * `xxhash64(substr(text, pos, L))` enumeration paid O(n·L) hash work
+  * plus an L-char substring copy per window (that xxhash64 form had
+  * itself measured 2.3× over md5's 32-char string keys; both remain
+  * available via the explicit `hash` parameter, and SubstrDedupSpec
+  * proves all three key choices return identical span sets while the
+  * DuckDB oracle independently re-derives them via md5). A ~64-bit
+  * key's collision expectation reaches ~1 only near √p ≈ 10⁹ distinct
+  * windows — beyond that (a true 100 TB corpus is ~10¹⁴ windows) pass
+  * an explicit 128-bit `hash`, e.g.
   * `c => struct(xxhash64(c), xxhash64(reverse(c)))` or `md5`; a
   * collision only ever over-marks a span (false duplicate), never
   * misses one.
@@ -48,19 +53,32 @@ import org.apache.spark.sql.types._
 object SubstrDedupOps {
 
   /** (doc_id, pos) of every 1-based position whose L-window recurs
-    * corpus-wide. `hash` maps the window string to the shuffle key —
-    * xxhash64 long keys by default; pass a 128-bit variant past ~4·10⁹
-    * windows (see object doc).
+    * corpus-wide. `hash = None` (the default) enumerates windows with
+    * the O(n) rolling kernel; `Some(hf)` maps each window STRING
+    * through `hf` instead — the md5 oracle twin's path, and the
+    * 128-bit escape hatch past ~10⁹ windows (see object doc).
     */
-  private def dupWindows(docs: DataFrame, minLen: Int, hash: Column => Column): DataFrame = {
-    val w = docs
-      .filter(length(col("text")) >= minLen) // sequence(1, n<1) would be a DESCENDING range
-      .select(
-        col("doc_id"),
-        explode(sequence(lit(1), length(col("text")) - minLen + 1)).as("pos"),
-        col("text"))
-      .select(col("doc_id"), col("pos"),
-        hash(col("text").substr(col("pos"), lit(minLen))).as("h"))
+  private def dupWindows(docs: DataFrame, minLen: Int,
+      hash: Option[Column => Column]): DataFrame = {
+    val w = hash match {
+      case None =>
+        // one kernel call per doc emits all window keys; posexplode
+        // recovers the 1-based window start from the array index
+        docs
+          .filter(length(col("text")) >= minLen)
+          .select(col("doc_id"),
+            posexplode(graft.functions.HashFunctions.window_hashes(col("text"), minLen)))
+          .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("h"))
+      case Some(hf) =>
+        docs
+          .filter(length(col("text")) >= minLen) // sequence(1, n<1) would be a DESCENDING range
+          .select(
+            col("doc_id"),
+            explode(sequence(lit(1), length(col("text")) - minLen + 1)).as("pos"),
+            col("text"))
+          .select(col("doc_id"), col("pos"),
+            hf(col("text").substr(col("pos"), lit(minLen))).as("h"))
+    }
     // Recurring windows via groupBy + semi-join-back, NOT
     // `count(*) over (partition by h)`: the window form shares a single
     // exchange but WindowExec buffers each hash group WHOLE on its
@@ -94,7 +112,7 @@ object SubstrDedupOps {
     */
   def duplicatedSpans(
       docs: DataFrame, minLen: Int = 40,
-      hash: Column => Column = c => xxhash64(c)): DataFrame = {
+      hash: Option[Column => Column] = None): DataFrame = {
     val wPrev = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, -1)
     val wRun = Window.partitionBy("doc_id").orderBy("pos")
@@ -140,12 +158,13 @@ object SubstrDedupOps {
 
   val all: Seq[QueryDef] = Seq(
     // Maximal duplicated-substring spans (L = 40 chars) over documents.
-    // Spark runs the PRODUCTION xxhash64 keys; DuckDB re-derives the
-    // whole pipeline (windows → recurring hashes → island merge) with
-    // md5 keys and identical integer arithmetic — the span sets agree
-    // iff both hash choices partition the window strings identically,
-    // so the oracle checks the operator AND the 64-bit key's adequacy
-    // at this corpus size in one compare.
+    // Spark runs the PRODUCTION rolling-kernel keys (window_hashes,
+    // Karp–Rabin mod 2^61-1); DuckDB re-derives the whole pipeline
+    // (windows → recurring hashes → island merge) with md5 keys and
+    // identical integer arithmetic — the span sets agree iff both hash
+    // choices partition the window strings identically, so the oracle
+    // checks the operator AND the 61-bit key's adequacy at this corpus
+    // size in one compare.
     QueryDef(
       "q_substr_dedup",
       """WITH p AS (

@@ -49,10 +49,34 @@ class SubstrDedupSpec extends AnyFunSuite {
       (3L, 1L, unique.length.toLong)))
   }
 
-  test("xxhash64 production keys return the same spans as the md5 oracle keys") {
-    val md5Spans = SubstrDedupOps.duplicatedSpans(docs, minLen = L)
-    val xxSpans = SubstrDedupOps.duplicatedSpans(docs, minLen = L, hash = c => xxhash64(c))
-    assert(xxSpans.exceptAll(md5Spans).isEmpty && md5Spans.exceptAll(xxSpans).isEmpty)
+  test("rolling-kernel production keys match the md5 and xxhash64 key choices") {
+    val defSpans = SubstrDedupOps.duplicatedSpans(docs, minLen = L)
+    val md5Spans = SubstrDedupOps.duplicatedSpans(docs, minLen = L, hash = Some(c => md5(c)))
+    val xxSpans = SubstrDedupOps.duplicatedSpans(docs, minLen = L, hash = Some(c => xxhash64(c)))
+    assert(defSpans.exceptAll(md5Spans).isEmpty && md5Spans.exceptAll(defSpans).isEmpty)
+    assert(defSpans.exceptAll(xxSpans).isEmpty && xxSpans.exceptAll(defSpans).isEmpty)
+  }
+
+  test("multi-byte text: rolling-kernel positions count code points like substr") {
+    // 2-byte (é) and 3-byte (日) chars around and inside the shared
+    // block — the kernel must agree with the substr-enumeration path,
+    // whose positions are code-point-based by construction
+    val sharedU = "é日" + seg(20, 36) + "βγ"
+    val docsU = Seq(
+      (0L, "αα" + seg(21, 48) + sharedU + seg(22, 50)),
+      (1L, seg(23, 61) + sharedU + "日" + seg(24, 29))).toDF("doc_id", "text")
+    val ker = SubstrDedupOps.duplicatedSpans(docsU, minLen = L)
+    val sub = SubstrDedupOps.duplicatedSpans(docsU, minLen = L, hash = Some(c => md5(c)))
+    assert(ker.exceptAll(sub).isEmpty && sub.exceptAll(ker).isEmpty)
+    val spans = ker.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(spans.toSeq == Seq(
+      (0L, 51L, 50L + sharedU.length),
+      (1L, 62L, 61L + sharedU.length)))
+    // scrub splices at those code-point offsets correctly too
+    val cleaned = SubstrDedupOps.scrubSpans(docsU, ker)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleaned(0L) == "αα" + seg(21, 48) + seg(22, 50))
+    assert(cleaned(1L) == seg(23, 61) + "日" + seg(24, 29))
   }
 
   test("scrubSpans excises exactly the spans; span-free docs pass through") {
