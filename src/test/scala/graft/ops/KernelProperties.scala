@@ -109,6 +109,40 @@ class KernelProperties extends AnyFunSuite {
     }
   }
 
+  test("property: windowHashes rolling slide equals an independent BigInt polynomial per window") {
+    // independent oracle: the same Karp–Rabin definition computed
+    // from scratch per window in BigInt arithmetic (no shared modular
+    // helpers — a slide/carry bug in the O(n) kernel cannot hide).
+    // The base/modulus constants are pinned on purpose: changing the
+    // kernel's key family must be a visible, deliberate act.
+    val m61 = (BigInt(1) << 61) - 1
+    val base = BigInt(0x2545F4914F6CDD1DL & ((1L << 61) - 1))
+    val cpGen = Gen.frequency(
+      6 -> Gen.chooseNum('a'.toInt, 'z'.toInt),
+      2 -> Gen.oneOf('é'.toInt, 'α'.toInt, '日'.toInt), // 2- and 3-byte UTF-8
+      1 -> Gen.chooseNum(0x10000, 0x10FFF)) // supplementary plane (4-byte, surrogate pair)
+    val caseGen = for {
+      n <- Gen.chooseNum(0, 60)
+      cps <- Gen.listOfN(n, cpGen)
+      l <- Gen.chooseNum(1, 10)
+    } yield (cps, l)
+    forAllN(caseGen) { case (cps, l) =>
+      val s = new String(cps.flatMap(cp => Character.toChars(cp).toList).toArray)
+      val got = HashKernels.windowHashes(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), l)
+      val m = math.max(0, cps.length - l + 1)
+      assert(got.numElements() == m, s"window count for n=${cps.length}, L=$l")
+      var i = 0
+      while (i < m) {
+        val want = cps.slice(i, i + l)
+          .foldLeft(BigInt(0))((acc, cp) => (acc * base + cp) mod m61)
+        assert(BigInt(got.getLong(i)) == want,
+          s"window $i (of $m) disagrees for L=$l, cps=${cps.mkString(",")}")
+        i += 1
+      }
+    }
+  }
+
   test("property: dot is symmetric and norm2sq is non-negative") {
     val pairGen = for {
       n <- Gen.chooseNum(1, 32)
