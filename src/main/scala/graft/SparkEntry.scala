@@ -18,7 +18,7 @@ object SparkEntry {
       Multimodal.all ++ SkewOps.all ++ CurationOps.all ++ PqOps.all ++ IvfAdcOps.all ++
       WindowOps.all ++ TextOps3.all ++ BloomOps.all ++ OpqOps.all ++ RelationalOps3.all ++
       IrOps.all ++ PackOps.all ++ HeavyHitterOps.all ++ graft.plans.AsOfOps.all ++
-      ProfileOps.all ++ LmOps.all ++ SemDedupOps.all ++ TpchMoreOps.all ++ FunnelOps.all ++
+      ProfileOps.all ++ LmOps.all ++ SemDedupOps.all ++ TpchMoreOps.all ++ TpchFullOps.all ++ FunnelOps.all ++
       SampleOps.all ++ ChunkOps.all ++ CovisitOps.all ++ TextStatsOps.all ++ RollingOps.all ++
       DataSelectOps.all ++ EmbedStatsOps.all ++ SubstrDedupOps.all
 
