@@ -41,7 +41,14 @@ object Plans {
         // verdict asked for alongside the regenerated native-timestamp
         // events scans (pushed ts predicates visible in q_filter_range /
         // q_serve_page above)
-        "q_substr_scrub")) {
+        "q_substr_scrub",
+        // round 7 TPC-H completion: Q21's EXISTS + NOT-EXISTS dual
+        // self-join (semi + anti probes against the same lineitem
+        // projection; broadcast at this SF, same-key SMJ with exchange
+        // reuse once the fact outgrows the broadcast threshold) and
+        // Q2's decorrelated scalar-min (one bridge×supplier join feeds
+        // both the candidates and the per-part min)
+        "q_tpch_q21", "q_tpch_q2")) {
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, d).queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode))
