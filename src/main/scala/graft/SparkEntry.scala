@@ -20,7 +20,8 @@ object SparkEntry {
       IrOps.all ++ PackOps.all ++ HeavyHitterOps.all ++ graft.plans.AsOfOps.all ++
       ProfileOps.all ++ LmOps.all ++ SemDedupOps.all ++ TpchMoreOps.all ++ TpchFullOps.all ++ FunnelOps.all ++
       SampleOps.all ++ ChunkOps.all ++ CovisitOps.all ++ TextStatsOps.all ++ RollingOps.all ++
-      DataSelectOps.all ++ EmbedStatsOps.all ++ SubstrDedupOps.all ++ ZOrderOps.all
+      DataSelectOps.all ++ EmbedStatsOps.all ++ SubstrDedupOps.all ++ ZOrderOps.all ++
+      GraphOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

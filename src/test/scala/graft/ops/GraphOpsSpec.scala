@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** [[GraphOps.pagerank]] against closed forms: a symmetric pair is a
+  * fixpoint at uniform rank; a star concentrates rank on the hub with
+  * the exact 2-periodic closed form; probability mass is conserved.
+  */
+class GraphOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def sym(pairs: (Long, Long)*) =
+    (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+
+  test("two-node symmetric graph: uniform rank is the exact fixpoint") {
+    val pr = GraphOps.pagerank(sym((1L, 2L))).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr(1L) - 0.5) < 1e-12)
+    assert(math.abs(pr(2L) - 0.5) < 1e-12)
+  }
+
+  test("star graph: hub rank matches the closed form and mass is conserved") {
+    val k = 4 // hub 0, leaves 1..4
+    val pr = GraphOps.pagerank(sym((1L to k.toLong).map(i => (0L, i)): _*))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // closed form: leaves are interchangeable; at the (even-round)
+    // fixpoint hub = α/n + d·k·leaf_out where each leaf sends its whole
+    // rank to the hub and the hub splits evenly. Iterate the 2-cycle
+    // analytically for the same 10 rounds instead of assuming
+    // convergence:
+    var hub = 1.0 / 5; var leaf = 1.0 / 5
+    for (_ <- 1 to 10) {
+      val h2 = 0.15 / 5 + 0.85 * (4 * leaf) // each leaf's only edge → hub
+      val l2 = 0.15 / 5 + 0.85 * (hub / 4) // hub splits over 4 leaves
+      hub = h2; leaf = l2
+    }
+    assert(math.abs(pr(0L) - hub) < 1e-9, s"hub ${pr(0L)} vs closed form $hub")
+    (1L to 4L).foreach(i => assert(math.abs(pr(i) - leaf) < 1e-9))
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9, "PageRank mass must be conserved")
+    assert(pr(0L) > pr(1L), "hub must outrank leaves")
+  }
+
+  test("spark loop and unrolled SQL twin agree on a shared graph") {
+    sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .createOrReplaceTempView("g_edges")
+    val viaSql = spark.sql(GraphOps.pagerankSql("SELECT src, dst FROM g_edges"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaLoop = GraphOps.pagerank(sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L)))
+      .select(col("node"), round(col("pr"), 6).as("pr"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaSql === viaLoop)
+  }
+}
