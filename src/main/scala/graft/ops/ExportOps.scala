@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-shard export: the dataloader-facing sink of the pipeline.
+  *
+  * Dataloaders want shards that are (a) EQUAL-SIZED — fixed rows per
+  * shard, not Spark's arbitrary task splits, so step counts and
+  * resume offsets are computable from the shard id alone; (b)
+  * DETERMINISTIC — the same corpus exports byte-stable shard
+  * membership and order, so a re-export after a lost volume
+  * reproduces shard k exactly; (c) SELF-DESCRIBING — a manifest with
+  * per-shard row counts and content checksums, so a training job can
+  * fail fast on a truncated/corrupted shard instead of silently
+  * training on half a shard.
+  *
+  * Spark-first shape: global row numbers come from the distributed
+  * prefix sum ([[PackOps.exclusivePrefixSum]] — per-bucket totals +
+  * broadcast base offsets, never a single-partition window), shard
+  * assignment is `row div rowsPerShard`, and one hash exchange on the
+  * shard id gives one file per shard via partitionBy. The checksum is
+  * an order-independent sum of per-row xxhash64 over all columns, so
+  * it can be recomputed by ANY engine scanning the shard in any order.
+  * At 100 TB / 1M-row shards the manifest is ~100k entries — the one
+  * deliberately driver-sized artifact (it must end up in a single
+  * JSON file regardless).
+  */
+object ExportOps {
+
+  final case class ShardInfo(id: Long, rows: Long, checksum: Long)
+  final case class ShardManifest(
+      rowsPerShard: Long, totalRows: Long, shards: Seq[ShardInfo])
+
+  /** Per-row xxhash64 over every data column (sorted name order, shard
+    * partition column excluded) as SQL text, so both the manifest agg
+    * and the verifier build the identical expression. */
+  private def hashExprSql(df: DataFrame): String =
+    df.columns.filter(_ != "shard").sorted
+      .map(c => s"`$c`").mkString("xxhash64(", ", ", ")")
+
+  /** Export `df` ordered by `orderCol` (a unique key — ties would make
+    * shard membership nondeterministic) into fixed-size shards under
+    * `path/shard=<k>/`. Returns the manifest, also written to
+    * `path/_shard_manifest.json`.
+    */
+  def writeShards(
+      df: DataFrame, path: String, orderCol: String,
+      rowsPerShard: Long): ShardManifest = {
+    val spark = df.sparkSession
+    val one = SkewOps.freshName(df, "one")
+    val rowNo = SkewOps.freshName(df, "row")
+    val sharded = PackOps
+      .exclusivePrefixSum(df.withColumn(one, lit(1L)), orderCol, one, rowNo)
+      .withColumn("shard", expr(s"`$rowNo` div $rowsPerShard"))
+      .drop(one, rowNo)
+    sharded
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col(orderCol))
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
+
+    // manifest from ONE aggregate over what was just written (reading
+    // back, not re-deriving: the checksums certify the files on disk)
+    val written = spark.read.parquet(path)
+    val infos = written
+      .groupBy(col("shard").cast("long").as("shard"))
+      // bit_xor, not sum: order-independent like sum but cannot
+      // overflow (ANSI mode makes a wrapped long sum a runtime error)
+      .agg(count(lit(1)).as("rows"),
+        expr(s"bit_xor(${hashExprSql(written)})").as("checksum"))
+      .orderBy("shard")
+      .collect()
+      .map(r => ShardInfo(r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    val m = ShardManifest(rowsPerShard, infos.map(_.rows).sum, infos)
+    val json = {
+      val rows = m.shards.map(s =>
+        s"""{"id":${s.id},"rows":${s.rows},"checksum":${s.checksum}}""")
+      s"""{"rowsPerShard":${m.rowsPerShard},"totalRows":${m.totalRows},
+         |"shards":[${rows.mkString(",")}]}""".stripMargin
+    }
+    val p = new org.apache.hadoop.fs.Path(path, "_shard_manifest.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    m
+  }
+
+  /** Re-scan the shards and compare against the stored manifest.
+    * Returns per-shard verdicts (shard, expected/actual rows,
+    * checksum_ok); a missing or extra shard appears with nulls on the
+    * absent side. The scan is one aggregate — no per-shard jobs.
+    */
+  def verifyShards(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(path, "_shard_manifest.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val entry = """\{"id":(-?\d+),"rows":(-?\d+),"checksum":(-?\d+)\}""".r
+    val expected = entry.findAllMatchIn(json)
+      .map(m => (m.group(1).toLong, m.group(2).toLong, m.group(3).toLong))
+      .toSeq.toDF("shard", "exp_rows", "exp_checksum")
+    val written = spark.read.parquet(path)
+    val actual = written
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("act_rows"),
+        expr(s"bit_xor(${hashExprSql(written)})").as("act_checksum"))
+    expected.join(actual, Seq("shard"), "full_outer")
+      .select(col("shard"), col("exp_rows"), col("act_rows"),
+        coalesce(col("exp_rows") === col("act_rows") &&
+          col("exp_checksum") === col("act_checksum"), lit(false)).as("checksum_ok"))
+      .orderBy("shard")
+  }
+}

@@ -1,0 +1,65 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** [[ExportOps]]: equal-size deterministic shards, a manifest that
+  * certifies what is on disk, and a verifier that catches corruption.
+  */
+class ExportOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def corpus(n: Long) = spark.range(n).select(
+    col("id").as("doc_id"),
+    concat(lit("doc-"), col("id")).as("text"),
+    pmod(hash(col("id")), lit(100)).cast("long").as("score"))
+
+  test("shards are exactly rowsPerShard (last partial), data round-trips, export is deterministic") {
+    val root = Files.createTempDirectory("shards").toFile.getAbsolutePath
+    val m = ExportOps.writeShards(corpus(10500L), s"$root/a", "doc_id", 1000L)
+    assert(m.totalRows === 10500L)
+    assert(m.shards.map(_.id) === (0L to 10L))
+    assert(m.shards.init.forall(_.rows === 1000L), "full shards must be exactly 1000 rows")
+    assert(m.shards.last.rows === 500L)
+    // one file per shard
+    (0L to 10L).foreach { k =>
+      val files = new java.io.File(s"$root/a/shard=$k").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(files === 1, s"shard $k should be a single file, got $files")
+    }
+    // round-trip
+    val back = spark.read.parquet(s"$root/a")
+    assert(back.count() === 10500L)
+    assert(back.agg(sum("score")).head().getLong(0) ===
+      corpus(10500L).agg(sum("score")).head().getLong(0))
+    // shard membership is ordered: shard k holds doc_ids [1000k, 1000k+rows)
+    val bounds = back.groupBy(col("shard").cast("long").as("s"))
+      .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(bounds(0L) === (0L, 999L) && bounds(10L) === (10000L, 10499L))
+    // re-export reproduces identical checksums (byte-stable membership)
+    val m2 = ExportOps.writeShards(corpus(10500L), s"$root/b", "doc_id", 1000L)
+    assert(m2.shards === m.shards)
+  }
+
+  test("verifyShards passes on intact shards and fails on tampering") {
+    val root = Files.createTempDirectory("shards2").toFile.getAbsolutePath
+    ExportOps.writeShards(corpus(3000L), s"$root/t", "doc_id", 1000L)
+    val ok = ExportOps.verifyShards(spark, s"$root/t")
+    assert(ok.count() === 3)
+    assert(ok.filter(!col("checksum_ok")).count() === 0)
+
+    // tamper: drop shard 1's data file entirely (a truncated volume)
+    new java.io.File(s"$root/t/shard=1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).foreach(_.delete())
+    val bad = ExportOps.verifyShards(spark, s"$root/t")
+    val verdicts = bad.collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(verdicts(0L) && verdicts(2L), "untouched shards still verify")
+    assert(!verdicts(1L), "the gutted shard must fail verification")
+  }
+}
