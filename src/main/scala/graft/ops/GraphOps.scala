@@ -95,6 +95,68 @@ object GraphOps {
        |ORDER BY pr DESC, node LIMIT 100""".stripMargin
   }
 
+  /** Personalized PageRank (random walk with restart to a SEED set):
+    * the seed-expansion primitive of web-corpus curation — rank every
+    * node by proximity to a trusted seed list, then admit/weight
+    * documents by that score. Same loop/pinning/fixed-iteration
+    * scheme as [[pagerank]]; the teleport vector is s/|S| over the
+    * seed indicator instead of 1/n. Nodes unreachable from the seeds
+    * decay toward 0 but keep their rows (symmetric edges ⇒ the mass
+    * join drops nothing).
+    */
+  def personalizedPagerank(
+      edges: DataFrame, seeds: DataFrame, iters: Int = defaultIters): DataFrame = {
+    val e = edges.repartition(col("src")).sortWithinPartitions("src")
+      .localCheckpoint(false)
+    val deg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).cast("double").as("deg"))
+    val sd = deg
+      .join(broadcast(seeds.select(col(seeds.columns.head).as("seed_node")).distinct()),
+        col("node") === col("seed_node"), "left")
+      .select(col("node"), col("deg"),
+        when(col("seed_node").isNotNull, 1.0).otherwise(0.0).as("s"))
+    val nsAgg = sd.agg(sum(col("s")).as("ns"))
+    val base = sd.crossJoin(broadcast(nsAgg)).localCheckpoint(false)
+    var ranks = base.select(col("node"), col("deg"), col("s"), col("ns"),
+      (col("s") / col("ns")).as("pr"))
+    for (i <- 1 to iters) {
+      val mass = e
+        .join(ranks.select(col("node").as("m_src"), (col("pr") / col("deg")).as("w")),
+          col("src") === col("m_src"))
+        .groupBy(col("dst"))
+        .agg(sum(col("w")).as("mass"))
+      val next = base
+        .join(mass, col("node") === col("dst"))
+        .select(col("node"), col("deg"), col("s"), col("ns"),
+          (lit(teleport) * col("s") / col("ns") + lit(damping) * col("mass")).as("pr"))
+      ranks = if (i % 5 == 0 && i < iters) next.localCheckpoint(false) else next
+    }
+    ranks.select(col("node"), col("pr"))
+  }
+
+  /** [[personalizedPagerank]] as unrolled SQL; `seedCond` is a boolean
+    * SQL expression over `node`. */
+  def personalizedPagerankSql(
+      edgeCte: String, seedCond: String, iters: Int = defaultIters): String = {
+    val blocks = (1 to iters).map { i =>
+      s"""pr$i AS (
+         |  SELECT b.node, b.deg, b.s, b.ns,
+         |    ($teleport * b.s / b.ns + $damping * m.mass) AS pr
+         |  FROM bs b JOIN (
+         |    SELECT e.dst, sum(q.pr / q.deg) AS mass
+         |    FROM e JOIN pr${i - 1} q ON e.src = q.node GROUP BY e.dst) m
+         |  ON m.dst = b.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS ($edgeCte),
+       |deg AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY src),
+       |sd AS (SELECT node, deg, CASE WHEN $seedCond THEN 1.0 ELSE 0.0 END AS s FROM deg),
+       |bs AS (SELECT node, deg, s, (SELECT sum(s) FROM sd) AS ns FROM sd),
+       |pr0 AS (SELECT node, deg, s, ns, s / ns AS pr FROM bs),
+       |$blocks
+       |SELECT node, round(pr, 6) AS pr FROM pr$iters
+       |ORDER BY pr DESC, node LIMIT 100""".stripMargin
+  }
+
   /** Co-order part graph from lineitem: parts appearing in the same
     * order are linked. The per-key self-join is bounded by order width
     * (≤ 7 lines in this schema; at 100 TB the same derivation bounds at
@@ -121,6 +183,17 @@ object GraphOps {
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_pagerank", pagerankSql(edgeCteSql)) { (s, d) =>
       pagerank(coOrderEdges(s, d))
+        .select(col("node"), round(col("pr"), 6).as("pr"))
+        .orderBy(col("pr").desc, col("node"))
+        .limit(100)
+    },
+
+    // random walk with restart to the "trusted catalog" seed parts
+    // (partkey < 50): rank-by-proximity — the seed-expansion shape
+    QueryDef("q_ppr_seed", personalizedPagerankSql(edgeCteSql, "node < 50")) { (s, d) =>
+      val seeds = Tables.part(s, d)
+        .filter(col("p_partkey") < 50).select(col("p_partkey"))
+      personalizedPagerank(coOrderEdges(s, d), seeds)
         .select(col("node"), round(col("pr"), 6).as("pr"))
         .orderBy(col("pr").desc, col("node"))
         .limit(100)

@@ -44,6 +44,32 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(pr(0L) > pr(1L), "hub must outrank leaves")
   }
 
+  test("personalized pagerank: mass conserved, seed-proximate nodes outrank distant ones") {
+    // path 1-2-3-4-5-6, seed {1}: rank must decay with distance
+    val pr = GraphOps.personalizedPagerank(
+      sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)),
+      Seq(1L).toDF("node"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9, "PPR mass must be conserved")
+    assert(pr(1L) > pr(2L) && pr(2L) > pr(3L) && pr(3L) > pr(4L),
+      s"rank must decay with seed distance: $pr")
+    // every teleport returns to node 1, so it holds most of the mass
+    assert(pr(1L) > 0.3)
+  }
+
+  test("ppr spark loop and unrolled SQL twin agree on a shared graph") {
+    sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .createOrReplaceTempView("g_edges_ppr")
+    val viaSql = spark.sql(
+      GraphOps.personalizedPagerankSql("SELECT src, dst FROM g_edges_ppr", "node <= 2"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaLoop = GraphOps.personalizedPagerank(
+      sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L)), Seq(1L, 2L).toDF("node"))
+      .select(col("node"), round(col("pr"), 6).as("pr"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaSql === viaLoop)
+  }
+
   test("spark loop and unrolled SQL twin agree on a shared graph") {
     sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
       .createOrReplaceTempView("g_edges")
