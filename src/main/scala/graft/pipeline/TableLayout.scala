@@ -122,16 +122,13 @@ object TableLayout {
     */
   def zValue(cols: Seq[org.apache.spark.sql.Column],
       bounds: Seq[(Double, Double)], bits: Int = 16): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions._
     require(cols.nonEmpty && cols.length == bounds.length, "one [lo,hi] bound per column")
-    require(bits * cols.length <= 63, s"$bits bits × ${cols.length} cols overflows a long")
+    require(bits * cols.length <= 62, s"$bits bits × ${cols.length} cols overflows a long")
     val scaled = cols.zip(bounds).map { case (c, (lo, hi)) => cellCode(c, lo, hi, bits) }
-    var z = lit(0L)
-    for (b <- 0 until bits; i <- scaled.indices) {
-      val bit = shiftright(scaled(i), b).bitwiseAND(lit(1)).cast("long")
-      z = z.bitwiseOR(shiftleft(bit, b * scaled.length + i))
-    }
-    z
+    // the interleave itself is the oracle-certified raw kernel
+    // (graft.ops.ZOrderOps.interleave, DuckDB-hash-checked by
+    // q_zorder_key) — this wrapper only contributes the cell scaling
+    graft.ops.ZOrderOps.interleave(scaled, bits)
   }
 
   /** 2-D Hilbert clustering key: like [[zValue]] but consecutive curve
@@ -155,7 +152,7 @@ object TableLayout {
     * min/max stats selective on EVERY z-ordered column. Bounds come
     * from one min/max aggregate (driver scalars — metadata, not data).
     */
-  private def columnBounds(df: DataFrame, cols: Seq[String]): Seq[(Double, Double)] = {
+  private[graft] def columnBounds(df: DataFrame, cols: Seq[String]): Seq[(Double, Double)] = {
     import org.apache.spark.sql.functions._
     val aggs = cols.flatMap(c =>
       Seq(min(col(c).cast("double")).as(s"mn_$c"), max(col(c).cast("double")).as(s"mx_$c")))

@@ -542,18 +542,18 @@ object TxTable {
       partitionCol, replaceAll = true)
 
   /** Z-order compaction (the OPTIMIZE ZORDER BY analog): [[compactAll]]
-    * plus a clustered layout — rows are range-partitioned on
-    * (partitionCol, morton(zorderCols)) and sorted within tasks, so
-    * after the rewrite each partition dir's files cover COMPACT z-curve
-    * segments and every zorder column's parquet min/max footer is
-    * tight. A later scan with a box predicate on the zorder columns
-    * prunes most files by statistics alone ([[graft.ops.ZOrderOps]] has
-    * the measured bound); an append-heavy table instead accretes files
-    * whose per-column ranges each span the whole domain, so every box
-    * scan reads every file. Same crash-safety as compactAll: the
-    * clustered rewrite stages invisibly and ONE manifest CAS replaces
-    * the table wholesale; time travel to pre-compaction versions
-    * survives until [[vacuum]].
+    * plus the [[TableLayout.zValue]] clustered layout — rows are
+    * range-partitioned on (partitionCol, morton(zorderCols)) and sorted
+    * within tasks, so after the rewrite each partition dir's files
+    * cover COMPACT z-curve segments and every zorder column's parquet
+    * min/max footer is tight. A later scan with a box predicate on the
+    * zorder columns prunes most files by statistics alone
+    * (`graft.pipeline.ZOrderSpec` has the measured bound); an
+    * append-heavy table instead accretes files whose per-column ranges
+    * each span the whole domain, so every box scan reads every file.
+    * Same crash-safety as compactAll: the clustered rewrite stages
+    * invisibly and ONE manifest CAS replaces the table wholesale; time
+    * travel to pre-compaction versions survives until [[vacuum]].
     *
     * `numFiles` bounds the range exchange's partition count — size it
     * as liveBytes / targetFileBytes (e.g. 1 GiB targets) at scale; the
@@ -563,11 +563,15 @@ object TxTable {
     */
   def compactZOrder(spark: SparkSession, root: String, partitionCol: String,
       zorderCols: Seq[String], bits: Int = 16, numFiles: Int = 64): Unit = {
-    val clustered = graft.ops.ZOrderOps
-      .withZKey(read(spark, root), zorderCols, bits)
-      .repartitionByRange(numFiles, new Column(partitionCol), new Column("_z"))
-      .sortWithinPartitions(partitionCol, "_z")
-      .drop("_z")
+    import org.apache.spark.sql.functions.col
+    val data = read(spark, root)
+    val zkey = TableLayout.zValue(
+      zorderCols.map(col), TableLayout.columnBounds(data, zorderCols), bits)
+    val kc = graft.ops.SkewOps.freshName(data, "_z")
+    val clustered = data.withColumn(kc, zkey)
+      .repartitionByRange(numFiles, col(partitionCol), col(kc))
+      .sortWithinPartitions(partitionCol, kc)
+      .drop(kc)
     publishImpl(spark, root, stage(spark, root, clustered, partitionCol),
       partitionCol, replaceAll = true)
   }
