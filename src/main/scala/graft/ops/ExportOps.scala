@@ -86,6 +86,52 @@ object ExportOps {
     m
   }
 
+  /** The manifest DERIVATION as a pure query — shard membership, row
+    * counts, id ranges and content checksums straight from the corpus,
+    * no files written. This is what makes the export contract
+    * oracle-checkable: any engine that agrees on this frame will write
+    * byte-identical shard membership, and [[verifyShards]]' checksums
+    * certify the files against it. The row hash folds the (unbounded)
+    * text column through md5 first so the canonical string stays
+    * bounded, then takes a 60-bit integer from the row md5 — the same
+    * cross-engine trick as the sampler/DSIR buckets
+    * ([[SampleOps]]/[[DataSelectOps]]); bit_xor keeps the fold
+    * order-independent, so shard-internal scan order never matters.
+    */
+  def shardManifestQuery(docs: DataFrame, rowsPerShard: Long): DataFrame = {
+    val one = SkewOps.freshName(docs, "one")
+    val rowNo = SkewOps.freshName(docs, "row")
+    val canon = concat_ws("|",
+      col("doc_id").cast("string"), col("lang"), col("source"),
+      col("n_chars").cast("string"), md5(col("text")))
+    PackOps
+      .exclusivePrefixSum(docs.withColumn(one, lit(1L)), "doc_id", one, rowNo)
+      .withColumn("shard", expr(s"`$rowNo` div $rowsPerShard"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"),
+        bit_xor(conv(substring(md5(canon), 1, 15), 16, 10).cast("long"))
+          .as("checksum"))
+      .orderBy("shard")
+  }
+
+  private val manifestRowsPerShard = 64L
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q_shard_manifest",
+      s"""WITH numbered AS (
+         |  SELECT *, row_number() OVER (ORDER BY doc_id) - 1 AS rn
+         |  FROM documents)
+         |SELECT rn // $manifestRowsPerShard AS shard,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+         |  bit_xor(('0x' || substr(md5(
+         |    doc_id::VARCHAR || '|' || lang || '|' || source || '|' ||
+         |    n_chars::VARCHAR || '|' || md5(text)), 1, 15))::BIGINT) AS checksum
+         |FROM numbered GROUP BY 1 ORDER BY shard""".stripMargin) { (s, d) =>
+      shardManifestQuery(Tables.documents(s, d), manifestRowsPerShard)
+    })
+
   /** Re-scan the shards and compare against the stored manifest.
     * Returns per-shard verdicts (shard, expected/actual rows,
     * checksum_ok); a missing or extra shard appears with nulls on the

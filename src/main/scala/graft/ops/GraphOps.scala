@@ -157,17 +157,84 @@ object GraphOps {
        |ORDER BY pr DESC, node LIMIT 100""".stripMargin
   }
 
+  /** Triangle counting over a SYMMETRIC edge list, per node. The
+    * standard distributed algorithm (Suri & Vassilvitskii's MR
+    * formulation): orient every edge from the lower (degree, node)
+    * endpoint to the higher, so each triangle {a,b,c} survives as
+    * exactly one oriented wedge + one closing edge. Orientation is the
+    * whole scale story — it caps every node's out-degree at O(√E), so
+    * the wedge join (the only superlinear step) generates
+    * Σ outdeg(v)² = O(E^1.5) candidates worst-case instead of the
+    * unbounded Σ deg(v)² a hub would produce; a web-graph hub with 10⁸
+    * neighbors contributes NO wedges because all its edges point
+    * inward. Three hash joins + one groupBy — no iteration, no state.
+    * Returns (node, triangles) for every node in ≥1 triangle.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    // orient: keep (u,v) iff (deg(u), u) < (deg(v), v) — a total order
+    // on endpoints, so exactly one direction of each symmetric pair
+    // survives
+    val oriented = edges
+      .join(deg.select(col("node").as("src"), col("deg").as("sdeg")), "src")
+      .join(deg.select(col("node").as("dst"), col("deg").as("ddeg")), "dst")
+      .filter(col("sdeg") < col("ddeg") ||
+        (col("sdeg") === col("ddeg") && col("src") < col("dst")))
+      .select("src", "dst")
+    // wedges out of the low corner a: a→b, a→c with b<c (dedup the
+    // unordered pair), then close with the oriented b↔c edge — the
+    // closing edge's direction under the degree order is unknown, so
+    // probe both
+    val wedges = oriented.select(col("src").as("a"), col("dst").as("b"))
+      .join(oriented.select(col("src").as("a"), col("dst").as("c")), "a")
+      .filter(col("b") < col("c"))
+    val closing = oriented.select(
+      least(col("src"), col("dst")).as("b"), greatest(col("src"), col("dst")).as("c"))
+    val tris = wedges.join(closing, Seq("b", "c"))
+    tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("triangles"))
+  }
+
+  /** [[triangleCounts]] as ANSI SQL over an `e(src, dst)` CTE. */
+  def triangleCountsSql(edgeCte: String): String =
+    s"""WITH e AS ($edgeCte),
+       |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY src),
+       |o AS (
+       |  SELECT e.src, e.dst FROM e
+       |  JOIN deg ds ON ds.node = e.src JOIN deg dd ON dd.node = e.dst
+       |  WHERE ds.deg < dd.deg OR (ds.deg = dd.deg AND e.src < e.dst)),
+       |tri AS (
+       |  SELECT w1.src AS a, w1.dst AS b, w2.dst AS c
+       |  FROM o w1 JOIN o w2 ON w1.src = w2.src AND w1.dst < w2.dst
+       |  JOIN (SELECT least(src, dst) AS b, greatest(src, dst) AS c FROM o) cl
+       |  ON cl.b = w1.dst AND cl.c = w2.dst),
+       |corners AS (
+       |  SELECT a AS node FROM tri UNION ALL
+       |  SELECT b FROM tri UNION ALL SELECT c FROM tri)
+       |SELECT node, CAST(count(*) AS BIGINT) AS triangles
+       |FROM corners GROUP BY node
+       |ORDER BY triangles DESC, node LIMIT 100""".stripMargin
+
   /** Co-order part graph from lineitem: parts appearing in the same
     * order are linked. The per-key self-join is bounded by order width
     * (≤ 7 lines in this schema; at 100 TB the same derivation bounds at
     * the basket-size cap, so the edge build is O(orders · width²), one
     * shuffle on orderkey).
     */
-  private def coOrderEdges(s: org.apache.spark.sql.SparkSession, d: String) = {
+  private def coOrderEdges(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      yearSlice: Boolean = false) = {
     // no pre-distinct on the (orderkey, partkey) projection: the final
     // edge-level distinct yields the identical edge SET (what the
     // oracle's derivation produces), one shuffle cheaper
-    val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+    val base = Tables.lineitem(s, d)
+    val sliced = if (yearSlice)
+      base.filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+    else base
+    val li = sliced.select("l_orderkey", "l_partkey")
     li.select(col("l_orderkey"), col("l_partkey").as("src"))
       .join(li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("dst")),
         col("l_orderkey") === col("ok2") && col("src") =!= col("dst"))
@@ -178,6 +245,22 @@ object GraphOps {
     """SELECT DISTINCT x.l_partkey AS src, y.l_partkey AS dst
       |FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) x
       |JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) y
+      |ON x.l_orderkey = y.l_orderkey AND x.l_partkey <> y.l_partkey""".stripMargin
+
+  // the 1995 slice bounds the triangle query's graph: the wedge join is
+  // the one superlinear step in the suite (O(E^1.5) candidates), and on
+  // the FULL sf0.1 co-order graph (2.4M edges / 1.9M triangles) it costs
+  // ~18 s on either engine — a bench-budget outlier that measures graph
+  // density, not the operator. The slice keeps the algorithm end-to-end
+  // (orientation, wedge, closure, corner explode) on a real subgraph;
+  // at 100 TB the same pattern runs windowed (cohesion per epoch), not
+  // on the all-time graph
+  private val edgeCteYearSql =
+    """SELECT DISTINCT x.l_partkey AS src, y.l_partkey AS dst
+      |FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |      WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01') x
+      |JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |      WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01') y
       |ON x.l_orderkey = y.l_orderkey AND x.l_partkey <> y.l_partkey""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
@@ -196,6 +279,15 @@ object GraphOps {
       personalizedPagerank(coOrderEdges(s, d), seeds)
         .select(col("node"), round(col("pr"), 6).as("pr"))
         .orderBy(col("pr").desc, col("node"))
+        .limit(100)
+    },
+
+    // per-node triangle participation on the co-order graph — the
+    // clustering/cohesion signal (a part in many triangles co-occurs
+    // with tightly-knit baskets)
+    QueryDef("q_triangle_count", triangleCountsSql(edgeCteYearSql)) { (s, d) =>
+      triangleCounts(coOrderEdges(s, d, yearSlice = true))
+        .orderBy(col("triangles").desc, col("node"))
         .limit(100)
     })
 }

@@ -47,6 +47,28 @@ class ExportOpsSpec extends AnyFunSuite {
     assert(m2.shards === m.shards)
   }
 
+  test("shardManifestQuery: equal shards, contiguous id ranges, partitioning-invariant checksums") {
+    val docs = spark.range(200L).select(
+      col("id").as("doc_id"),
+      concat(lit("body-"), col("id")).as("text"),
+      lit("en").as("lang"),
+      concat(lit("s"), pmod(col("id"), lit(3))).as("source"),
+      (length(concat(lit("body-"), col("id")))).cast("long").as("n_chars"))
+    val m = ExportOps.shardManifestQuery(docs, 64L).collect()
+    assert(m.map(_.getLong(0)) === Array(0L, 1L, 2L, 3L))
+    assert(m.map(_.getLong(1)) === Array(64L, 64L, 64L, 8L))
+    // ranges are contiguous and ordered: shard k covers [64k, 64k+rows)
+    m.foreach { r =>
+      assert(r.getLong(2) === r.getLong(0) * 64L)
+      assert(r.getLong(3) === r.getLong(2) + r.getLong(1) - 1)
+    }
+    // checksums are a pure function of content: a shuffled, repartitioned
+    // input produces the identical manifest
+    val m2 = ExportOps
+      .shardManifestQuery(docs.orderBy(rand(7)).repartition(13), 64L).collect()
+    assert(m2.map(_.toSeq) === m.map(_.toSeq))
+  }
+
   test("verifyShards passes on intact shards and fails on tampering") {
     val root = Files.createTempDirectory("shards2").toFile.getAbsolutePath
     ExportOps.writeShards(corpus(3000L), s"$root/t", "doc_id", 1000L)

@@ -70,6 +70,36 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(viaSql === viaLoop)
   }
 
+  test("triangle counts: 4-clique puts every node in exactly 3 triangles") {
+    val pairs = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val tc = GraphOps.triangleCounts(sym(pairs: _*)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tc === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangle counts: path graph has none; a pendant edge adds none") {
+    assert(GraphOps.triangleCounts(sym((1L, 2L), (2L, 3L), (3L, 4L))).count() === 0)
+    // triangle 1-2-3 plus pendant 3-4: the pendant node stays absent
+    val tc = GraphOps.triangleCounts(sym((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangle counts: hub-heavy graph agrees with the SQL twin (skewed degrees)") {
+    // hub 0 linked to 1..8, plus ring edges among 1..8 — mixed degrees
+    // exercise both orientation branches (deg inequality and id tiebreak)
+    val ring = (1L to 8L).map(i => (i, if (i == 8) 1L else i + 1))
+    val hub = (1L to 8L).map(i => (0L, i))
+    sym((ring ++ hub): _*).createOrReplaceTempView("g_tri")
+    val viaSql = spark.sql(GraphOps.triangleCountsSql("SELECT src, dst FROM g_tri"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaOp = GraphOps.triangleCounts(sym((ring ++ hub): _*))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaOp === viaSql)
+    // closed form: each ring edge forms exactly one triangle with the hub
+    assert(viaOp(0L) === 8L)
+  }
+
   test("spark loop and unrolled SQL twin agree on a shared graph") {
     sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
       .createOrReplaceTempView("g_edges")
