@@ -48,7 +48,15 @@ object Plans {
         // reuse once the fact outgrows the broadcast threshold) and
         // Q2's decorrelated scalar-min (one bridge×supplier join feeds
         // both the candidates and the per-part min)
-        "q_tpch_q21", "q_tpch_q2")) {
+        "q_tpch_q21", "q_tpch_q2",
+        // round-7 graph/export additions: the degree-ordered triangle
+        // wedge join (shipdate slice pushed to the lineitem scan, the
+        // orientation filter below the self-joins) and the shard
+        // manifest's bucketed prefix sum feeding an exchange-free
+        // distinct-free single agg on the shard key. (q_pagerank has no
+        // capturable plan: its result is an eager checkpoint scan — the
+        // loop's per-round shape is documented in SCALE.md instead.)
+        "q_triangle_count", "q_shard_manifest")) {
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, d).queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode))

@@ -34,6 +34,103 @@ object GraphOps {
     * needed) and in-degree ≥ 1 (inner joins lose no node).
     * Returns (node, pr).
     */
+  /** Node-count bound under which the per-round rank frame is broadcast
+    * instead of shuffled in the mass join. A rank row is ~24 bytes, so
+    * 4M nodes ≈ 100 MB — the upper end of a sane executor broadcast.
+    * Below it every iteration is MAP-ONLY over the pinned edge list
+    * (partial agg → one small final exchange); above it the join falls
+    * back to the pre-partitioned shuffle path, which is the 1B-node
+    * scale shape. This is the same runtime size-based strategy pick AQE
+    * makes, made explicit because the loop defeats AQE's per-stage
+    * estimation (each round's ranks is a fresh derived plan whose size
+    * Spark estimates from the full lineage, not the ~n rows it has).
+    */
+  private val broadcastRanksMaxNodes = 4000000L
+
+  /** The shared fixed-iteration mass-push loop behind [[pagerank]] and
+    * [[personalizedPagerank]]. `base0` carries (node, deg, …constants)
+    * pinned by the caller; `init`/`update` are the rank expressions
+    * over those columns (+ `mass` for update).
+    *
+    * The loop runs on an ISOLATED session clone (the
+    * [[connectedComponentsStar]] discipline, `DedupOps.scala`): AQE
+    * off — k rounds of tiny exchanges make its per-stage
+    * materialize-and-replan pure driver latency (measured: the replans
+    * and per-round codegen were ~half the query's wall time at sf0.1)
+    * — and shuffle partitions sized to the measured edge count, so a
+    * 2M-edge test graph doesn't pay 32-task stages per round while a
+    * 100 TB graph keeps the session's full parallelism. Frames cross
+    * sessions zero-copy via global temp views; the result is an eager
+    * localCheckpoint re-bound to the caller's session.
+    */
+  private def rankLoop(
+      e0: DataFrame, base0: DataFrame,
+      init: org.apache.spark.sql.Column, update: org.apache.spark.sql.Column,
+      iters: Int): DataFrame = {
+    val spark = e0.sparkSession
+    val nNodes = base0.count() // materializes both pins; O(1) reads
+    val nEdges = e0.count()
+    // broadcast the per-round rank/mass frames when the node set is
+    // small: every iteration becomes map-only over the pinned edges +
+    // one small agg exchange. Above the bound, fall back to the
+    // pre-partitioned shuffle join — the 1B-node scale shape. The
+    // explicit pick exists because the loop defeats AQE's estimation
+    // even when AQE is on (each round's ranks is a fresh derived plan)
+    val small = nNodes <= broadcastRanksMaxNodes
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toLong
+    val loopParts = math.max(1L, math.min(sessionParts, nEdges / 250000L))
+    val loop = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      try loop.conf.set(k, v)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    loop.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    loop.conf.set("spark.sql.adaptive.enabled", "false")
+    // whole-stage codegen OFF for the loop's jobs: each of the k rounds
+    // is a distinct plan (fresh exprIds), so codegen compiles k unique
+    // classes to run stages that move ~n rank rows — janino time
+    // exceeded execution time for every measured round. Interpreted
+    // eval of a 3-operator stage over small frames is faster; the heavy
+    // side (the pinned edge scan) is a checkpoint read either way
+    loop.conf.set("spark.sql.codegen.wholeStage", "false")
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val (ev, bv, ov) = (s"graft_pr_e_$tag", s"graft_pr_b_$tag", s"graft_pr_o_$tag")
+    try {
+      e0.createOrReplaceGlobalTempView(ev)
+      base0.createOrReplaceGlobalTempView(bv)
+      val e = loop.table(s"global_temp.$ev")
+      val base = loop.table(s"global_temp.$bv")
+      var ranks = base.withColumn("pr", init)
+      for (i <- 1 to iters) {
+        val contrib = ranks
+          .select(col("node").as("m_src"), (col("pr") / col("deg")).as("w"))
+        val mass = e
+          .join(if (small) broadcast(contrib) else contrib,
+            col("src") === col("m_src"))
+          .groupBy(col("dst"))
+          .agg(sum(col("w")).as("mass"))
+        val next = base
+          .join(if (small) broadcast(mass) else mass, col("node") === col("dst"))
+          .withColumn("pr", update)
+          .drop("mass", "dst")
+        // lineage cut every few rounds (not every round: for a FIXED
+        // shallow loop the block-store writes cost more than the plan
+        // depth saves; an unbounded loop would cut per round like CC)
+        ranks = if (i % 5 == 0 && i < iters) next.localCheckpoint(false) else next
+      }
+      ranks.select(col("node"), col("pr")).localCheckpoint(true)
+        .createOrReplaceGlobalTempView(ov)
+      // Dataset analysis is eager and inlines the view's plan (a scan
+      // of the eager checkpoint), so the views can drop right after
+      spark.table(s"global_temp.$ov")
+    } finally {
+      spark.catalog.dropGlobalTempView(ev)
+      spark.catalog.dropGlobalTempView(bv)
+      spark.catalog.dropGlobalTempView(ov)
+      ()
+    }
+  }
+
   def pagerank(edges: DataFrame, iters: Int = defaultIters): DataFrame = {
     // pin the loop-invariant frames: every round's job references the
     // edge list and the (node, deg, n) base — without the (lazy)
@@ -41,34 +138,21 @@ object GraphOps {
     // them from source (for a derived graph like the co-order edges
     // that is 3 shuffles × k rounds; measured 24 s → 6 s at sf0.1).
     // The pin is PRE-PARTITIONED on the round-join key: localCheckpoint
-    // preserves the partitioning/ordering metadata, so none of the k
-    // mass joins re-exchanges or re-sorts the edge list — one exchange
-    // at build time replaces up to k in the loop
+    // preserves the partitioning/ordering metadata, so the shuffle-path
+    // mass joins never re-exchange or re-sort the edge list
     val e = edges.repartition(col("src")).sortWithinPartitions("src")
       .localCheckpoint(false)
     val deg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).cast("double").as("deg"))
-    // node count as a broadcast 1-row cross join — no driver scalar
+    // node count as a broadcast 1-row cross join — no driver scalar in
+    // the PLAN ([[rankLoop]] does read the pinned counts once for its
+    // strategy picks, the CC small-graph-guard precedent)
     val nAgg = deg.agg(count(lit(1)).cast("double").as("n"))
     val base = deg.crossJoin(broadcast(nAgg)).localCheckpoint(false)
-    var ranks = base
-      .select(col("node"), col("deg"), col("n"), (lit(1.0) / col("n")).as("pr"))
-    for (i <- 1 to iters) {
-      val mass = e
-        .join(ranks.select(col("node").as("m_src"), (col("pr") / col("deg")).as("w")),
-          col("src") === col("m_src"))
-        .groupBy(col("dst"))
-        .agg(sum(col("w")).as("mass"))
-      val next = base
-        .join(mass, col("node") === col("dst"))
-        .select(col("node"), col("deg"), col("n"),
-          (lit(teleport) / col("n") + lit(damping) * col("mass")).as("pr"))
-      // lineage cut every few rounds (not every round: for a FIXED
-      // shallow loop the block-store writes cost more than the plan
-      // depth saves; an unbounded loop would cut per round like CC)
-      ranks = if (i % 5 == 0 && i < iters) next.localCheckpoint(false) else next
-    }
-    ranks.select(col("node"), col("pr"))
+    rankLoop(e, base,
+      init = lit(1.0) / col("n"),
+      update = lit(teleport) / col("n") + lit(damping) * col("mass"),
+      iters)
   }
 
   /** The identical computation as unrolled ANSI SQL over an `e(src,
@@ -117,21 +201,10 @@ object GraphOps {
         when(col("seed_node").isNotNull, 1.0).otherwise(0.0).as("s"))
     val nsAgg = sd.agg(sum(col("s")).as("ns"))
     val base = sd.crossJoin(broadcast(nsAgg)).localCheckpoint(false)
-    var ranks = base.select(col("node"), col("deg"), col("s"), col("ns"),
-      (col("s") / col("ns")).as("pr"))
-    for (i <- 1 to iters) {
-      val mass = e
-        .join(ranks.select(col("node").as("m_src"), (col("pr") / col("deg")).as("w")),
-          col("src") === col("m_src"))
-        .groupBy(col("dst"))
-        .agg(sum(col("w")).as("mass"))
-      val next = base
-        .join(mass, col("node") === col("dst"))
-        .select(col("node"), col("deg"), col("s"), col("ns"),
-          (lit(teleport) * col("s") / col("ns") + lit(damping) * col("mass")).as("pr"))
-      ranks = if (i % 5 == 0 && i < iters) next.localCheckpoint(false) else next
-    }
-    ranks.select(col("node"), col("pr"))
+    rankLoop(e, base,
+      init = col("s") / col("ns"),
+      update = lit(teleport) * col("s") / col("ns") + lit(damping) * col("mass"),
+      iters)
   }
 
   /** [[personalizedPagerank]] as unrolled SQL; `seedCond` is a boolean
@@ -234,11 +307,22 @@ object GraphOps {
       base.filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
     else base
-    val li = sliced.select("l_orderkey", "l_partkey")
-    li.select(col("l_orderkey"), col("l_partkey").as("src"))
-      .join(li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("dst")),
-        col("l_orderkey") === col("ok2") && col("src") =!= col("dst"))
-      .select("src", "dst").distinct()
+    // pair generation via collect_set per order, not a self-join: the
+    // order width is bounded (≤7 lines), so the per-group set is tiny
+    // and the double explode is pure map work — one exchange on
+    // orderkey replaces the self-join's two. The final distinct then
+    // rides the explicit src exchange: HashPartitioning(src) satisfies
+    // the (src, dst) clustered-distribution requirement (subset rule),
+    // so Catalyst plans the Aggregate WITHOUT another exchange — 2
+    // total exchanges where the join formulation paid 4. Same edge SET
+    // as the oracle's self-join derivation.
+    sliced.groupBy("l_orderkey")
+      .agg(collect_set(col("l_partkey")).as("ps"))
+      .select(explode(col("ps")).as("src"), col("ps"))
+      .select(col("src"), explode(col("ps")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .repartition(col("src"))
+      .distinct()
   }
 
   private val edgeCteSql =
