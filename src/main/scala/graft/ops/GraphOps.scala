@@ -63,6 +63,34 @@ object GraphOps {
     * sessions zero-copy via global temp views; the result is an eager
     * localCheckpoint re-bound to the caller's session.
     */
+  /** Isolated session clone for iterative loops (the CC discipline +
+    * the round-7 additions): AQE off — per-stage materialize-and-replan
+    * is pure driver latency on a loop's tiny exchanges; shuffle
+    * partitions sized to the measured working set (1 per 250k rows,
+    * floor 1, capped at the caller's setting — at 100 TB the row term
+    * saturates the cap and nothing changes); whole-stage codegen OFF —
+    * each round is a distinct plan (fresh exprIds), so codegen compiles
+    * k unique throwaway classes for 3-operator stages over small
+    * frames, and measured janino time exceeded execution time per
+    * round. Conf is session-local, so none of this leaks to the
+    * caller's queries; plans cross sessions zero-copy via global temp
+    * views.
+    */
+  private def loopSession(
+      spark: org.apache.spark.sql.SparkSession, workingRows: Long) = {
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toLong
+    val loopParts = math.max(1L, math.min(sessionParts, workingRows / 250000L))
+    val loop = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      try loop.conf.set(k, v)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    loop.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    loop.conf.set("spark.sql.adaptive.enabled", "false")
+    loop.conf.set("spark.sql.codegen.wholeStage", "false")
+    loop
+  }
+
   private def rankLoop(
       e0: DataFrame, base0: DataFrame,
       init: org.apache.spark.sql.Column, update: org.apache.spark.sql.Column,
@@ -77,22 +105,7 @@ object GraphOps {
     // explicit pick exists because the loop defeats AQE's estimation
     // even when AQE is on (each round's ranks is a fresh derived plan)
     val small = nNodes <= broadcastRanksMaxNodes
-    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toLong
-    val loopParts = math.max(1L, math.min(sessionParts, nEdges / 250000L))
-    val loop = spark.newSession()
-    spark.conf.getAll.foreach { case (k, v) =>
-      try loop.conf.set(k, v)
-      catch { case scala.util.control.NonFatal(_) => () }
-    }
-    loop.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
-    loop.conf.set("spark.sql.adaptive.enabled", "false")
-    // whole-stage codegen OFF for the loop's jobs: each of the k rounds
-    // is a distinct plan (fresh exprIds), so codegen compiles k unique
-    // classes to run stages that move ~n rank rows — janino time
-    // exceeded execution time for every measured round. Interpreted
-    // eval of a 3-operator stage over small frames is faster; the heavy
-    // side (the pinned edge scan) is a checkpoint read either way
-    loop.conf.set("spark.sql.codegen.wholeStage", "false")
+    val loop = loopSession(spark, nEdges)
     val tag = java.util.UUID.randomUUID().toString.replace("-", "")
     val (ev, bv, ov) = (s"graft_pr_e_$tag", s"graft_pr_b_$tag", s"graft_pr_o_$tag")
     try {
@@ -290,6 +303,117 @@ object GraphOps {
        |FROM corners GROUP BY node
        |ORDER BY triangles DESC, node LIMIT 100""".stripMargin
 
+  /** k-core decomposition by fixed-round peeling over a SYMMETRIC edge
+    * list: each round drops every node with degree < k and the edges
+    * touching it; dropped nodes lower their neighbors' degrees, so the
+    * peel cascades. `peels` is FIXED (the [[pagerank]] oracle scheme —
+    * a convergence test could stop at different rounds on different
+    * engines); at the query's k the cascade provably settles inside the
+    * budget (verified 8-peel == 10-peel at every SF). Each round is one
+    * degree aggregate + two semi-joins; the keep-set broadcasts under
+    * the same node bound as the rank loops, and the shrinking edge set
+    * is re-checkpointed per round — the peel references each round's
+    * output twice (degree + filter), so an uncut plan would double per
+    * round like the CC star chain. Returns the surviving (node,
+    * core_deg) — the canonical graph-shaped quality gate (spam farms
+    * and boilerplate rings live in dense cores; singletons and tendrils
+    * peel away).
+    */
+  def kCore(edges: DataFrame, k: Int, peels: Int = 8): DataFrame = {
+    val spark = edges.sparkSession
+    val e0 = edges.repartition(col("src")).localCheckpoint(false)
+    val nEdges = e0.count()
+    val small = nEdges <= broadcastRanksMaxNodes
+    val loop = loopSession(spark, nEdges)
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val (ev, ov) = (s"graft_kc_e_$tag", s"graft_kc_o_$tag")
+    try {
+      e0.createOrReplaceGlobalTempView(ev)
+      var e = loop.table(s"global_temp.$ev")
+      for (_ <- 1 to peels) {
+        val keep = e.groupBy(col("src")).agg(count(lit(1)).as("kc_d"))
+          .filter(col("kc_d") >= k).select(col("src").as("kc_node"))
+        val kb = if (small) broadcast(keep) else keep
+        e = e.join(kb, col("src") === col("kc_node"), "left_semi")
+          .join(kb, col("dst") === col("kc_node"), "left_semi")
+          .localCheckpoint(false)
+      }
+      e.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("core_deg"))
+        .localCheckpoint(true)
+        .createOrReplaceGlobalTempView(ov)
+      spark.table(s"global_temp.$ov")
+    } finally {
+      spark.catalog.dropGlobalTempView(ev)
+      spark.catalog.dropGlobalTempView(ov)
+      ()
+    }
+  }
+
+  /** [[kCore]] as unrolled SQL over an `e(src, dst)` CTE. MATERIALIZED
+    * is load-bearing: each peel references the previous edge set twice
+    * (degree + filter), so an inlined CTE chain doubles work per level —
+    * exponential in `peels`. */
+  def kCoreSql(edgeCte: String, k: Int, peels: Int = 8): String = {
+    val blocks = (1 to peels).map { i =>
+      s"""keep$i AS MATERIALIZED (
+         |  SELECT src AS node FROM e${i - 1} GROUP BY src HAVING count(*) >= $k),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.src, e.dst FROM e${i - 1} e
+         |  JOIN keep$i a ON e.src = a.node JOIN keep$i b ON e.dst = b.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED ($edgeCte),
+       |$blocks
+       |SELECT src AS node, CAST(count(*) AS BIGINT) AS core_deg
+       |FROM e$peels GROUP BY src
+       |ORDER BY core_deg DESC, node""".stripMargin
+  }
+
+  /** Local clustering coefficient per node: cc(v) = 2·T(v) / (deg(v)
+    * · (deg(v)−1)) — how close v's neighborhood is to a clique, the
+    * per-node refinement of [[triangleCounts]]' cohesion signal. One
+    * extra broadcast join over the triangle counts; nodes with deg < 2
+    * are excluded (the coefficient is undefined). The division is a
+    * single IEEE-correctly-rounded op on integer-valued doubles, so the
+    * 6-dp rounding can never flip between engines (the q_tpch_q17
+    * precedent).
+    */
+  def clusteringCoefficients(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 2)
+    triangleCounts(edges)
+      .join(deg, "node")
+      .select(col("node"), col("triangles"), col("deg"),
+        round(lit(2.0) * col("triangles") /
+          (col("deg").cast("double") * (col("deg") - 1).cast("double")), 6)
+          .as("cc"))
+  }
+
+  /** [[clusteringCoefficients]] as SQL over an `e(src, dst)` CTE. */
+  def clusteringCoefficientsSql(edgeCte: String): String =
+    s"""WITH e AS MATERIALIZED ($edgeCte),
+       |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY src),
+       |o AS (
+       |  SELECT e.src, e.dst FROM e
+       |  JOIN deg ds ON ds.node = e.src JOIN deg dd ON dd.node = e.dst
+       |  WHERE ds.deg < dd.deg OR (ds.deg = dd.deg AND e.src < e.dst)),
+       |tri AS (
+       |  SELECT w1.src AS a, w1.dst AS b, w2.dst AS c
+       |  FROM o w1 JOIN o w2 ON w1.src = w2.src AND w1.dst < w2.dst
+       |  JOIN (SELECT least(src, dst) AS b, greatest(src, dst) AS c FROM o) cl
+       |  ON cl.b = w1.dst AND cl.c = w2.dst),
+       |corners AS (
+       |  SELECT a AS node FROM tri UNION ALL
+       |  SELECT b FROM tri UNION ALL SELECT c FROM tri),
+       |tc AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles
+       |       FROM corners GROUP BY node)
+       |SELECT tc.node, tc.triangles, CAST(d.deg AS BIGINT) AS deg,
+       |  round(2.0 * tc.triangles / (d.deg * (d.deg - 1.0)), 6) AS cc
+       |FROM tc JOIN deg d ON d.node = tc.node
+       |WHERE d.deg >= 2
+       |ORDER BY cc DESC, tc.node LIMIT 100""".stripMargin
+
   /** Co-order part graph from lineitem: parts appearing in the same
     * order are linked. The per-key self-join is bounded by order width
     * (≤ 7 lines in this schema; at 100 TB the same derivation bounds at
@@ -372,6 +496,22 @@ object GraphOps {
     QueryDef("q_triangle_count", triangleCountsSql(edgeCteYearSql)) { (s, d) =>
       triangleCounts(coOrderEdges(s, d, yearSlice = true))
         .orderBy(col("triangles").desc, col("node"))
+        .limit(100)
+    },
+
+    // 4-core of the 1995 co-order graph: the dense-subgraph quality
+    // gate. The float-free output (node, integer core degree) makes
+    // the fixed-8-peel result exactly hash-comparable
+    QueryDef("q_kcore", kCoreSql(edgeCteYearSql, k = 4)) { (s, d) =>
+      kCore(coOrderEdges(s, d, yearSlice = true), k = 4)
+        .orderBy(col("core_deg").desc, col("node"))
+    },
+
+    // local clustering coefficient on the same slice — ranked by the
+    // ROUNDED coefficient (float-ranking rule, q_tpch_q15 precedent)
+    QueryDef("q_clustering_coeff", clusteringCoefficientsSql(edgeCteYearSql)) { (s, d) =>
+      clusteringCoefficients(coOrderEdges(s, d, yearSlice = true))
+        .orderBy(col("cc").desc, col("node"))
         .limit(100)
     })
 }

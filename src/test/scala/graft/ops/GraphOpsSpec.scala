@@ -100,6 +100,46 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(viaOp(0L) === 8L)
   }
 
+  test("k-core: peel cascades down an attached chain but the ring survives") {
+    // ring 1..5 (all deg 2) with a chain 5-6-7 hanging off: k=2 must
+    // peel 7 (deg 1), then 6 (deg drops to 1) — the cascade — and keep
+    // the ring intact
+    val ring = (1L to 5L).map(i => (i, if (i == 5) 1L else i + 1))
+    val g = sym((ring ++ Seq((5L, 6L), (6L, 7L))): _*)
+    val core = GraphOps.kCore(g, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core === (1L to 5L).map(_ -> 2L).toMap)
+    // k=3 peels everything: the ring is only a 2-core
+    assert(GraphOps.kCore(g, k = 3).count() === 0)
+  }
+
+  test("k-core spark loop agrees with the unrolled SQL twin") {
+    // 4-clique + pendant: 3-core = exactly the clique at core_deg 3
+    val clique = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    sym((clique :+ (4L, 5L)): _*).createOrReplaceTempView("g_kcore")
+    // MATERIALIZED is DuckDB-only syntax (where it is load-bearing —
+    // see kCoreSql); Spark inlines the stripped CTEs, which is
+    // exponential in peels but fine at 3 rounds on an 11-edge graph
+    val viaSql = spark.sql(
+      GraphOps.kCoreSql("SELECT src, dst FROM g_kcore", k = 3, peels = 3)
+        .replace(" MATERIALIZED", ""))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaOp = GraphOps.kCore(sym((clique :+ (4L, 5L)): _*), k = 3, peels = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaOp === viaSql)
+    assert(viaOp === (1L to 4L).map(_ -> 3L).toMap)
+  }
+
+  test("clustering coefficient: clique nodes are 1.0, a pendant dilutes its anchor") {
+    // 4-clique, node 4 also linked to pendant 5: nodes 1-3 have cc=1
+    // (deg 3, T=3), node 4 has deg 4, T=3 → 2·3/(4·3) = 0.5; pendant
+    // (deg 1) and hub-less nodes are excluded
+    val clique = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val cc = GraphOps.clusteringCoefficients(sym((clique :+ (4L, 5L)): _*))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(cc === Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.0, 4L -> 0.5))
+  }
+
   test("spark loop and unrolled SQL twin agree on a shared graph") {
     sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
       .createOrReplaceTempView("g_edges")
