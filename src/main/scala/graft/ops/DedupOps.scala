@@ -422,6 +422,16 @@ object DedupOps {
     // star graph is absorbed map-side by the partial min aggregation,
     // so AQE's skew-join rescue has nothing to do here either.)
     loopSession.conf.set("spark.sql.adaptive.enabled", "false")
+    // Whole-stage codegen gated on the SAME size evidence as loopParts
+    // (the GraphOps.rankLoop finding, SCALE.md §12): every star round
+    // is a distinct plan (fresh exprIds), so codegen compiles unique
+    // throwaway classes per round — pure driver latency when the edge
+    // set is small enough that a round's stages move a few MB. Above
+    // the threshold the rounds do real per-row work and codegen pays
+    // for itself, so it stays ON — at 100 TB edge volumes this branch
+    // never triggers.
+    if (eSig._1 < 250000L)
+      loopSession.conf.set("spark.sql.codegen.wholeStage", "false")
     val tag = java.util.UUID.randomUUID().toString.replace("-", "")
     val (inView, outView) = (s"graft_cc_in_$tag", s"graft_cc_out_$tag")
     val out =
