@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.GraphOps
+
+/** Scale soak for the graph family: runs PageRank, personalized
+  * PageRank, k-core, and triangle counting on SYNTHETIC
+  * bounded-degree graphs at 1× and 10× the sf0.1 co-order edge count
+  * (2.4M → 24M edges), printing per-op wall time. The generator is a
+  * seeded ring-plus-random-chords construction: node i links to
+  * i±1..±2 (ring chords guarantee connectivity and a floor degree of
+  * 4, so k-core at k=4 has real survivors) plus `extra` xxhash64-
+  * derived chords (bounded expected degree — the triangle wedge join
+  * stays O(E·d̄) like a real co-occurrence graph with a basket cap,
+  * not a power-law hub blow-up).
+  *
+  * What the 10× point must show (recorded in SCALE.md §12):
+  *  - rank-loop wall grows ~linearly in E (the per-round mass join is
+  *    one pass over the pinned edges; at 24M edges `loopSession`'s
+  *    partition formula saturates the session cap — the 100 TB
+  *    configuration — and the 4M-node broadcast guard flips OFF at
+  *    still-larger node counts, which this probe keeps below bound to
+  *    exercise the broadcast path at its ceiling);
+  *  - k-core peel wall is dominated by the first rounds (the edge set
+  *    shrinks monotonically), so fixed-peel cost ≈ O(peels · E);
+  *  - triangle counting grows with the wedge count, not E² — the
+  *    degree-ordered orientation's promise.
+  *
+  * Run: `sbt "runMain graft.GraphSoak [edges]"` (default 24M).
+  * Driver testdata untouched; everything is generated in-session.
+  */
+object GraphSoak {
+
+  /** Symmetric, distinct, self-loop-free edge list with n nodes and
+    * ~n·(2 + extra) undirected edges, deterministic in (n, extra). */
+  def syntheticEdges(spark: SparkSession, n: Long, extra: Int): DataFrame = {
+    val ids = spark.range(0, n).toDF("i")
+    // ring chords i→i+1, i→i+2 (mod n): connectivity + degree floor 4
+    val ring = ids.select(col("i").as("src"), ((col("i") + 1) % n).as("dst"))
+      .unionAll(ids.select(col("i").as("src"), ((col("i") + 2) % n).as("dst")))
+    // seeded random chords: endpoint from xxhash64 — bounded E[degree]
+    val chords = (1 to extra).foldLeft(Seq.empty[DataFrame]) { (acc, c) =>
+      acc :+ ids.select(col("i").as("src"),
+        pmod(xxhash64(col("i"), lit(c)), lit(n)).as("dst"))
+    }.reduce(_ unionAll _)
+    val oneWay = ring.unionAll(chords).filter(col("src") =!= col("dst"))
+    oneWay.select(col("src"), col("dst"))
+      .unionAll(oneWay.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val targetEdges = if (args.nonEmpty) args(0).toLong else 24000000L
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def t[T](name: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[gsoak] $name%-34s wall=${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      r
+    }
+
+    // extra=3 chords + 2 ring links ≈ 5 undirected edges/node ≈ 10
+    // directed; node count sized so the DIRECTED edge count hits target
+    for (scale <- Seq(targetEdges / 10, targetEdges)) {
+      val n = scale / 10
+      val edges = syntheticEdges(spark, n, extra = 3)
+        .localCheckpoint(false)
+      val e = t(s"generate (n=$n)") { edges.count() }
+      println(f"[gsoak] directed edges: $e (${e / n.toDouble}%.1f per node)")
+
+      t(s"pagerank 10 rounds @$e") {
+        GraphOps.pagerank(edges).agg(sum("pr")).collect()
+      }
+      t(s"ppr 10 rounds @$e") {
+        GraphOps.personalizedPagerank(
+          edges, spark.range(0, 100).toDF("node")).agg(sum("pr")).collect()
+      }
+      // k=8 sits at the cascade knee of the ~10-mean-degree graph (k=7
+      // keeps ~everyone, k=9 peels to empty), so the peel does real
+      // cascading work and leaves a non-vacuous dense core
+      val core = t(s"kcore k=8 8 peels @$e") {
+        GraphOps.kCore(edges, k = 8).count()
+      }
+      println(s"[gsoak] 8-core survivors: $core")
+      val tri = t(s"triangles @$e") {
+        GraphOps.triangleCounts(edges).agg(sum("triangles")).collect()(0).getLong(0)
+      }
+      println(s"[gsoak] triangle corner-count: $tri")
+    }
+    spark.stop()
+  }
+}

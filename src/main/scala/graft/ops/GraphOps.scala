@@ -323,7 +323,13 @@ object GraphOps {
     val spark = edges.sparkSession
     val e0 = edges.repartition(col("src")).localCheckpoint(false)
     val nEdges = e0.count()
-    val small = nEdges <= broadcastRanksMaxNodes
+    // guard on the NODE count (the keep set's size bound), not the edge
+    // count: a 24M-edge graph over 2.4M nodes still broadcasts its
+    // keep set (~20 MB build), keeping every peel round map-only —
+    // measured 83 s → 25 s at exactly that shape. One distinct-count
+    // job over the pinned edges buys the right strategy for 8 rounds
+    val nNodes = e0.select(col("src")).distinct().count()
+    val small = nNodes <= broadcastRanksMaxNodes
     val loop = loopSession(spark, nEdges)
     val tag = java.util.UUID.randomUUID().toString.replace("-", "")
     val (ev, ov) = (s"graft_kc_e_$tag", s"graft_kc_o_$tag")
