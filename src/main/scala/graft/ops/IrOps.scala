@@ -25,6 +25,70 @@ object IrOps {
   private val Bm25Terms = Seq("dup", "spark", "merge")
   private val K1 = 1.2
   private val B = 0.75
+  private val RrfK = 60 // Cormack et al.'s standard RRF dampener
+
+  /** The q_bm25 scoring chain as a reusable frame: (doc_id, score
+    * rounded 6 dp) for docs matching ≥1 term. Single source for the
+    * lexical leg of [[all]]'s q_bm25 and q_hybrid_rrf. */
+  private def bm25Scores(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, d)
+    // scalar corpus stats collected once, like the q_idf/q_scalar
+    // precedent — two doubles, not data
+    val Array(nd, avgdl) = docs
+      .agg(count(lit(1)).cast(DoubleType), avg(size(split(col("text"), " "))))
+      .head() match { case r => Array(r.getDouble(0), r.getDouble(1)) }
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok").isin(Bm25Terms: _*))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).cast(DoubleType).as("tf"))
+    val idf = tf.groupBy("tok")
+      .agg(log((lit(nd) - count(lit(1)) + 0.5) / (count(lit(1)) + 0.5) + 1).as("idf"))
+    val dl = docs.select(col("doc_id"), size(split(col("text"), " ")).cast(DoubleType).as("dl"))
+    tf.join(broadcast(idf), "tok")
+      .join(dl, "doc_id")
+      .withColumn("part",
+        col("idf") * col("tf") * lit(K1 + 1) /
+          (col("tf") + lit(K1) * (lit(1) - lit(B) + lit(B) * col("dl") / lit(avgdl))))
+      .groupBy("doc_id")
+      .agg(round(sum(col("part")), 6).as("score"))
+  }
+
+  /** The q_bm25 oracle's CTE prefix (n/tf/idf/dl/bm), shared with the
+    * hybrid query so the two lexical scorings can never drift. */
+  private val bm25CtesSql: String =
+    s"""n AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+       |  avg(len(string_split(text, ' '))) AS avgdl FROM documents),
+       |tf AS (
+       |  SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  WHERE tok IN ('dup', 'spark', 'merge') GROUP BY 1, 2),
+       |idf AS (
+       |  SELECT tok, ln(((SELECT nd FROM n) - count(*) + 0.5) / (count(*) + 0.5) + 1) AS idf
+       |  FROM tf GROUP BY tok),
+       |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents),
+       |bm AS (
+       |  SELECT t.doc_id,
+       |    round(sum(i.idf * t.tf * ${K1 + 1}
+       |      / (t.tf + $K1 * (1 - $B + $B * d.dl / (SELECT avgdl FROM n)))), 6) AS score
+       |  FROM tf t JOIN idf i ON t.tok = i.tok JOIN dl d ON t.doc_id = d.doc_id
+       |  GROUP BY t.doc_id)""".stripMargin
+
+  /** Reciprocal-rank fusion of a lexical (doc_id, lex_rank) and a
+    * dense (vec_id, vec_rank) ranking: rrf = Σ 1/(RrfK + rank) over
+    * the legs a doc appears in; absent legs contribute 0 and surface
+    * as rank −1. Full-outer on id — a doc surfaced by either leg
+    * stays in the fused list. */
+  private[ops] def rrfFuse(
+      lex: org.apache.spark.sql.DataFrame,
+      vec: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    lex.join(vec, col("doc_id") === col("vec_id"), "full_outer")
+      .select(
+        coalesce(col("doc_id"), col("vec_id")).as("doc_id"),
+        coalesce(col("lex_rank"), lit(-1L)).as("lex_rank"),
+        coalesce(col("vec_rank"), lit(-1L)).as("vec_rank"),
+        round(
+          coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RrfK) + col("vec_rank")), lit(0.0)), 6).as("rrf"))
 
   val all: Seq[QueryDef] = Seq(
 
@@ -33,44 +97,58 @@ object IrOps {
     // normalization with k1/b defaults.
     QueryDef(
       "q_bm25",
-      s"""WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
-         |  avg(len(string_split(text, ' '))) AS avgdl FROM documents),
-         |tf AS (
-         |  SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
-         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
-         |  WHERE tok IN ('dup', 'spark', 'merge') GROUP BY 1, 2),
-         |idf AS (
-         |  SELECT tok, ln(((SELECT nd FROM n) - count(*) + 0.5) / (count(*) + 0.5) + 1) AS idf
-         |  FROM tf GROUP BY tok),
-         |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents)
-         |SELECT t.doc_id,
-         |  round(sum(i.idf * t.tf * ${K1 + 1}
-         |    / (t.tf + $K1 * (1 - $B + $B * d.dl / (SELECT avgdl FROM n)))), 6) AS score
-         |FROM tf t JOIN idf i ON t.tok = i.tok JOIN dl d ON t.doc_id = d.doc_id
-         |GROUP BY t.doc_id
-         |ORDER BY score DESC, t.doc_id
+      s"""WITH $bm25CtesSql
+         |SELECT doc_id, score FROM bm
+         |ORDER BY score DESC, doc_id
          |LIMIT 100""".stripMargin) { (s, d) =>
-      val docs = Tables.documents(s, d)
-      // scalar corpus stats collected once, like the q_idf/q_scalar
-      // precedent — two doubles, not data
-      val Array(nd, avgdl) = docs
-        .agg(count(lit(1)).cast(DoubleType), avg(size(split(col("text"), " "))))
-        .head() match { case r => Array(r.getDouble(0), r.getDouble(1)) }
-      val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .filter(col("tok").isin(Bm25Terms: _*))
-      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).cast(DoubleType).as("tf"))
-      val idf = tf.groupBy("tok")
-        .agg(log((lit(nd) - count(lit(1)) + 0.5) / (count(lit(1)) + 0.5) + 1).as("idf"))
-      val dl = docs.select(col("doc_id"), size(split(col("text"), " ")).cast(DoubleType).as("dl"))
-      tf.join(broadcast(idf), "tok")
-        .join(dl, "doc_id")
-        .withColumn("part",
-          col("idf") * col("tf") * lit(K1 + 1) /
-            (col("tf") + lit(K1) * (lit(1) - lit(B) + lit(B) * col("dl") / lit(avgdl))))
-        .groupBy("doc_id")
-        .agg(round(sum(col("part")), 6).as("score"))
+      bm25Scores(s, d)
         .orderBy(col("score").desc, col("doc_id"))
         .limit(100)
+    },
+
+    // Hybrid retrieval: reciprocal-rank fusion of the lexical (BM25)
+    // and dense (cosine-to-query-vector) rankings — the standard
+    // two-tower curation/hard-negative-mining primitive. Each leg is
+    // ranked on its ROUNDED score (float-ranking rule) so the integer
+    // ranks are engine-exact; rrf = Σ 1/(RrfK + rank) over the legs a
+    // doc appears in (two correctly-rounded divisions + one add —
+    // deterministic), ranked on the rounded fusion score. Both top-100
+    // legs are bounded frames, so the rank windows never see more than
+    // 100 rows — no global window over corpus-sized data.
+    QueryDef(
+      "q_hybrid_rrf",
+      s"""WITH $bm25CtesSql,
+         |lex AS (
+         |  SELECT doc_id, r FROM (
+         |    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM bm)
+         |  WHERE r <= 100),
+         |e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+         |  FROM embeddings),
+         |q AS (SELECT emb AS q_emb, norm AS q_norm FROM e WHERE vec_id = 0),
+         |cosr AS (
+         |  SELECT vec_id,
+         |    round(list_dot_product(emb, q_emb) / (norm * q_norm), 6) AS cosine
+         |  FROM e, q WHERE vec_id <> 0),
+         |vec AS (
+         |  SELECT vec_id, r FROM (
+         |    SELECT vec_id, row_number() OVER (ORDER BY cosine DESC, vec_id) AS r FROM cosr)
+         |  WHERE r <= 100)
+         |SELECT coalesce(l.doc_id, v.vec_id) AS doc_id,
+         |  coalesce(l.r, -1) AS lex_rank, coalesce(v.r, -1) AS vec_rank,
+         |  round(coalesce(1.0 / ($RrfK + l.r), 0) + coalesce(1.0 / ($RrfK + v.r), 0), 6) AS rrf
+         |FROM lex l FULL OUTER JOIN vec v ON v.vec_id = l.doc_id
+         |ORDER BY rrf DESC, doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val lex = bm25Scores(s, d)
+        .orderBy(col("score").desc, col("doc_id")).limit(100)
+        .withColumn("r",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+        .select(col("doc_id"), col("r").cast(LongType).as("lex_rank"))
+      val vec = SimilarityOps.cosineTopK(Tables.embeddings(s, d), col("vec_id") === 0, 100)
+        .select(col("vec_id"), col("rank").as("vec_rank"))
+      rrfFuse(lex, vec).orderBy(col("rrf").desc, col("doc_id"))
     },
 
     // Sparse TF-IDF cosine: top-50 most lexically similar doc pairs via
