@@ -56,7 +56,12 @@ object Plans {
         // distinct-free single agg on the shard key. (q_pagerank has no
         // capturable plan: its result is an eager checkpoint scan — the
         // loop's per-round shape is documented in SCALE.md instead.)
-        "q_triangle_count", "q_shard_manifest")) {
+        "q_triangle_count", "q_shard_manifest",
+        // round-7 hybrid retrieval: both rank windows sit on bounded
+        // ≤100-row frames (TakeOrderedAndProject feeds the lexical
+        // window; the cosine leg partitions by q_id), idf broadcast,
+        // full-outer fusion join
+        "q_hybrid_rrf")) {
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, d).queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode))
