@@ -116,8 +116,51 @@ object ExportOps {
   }
 
   private val manifestRowsPerShard = 64L
+  private val stripeShards = 8L
+
+  /** STRIPED shard assignment — `shard = row mod S` instead of
+    * contiguous blocks. The other canonical dataloader layout:
+    * contiguous shards preserve corpus order (resumable offsets,
+    * locality); striped shards make every shard a uniform systematic
+    * sample of the corpus (equal domain/temporal mix per shard, so any
+    * subset of shards is an unbiased subsample and per-shard loss
+    * curves are comparable). Same prefix-sum derivation, same
+    * order-independent checksum — a striped shard's id range is the
+    * whole corpus, so first/last become stride witnesses (min = shard
+    * id, max = id of the last full stripe).
+    */
+  def stripedManifestQuery(docs: DataFrame, numShards: Long): DataFrame = {
+    val one = SkewOps.freshName(docs, "one")
+    val rowNo = SkewOps.freshName(docs, "row")
+    val canon = concat_ws("|",
+      col("doc_id").cast("string"), col("lang"), col("source"),
+      col("n_chars").cast("string"), md5(col("text")))
+    PackOps
+      .exclusivePrefixSum(docs.withColumn(one, lit(1L)), "doc_id", one, rowNo)
+      .withColumn("shard", pmod(col(rowNo), lit(numShards)))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"),
+        bit_xor(conv(substring(md5(canon), 1, 15), 16, 10).cast("long"))
+          .as("checksum"))
+      .orderBy("shard")
+  }
 
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_shard_stripe",
+      s"""WITH numbered AS (
+         |  SELECT *, row_number() OVER (ORDER BY doc_id) - 1 AS rn
+         |  FROM documents)
+         |SELECT rn % $stripeShards AS shard,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+         |  bit_xor(('0x' || substr(md5(
+         |    doc_id::VARCHAR || '|' || lang || '|' || source || '|' ||
+         |    n_chars::VARCHAR || '|' || md5(text)), 1, 15))::BIGINT) AS checksum
+         |FROM numbered GROUP BY 1 ORDER BY shard""".stripMargin) { (s, d) =>
+      stripedManifestQuery(Tables.documents(s, d), stripeShards)
+    },
+
     QueryDef("q_shard_manifest",
       s"""WITH numbered AS (
          |  SELECT *, row_number() OVER (ORDER BY doc_id) - 1 AS rn
