@@ -10,8 +10,8 @@ import graft.ops.GraphOps
   * bounded-degree graphs at 1× and 10× the sf0.1 co-order edge count
   * (2.4M → 24M edges), printing per-op wall time. The generator is a
   * seeded ring-plus-random-chords construction: node i links to
-  * i±1..±2 (ring chords guarantee connectivity and a floor degree of
-  * 4, so k-core at k=4 has real survivors) plus `extra` xxhash64-
+  * i±1..±2 (ring chords guarantee connectivity and a degree floor)
+  * plus `extra` xxhash64-
   * derived chords (bounded expected degree — the triangle wedge join
   * stays O(E·d̄) like a real co-occurrence graph with a basket cap,
   * not a power-law hub blow-up).

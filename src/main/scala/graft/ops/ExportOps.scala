@@ -98,7 +98,15 @@ object ExportOps {
     * ([[SampleOps]]/[[DataSelectOps]]); bit_xor keeps the fold
     * order-independent, so shard-internal scan order never matters.
     */
-  def shardManifestQuery(docs: DataFrame, rowsPerShard: Long): DataFrame = {
+  def shardManifestQuery(docs: DataFrame, rowsPerShard: Long): DataFrame =
+    manifestOver(docs, (rowNo: String) => expr(s"`$rowNo` div $rowsPerShard"))
+
+  /** Shared manifest derivation: prefix-sum row numbers, the caller's
+    * shard-assignment expression over them, then one aggregate with
+    * the cross-engine 60-bit md5 row checksum (bit_xor fold —
+    * order-independent, overflow-free). */
+  private def manifestOver(
+      docs: DataFrame, shardOf: String => org.apache.spark.sql.Column): DataFrame = {
     val one = SkewOps.freshName(docs, "one")
     val rowNo = SkewOps.freshName(docs, "row")
     val canon = concat_ws("|",
@@ -106,7 +114,7 @@ object ExportOps {
       col("n_chars").cast("string"), md5(col("text")))
     PackOps
       .exclusivePrefixSum(docs.withColumn(one, lit(1L)), "doc_id", one, rowNo)
-      .withColumn("shard", expr(s"`$rowNo` div $rowsPerShard"))
+      .withColumn("shard", shardOf(rowNo))
       .groupBy("shard")
       .agg(count(lit(1)).as("n_rows"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"),
@@ -129,22 +137,8 @@ object ExportOps {
     * whole corpus, so first/last become stride witnesses (min = shard
     * id, max = id of the last full stripe).
     */
-  def stripedManifestQuery(docs: DataFrame, numShards: Long): DataFrame = {
-    val one = SkewOps.freshName(docs, "one")
-    val rowNo = SkewOps.freshName(docs, "row")
-    val canon = concat_ws("|",
-      col("doc_id").cast("string"), col("lang"), col("source"),
-      col("n_chars").cast("string"), md5(col("text")))
-    PackOps
-      .exclusivePrefixSum(docs.withColumn(one, lit(1L)), "doc_id", one, rowNo)
-      .withColumn("shard", pmod(col(rowNo), lit(numShards)))
-      .groupBy("shard")
-      .agg(count(lit(1)).as("n_rows"),
-        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"),
-        bit_xor(conv(substring(md5(canon), 1, 15), 16, 10).cast("long"))
-          .as("checksum"))
-      .orderBy("shard")
-  }
+  def stripedManifestQuery(docs: DataFrame, numShards: Long): DataFrame =
+    manifestOver(docs, rowNo => pmod(col(rowNo), lit(numShards)))
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_shard_stripe",
