@@ -87,12 +87,14 @@ object GraphSoak {
           edges, spark.range(0, 100).toDF("node")).agg(sum("pr")).collect()
       }
       // k=8 sits at the cascade knee of the ~10-mean-degree graph (k=7
-      // keeps ~everyone, k=9 peels to empty), so the peel does real
-      // cascading work and leaves a non-vacuous dense core
+      // keeps ~everyone, k=9 peels to empty fast), so the fixed budget
+      // does real cascading work every round — the cost shape under
+      // test. The survivor count is the 8-peel REMNANT, not the
+      // converged core (GraphOpsSpec covers converge mode)
       val core = t(s"kcore k=8 8 peels @$e") {
         GraphOps.kCore(edges, k = 8).count()
       }
-      println(s"[gsoak] 8-core survivors: $core")
+      println(s"[gsoak] k=8 8-peel survivors: $core")
       val tri = t(s"triangles @$e") {
         GraphOps.triangleCounts(edges).agg(sum("triangles")).collect()(0).getLong(0)
       }

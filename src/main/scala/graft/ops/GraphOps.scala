@@ -318,8 +318,19 @@ object GraphOps {
     * core_deg) — the canonical graph-shaped quality gate (spam farms
     * and boilerplate rings live in dense cores; singletons and tendrils
     * peel away).
+    *
+    * `converge = true` is the LIBRARY mode: after the fixed budget it
+    * keeps peeling until an edge-count fixpoint (one O(1) count read
+    * per extra round — the CC convergence discipline), so the result
+    * is the true k-core and every survivor's core_deg ≥ k is an
+    * invariant (spec-enforced). The oracle query keeps the default
+    * fixed-round mode because a convergence test is not expressible as
+    * a static unrolled SQL twin; its k is chosen so the budget
+    * provably suffices (8-peel == 10-peel at every SF).
     */
-  def kCore(edges: DataFrame, k: Int, peels: Int = 8): DataFrame = {
+  def kCore(
+      edges: DataFrame, k: Int, peels: Int = 8,
+      converge: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     val e0 = edges.repartition(col("src")).localCheckpoint(false)
     val nEdges = e0.count()
@@ -336,13 +347,27 @@ object GraphOps {
     try {
       e0.createOrReplaceGlobalTempView(ev)
       var e = loop.table(s"global_temp.$ev")
-      for (_ <- 1 to peels) {
-        val keep = e.groupBy(col("src")).agg(count(lit(1)).as("kc_d"))
+      def peelOnce(cur: DataFrame): DataFrame = {
+        val keep = cur.groupBy(col("src")).agg(count(lit(1)).as("kc_d"))
           .filter(col("kc_d") >= k).select(col("src").as("kc_node"))
         val kb = if (small) broadcast(keep) else keep
-        e = e.join(kb, col("src") === col("kc_node"), "left_semi")
+        cur.join(kb, col("src") === col("kc_node"), "left_semi")
           .join(kb, col("dst") === col("kc_node"), "left_semi")
           .localCheckpoint(false)
+      }
+      for (_ <- 1 to peels) e = peelOnce(e)
+      if (converge) {
+        // run to the edge-count fixpoint: a peel that removes nothing
+        // proves every survivor has ≥ k surviving neighbors (bounded:
+        // each non-final round strictly shrinks the edge set)
+        var before = e.count()
+        var stable = false
+        while (!stable) {
+          e = peelOnce(e)
+          val after = e.count()
+          stable = after == before
+          before = after
+        }
       }
       e.groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("core_deg"))

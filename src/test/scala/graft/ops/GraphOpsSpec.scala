@@ -130,6 +130,39 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(viaOp === (1L to 4L).map(_ -> 3L).toMap)
   }
 
+  test("k-core invariant: every survivor's core degree is >= k, on a generated graph") {
+    // the soak generator's graph (well-formedness is its own test
+    // below): whatever survives a k-core MUST have >= k surviving
+    // neighbors — the defining invariant, checked on a non-trivial
+    // random structure rather than a closed form
+    val edges = graft.GraphSoak.syntheticEdges(spark, 2000L, extra = 3)
+    // fixed 8 peels do NOT converge on this graph at k=8 (this spec
+    // originally caught exactly that: sub-k survivors remained, and the
+    // TRUE 8-core is empty — mean degree 10 sits below the 8-core
+    // emergence threshold), which is why the invariant is only promised
+    // in converge mode, checked here at k=6 where a real core exists
+    val core = GraphOps.kCore(edges, k = 6, converge = true).collect()
+    assert(core.nonEmpty, "a 6-core must exist at mean degree 10")
+    assert(core.forall(_.getLong(1) >= 6L),
+      "a k-core survivor with < k surviving neighbors violates the definition")
+    // and the fixed-budget mode on the SAME graph at k=8 returns the
+    // 8-peel remnant, which converge mode correctly peels to nothing
+    assert(GraphOps.kCore(edges, k = 8, converge = true).count() === 0)
+  }
+
+  test("soak generator: symmetric, distinct, self-loop-free, degree-bounded") {
+    val e = graft.GraphSoak.syntheticEdges(spark, 1000L, extra = 3)
+    assert(e.filter(col("src") === col("dst")).count() === 0)
+    assert(e.count() === e.distinct().count())
+    // symmetry: reversing the edge list yields the same set
+    assert(e.select(col("dst").as("src"), col("src").as("dst"))
+      .except(e).count() === 0)
+    // bounded max degree: ring floor 4 + 3 out-chords + random in-chords;
+    // a hub would break the triangle-join cost model the soak measures
+    val maxDeg = e.groupBy("src").count().agg(max("count")).head().getLong(0)
+    assert(maxDeg < 40, s"unexpected hub: max degree $maxDeg")
+  }
+
   test("clustering coefficient: clique nodes are 1.0, a pendant dilutes its anchor") {
     // 4-clique, node 4 also linked to pendant 5: nodes 1-3 have cc=1
     // (deg 3, T=3), node 4 has deg 4, T=3 → 2·3/(4·3) = 0.5; pendant
