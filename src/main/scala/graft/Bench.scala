@@ -110,11 +110,48 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.values.filter(_ >= 0).sum
+    // FROZEN per-query floor gate (r8): bench_floor_r7.json is a
+    // committed snapshot of the round-7 clean run that is NEVER
+    // refreshed — unlike bench_reference.json (re-baselined each round
+    // for the contention-retry heuristic above), the floor cannot drift
+    // with the code it gates, so a slow creep across rounds is caught
+    // against a fixed budget. A query is a VIOLATION when it runs >2×
+    // its frozen floor on a calibration-QUIET run (all probes < 2 s —
+    // on a contended host the violation list is reported but the
+    // verdict abstains, same evidence discipline as the retry gate).
+    // Queries newer than the freeze have no floor and are listed
+    // separately, not failed. SPARK_GRAFT_FLOOR_STRICT=1 turns a
+    // quiet-run violation into exit 1 for CI-style use.
+    val floor: Map[String, Double] = {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_FLOOR", "bench_floor_r7.json"))
+      if (java.nio.file.Files.isReadable(p)) {
+        val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        val m = "\"queries\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+        "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r.findAllMatchIn(m)
+          .map(mm => mm.group(1) -> mm.group(2).toDouble).toMap
+      } else Map.empty
+    }
+    val quiet = (midProbes :+ calBefore :+ calAfter).forall(_ < 2.0)
+    val floorViolations = results.collect {
+      case (k, v) if v >= 0 && floor.get(k).exists(f => v > 2.0 * f) =>
+        k -> (v, floor(k))
+    }
+    val noFloor = results.keys.filterNot(floor.contains).toSeq.sorted
+    val floorJson = {
+      val viol = floorViolations.map { case (k, (v, f)) =>
+        s"""\"$k\":{"sec":$v,"floor_sec":$f,"ratio":${v / f}}""" }.mkString("{", ",", "}")
+      s"""{"ref":"bench_floor_r7.json","n_floor":${floor.size},"quiet":$quiet,"violations":$viol,"no_floor":${noFloor.map("\"" + _ + "\"").mkString("[", ",", "]")},"verdict":"${
+        if (floor.isEmpty) "no_floor_file"
+        else if (floorViolations.nonEmpty && quiet) "FAIL"
+        else if (floorViolations.nonEmpty) "abstain_contended"
+        else "pass"}"}"""
+    }
     val suspectJson = suspects.map { case (k, (first, probe)) =>
       s"""\"$k\":{"first_sec":$first,"trigger_probe_sec":$probe,"retry_sec":${retries.getOrElse(k, -1.0)}}"""
     }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"suspect":$suspectJson,"calibration":{"before_sec":$calBefore,"after_sec":$calAfter,"mid_sec":${midProbes.mkString("[", ",", "]")}},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"suspect":$suspectJson,"floor":$floorJson,"calibration":{"before_sec":$calBefore,"after_sec":$calAfter,"mid_sec":${midProbes.mkString("[", ",", "]")}},"sf":"$sfDir"}"""
     println(json)
     // durable per-query artifact — a truncated stdout tail must never
     // again be the only record of a run
@@ -127,7 +164,9 @@ object Bench {
     // under a few hundred bytes no matter how many queries exist, so a
     // tail parser always gets metric/value/failed/calibration.
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":${failed.mkString("[", ",", "]")},"n_suspect":${suspects.size},"calibration":{"before_sec":$calBefore,"after_sec":$calAfter},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":${failed.mkString("[", ",", "]")},"n_suspect":${suspects.size},"n_floor_violations":${floorViolations.size},"floor_quiet":$quiet,"calibration":{"before_sec":$calBefore,"after_sec":$calAfter},"sf":"$sfDir"}""")
     spark.stop()
+    if (sys.env.get("SPARK_GRAFT_FLOOR_STRICT").contains("1") &&
+      quiet && floorViolations.nonEmpty) sys.exit(1)
   }
 }

@@ -78,6 +78,10 @@ object GraphSoak {
         .localCheckpoint(false)
       val e = t(s"generate (n=$n)") { edges.count() }
       println(f"[gsoak] directed edges: $e (${e / n.toDouble}%.1f per node)")
+      val guard = GraphOps.broadcastRanksMaxNodes
+      println(s"[gsoak] rank-loop path: " + (
+        if (n > guard) s"SHUFFLE FALLBACK (n=$n > broadcast guard $guard) — the 1B-node shape"
+        else s"broadcast (n=$n <= guard $guard)"))
 
       t(s"pagerank 10 rounds @$e") {
         GraphOps.pagerank(edges).agg(sum("pr")).collect()
@@ -99,6 +103,23 @@ object GraphSoak {
         GraphOps.triangleCounts(edges).agg(sum("triangles")).collect()(0).getLong(0)
       }
       println(s"[gsoak] triangle corner-count: $tri")
+      // log-rounds CC over the same graph (the r8 ask: CC measured at
+      // the ≥100M-edge point, not only in the corpus soak). The ring
+      // chords make the graph connected BY CONSTRUCTION, so the
+      // component count doubles as a correctness invariant: anything
+      // but 1 is a propagation bug, printed for the log to certify.
+      val cc = t(s"cc star @$e") {
+        graft.ops.DedupOps.connectedComponentsStar(
+          edges.filter(col("src") < col("dst"))
+            .select(col("src").as("doc_a"), col("dst").as("doc_b")))
+          .agg(countDistinct("component")).collect()(0).getLong(0)
+      }
+      println(s"[gsoak] cc components (must be 1): $cc")
+      // drop THIS scale's block-store residue (the edge localCheckpoint
+      // plus any loop checkpoints not yet GC'd) before the next scale
+      // generates, so the 10× measurement starts with clean memory
+      // headroom instead of the 1× graph still resident
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     }
     spark.stop()
   }

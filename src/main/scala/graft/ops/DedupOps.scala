@@ -556,6 +556,62 @@ object DedupOps {
       col("doc_id"),
       graft.functions.HashFunctions.md5_simhash_hex(shingles(col("text"), 2)).as("simhash_hex"))
 
+  /** The xxhash64 banded frame + per-(bucket, doc) cap hash, exactly as
+    * [[minhashNearDups]] derives them internally — dumped at the oracle
+    * SF ([[OracleDump]]) so DuckDB can re-derive EVERYTHING downstream
+    * of the hash kernel: bucket grouping, the 64-cap admission order,
+    * pair generation, canonicalization, and the Jaccard verification
+    * (whose grams DuckDB re-shingles from the raw corpus text itself).
+    */
+  private def minhashBandCapFrame(
+      docs: DataFrame, n: Int = 3, k: Int = 32, rowsPerBand: Int = 4): DataFrame =
+    docs.select(col("doc_id"), shingles(col("text"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), k))
+      .select(col("doc_id"), explode(bands(col("sig"), k, rowsPerBand)).as("band"))
+      .select(col("doc_id"), col("band.band_id").as("band_id"),
+        col("band.band_hash").as("band_hash"))
+      .withColumn("cap_h", xxhash64(col("band_hash"), col("doc_id")))
+
+  private val bandDumpName = "minhash_banded"
+
+  /** DuckDB CTE chain from the banded dump to the verified pair set —
+    * the shared front half of the q_minhash_lsh and q_dedup_groups
+    * oracles. Mirrors [[minhashNearDups]] step for step: per-bucket cap
+    * of 64 in (cap_h, doc_id) order (signed BIGINT order = the Long
+    * order `sort_array(struct(h, id))` uses), all unordered in-bucket
+    * pairs among the capped members, distinct over buckets, then exact
+    * n=3-gram Jaccard from the corpus text (the kernel emits the whole
+    * text as one shingle when tokens ≤ n — mirrored by the CASE) with
+    * intersect/union deduped exactly as array_intersect/array_union do.
+    */
+  private def bandedPairCtesSql(threshold: Double): String =
+    s"""banded AS (
+       |  SELECT doc_id, band_id, band_hash, cap_h
+       |  FROM read_parquet('${OracleDump.path(bandDumpName)}')),
+       |capped AS (
+       |  SELECT doc_id, band_id, band_hash FROM (
+       |    SELECT doc_id, band_id, band_hash,
+       |      row_number() OVER (PARTITION BY band_id, band_hash ORDER BY cap_h, doc_id) AS rn
+       |    FROM banded)
+       |  WHERE rn <= 64),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM capped x JOIN capped y
+       |    ON x.band_id = y.band_id AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+       |gr AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+       |         ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+       |    END AS grams
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+       |vpairs AS (
+       |  SELECT doc_a, doc_b,
+       |    round(CAST(len(list_intersect(list_distinct(a.grams), list_distinct(b.grams))) AS DOUBLE)
+       |          / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+       |  FROM cand JOIN gr a ON a.doc_id = doc_a JOIN gr b ON b.doc_id = doc_b),
+       |pairs AS (SELECT doc_a, doc_b, jaccard FROM vpairs WHERE jaccard >= $threshold)""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     // Exact dedup: hash-groupBy on content — one shuffle on the text hash,
@@ -617,10 +673,18 @@ object DedupOps {
         .orderBy("doc_a")
     },
 
-    // MinHash+LSH near-dup pairs (xxhash64-based — ScalaTest-verified;
-    // driver records a rows-only check).
-    QueryDef.noOracle("q_minhash_lsh") { (s, d) =>
-      minhashNearDups(Tables.documents(s, d), threshold = 0.3)
+    // MinHash+LSH near-dup pairs, xxhash64 kernel. ORACLED since r8 via
+    // the banded-frame dump ([[OracleDump]]): the signatures/band
+    // hashes are the input, and bucket pairing, the 64-cap, and the
+    // full Jaccard verification (grams re-derived from raw text by
+    // DuckDB independently) are what the oracle hash-checks.
+    QueryDef(
+      "q_minhash_lsh",
+      s"""WITH ${bandedPairCtesSql(0.3)}
+        |SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      OracleDump.write(minhashBandCapFrame(docs), d, bandDumpName)
+      minhashNearDups(docs, threshold = 0.3)
         .orderBy("doc_a", "doc_b")
     },
 
@@ -660,11 +724,31 @@ object DedupOps {
     },
 
     // Full dedup pipeline: minhash near-dups -> connected components ->
-    // canonical survivor per group (iterative — ScalaTest-verified on
-    // planted transitive chains; rows-only for the driver). Oracle
-    // coverage comes from the md5 twin below.
-    QueryDef.noOracle("q_dedup_groups") { (s, d) =>
-      dedupGroups(Tables.documents(s, d)).orderBy("doc_id")
+    // canonical survivor per group. ORACLED since r8: the same banded
+    // dump as q_minhash_lsh feeds a DuckDB recursive-CTE min-label walk
+    // (the q_dedup_groups_md5 scheme), so pairs -> components ->
+    // canonical-survivor is hash-checked end to end over the xxhash64
+    // pair set too — the iterative Spark CC must agree with the
+    // recursive SQL walk row for row.
+    QueryDef(
+      "q_dedup_groups",
+      s"""WITH RECURSIVE ${bandedPairCtesSql(0.3)},
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |walk(id, comp) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id),
+        |comps AS (SELECT id, min(comp) AS component FROM walk GROUP BY id)
+        |SELECT d2.doc_id,
+        |  coalesce(c.component, d2.doc_id) AS canonical_id,
+        |  d2.doc_id = coalesce(c.component, d2.doc_id) AS is_canonical
+        |FROM documents d2 LEFT JOIN comps c ON c.id = d2.doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      OracleDump.write(minhashBandCapFrame(docs), d, bandDumpName)
+      dedupGroups(docs).orderBy("doc_id")
     },
 
     // Oracle twin of q_dedup_groups: the SAME iterative Spark CC runs
@@ -769,11 +853,35 @@ object DedupOps {
         .orderBy("doc_a")
     },
 
-    // SimHash 64-bit fingerprints, native xxhash64 kernel (rows-only;
-    // bit semantics ScalaTest-verified + md5 twin below under oracle).
-    QueryDef.noOracle("q_simhash") { (s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"), simhash64(shingles(col("text"), 2)).as("simhash"))
+    // SimHash 64-bit fingerprints, native xxhash64 kernel. ORACLED
+    // since r8 via the signature-dump scheme ([[OracleDump]]): the
+    // per-shingle xxhash64 values (the one step DuckDB cannot compute)
+    // are dumped WITH MULTIPLICITY — the kernel weights duplicate
+    // shingles — and DuckDB re-derives the whole per-bit majority vote
+    // and the signed int64 assembly from them, so the sketch
+    // AGGREGATION is hash-checked (the xxhash64 kernel itself stays
+    // ScalaTest-verified, and Spark's `xxhash64()` column function is
+    // byte-identical to the kernel's seed-42 hash by construction —
+    // both are XXH64.hashUnsafeBytes(bytes, 42)).
+    QueryDef(
+      "q_simhash",
+      s"""WITH h AS (
+        |  SELECT doc_id, h FROM read_parquet('${OracleDump.path("simhash_shingle_hashes")}')),
+        |b AS (
+        |  SELECT doc_id, j,
+        |    sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS sv
+        |  FROM h, (SELECT unnest(range(0, 64)) AS j) jj GROUP BY doc_id, j)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN sv > 0 THEN
+        |    CASE WHEN j = 63 THEN -9223372036854775807 - 1 ELSE (1::BIGINT << CAST(j AS INT)) END
+        |  ELSE 0 END) AS BIGINT) AS simhash
+        |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      OracleDump.write(
+        docs.select(col("doc_id"), explode(shingles(col("text"), 2)).as("gram"))
+          .select(col("doc_id"), xxhash64(col("gram")).as("h")),
+        d, "simhash_shingle_hashes")
+      docs.select(col("doc_id"), simhash64(shingles(col("text"), 2)).as("simhash"))
         .orderBy("doc_id")
     },
 

@@ -104,14 +104,26 @@ object ExportOps {
   /** Shared manifest derivation: prefix-sum row numbers, the caller's
     * shard-assignment expression over them, then one aggregate with
     * the cross-engine 60-bit md5 row checksum (bit_xor fold —
-    * order-independent, overflow-free). */
+    * order-independent, overflow-free).
+    *
+    * NULL canon: every nullable token is coalesced to an explicit
+    * sentinel BEFORE concatenation, on BOTH engines. concat_ws alone
+    * silently SKIPS nulls (Spark and DuckDB agree on that, but a null
+    * lang then collides with an absent field), while DuckDB's `||`
+    * PROPAGATES null — md5(NULL) = NULL would be dropped from bit_xor
+    * entirely, silently shrinking the checksum's coverage. The sentinel
+    * keeps the canonical string total and unambiguous per field. */
+  private val nullTok = "\u2400" // symbol-for-NUL sentinel, cannot collide with real lang/source text
   private def manifestOver(
       docs: DataFrame, shardOf: String => org.apache.spark.sql.Column): DataFrame = {
     val one = SkewOps.freshName(docs, "one")
     val rowNo = SkewOps.freshName(docs, "row")
     val canon = concat_ws("|",
-      col("doc_id").cast("string"), col("lang"), col("source"),
-      col("n_chars").cast("string"), md5(col("text")))
+      col("doc_id").cast("string"),
+      coalesce(col("lang"), lit(nullTok)),
+      coalesce(col("source"), lit(nullTok)),
+      col("n_chars").cast("string"),
+      coalesce(md5(col("text")), lit(nullTok)))
     PackOps
       .exclusivePrefixSum(docs.withColumn(one, lit(1L)), "doc_id", one, rowNo)
       .withColumn("shard", shardOf(rowNo))
@@ -149,8 +161,9 @@ object ExportOps {
          |  CAST(count(*) AS BIGINT) AS n_rows,
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
          |  bit_xor(('0x' || substr(md5(
-         |    doc_id::VARCHAR || '|' || lang || '|' || source || '|' ||
-         |    n_chars::VARCHAR || '|' || md5(text)), 1, 15))::BIGINT) AS checksum
+         |    doc_id::VARCHAR || '|' || coalesce(lang, '␀') || '|' ||
+         |    coalesce(source, '␀') || '|' ||
+         |    n_chars::VARCHAR || '|' || coalesce(md5(text), '␀')), 1, 15))::BIGINT) AS checksum
          |FROM numbered GROUP BY 1 ORDER BY shard""".stripMargin) { (s, d) =>
       stripedManifestQuery(Tables.documents(s, d), stripeShards)
     },
@@ -163,8 +176,9 @@ object ExportOps {
          |  CAST(count(*) AS BIGINT) AS n_rows,
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
          |  bit_xor(('0x' || substr(md5(
-         |    doc_id::VARCHAR || '|' || lang || '|' || source || '|' ||
-         |    n_chars::VARCHAR || '|' || md5(text)), 1, 15))::BIGINT) AS checksum
+         |    doc_id::VARCHAR || '|' || coalesce(lang, '␀') || '|' ||
+         |    coalesce(source, '␀') || '|' ||
+         |    n_chars::VARCHAR || '|' || coalesce(md5(text), '␀')), 1, 15))::BIGINT) AS checksum
          |FROM numbered GROUP BY 1 ORDER BY shard""".stripMargin) { (s, d) =>
       shardManifestQuery(Tables.documents(s, d), manifestRowsPerShard)
     })

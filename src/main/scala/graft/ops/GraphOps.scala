@@ -45,7 +45,7 @@ object GraphOps {
     * estimation (each round's ranks is a fresh derived plan whose size
     * Spark estimates from the full lineage, not the ~n rows it has).
     */
-  private val broadcastRanksMaxNodes = 4000000L
+  private[graft] val broadcastRanksMaxNodes = 4000000L
 
   /** The shared fixed-iteration mass-push loop behind [[pagerank]] and
     * [[personalizedPagerank]]. `base0` carries (node, deg, …constants)
@@ -68,13 +68,17 @@ object GraphOps {
     * is pure driver latency on a loop's tiny exchanges; shuffle
     * partitions sized to the measured working set (1 per 250k rows,
     * floor 1, capped at the caller's setting — at 100 TB the row term
-    * saturates the cap and nothing changes); whole-stage codegen OFF —
-    * each round is a distinct plan (fresh exprIds), so codegen compiles
-    * k unique throwaway classes for 3-operator stages over small
-    * frames, and measured janino time exceeded execution time per
-    * round. Conf is session-local, so none of this leaks to the
-    * caller's queries; plans cross sessions zero-copy via global temp
-    * views.
+    * saturates the cap and nothing changes); whole-stage codegen gated
+    * on the SAME size evidence as loopParts (the
+    * [[DedupOps.connectedComponentsStar]] discipline): below 250k
+    * working rows each round is a distinct plan (fresh exprIds), so
+    * codegen compiles k unique throwaway classes for 3-operator stages
+    * over small frames and measured janino time exceeded execution time
+    * per round — above the threshold the rounds do real per-row work,
+    * codegen pays for itself, and it stays ON (at 100 TB edge volumes
+    * the off-branch never triggers). Conf is session-local, so none of
+    * this leaks to the caller's queries; plans cross sessions zero-copy
+    * via global temp views.
     */
   private def loopSession(
       spark: org.apache.spark.sql.SparkSession, workingRows: Long) = {
@@ -87,7 +91,8 @@ object GraphOps {
     }
     loop.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
     loop.conf.set("spark.sql.adaptive.enabled", "false")
-    loop.conf.set("spark.sql.codegen.wholeStage", "false")
+    if (workingRows < 250000L)
+      loop.conf.set("spark.sql.codegen.wholeStage", "false")
     loop
   }
 

@@ -214,10 +214,6 @@ object IvfAdcOps {
       salt: String,
       evIdx: String => String,
       residIdx: (String, String) => String): String = {
-    def rterm(cell: String): String = {
-      val p = residIdx(cell, "(cbl.b * 8 + j)")
-      s"((ev.de[$p + 1] - ct.ce[$p + 1]) - cbl.cv[j + 1])"
-    }
     s"""WITH cb AS (
        |  SELECT b, c, j,
        |    CAST(CAST(('0x' || substring(md5('$salt:' || b || ':' || c || ':' || j), 1, 13)) AS BIGINT)
@@ -229,16 +225,45 @@ object IvfAdcOps {
        |    [ CAST(embedding[${evIdx("i")} + 1] AS DOUBLE) FOR i IN range(0, 64) ] AS de
        |  FROM embeddings),
        |cent AS (SELECT vec_id AS cid, de AS ce FROM ev WHERE vec_id < 16),
-       |cd AS (
-       |  SELECT ev.vec_id, cent.cid,
-       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-       |      [ (ev.de[i + 1] - cent.ce[i + 1]) * (ev.de[i + 1] - cent.ce[i + 1]) FOR i IN range(0, 64) ]),
-       |      (a, x) -> a + x) AS d
-       |  FROM ev, cent),
-       |asg AS (
-       |  SELECT vec_id, cid AS cell FROM (
-       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM cd)
-       |  WHERE rn = 1),
+       |${annBodySql(residIdx)}""".stripMargin
+  }
+
+  /** The same full-search re-derivation over DUMPED trained models
+    * ([[OracleDump]]): coarse centroids (cid, ce) and residual codebook
+    * (b, c, cv) are parquet inputs, the encode → probe → residual-ADC
+    * pool → re-rank OPERATOR is what the oracle checks — the
+    * trained-twin move shared with `PqOps.trainedAnnSql`. `centName` /
+    * `cbName` parametrize the dump so the OPQ trained twins reuse it.
+    */
+  private[ops] def trainedAnnSql(
+      centName: String, cbName: String,
+      evCte: String = "ev AS (SELECT vec_id, embedding::DOUBLE[] AS de FROM embeddings)")
+      : String =
+    s"""WITH cbl AS (
+       |  SELECT b, c, cv FROM read_parquet('${OracleDump.path(cbName)}')),
+       |$evCte,
+       |cent AS (SELECT cid, ce FROM read_parquet('${OracleDump.path(centName)}')),
+       |${annBodySql(identResidIdx)}""".stripMargin
+
+  /** Centroid rows (cid, ce) for the trained-IVFADC oracle dumps. */
+  private[ops] def centroidDf(
+      s: org.apache.spark.sql.SparkSession, cents: Array[Array[Double]]): DataFrame = {
+    import s.implicits._
+    cents.zipWithIndex.map { case (ce, cid) => (cid.toLong, ce.toSeq) }
+      .toSeq.toDF("cid", "ce")
+  }
+
+  /** Shared DuckDB back half of every IVFADC twin (fixed or trained):
+    * expects `cbl(b, c, cv)`, `ev(vec_id, de)`, `cent(cid, ce)` CTEs in
+    * scope; derives assignment, residual encode, probes, per-(query,
+    * cell) residual ADC tables, raw-double pool rank, exact re-rank.
+    */
+  private def annBodySql(residIdx: (String, String) => String): String = {
+    def rterm(cell: String): String = {
+      val p = residIdx(cell, "(cbl.b * 8 + j)")
+      s"((ev.de[$p + 1] - ct.ce[$p + 1]) - cbl.cv[j + 1])"
+    }
+    s"""$cdAsgProbeSql,
        |rdist AS (
        |  SELECT ev.vec_id, a.cell, cbl.b, cbl.c,
        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -250,39 +275,60 @@ object IvfAdcOps {
        |    SELECT vec_id, cell, b, c, row_number() OVER (PARTITION BY vec_id, b ORDER BY d, c) AS rn
        |    FROM rdist)
        |  WHERE rn = 1),
-       |probe AS (
-       |  SELECT vec_id AS q_id, cid AS cell FROM (
-       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-       |    FROM cd WHERE vec_id < 10)
-       |  WHERE rn <= 4),
        |qtab AS (
        |  SELECT p.q_id, p.cell, cbl.b, cbl.c,
        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |      [ ${rterm("p.cell")} * ${rterm("p.cell")} FOR j IN range(0, 8) ]),
        |      (acc, x) -> acc + x) AS t
        |  FROM probe p JOIN ev ON ev.vec_id = p.q_id JOIN cent ct ON ct.cid = p.cell, cbl),
-       |adist AS (
-       |  SELECT qt.q_id, en.vec_id,
-       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(qt.t ORDER BY qt.b)),
-       |      (a, x) -> a + x) AS adist
-       |  FROM enc en JOIN qtab qt ON qt.cell = en.cell AND qt.b = en.b AND qt.c = en.c
-       |  WHERE qt.q_id <> en.vec_id
-       |  GROUP BY qt.q_id, en.vec_id),
-       |pool AS (
-       |  SELECT q_id, vec_id FROM (
-       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rn
-       |    FROM adist)
-       |  WHERE rn <= 30),
-       |rer AS (
-       |  SELECT p.q_id, p.vec_id,
-       |    list_dot_product(v.de, v.de) - 2.0 * list_dot_product(v.de, q.de)
-       |      + list_dot_product(q.de, q.de) AS d2raw
-       |  FROM pool p JOIN ev v ON v.vec_id = p.vec_id JOIN ev q ON q.vec_id = p.q_id)
-       |SELECT q_id, vec_id, round(d2raw, 6) AS dist2, CAST(rn AS BIGINT) AS rank FROM (
-       |  SELECT q_id, vec_id, d2raw,
-       |    row_number() OVER (PARTITION BY q_id ORDER BY d2raw, vec_id) AS rn FROM rer)
-       |WHERE rn <= 3 ORDER BY q_id, rank""".stripMargin
+       |$poolFinalSql""".stripMargin
   }
+
+  /** Front fragment shared with the local-OPQ trained twin: corpus/cell
+    * distances, assignment, query probes. Expects `ev`, `cent` CTEs. */
+  private[ops] def cdAsgProbeSql: String =
+    """cd AS (
+      |  SELECT ev.vec_id, cent.cid,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      [ (ev.de[i + 1] - cent.ce[i + 1]) * (ev.de[i + 1] - cent.ce[i + 1]) FOR i IN range(0, 64) ]),
+      |      (a, x) -> a + x) AS d
+      |  FROM ev, cent),
+      |asg AS (
+      |  SELECT vec_id, cid AS cell FROM (
+      |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM cd)
+      |  WHERE rn = 1),
+      |probe AS (
+      |  SELECT vec_id AS q_id, cid AS cell FROM (
+      |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |    FROM cd WHERE vec_id < 10)
+      |  WHERE rn <= 4)""".stripMargin
+
+  /** Back fragment shared with the local-OPQ trained twin: ADC sums in
+    * block order, raw-double 30-pool, exact re-rank, final projection.
+    * Expects `enc(vec_id, cell, b, c)`, `qtab(q_id, cell, b, c, t)`,
+    * `ev` CTEs. */
+  private[ops] def poolFinalSql: String =
+    """adist AS (
+      |  SELECT qt.q_id, en.vec_id,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(qt.t ORDER BY qt.b)),
+      |      (a, x) -> a + x) AS adist
+      |  FROM enc en JOIN qtab qt ON qt.cell = en.cell AND qt.b = en.b AND qt.c = en.c
+      |  WHERE qt.q_id <> en.vec_id
+      |  GROUP BY qt.q_id, en.vec_id),
+      |pool AS (
+      |  SELECT q_id, vec_id FROM (
+      |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rn
+      |    FROM adist)
+      |  WHERE rn <= 30),
+      |rer AS (
+      |  SELECT p.q_id, p.vec_id,
+      |    list_dot_product(v.de, v.de) - 2.0 * list_dot_product(v.de, q.de)
+      |      + list_dot_product(q.de, q.de) AS d2raw
+      |  FROM pool p JOIN ev v ON v.vec_id = p.vec_id JOIN ev q ON q.vec_id = p.q_id)
+      |SELECT q_id, vec_id, round(d2raw, 6) AS dist2, CAST(rn AS BIGINT) AS rank FROM (
+      |  SELECT q_id, vec_id, d2raw,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY d2raw, vec_id) AS rn FROM rer)
+      |WHERE rn <= 3 ORDER BY q_id, rank""".stripMargin
 
   private[ops] val identIdx: String => String = i => s"($i)"
   private[ops] val identResidIdx: (String, String) => String = (_, i) => s"($i)"
@@ -299,11 +345,15 @@ object IvfAdcOps {
         model, topk = 3, nprobe = 4)
     },
 
-    // end-to-end composed index over the driver embeddings (trained
-    // float models — IvfAdcSpec carries the verification)
-    QueryDef.noOracle("q_ivfadc_ann") { (s, d) =>
+    // end-to-end composed index over the driver embeddings. ORACLED
+    // since r8 via the model dump (centroids + residual codebook —
+    // training is driver-side and bit-deterministic, doubles round-trip
+    // parquet losslessly); IvfAdcSpec keeps the recall verification.
+    QueryDef("q_ivfadc_ann", trainedAnnSql("ivfadc_cents", "ivfadc_codebook")) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val model = train(emb, nlist = 16, m = 8, k = 16, iters = 6)
+      OracleDump.write(centroidDf(s, model.centroids), d, "ivfadc_cents")
+      OracleDump.write(PqOps.codebookDf(s, model.pq), d, "ivfadc_codebook")
       val enc = encode(emb, model)
       search(enc, emb,
         emb.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("embedding")),

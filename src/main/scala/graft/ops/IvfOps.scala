@@ -199,27 +199,10 @@ object IvfOps {
     * host sees the old dump or the new one, never a half-written dir
     * (mode-overwrite deletes first, leaving an empty-path window).
     */
-  private val oracleSf = "sf0.01"
   private def dumpCentroids(
       s: org.apache.spark.sql.SparkSession, d: String,
-      centroids: Array[Array[Double]]): Unit = {
-    val sf = new java.io.File(d).getName
-    if (sf == oracleSf) {
-      val target = new java.io.File(s"/tmp/graft_oracle/ivf_centroids_sph16_$sf")
-      val tmp = new java.io.File(
-        target.getParent, s".tmp_${target.getName}_${java.util.UUID.randomUUID()}")
-      KMeans.centroidDf(s, centroids).coalesce(1).write.mode("overwrite")
-        .parquet(tmp.getAbsolutePath)
-      org.apache.commons.io.FileUtils.deleteQuietly(target)
-      if (!tmp.renameTo(target)) {
-        // same-filesystem rename only fails if a concurrent run re-created
-        // the target in the gap; its dump is equally valid (deterministic
-        // fit) — drop ours
-        org.apache.commons.io.FileUtils.deleteQuietly(tmp)
-      }
-      ()
-    }
-  }
+      centroids: Array[Array[Double]]): Unit =
+    OracleDump.write(KMeans.centroidDf(s, centroids), d, "ivf_centroids_sph16")
 
   /** The shared DuckDB front half: dumped centroids + unit-normalized
     * corpus + the spherical-argmin machinery, mirroring [[unitEmb]] +

@@ -344,6 +344,95 @@ object OpqOps {
       Array.tabulate(dim, dim)((i, j) => if (i == (stride * j) % dim) 1.0 else 0.0))
   }
 
+  /** Rotation rows (i, mean, rv) for the trained-OPQ oracle dump:
+    * rv = row i of the rotation (y_j accumulates (x_i − mean_i)·rv(j)
+    * over ascending i — the exact [[rotateOne]] fold order DuckDB
+    * replays with `list(xi * rv[j+1] ORDER BY i)`). */
+  private def rotationDf(
+      s: org.apache.spark.sql.SparkSession, r: Rotation): DataFrame = {
+    import s.implicits._
+    r.rot.indices.map(i => (i.toLong, r.mean(i), r.rot(i).toSeq))
+      .toDF("i", "mean", "rv")
+  }
+
+  /** Per-cell rotation rows (cell, i, mean, rv) for the local-OPQ dump. */
+  private def localRotationsDf(
+      s: org.apache.spark.sql.SparkSession, rots: Array[Rotation]): DataFrame = {
+    import s.implicits._
+    (for { c <- rots.indices; i <- rots(c).rot.indices }
+      yield (c.toLong, i.toLong, rots(c).mean(i), rots(c).rot(i).toSeq))
+      .toDF("cell", "i", "mean", "rv")
+  }
+
+  /** Trained-OPQ oracle: the dumped dense rotation is applied by DuckDB
+    * itself (a 64×64 matvec per vector, ascending-i fold = the kernel's
+    * accumulation order — the skipped xi == 0 terms add an exact ±0.0,
+    * a no-op under IEEE round-to-nearest since the accumulator starts
+    * at +0.0), producing the rotated corpus CTE the shared IVFADC
+    * derivation then runs on with the dumped rotated-space model.
+    */
+  private def trainedOpqAnnSql: String = {
+    val evCte =
+      s"""rot AS (SELECT i, mean, rv FROM read_parquet('${OracleDump.path("opq_rotation")}')),
+         |xm AS (
+         |  SELECT e.vec_id, r.i, (CAST(e.embedding[r.i + 1] AS DOUBLE) - r.mean) AS xi, r.rv
+         |  FROM embeddings e, rot r),
+         |yv AS (
+         |  SELECT vec_id, j,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(xi * rv[j + 1] ORDER BY i)),
+         |      (a, x) -> a + x) AS y
+         |  FROM xm, (SELECT unnest(range(0, 64)) AS j) jj
+         |  GROUP BY vec_id, j),
+         |ev AS (SELECT vec_id, list(y ORDER BY j) AS de FROM yv GROUP BY vec_id)""".stripMargin
+    IvfAdcOps.trainedAnnSql("opq_ivfadc_cents", "opq_ivfadc_codebook", evCte)
+  }
+
+  /** Trained local-OPQ oracle: raw-space assignment/probes (the shared
+    * front fragment), then per-(vector, cell) residuals pushed through
+    * THAT cell's dumped rotation (dense matvec, same fold-order
+    * argument as [[trainedOpqAnnSql]]; thin cells dumped the identity),
+    * PQ-encoded against the dumped shared codebook, ADC-pooled and
+    * exactly re-ranked in the RAW space (per-cell isometries keep ADC
+    * distances L2, and `searchLocal` re-ranks against raw vectors).
+    */
+  private def localTrainedAnnSql: String =
+    s"""WITH cbl AS (SELECT b, c, cv FROM read_parquet('${OracleDump.path("lopq_codebook")}')),
+       |ev AS (SELECT vec_id, embedding::DOUBLE[] AS de FROM embeddings),
+       |cent AS (SELECT cid, ce FROM read_parquet('${OracleDump.path("lopq_cents")}')),
+       |lrot AS (SELECT cell, i, mean, rv FROM read_parquet('${OracleDump.path("lopq_rotations")}')),
+       |${IvfAdcOps.cdAsgProbeSql},
+       |vc AS (
+       |  SELECT vec_id, cell FROM asg
+       |  UNION
+       |  SELECT q_id AS vec_id, cell FROM probe),
+       |tres AS (
+       |  SELECT vc.vec_id, vc.cell, j,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list((ev.de[lr.i + 1] - ct.ce[lr.i + 1] - lr.mean) * lr.rv[j + 1] ORDER BY lr.i)),
+       |      (a, x) -> a + x) AS t
+       |  FROM vc JOIN ev ON ev.vec_id = vc.vec_id JOIN cent ct ON ct.cid = vc.cell
+       |    JOIN lrot lr ON lr.cell = vc.cell, (SELECT unnest(range(0, 64)) AS j) jj
+       |  GROUP BY vc.vec_id, vc.cell, j),
+       |trv AS (SELECT vec_id, cell, list(t ORDER BY j) AS tr FROM tres GROUP BY vec_id, cell),
+       |rdist AS (
+       |  SELECT a.vec_id, a.cell, cbl.b, cbl.c,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      [ (tv.tr[cbl.b * 8 + j + 1] - cbl.cv[j + 1]) * (tv.tr[cbl.b * 8 + j + 1] - cbl.cv[j + 1]) FOR j IN range(0, 8) ]),
+       |      (acc, x) -> acc + x) AS d
+       |  FROM asg a JOIN trv tv ON tv.vec_id = a.vec_id AND tv.cell = a.cell, cbl),
+       |enc AS (
+       |  SELECT vec_id, cell, b, c FROM (
+       |    SELECT vec_id, cell, b, c, row_number() OVER (PARTITION BY vec_id, b ORDER BY d, c) AS rn
+       |    FROM rdist)
+       |  WHERE rn = 1),
+       |qtab AS (
+       |  SELECT p.q_id, p.cell, cbl.b, cbl.c,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      [ (tv.tr[cbl.b * 8 + j + 1] - cbl.cv[j + 1]) * (tv.tr[cbl.b * 8 + j + 1] - cbl.cv[j + 1]) FOR j IN range(0, 8) ]),
+       |      (acc, x) -> acc + x) AS t
+       |  FROM probe p JOIN trv tv ON tv.vec_id = p.q_id AND tv.cell = p.cell, cbl),
+       |${IvfAdcOps.poolFinalSql}""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     // Rotate (fixed permutation) + PQ-encode (fixed dyadic codebook,
     // salt "opq") through the production kernels — hash-oracled: the
@@ -397,20 +486,37 @@ object OpqOps {
     // The full composed stack end-to-end (rotation + IVF + residual PQ
     // + exact re-rank); OpqSpec proves re-ranked results equal the
     // UNROTATED index's (isometry) and the codebook-efficiency win.
-    QueryDef.noOracle("q_opq_ivfadc_ann") { (s, d) =>
+    // ORACLED since r8 via the model dump: rotation + rotated-space
+    // IVFADC model are parquet inputs; DuckDB applies the rotation
+    // itself and replays the whole composed search.
+    QueryDef("q_opq_ivfadc_ann", trainedOpqAnnSql) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val r = trainRotation(emb, m = 8)
-      ivfadcRotated(
-        emb,
-        emb.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("embedding")),
-        r, nlist = 16, m = 8, k = 16, iters = 6, topk = 3, nprobe = 4)
+      // inlined [[ivfadcRotated]] so the trained model is in scope to
+      // dump — plan and semantics identical
+      val rotated = rotate(emb, r)
+      val rotQ = rotate(
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id"), col("embedding")), r)
+        .select(col("vec_id").as("q_id"), col("embedding"))
+      val model = IvfAdcOps.train(rotated, nlist = 16, m = 8, k = 16, iters = 6)
+      OracleDump.write(rotationDf(s, r), d, "opq_rotation")
+      OracleDump.write(IvfAdcOps.centroidDf(s, model.centroids), d, "opq_ivfadc_cents")
+      OracleDump.write(PqOps.codebookDf(s, model.pq), d, "opq_ivfadc_codebook")
+      IvfAdcOps.search(IvfAdcOps.encode(rotated, model), rotated, rotQ, model,
+        topk = 3, nprobe = 4)
     },
 
     // Per-cell rotations (local OPQ) end-to-end; LocalOpqSpec proves
-    // the per-cell isometry (re-rank == exact) and the heterogeneity win.
-    QueryDef.noOracle("q_local_opq_ann") { (s, d) =>
+    // the per-cell isometry (re-rank == exact) and the heterogeneity
+    // win. ORACLED since r8 via the model dump (cells + per-cell
+    // rotations + shared codebook).
+    QueryDef("q_local_opq_ann", localTrainedAnnSql) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val model = trainLocal(emb, nlist = 16, m = 8, k = 16, iters = 6)
+      OracleDump.write(IvfAdcOps.centroidDf(s, model.ivf.centroids), d, "lopq_cents")
+      OracleDump.write(PqOps.codebookDf(s, model.ivf.pq), d, "lopq_codebook")
+      OracleDump.write(localRotationsDf(s, model.rotations), d, "lopq_rotations")
       searchLocal(
         encodeLocal(emb, model), emb,
         emb.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("embedding")),

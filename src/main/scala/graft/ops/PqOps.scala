@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -283,9 +283,45 @@ object PqOps {
     * v·v − 2v·q + q·q, safe because list_dot_product and the native dot
     * kernel share left-to-right summation order.
     */
-  private[ops] def fixedAnnSql(salt: String): String = {
+  private[ops] def fixedAnnSql(salt: String): String =
     s"""${fixedDistCtes(salt, identity)},
-       |enc AS (
+       |$annBodySql""".stripMargin
+
+  /** The same full-search re-derivation reading the TRAINED codebook
+    * from the [[OracleDump]] parquet instead of deriving the dyadic
+    * one — the fitted model is the input (bit-exact: doubles round-trip
+    * parquet losslessly), the encode → ADC pool → re-rank OPERATOR is
+    * what the oracle checks. Same move as the trained-IVF centroid
+    * dump (`IvfOps.trainedAnnSql`).
+    */
+  private def trainedAnnSql: String =
+    s"""WITH cbl AS (
+       |  SELECT b, c, cv FROM read_parquet('${OracleDump.path("pq_codebook")}')),
+       |dist AS (
+       |  SELECT e.vec_id, cbl.b, cbl.c,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      [ (CAST(e.embedding[cbl.b * 8 + j + 1] AS DOUBLE) - cbl.cv[j + 1])
+       |        * (CAST(e.embedding[cbl.b * 8 + j + 1] AS DOUBLE) - cbl.cv[j + 1]) FOR j IN range(0, 8) ]),
+       |      (a, x) -> a + x) AS d
+       |  FROM embeddings e, cbl),
+       |$annBodySql""".stripMargin
+
+  /** Codebook rows (b, c, cv) for the trained-PQ oracle dumps (shared
+    * with the IVFADC/OPQ trained twins). */
+  private[ops] def codebookDf(s: SparkSession, model: PqModel): DataFrame = {
+    import s.implicits._
+    (for { b <- 0 until model.m; c <- 0 until model.k }
+      yield (b, c, model.codebooks(b)(c).toSeq)).toDF("b", "c", "cv")
+  }
+
+  /** Shared DuckDB back half of every PQ full-search twin: encode
+    * argmin from `dist`, ADC pool over the 10 query vectors (a query's
+    * per-(b, c) dist rows ARE its m×k ADC table), rint-identical pool
+    * rounding, exact re-rank of the 30-candidate pool. Expects a
+    * `dist(vec_id, b, c, d)` CTE in scope.
+    */
+  private def annBodySql: String = {
+    """enc AS (
        |  SELECT vec_id, b, c FROM (
        |    SELECT vec_id, b, c, row_number() OVER (PARTITION BY vec_id, b ORDER BY d, c) AS rn FROM dist)
        |  WHERE rn = 1),
@@ -335,10 +371,14 @@ object PqOps {
     },
 
     // PQ ADC + exact re-rank end-to-end: train, encode, candidate-pool
-    // score 10 queries, re-rank the pool exactly
-    QueryDef.noOracle("q_pq_ann") { (s, d) =>
+    // score 10 queries, re-rank the pool exactly. ORACLED since r8 via
+    // the codebook dump (the trained-IVF centroid-dump move): training
+    // is driver-side and bit-deterministic, the fitted codebook dumps
+    // to parquet, and DuckDB re-derives encode → ADC → re-rank from it.
+    QueryDef("q_pq_ann", trainedAnnSql) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val model = train(emb, m = 8, k = 16, iters = 6)
+      OracleDump.write(codebookDf(s, model), d, "pq_codebook")
       val enc = encode(emb, model)
       searchAdcRerank(enc, emb,
         emb.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("embedding")),

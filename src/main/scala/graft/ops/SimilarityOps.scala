@@ -195,11 +195,43 @@ object SimilarityOps {
         .orderBy("q_id", "rank")
     },
 
-    // LSH-bucketed ANN (xxhash64 hyperplanes — not DuckDB-expressible;
-    // recall vs exact is ScalaTest-verified). q_ann_lsh_md5 above is
-    // the fixed-plane oracle twin of this pipeline.
-    QueryDef.noOracle("q_ann_lsh") { (s, d) =>
-      annLsh(Tables.embeddings(s, d), col("vec_id") < 10, 3)
+    // LSH-bucketed ANN, xxhash64 hyperplanes. ORACLED since r8 via the
+    // bucket dump ([[OracleDump]]): the (vec_id, table_id, bucket)
+    // frame — the one step DuckDB cannot compute — is the input, and
+    // the OR-amplified probe join, candidate dedup, and the exact
+    // cosine re-rank (computed by DuckDB from the raw embeddings,
+    // fully independently) are what the oracle hash-checks. The
+    // hyperplane kernel's recall stays ScalaTest-verified.
+    QueryDef(
+      "q_ann_lsh",
+      s"""WITH buck AS (
+        |  SELECT vec_id, table_id, bucket
+        |  FROM read_parquet('${OracleDump.path("rhp_buckets")}')),
+        |e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS de,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        |  FROM embeddings),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id
+        |  FROM buck q JOIN buck c ON c.table_id = q.table_id AND c.bucket = q.bucket
+        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |scored AS (
+        |  SELECT cand.q_id, cand.vec_id,
+        |    round(list_dot_product(a.de, b.de) / (a.norm * b.norm), 6) AS cosine
+        |  FROM cand JOIN e a ON a.vec_id = cand.q_id JOIN e b ON b.vec_id = cand.vec_id)
+        |SELECT q_id, vec_id, cosine, CAST(rn AS BIGINT) AS rank FROM (
+        |  SELECT q_id, vec_id, cosine,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn
+        |  FROM scored)
+        |WHERE rn <= 3 ORDER BY q_id, rank""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      OracleDump.write(
+        emb.select(col("vec_id"), embDouble(col("embedding")).as("emb"))
+          .select(col("vec_id"),
+            posexplode(array((0 until 8).map(t => lshSignature(col("emb"), 4, t)): _*))
+              .as(Seq("table_id", "bucket"))),
+        d, "rhp_buckets")
+      annLsh(emb, col("vec_id") < 10, 3)
         .orderBy("q_id", "rank")
     },
 
