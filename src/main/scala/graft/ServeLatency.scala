@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+import graft.ops.Tables
+import graft.pipeline.Serve
+
+/** Warm serve-path latency probe — the reference's one real "online"
+  * surface (GET /data: readings.py:25-49 range scan + union + total
+  * order + ISO-ms formatting) measured as a SERVING loop rather than a
+  * batch query: the silver/gold frames are pinned in memory (the role
+  * the reference's Postgres buffer pool plays), then `Serve.range` —
+  * parameter parsing, both range-filtered branches, union, total sort,
+  * response projection, collect — is invoked repeatedly over rotating
+  * day windows and per-call wall latencies are reported as
+  * p50/p90/p95/p99/max. The per-call floor on a local[32] session is
+  * Spark job-scheduling overhead (~tens of ms), which is the honest
+  * single-node serving number for this engine; a deployment fronting
+  * this with sub-ms needs would keep the serve tier on the persisted
+  * TxTable gold outputs behind a real store, exactly as the reference
+  * fronts dbt outputs with Postgres.
+  *
+  * Run: `sbt "runMain graft.ServeLatency [sfDir] [calls]"` → one JSON
+  * line; recorded in BASELINE.md.
+  */
+object ServeLatency {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val calls = if (args.length > 1) args(1).toInt else 200
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // the serving store: silver readings + gold daily power, pinned
+    val e = Tables.events(spark, sfDir).filter(col("event_type").isin("view", "click"))
+    val silver = e.select(
+      date_format(col("ts"), "yyyy-MM-dd").as("reading_date"),
+      col("ts").as("reading_time"),
+      col("event_type").as("metric_name"),
+      col("value").as("metric_value")).persist()
+    val gold = e
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(
+        avg(when(col("event_type") === "view", col("value"))).as("avg_v"),
+        avg(when(col("event_type") === "click", col("value"))).as("avg_c"))
+      .filter(col("avg_v").isNotNull && col("avg_c").isNotNull)
+      .select(
+        date_format(col("d"), "yyyy-MM-dd").as("reading_date"),
+        col("d").cast(TimestampType).as("reading_time"),
+        lit("Power").as("metric_name"),
+        round(col("avg_v") * col("avg_c"), 6).as("metric_value")).persist()
+    println(s"[serve] store pinned: silver=${silver.count()} gold=${gold.count()} rows")
+
+    def call(i: Int): (Double, Long) = {
+      val fromDom = 1 + (i % 20)
+      val days = 1 + (i % 7)
+      val f = f"2024-01-$fromDom%02d"
+      val t = f"2024-01-${fromDom + days}%02d"
+      val t0 = System.nanoTime()
+      val rows = Serve.range(silver, gold, Some(f), Some(t))
+        .fold(msg => sys.error(s"serve rejected ($f,$t): $msg"), _.collect())
+      ((System.nanoTime() - t0) / 1e6, rows.length.toLong)
+    }
+    (1 to 20).foreach(call) // warm the plans/codegen outside the window
+    val timed = (1 to calls).map(call)
+    val lat = timed.map(_._1).sorted
+    def pct(p: Double) = lat((p * (lat.size - 1)).round.toInt)
+    println(
+      f"""{"metric":"serve_latency","sf":"$sfDir","calls":$calls,"rows_per_call_avg":${timed.map(_._2).sum / calls},"p50_ms":${pct(0.50)}%.1f,"p90_ms":${pct(0.90)}%.1f,"p95_ms":${pct(0.95)}%.1f,"p99_ms":${pct(0.99)}%.1f,"max_ms":${lat.last}%.1f}""")
+    spark.stop()
+  }
+}

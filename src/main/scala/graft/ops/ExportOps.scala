@@ -46,7 +46,37 @@ object ExportOps {
     */
   def writeShards(
       df: DataFrame, path: String, orderCol: String,
+      rowsPerShard: Long): ShardManifest =
+    writeShardsDropping(df, path, orderCol, rowsPerShard, Nil)
+
+  /** Epoch-reshuffled shard export — the dataloader contract a
+    * multi-epoch training run needs: each epoch's export is a DISTINCT
+    * deterministic permutation of the same corpus (seeded md5 shuffle
+    * key, the [[ProfileOps]] `q_corpus_shuffle` construction with the
+    * zero-padded unique id appended so the order never depends on
+    * md5-collision luck), with the SAME manifest/checksum guarantees:
+    * per-shard checksums differ per epoch (membership moved), but the
+    * xor-fold of all shard checksums is epoch-INVARIANT (it telescopes
+    * to the whole-corpus row-hash xor), so content identity across
+    * epochs is verifiable from manifests alone — no data re-read. The
+    * shuffle key is dropped before the write: epoch files carry
+    * identical schema and identical total content, only the grouping
+    * into shards moves.
+    */
+  def writeEpochShards(
+      df: DataFrame, path: String, orderCol: String, epochSeed: Long,
       rowsPerShard: Long): ShardManifest = {
+    val ek = SkewOps.freshName(df, "ekey")
+    writeShardsDropping(
+      df.withColumn(ek, concat(
+        md5(concat_ws(":", lit(epochSeed).cast("string"), col(orderCol).cast("string"))),
+        lpad(col(orderCol).cast("string"), 20, "0"))),
+      path, ek, rowsPerShard, Seq(ek))
+  }
+
+  private def writeShardsDropping(
+      df: DataFrame, path: String, orderCol: String,
+      rowsPerShard: Long, dropAtWrite: Seq[String]): ShardManifest = {
     val spark = df.sparkSession
     val one = SkewOps.freshName(df, "one")
     val rowNo = SkewOps.freshName(df, "row")
@@ -57,6 +87,10 @@ object ExportOps {
     sharded
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col(orderCol))
+      // dropped AFTER the sort: a projection is narrow, so the
+      // within-partition order survives while the helper key stays out
+      // of the files (and out of the manifest's column checksum)
+      .drop(dropAtWrite: _*)
       .write.partitionBy("shard").mode("overwrite").parquet(path)
 
     // manifest from ONE aggregate over what was just written (reading

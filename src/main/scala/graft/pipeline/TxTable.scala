@@ -603,6 +603,13 @@ object TxTable {
       }.toSeq
   }
 
+  /** Default reader-retention horizon for [[vacuum]]: a reader that
+    * pinned a manifest is guaranteed its files for this long AFTER the
+    * manifest is superseded. 10 minutes covers any sane scan at this
+    * table's scale; a deployment with long-running readers raises it
+    * (the Delta-style knob — its default there is 7 days). */
+  val DefaultVacuumRetainMs: Long = 10L * 60L * 1000L
+
   /** Drop version dirs no longer referenced by the latest manifest (and
     * superseded manifests). Safe to run concurrently with a writer: an
     * unreferenced dir at least as new as the latest manifest may be an
@@ -610,20 +617,51 @@ object TxTable {
     * strictly older than the current manifest — provably abandoned or
     * superseded — are deleted. Crash debris therefore survives one
     * vacuum and is collected after the next successful commit.
+    *
+    * READER RETENTION CONTRACT (r8): a reader pins a version by taking
+    * the latest manifest at scan start ([[latest]]/[[readAt]]); its
+    * files must outlive the scan even if a writer commits and vacuums
+    * meanwhile. A superseded manifest vi is therefore only collected —
+    * with the version dirs ONLY it references — once it has been stale
+    * for at least `retainMs`, where "stale since" is the commit time
+    * (mtime) of the manifest that superseded it (v_{i+1}). Within the
+    * horizon, vi's referenced dirs AND vi's manifest file both survive,
+    * so an in-flight reader of vi (and a [[readAt]] time-travel to vi)
+    * stays consistent. The contract is: readers complete within
+    * `retainMs` of being superseded, or re-pin and retry on
+    * FileNotFound — the same contract Delta's vacuum retention defines.
+    * `retainMs = 0` restores eager collection (tests, offline rebuilds).
     */
-  def vacuum(spark: SparkSession, root: String): Unit = {
+  def vacuum(spark: SparkSession, root: String,
+      retainMs: Long = DefaultVacuumRetainMs): Unit = {
     val f = fs(spark, root)
     val (v, entries) = latest(spark, root)
     if (v == 0) return
     val manifestMtime =
       f.getFileStatus(new Path(logDir(root), manifestName(v))).getModificationTime
-    val live = entries.values.flatMap(dirsOf).map(_.takeWhile(_ != '/')).toSet
+    val now = System.currentTimeMillis()
+    // superseded manifests still inside the retention horizon: vi is
+    // stale since mtime(manifest v_{i+1}); protect vi (and its dirs)
+    // until now - staleSince >= retainMs
+    val versions = f.listStatus(new Path(logDir(root)))
+      .map(_.getPath.getName).filter(_.endsWith(".manifest"))
+      .map(_.stripSuffix(".manifest").toLong).sorted
+    val staleSince: Map[Long, Long] = versions.zip(versions.drop(1)).map {
+      case (vi, vnext) =>
+        vi -> f.getFileStatus(new Path(logDir(root), manifestName(vnext))).getModificationTime
+    }.toMap
+    val retained = versions.filter(vi =>
+      vi < v && staleSince.get(vi).exists(t => now - t < retainMs))
+    val live = (entries.values.flatMap(dirsOf) ++ retained.flatMap { vi =>
+      parseManifest(f, new Path(logDir(root), manifestName(vi))).values.flatMap(dirsOf)
+    }).map(_.takeWhile(_ != '/')).toSet
     f.listStatus(new Path(root)).foreach { st =>
       val p = st.getPath
       if (p.getName.startsWith("v") && !live.contains(p.getName) && p.getName != "_txlog" &&
           st.getModificationTime < manifestMtime)
         f.delete(p, true)
     }
+    val retainedSet = retained.toSet
     f.listStatus(new Path(logDir(root))).foreach { st =>
       val p = st.getPath
       val n = p.getName
@@ -635,7 +673,9 @@ object TxTable {
       // provably crash debris (their publish either won long ago or died).
       if (n.endsWith(".tmp") && n.contains(".manifest")) {
         if (st.getModificationTime < manifestMtime) f.delete(p, false)
-      } else if (n.endsWith(".manifest") && n.stripSuffix(".manifest").toLong < v)
+      } else if (n.endsWith(".manifest") &&
+          n.stripSuffix(".manifest").toLong < v &&
+          !retainedSet.contains(n.stripSuffix(".manifest").toLong))
         f.delete(p, false)
     }
   }

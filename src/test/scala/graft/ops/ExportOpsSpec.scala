@@ -96,6 +96,44 @@ class ExportOpsSpec extends AnyFunSuite {
     assert(bySrc.length === 1, "every stripe must see the same number of sources")
   }
 
+  test("writeEpochShards: distinct deterministic orders per epoch, epoch-invariant content checksum") {
+    val root = Files.createTempDirectory("epochs").toFile.getAbsolutePath
+    val docs = corpus(3000L)
+    val e0 = ExportOps.writeEpochShards(docs, s"$root/e0", "doc_id", epochSeed = 0L, 500L)
+    val e1 = ExportOps.writeEpochShards(docs, s"$root/e1", "doc_id", epochSeed = 1L, 500L)
+    val e0again = ExportOps.writeEpochShards(docs, s"$root/e0b", "doc_id", epochSeed = 0L, 500L)
+
+    // same epoch seed => byte-identical manifest (deterministic reshuffle)
+    assert(e0again.shards === e0.shards)
+    // different seeds => the permutation actually moved: shard
+    // membership differs (checksums can't all agree)
+    assert(e0.shards.map(_.checksum) !== e1.shards.map(_.checksum))
+    // both epochs shard the full corpus into equal blocks
+    assert(e0.totalRows === 3000L && e1.totalRows === 3000L)
+    assert(e0.shards.forall(_.rows === 500L) && e1.shards.forall(_.rows === 500L))
+
+    // content identity across epochs, from MANIFESTS ALONE: the xor of
+    // per-shard checksums telescopes to the whole-corpus row-hash xor,
+    // which no permutation can change
+    def foldXor(m: ExportOps.ShardManifest) = m.shards.map(_.checksum).reduce(_ ^ _)
+    assert(foldXor(e0) === foldXor(e1))
+    assert(foldXor(e0) === foldXor(e0again))
+
+    // the shuffle key never reaches the files: schema is the corpus schema
+    val back0 = spark.read.parquet(s"$root/e0")
+    assert(back0.columns.sorted.toSeq === (docs.columns :+ "shard").sorted.toSeq)
+    // an epoch file set round-trips the exact corpus
+    assert(back0.drop("shard").orderBy("doc_id").collect().toSeq ===
+      docs.orderBy("doc_id").collect().toSeq)
+    // shard 0 of epoch 0 is NOT a contiguous id block (the point of
+    // reshuffling) while remaining deterministic
+    val s0 = back0.filter(col("shard") === 0).agg(min("doc_id"), max("doc_id")).head()
+    assert(s0.getLong(1) - s0.getLong(0) > 500L, "epoch shard must interleave the id space")
+    // both epoch exports verify against their own manifests
+    assert(ExportOps.verifyShards(spark, s"$root/e0").filter(!col("checksum_ok")).count() === 0)
+    assert(ExportOps.verifyShards(spark, s"$root/e1").filter(!col("checksum_ok")).count() === 0)
+  }
+
   test("verifyShards passes on intact shards and fails on tampering") {
     val root = Files.createTempDirectory("shards2").toFile.getAbsolutePath
     ExportOps.writeShards(corpus(3000L), s"$root/t", "doc_id", 1000L)

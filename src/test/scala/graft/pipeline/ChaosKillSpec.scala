@@ -1,0 +1,107 @@
+package graft.pipeline
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{ChaosIngestChild, SparkTestSession}
+
+/** Kill-and-restore under load: a SEPARATE JVM runs the composed
+  * streaming ingest (quality → DedupIndex → TxTable) and is SIGKILLed
+  * while a micro-batch is in flight — after ≥1 batch has committed, so
+  * real checkpoint/index/corpus state exists to corrupt. The stream is
+  * then restarted IN-PROCESS from the same checkpoint and drained.
+  *
+  * Exactly-once is asserted the strongest way available: the recovered
+  * corpus must equal, row for row, the corpus of a CONTROL run of the
+  * identical stream (same files, same per-file batching) that was never
+  * killed — no row lost to the kill, no row duplicated by the replay of
+  * the in-flight batch, and the persisted dedup index converges to the
+  * same accepted set. The graceful-restart halves of this contract are
+  * StreamingDedupSpec/DedupIndexSpec territory; this spec covers the
+  * NON-graceful half the round-7 verdict called out as untested.
+  */
+class ChaosKillSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  // the forked-test JVM options Spark needs on JDK 17 (build.sbt's
+  // list) — the child JVM needs them too
+  private val jdk17AddOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  test("SIGKILL mid-micro-batch; checkpoint restart converges to the never-killed corpus exactly") {
+    val base = Files.createTempDirectory("chaos").toFile.getAbsolutePath
+    val src = s"$base/src"
+    val markers = new File(s"$base/markers"); markers.mkdirs()
+
+    // 6 input files = 6 micro-batches; the Soak corpus generator plants
+    // near-dup families so the DedupIndex gate does real cross-batch work
+    graft.Soak.genDocsPublic(spark, 3000L)
+      .repartitionByRange(6, col("doc_id"))
+      .write.parquet(src)
+
+    // ---- control: identical stream, never killed, fresh roots
+    ChaosIngestChild.run(spark, src,
+      s"$base/ctl_corpus", s"$base/ctl_index", s"$base/ctl_ckpt", None)
+    val control = TxTable.read(spark, s"$base/ctl_corpus")
+      .select("doc_id", "text", "lang", "source")
+    val controlRows = control.collect().map(_.toSeq).toSet
+    assert(controlRows.nonEmpty, "control ingest must accept documents")
+
+    // ---- chaos: child JVM, SIGKILL once batch ≥1 is in flight
+    val java = s"${System.getProperty("java.home")}/bin/java"
+    val cmd = Seq(java) ++ jdk17AddOpens ++ Seq(
+      "-Xmx4g", "-Dspark.ui.enabled=false",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.ChaosIngestChild",
+      src, s"$base/corpus", s"$base/index", s"$base/ckpt", markers.getAbsolutePath)
+    val proc = new ProcessBuilder(cmd: _*)
+      .redirectOutput(new File(s"$base/child.log"))
+      .redirectErrorStream(true)
+      .start()
+    def marker(n: String) = new File(markers, n).exists()
+    val deadline = System.currentTimeMillis() + 180000L
+    var killedBatch = -1L
+    while (killedBatch < 0 && System.currentTimeMillis() < deadline && proc.isAlive) {
+      // kill as soon as some batch k ≥ 1 has STARTED and not finished:
+      // batch 0's commit guarantees pre-existing state, and the poll
+      // granularity lands the SIGKILL inside batch k's ingest (or in
+      // the replay window between its sink writes and its checkpoint
+      // commit — both are the crash shapes under test)
+      (1L to 5L).find(k => marker(s"start-$k") && !marker(s"done-$k"))
+        .foreach { k => proc.destroyForcibly(); killedBatch = k }
+      if (killedBatch < 0) Thread.sleep(20L)
+    }
+    assert(killedBatch >= 1, s"child never reached a killable batch (alive=${proc.isAlive})")
+    proc.waitFor()
+    assert(!marker("done-5"), "the kill must have preempted the drain — otherwise nothing was tested")
+
+    // ---- restore: same checkpoint, in-process, drain to completion
+    ChaosIngestChild.run(spark, src, s"$base/corpus", s"$base/index", s"$base/ckpt", None)
+
+    // ---- exactly-once: recovered corpus == control corpus, row for row
+    val recovered = TxTable.read(spark, s"$base/corpus")
+      .select("doc_id", "text", "lang", "source")
+    val recoveredRows = recovered.collect().map(_.toSeq).toSet
+    assert(recovered.count() === recovered.select("doc_id").distinct().count(),
+      "no doc_id may appear twice — the replayed batch must not double-append")
+    assert(recoveredRows === controlRows,
+      "kill+restore must converge to the never-killed corpus: no loss, no dups")
+
+    // the persisted index converged too: both runs indexed the same
+    // accepted doc set (the index's rows are the survivors' bands)
+    def indexedIds(root: String) = TxTable.read(spark, root)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(indexedIds(s"$base/index") === indexedIds(s"$base/ctl_index"),
+      "dedup-index accepted sets must match after recovery")
+  }
+}

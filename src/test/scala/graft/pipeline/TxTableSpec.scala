@@ -54,14 +54,14 @@ class TxTableSpec extends AnyFunSuite {
     // a tmp at least as new as the latest manifest gets the same
     // modification-time grace as data dirs (it may be a LIVE concurrent
     // casManifest between create and link) — one vacuum leaves it alone
-    TxTable.vacuum(spark, root)
+    TxTable.vacuum(spark, root, retainMs = 0L) // eager mode: no reader grace
     assert(new java.io.File(tmp.toString).exists(),
       "fresh tmp survives vacuum — it is indistinguishable from an in-flight publish")
     assert(snapshot(root) == Set("d1" -> 1.0))
     // after the NEXT successful commit the tmp is provably debris
     // (strictly older than the new latest manifest) and is collected
     TxTable.commit(spark, root, rows("d2" -> 2.0), "day")
-    TxTable.vacuum(spark, root)
+    TxTable.vacuum(spark, root, retainMs = 0L) // eager mode: no reader grace
     assert(!new java.io.File(tmp.toString).exists(),
       "tmp older than the latest manifest is crash debris — collected")
     assert(snapshot(root) == Set("d1" -> 1.0, "d2" -> 2.0))
@@ -76,7 +76,7 @@ class TxTableSpec extends AnyFunSuite {
     def versionDirs() =
       new java.io.File(root).listFiles().map(_.getName).filter(_.startsWith("v")).toSet
     assert(versionDirs().size == 3, "three commits -> three version dirs")
-    TxTable.vacuum(spark, root)
+    TxTable.vacuum(spark, root, retainMs = 0L) // eager mode: no reader grace
     // v2's dir (fully superseded) is gone; v1's survives because d2
     // still lives there, v3's is the live d1
     val live = versionDirs()
@@ -95,10 +95,39 @@ class TxTableSpec extends AnyFunSuite {
     assert(at(1) == Set("d1" -> 1.0, "d2" -> 2.0), "v1 frozen")
     assert(at(2) == Set("d1" -> 10.0, "d2" -> 2.0), "v2 = latest")
     intercept[IllegalArgumentException](TxTable.readAt(spark, root, 3))
-    TxTable.vacuum(spark, root)
+    TxTable.vacuum(spark, root, retainMs = 0L) // eager mode: no reader grace
     // superseded manifest removed -> v1 no longer travelable, v2 intact
     intercept[IllegalArgumentException](TxTable.readAt(spark, root, 1))
     assert(at(2) == Set("d1" -> 10.0, "d2" -> 2.0))
+  }
+
+  test("vacuum retention: a reader pinned to a superseded manifest keeps its files inside the horizon") {
+    val root = Files.createTempDirectory("txtable_ret").toFile.getAbsolutePath + "/t"
+    TxTable.commit(spark, root, rows("d1" -> 1.0), "day") // v1
+    // a long scan pins v1 BEFORE the writer supersedes it
+    val pinned = TxTable.readAt(spark, root, 1)
+      .select(col("day").cast("string"), col("value"))
+    TxTable.commit(spark, root, rows("d1" -> 10.0), "day") // v2 fully supersedes v1's dir
+    def versionDirs() =
+      new java.io.File(root).listFiles().map(_.getName).filter(_.startsWith("v")).toSet
+
+    // default-retention vacuum runs between the reader's pin and its
+    // collect — the exact race the contract exists for
+    TxTable.vacuum(spark, root)
+    assert(versionDirs().exists(_.startsWith("v1-")),
+      "v1 superseded moments ago is inside the retention horizon — its dir must survive")
+    assert(pinned.collect().map(r => (r.getString(0), r.getDouble(1))).toSet ==
+      Set("d1" -> 1.0), "the pinned reader completes against the retained files")
+    // the superseded manifest is retained too, so a fresh time-travel
+    // to v1 inside the horizon still works
+    assert(TxTable.readAt(spark, root, 1).count() === 1L)
+
+    // past the horizon (simulated with retainMs = 0) the contract ends:
+    // v1's dir and manifest are collected, readers must re-pin
+    TxTable.vacuum(spark, root, retainMs = 0L)
+    assert(!versionDirs().exists(_.startsWith("v1-")), "past the horizon v1 is collected")
+    intercept[IllegalArgumentException](TxTable.readAt(spark, root, 1))
+    assert(snapshot(root) == Set("d1" -> 10.0), "latest is untouched throughout")
   }
 
   test("vacuum running concurrently with a commit never deletes the in-flight staged dir") {
@@ -106,7 +135,7 @@ class TxTableSpec extends AnyFunSuite {
     TxTable.commit(spark, root, rows("d1" -> 1.0), "day")
     // a second writer has staged v2 but not yet published when vacuum runs
     val staged = TxTable.stage(spark, root, rows("d1" -> 2.0), "day")
-    TxTable.vacuum(spark, root)
+    TxTable.vacuum(spark, root, retainMs = 0L) // eager mode: no reader grace
     assert(new java.io.File(s"$root/$staged").exists(),
       "staged-not-yet-published dir (newer than the latest manifest) must survive vacuum")
     TxTable.publish(spark, root, staged, "day")
@@ -166,7 +195,7 @@ class TxTableSpec extends AnyFunSuite {
     val before = snapshot(root)
     TxTable.compactAll(spark, root, "day")
     assert(snapshot(root) == before, "compaction must not change table contents")
-    TxTable.vacuum(spark, root)
+    TxTable.vacuum(spark, root, retainMs = 0L) // eager mode: no reader grace
     val live = new java.io.File(root).listFiles().map(_.getName).filter(_.startsWith("v")).toSet
     assert(live.size == 1, s"after compact+vacuum exactly ONE version dir survives: $live")
     assert(snapshot(root) == before, "read identical after vacuum")
@@ -235,7 +264,7 @@ class TxTableSpec extends AnyFunSuite {
     assert(snapshot(root) == Set("d1" -> 1.0, "d1" -> 2.0, "d1" -> 3.0),
       "no lost append: all three rows visible")
     // vacuum keeps every dir a multi-dir entry references
-    TxTable.vacuum(spark, root)
+    TxTable.vacuum(spark, root, retainMs = 0L) // eager mode: no reader grace
     assert(snapshot(root) == Set("d1" -> 1.0, "d1" -> 2.0, "d1" -> 3.0))
     // and deleteWhere still rewrites the fragmented partition correctly
     assert(TxTable.deleteWhere(spark, root, "day", col("value") === 2.0) == 1L)
@@ -255,7 +284,7 @@ class TxTableSpec extends AnyFunSuite {
     assert(h.map(x => (x._3, x._4)) == Seq((2, 2), (2, 3), (2, 4)),
       s"partition/dir counts must show the append fragmentation: $h")
     TxTable.compactAll(spark, root, "day")
-    TxTable.vacuum(spark, root)
+    TxTable.vacuum(spark, root, retainMs = 0L) // eager mode: no reader grace
     val h2 = TxTable.history(spark, root)
     assert(h2.map(_._1) == Seq(4L), "vacuum drops superseded versions from history")
     assert(h2.head._3 == 2 && h2.head._4 == 2, "compaction collapses dirs to one per partition")
@@ -269,7 +298,7 @@ class TxTableSpec extends AnyFunSuite {
     val frag = TxTable.latest(spark, root)._2("d1")
     assert(frag.split("\t").length == 3, s"three appends -> three dirs: $frag")
     TxTable.compactAll(spark, root, "day")
-    TxTable.vacuum(spark, root)
+    TxTable.vacuum(spark, root, retainMs = 0L) // eager mode: no reader grace
     assert(!TxTable.latest(spark, root)._2("d1").contains("\t"))
     assert(snapshot(root) == Set("d1" -> 1.0, "d1" -> 2.0, "d1" -> 3.0))
     val live = new java.io.File(root).listFiles().map(_.getName).filter(_.startsWith("v")).toSet
