@@ -69,17 +69,23 @@ object GraphOps {
     * partitions sized to the measured working set (1 per 250k rows,
     * floor 1, capped at the caller's setting — at 100 TB the row term
     * saturates the cap and nothing changes); whole-stage codegen gated
-    * on the SAME size evidence as loopParts (the
-    * [[DedupOps.connectedComponentsStar]] discipline): below 250k
-    * working rows each round is a distinct plan (fresh exprIds), so
-    * codegen compiles k unique throwaway classes for 3-operator stages
-    * over small frames and measured janino time exceeded execution time
-    * per round — above the threshold the rounds do real per-row work,
-    * codegen pays for itself, and it stays ON (at 100 TB edge volumes
-    * the off-branch never triggers). Conf is session-local, so none of
-    * this leaks to the caller's queries; plans cross sessions zero-copy
-    * via global temp views.
+    * on measured size (the [[DedupOps.connectedComponentsStar]]
+    * DISCIPLINE, but the graph loops' own measured threshold): each
+    * round is a distinct plan (fresh exprIds), so codegen compiles k
+    * unique throwaway classes whose janino cost only amortizes once the
+    * rounds move real volume. Measured crossover (BENCH r7/r8 +
+    * SOAK_r8_graph_100M): at 2.4M edges codegen-off wins (q_pagerank
+    * 5.7 s vs 7.4 s with codegen on), at 10M edges codegen-on wins
+    * (23.6 s vs ~29 s extrapolated from the r7 codegen-off soak) — the
+    * gate sits between the two measured points, NOT at the CC loop's
+    * 250k (its per-round stages are 2-column min-aggs; the rank rounds
+    * carry a join + agg + projection chain whose interpreted eval stays
+    * cheap longer). At 100 TB edge volumes the off-branch never
+    * triggers. Conf is session-local, so none of this leaks to the
+    * caller's queries; plans cross sessions zero-copy via global temp
+    * views.
     */
+  private val loopCodegenMinRows = 4000000L
   private def loopSession(
       spark: org.apache.spark.sql.SparkSession, workingRows: Long) = {
     val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toLong
@@ -91,7 +97,7 @@ object GraphOps {
     }
     loop.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
     loop.conf.set("spark.sql.adaptive.enabled", "false")
-    if (workingRows < 250000L)
+    if (workingRows < loopCodegenMinRows)
       loop.conf.set("spark.sql.codegen.wholeStage", "false")
     loop
   }
