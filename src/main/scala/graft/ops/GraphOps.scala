@@ -320,36 +320,52 @@ object GraphOps {
     * peel cascades. `peels` is FIXED (the [[pagerank]] oracle scheme —
     * a convergence test could stop at different rounds on different
     * engines); at the query's k the cascade provably settles inside the
-    * budget (verified 8-peel == 10-peel at every SF). Each round is one
-    * degree aggregate + two semi-joins; the keep-set broadcasts under
-    * the same node bound as the rank loops, and the shrinking edge set
-    * is re-checkpointed per round — the peel references each round's
-    * output twice (degree + filter), so an uncut plan would double per
-    * round like the CC star chain. Returns the surviving (node,
-    * core_deg) — the canonical graph-shaped quality gate (spam farms
-    * and boilerplate rings live in dense cores; singletons and tendrils
-    * peel away).
+    * budget (verified 8-peel == 10-peel at every SF). Returns the
+    * surviving (node, core_deg) — the canonical graph-shaped quality
+    * gate (spam farms and boilerplate rings live in dense cores;
+    * singletons and tendrils peel away).
+    *
+    * DELTA-PEELING (r8 — the 100M-edge soak exposed the old shape):
+    * the previous implementation re-filtered AND re-checkpointed the
+    * full shrinking edge set every round (two semi-joins, one
+    * reshuffling all edges on dst), so 8 peels cost 8 × O(E) exchanges
+    * — measured 17.4× wall at 10× edges once the per-round ~1.6 GB
+    * exchanges crossed the local spill regime (SCALE.md §12c). The
+    * rewrite communicates only REMOVALS: edges pin ONCE partitioned on
+    * dst; per round, the removal set R = {alive, deg < k} (node-sized)
+    * joins the pinned edges on dst to produce per-neighbor decrements,
+    * and the node-sized degree frame updates. Every edge contributes to
+    * exactly one removal event, so TOTAL join volume across ALL rounds
+    * is ≤ O(E) — the per-round cost is proportional to the cascade
+    * actually happening, not the graph. Survivor core_deg needs no
+    * final edge pass: the maintained degree IS the within-survivors
+    * degree (deg-0 survivors are dropped to match the edge-derived
+    * output of the peel formulation exactly — the oracle's unrolled SQL
+    * is unchanged and still hash-checks this row for row). R broadcasts
+    * under the node-count guard; above it R shuffles to the pinned
+    * edges' partitioning — per-round exchange bytes ∝ |R|, never ∝ E,
+    * which is the 1B-node shape.
     *
     * `converge = true` is the LIBRARY mode: after the fixed budget it
-    * keeps peeling until an edge-count fixpoint (one O(1) count read
-    * per extra round — the CC convergence discipline), so the result
-    * is the true k-core and every survivor's core_deg ≥ k is an
-    * invariant (spec-enforced). The oracle query keeps the default
-    * fixed-round mode because a convergence test is not expressible as
-    * a static unrolled SQL twin; its k is chosen so the budget
-    * provably suffices (8-peel == 10-peel at every SF).
+    * keeps peeling until R is empty (the removal count is read off the
+    * round's own driver-side bookkeeping), so the result is the true
+    * k-core and every survivor's core_deg ≥ k is an invariant
+    * (spec-enforced). The oracle query keeps the default fixed-round
+    * mode because a convergence test is not expressible as a static
+    * unrolled SQL twin.
     */
   def kCore(
       edges: DataFrame, k: Int, peels: Int = 8,
       converge: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
-    val e0 = edges.repartition(col("src")).localCheckpoint(false)
+    // pin edges ONCE, partitioned on dst — the side every round's
+    // removal join probes; never re-materialized again
+    val e0 = edges.repartition(col("dst")).localCheckpoint(false)
     val nEdges = e0.count()
-    // guard on the NODE count (the keep set's size bound), not the edge
-    // count: a 24M-edge graph over 2.4M nodes still broadcasts its
-    // keep set (~20 MB build), keeping every peel round map-only —
-    // measured 83 s → 25 s at exactly that shape. One distinct-count
-    // job over the pinned edges buys the right strategy for 8 rounds
+    // guard on the NODE count (the removal set's size bound), not the
+    // edge count: R ⊆ nodes, so a small node set broadcasts every
+    // round's removals (~20 MB ceiling at 2.4M nodes) and the rounds
+    // stay map-only over the pinned edges
     val nNodes = e0.select(col("src")).distinct().count()
     val small = nNodes <= broadcastRanksMaxNodes
     val loop = loopSession(spark, nEdges)
@@ -357,31 +373,32 @@ object GraphOps {
     val (ev, ov) = (s"graft_kc_e_$tag", s"graft_kc_o_$tag")
     try {
       e0.createOrReplaceGlobalTempView(ev)
-      var e = loop.table(s"global_temp.$ev")
-      def peelOnce(cur: DataFrame): DataFrame = {
-        val keep = cur.groupBy(col("src")).agg(count(lit(1)).as("kc_d"))
-          .filter(col("kc_d") >= k).select(col("src").as("kc_node"))
-        val kb = if (small) broadcast(keep) else keep
-        cur.join(kb, col("src") === col("kc_node"), "left_semi")
-          .join(kb, col("dst") === col("kc_node"), "left_semi")
-          .localCheckpoint(false)
-      }
-      for (_ <- 1 to peels) e = peelOnce(e)
-      if (converge) {
-        // run to the edge-count fixpoint: a peel that removes nothing
-        // proves every survivor has ≥ k surviving neighbors (bounded:
-        // each non-final round strictly shrinks the edge set)
-        var before = e.count()
-        var stable = false
-        while (!stable) {
-          e = peelOnce(e)
-          val after = e.count()
-          stable = after == before
-          before = after
+      val e = loop.table(s"global_temp.$ev")
+      // alive nodes with their CURRENT degree (within the alive set)
+      var deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint(false)
+      var emptied = false // R empty ⇒ fixpoint: further peels are no-ops
+      def peelOnce(): Unit = {
+        if (!emptied) {
+          val r = deg.filter(col("deg") < k).select(col("node").as("r_node"))
+            .localCheckpoint(false) // referenced twice (join + count); node-sized
+          if (r.isEmpty) { emptied = true }
+          else {
+            val dec = e.join(if (small) broadcast(r) else r, col("dst") === col("r_node"))
+              .groupBy(col("src")).agg(count(lit(1)).as("kc_dec"))
+            deg = deg.filter(col("deg") >= k)
+              .join(dec, col("node") === col("src"), "left")
+              .select(col("node"), (col("deg") - coalesce(col("kc_dec"), lit(0L))).as("deg"))
+              .localCheckpoint(false) // node-sized lineage cut per round
+          }
         }
       }
-      e.groupBy(col("src").as("node"))
-        .agg(count(lit(1)).as("core_deg"))
+      for (_ <- 1 to peels) peelOnce()
+      if (converge) while (!emptied) peelOnce()
+      // deg-0 survivors have no edges in the peeled subgraph — the
+      // edge-derived formulation (and the SQL twin) never emits them
+      deg.filter(col("deg") > 0)
+        .select(col("node"), col("deg").as("core_deg"))
         .localCheckpoint(true)
         .createOrReplaceGlobalTempView(ov)
       spark.table(s"global_temp.$ov")
@@ -462,6 +479,87 @@ object GraphOps {
     * the basket-size cap, so the edge build is O(orders · width²), one
     * shuffle on orderkey).
     */
+  /** Deterministic label propagation (synchronous min-mode LPA,
+    * Raghavan et al. '07 made order-free): labels start as node ids;
+    * each FIXED round every node adopts the most frequent label among
+    * its neighbors, ties to the smallest label. The classic
+    * asynchronous sweep is visit-order-dependent — useless under a
+    * cross-engine hash oracle — while the synchronous min-mode variant
+    * is a pure function of the graph, and its state is integer-only,
+    * so the unrolled SQL twin is hash-EXACT (no float-ranking caveat).
+    * Communities on a co-occurrence graph are the domain-clustering
+    * signal a data-mixing pipeline feeds sampling weights from.
+    *
+    * Scale shape: edges pin ONCE partitioned on dst (the side every
+    * round's vote join probes); per round one join edges⋈labels plus a
+    * two-level aggregate — (src, label) partial counts map-side, then
+    * an argmax per src via struct-max (partial-aggregable, no window
+    * over the full vote set). All shuffle volume is edge-bound; the
+    * node-sized label frame broadcasts under the same node-count guard
+    * as the rank loops, and falls back to a shuffle join above it.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = 5): DataFrame = {
+    val spark = edges.sparkSession
+    val e0 = edges.repartition(col("dst")).localCheckpoint(false)
+    val nEdges = e0.count()
+    val nNodes = e0.select(col("src")).distinct().count()
+    val small = nNodes <= broadcastRanksMaxNodes
+    val loop = loopSession(spark, nEdges)
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val (ev, ov) = (s"graft_lp_e_$tag", s"graft_lp_o_$tag")
+    try {
+      e0.createOrReplaceGlobalTempView(ev)
+      val e = loop.table(s"global_temp.$ev")
+      var labels = e.select(col("src").as("node")).distinct()
+        .withColumn("lbl", col("node"))
+      for (i <- 1 to iters) {
+        val lb = (if (small) broadcast(labels) else labels)
+          .select(col("node").as("lp_n"), col("lbl"))
+        val next = e.join(lb, col("dst") === col("lp_n"))
+          .groupBy(col("src"), col("lbl"))
+          .agg(count(lit(1)).as("lp_c"))
+          // argmax by (count, then SMALLEST label): max of (c, -lbl)
+          // picks max count and, among ties, the max negated label =
+          // the min label — one partial-aggregable pass, no window
+          .groupBy(col("src").as("node"))
+          .agg(max(struct(col("lp_c").as("c"), (-col("lbl")).as("nl"))).as("m"))
+          .select(col("node"), (-col("m.nl")).as("lbl"))
+        // node-sized lineage cut per round (the CC discipline)
+        labels = if (i < iters) next.localCheckpoint(false) else next
+      }
+      labels.select(col("node"), col("lbl").as("community"))
+        .localCheckpoint(true)
+        .createOrReplaceGlobalTempView(ov)
+      spark.table(s"global_temp.$ov")
+    } finally {
+      spark.catalog.dropGlobalTempView(ev)
+      spark.catalog.dropGlobalTempView(ov)
+      ()
+    }
+  }
+
+  /** [[labelPropagation]] as unrolled SQL over an `e(src, dst)` CTE.
+    * `e` is MATERIALIZED (referenced every round); each round's label
+    * CTE is referenced once, so the chain stays linear. The SQL argmax
+    * is the window formulation (count DESC, label ASC) — integer-only,
+    * so it matches the Spark struct-max bit-for-bit.
+    */
+  def labelPropagationSql(edgeCte: String, iters: Int = 5): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT node, lbl FROM (
+         |    SELECT e.src AS node, l.lbl,
+         |      row_number() OVER (PARTITION BY e.src ORDER BY count(*) DESC, l.lbl) AS rn
+         |    FROM e JOIN l${i - 1} l ON l.node = e.dst
+         |    GROUP BY e.src, l.lbl)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED ($edgeCte),
+       |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
+       |$rounds
+       |SELECT node, lbl AS community FROM l$iters ORDER BY node""".stripMargin
+  }
+
   private def coOrderEdges(
       s: org.apache.spark.sql.SparkSession, d: String,
       yearSlice: Boolean = false) = {
@@ -555,5 +653,13 @@ object GraphOps {
       clusteringCoefficients(coOrderEdges(s, d, yearSlice = true))
         .orderBy(col("cc").desc, col("node"))
         .limit(100)
+    },
+
+    // synchronous min-mode label propagation on the 1995 co-order
+    // slice: co-purchase communities, per-node assignment hash-exact
+    // (integer-only state — see labelPropagation)
+    QueryDef("q_label_prop", labelPropagationSql(edgeCteYearSql, iters = 5)) { (s, d) =>
+      labelPropagation(coOrderEdges(s, d, yearSlice = true), iters = 5)
+        .orderBy("node")
     })
 }

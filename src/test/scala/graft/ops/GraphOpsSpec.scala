@@ -150,6 +150,100 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(GraphOps.kCore(edges, k = 8, converge = true).count() === 0)
   }
 
+  test("k-core delta-peeling equals a brute-force simultaneous peel on random graphs") {
+    // the r8 rewrite communicates decrements instead of re-filtering
+    // the edge set — equivalence with the textbook formulation must
+    // hold on arbitrary structure, not just closed forms. Ten seeded
+    // random graphs, random k, BOTH fixed-budget and converge modes,
+    // against an in-memory simultaneous peel.
+    def brute(edges: Set[(Long, Long)], k: Int, rounds: Int): Map[Long, Long] = {
+      var cur = edges
+      var done = false
+      var i = 0
+      while (!done && (rounds < 0 || i < rounds)) {
+        val deg = cur.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+        val keep = deg.filter(_._2 >= k).keySet
+        val next = cur.filter(e => keep(e._1) && keep(e._2))
+        done = next == cur
+        cur = next
+        i += 1
+      }
+      cur.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    }
+    (1 to 10).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 7919)
+      val n = 8 + rnd.nextInt(18)
+      val oneWay = (0 until (n * 2)).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter { case (a, b) => a != b }
+        // canonicalize before distinct: sym() emits both directions of
+        // every input pair verbatim, so (a,b) AND (b,a) surviving here
+        // would duplicate edges and skew degrees
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val pairs = oneWay.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+      val es = pairs.toSet
+      val g = sym(oneWay: _*)
+      val k = 2 + rnd.nextInt(3)
+      val fixed = GraphOps.kCore(g, k = k, peels = 3).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fixed === brute(es, k, rounds = 3), s"fixed mode, seed=$seed k=$k n=$n")
+      val conv = GraphOps.kCore(g, k = k, converge = true).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(conv === brute(es, k, rounds = -1), s"converge mode, seed=$seed k=$k n=$n")
+    }
+  }
+
+  test("label propagation: bridged cliques resolve to per-clique communities") {
+    // two 4-cliques bridged by one edge: min-mode LPA must settle each
+    // clique on its own minimum id, bridge notwithstanding (3 in-clique
+    // votes beat 1 bridge vote)
+    val cliqueA = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val cliqueB = for (a <- 10L to 13L; b <- (a + 1) to 13L) yield (a, b)
+    val g = sym((cliqueA ++ cliqueB :+ (4L, 10L)): _*)
+    val comm = GraphOps.labelPropagation(g, iters = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 4L).forall(comm(_) == 1L), s"clique A must settle on 1: $comm")
+    assert((10L to 13L).forall(comm(_) == 10L), s"clique B must settle on 10: $comm")
+  }
+
+  test("label propagation spark loop equals brute synchronous min-mode on random graphs; SQL twin agrees") {
+    def brute(edges: Set[(Long, Long)], iters: Int): Map[Long, Long] = {
+      val nodes = edges.map(_._1)
+      var lbl = nodes.map(n => n -> n).toMap
+      (1 to iters).foreach { _ =>
+        lbl = nodes.map { n =>
+          val votes = edges.filter(_._1 == n).toSeq
+            .groupBy(e => lbl(e._2)).map { case (l, es) => l -> es.size }
+          // max count, ties to smallest label
+          n -> votes.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+        }.toMap
+      }
+      lbl
+    }
+    (1 to 8).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 104729)
+      val n = 8 + rnd.nextInt(14)
+      val oneWay = (0 until (n * 2)).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val es = oneWay.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+      val got = GraphOps.labelPropagation(sym(oneWay: _*), iters = 3).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === brute(es, 3), s"seed=$seed n=$n")
+    }
+    // SQL twin (MATERIALIZED stripped for Spark's parser) on one graph
+    val oneWay = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L), (5L, 6L))
+    sym(oneWay: _*).createOrReplaceTempView("g_lpa")
+    val viaSql = spark.sql(
+      GraphOps.labelPropagationSql("SELECT src, dst FROM g_lpa", iters = 3)
+        .replace(" MATERIALIZED", ""))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaOp = GraphOps.labelPropagation(sym(oneWay: _*), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaOp === viaSql)
+  }
+
   test("soak generator: symmetric, distinct, self-loop-free, degree-bounded") {
     val e = graft.GraphSoak.syntheticEdges(spark, 1000L, extra = 3)
     assert(e.filter(col("src") === col("dst")).count() === 0)
