@@ -59,6 +59,13 @@ object GraphSoak {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // long iterative loops dereference a round's shuffle files
+      // immediately but the ContextCleaner only reclaims them after a
+      // driver GC — at 400M edges the default 30min periodicGC let ~10
+      // rounds of dead shuffle spill accumulate past the volume's free
+      // space (measured: ENOSPC mid-PPR). One minute keeps steady-state
+      // disk at ~2 rounds of live shuffle.
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Link-graph analytics beyond connected components: damped PageRank.
@@ -479,6 +480,94 @@ object GraphOps {
     * the basket-size cap, so the edge build is O(orders · width²), one
     * shuffle on orderkey).
     */
+  /** HITS (Kleinberg '99) over a DIRECTED bipartite-style edge list
+    * (hub → authority): auth = Σ hub-scores of pointers, hub = Σ
+    * auth-scores pointed at, L1-normalized each round, fixed
+    * iterations (the [[pagerank]] oracle scheme — no convergence
+    * test). On the customer→part purchase graph this is the classic
+    * buyer-breadth / item-authority decomposition; HITS degenerates on
+    * a SYMMETRIC graph (E = Eᵀ makes hubs ≡ authorities), which is why
+    * this operator takes the directed order-derived edges rather than
+    * the co-order graph the rest of the family uses.
+    *
+    * Float determinism: per-round sums drift ~1e-14 relative across
+    * engines (the measured PageRank bound); scores surface ROUNDED to
+    * 6 dp and every rank is taken on the rounded value with a node
+    * tie-break (the q_tpch_q15 rule). Scale shape: edges pinned once;
+    * each round is two edge-bound join+agg passes plus two scalar-sum
+    * broadcasts — no node-frame ever exceeds the side it aggregates.
+    */
+  def hits(edges: DataFrame, iters: Int = 5): DataFrame = {
+    val spark = edges.sparkSession
+    val e0 = edges.repartition(col("hub")).localCheckpoint(false)
+    val nEdges = e0.count()
+    val loop = loopSession(spark, nEdges)
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val (ev, ov) = (s"graft_ht_e_$tag", s"graft_ht_o_$tag")
+    try {
+      e0.createOrReplaceGlobalTempView(ev)
+      val e = loop.table(s"global_temp.$ev")
+      def l1(df: DataFrame): DataFrame = {
+        val tot = df.agg(sum(col("score")).as("ht_tot"))
+        df.crossJoin(broadcast(tot))
+          .select(col("node"), (col("score") / col("ht_tot")).as("score"))
+      }
+      var hub = l1(e.select(col("hub").as("node")).distinct()
+        .withColumn("score", lit(1.0)))
+      var auth: DataFrame = null
+      for (i <- 1 to iters) {
+        auth = l1(e
+          .join(hub.select(col("node").as("ht_h"), col("score")), col("hub") === col("ht_h"))
+          .groupBy(col("auth").as("node")).agg(sum(col("score")).as("score")))
+          .localCheckpoint(false)
+        hub = l1(e
+          .join(auth.select(col("node").as("ht_a"), col("score")), col("auth") === col("ht_a"))
+          .groupBy(col("hub").as("node")).agg(sum(col("score")).as("score")))
+          .localCheckpoint(false)
+      }
+      hub.withColumn("kind", lit("hub"))
+        .unionByName(auth.withColumn("kind", lit("auth")))
+        .select(col("kind"), col("node"), round(col("score"), 6).as("score"))
+        .localCheckpoint(true)
+        .createOrReplaceGlobalTempView(ov)
+      spark.table(s"global_temp.$ov")
+    } finally {
+      spark.catalog.dropGlobalTempView(ev)
+      spark.catalog.dropGlobalTempView(ov)
+      ()
+    }
+  }
+
+  /** [[hits]] as unrolled SQL over an `e(hub, auth)` CTE. Scalar-sum
+    * normalization per half-round; rounding only at the end. */
+  def hitsSql(edgeCte: String, iters: Int = 5): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""a${i}r AS MATERIALIZED (
+         |  SELECT e.auth AS node, sum(h.score) AS score
+         |  FROM e JOIN h${i - 1} h ON h.node = e.hub GROUP BY e.auth),
+         |a$i AS MATERIALIZED (
+         |  SELECT node, score / (SELECT sum(score) FROM a${i}r) AS score FROM a${i}r),
+         |h${i}r AS MATERIALIZED (
+         |  SELECT e.hub AS node, sum(a.score) AS score
+         |  FROM e JOIN a$i a ON a.node = e.auth GROUP BY e.hub),
+         |h$i AS MATERIALIZED (
+         |  SELECT node, score / (SELECT sum(score) FROM h${i}r) AS score FROM h${i}r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED ($edgeCte),
+       |h0r AS (SELECT DISTINCT hub AS node, CAST(1.0 AS DOUBLE) AS score FROM e),
+       |h0 AS (SELECT node, score / (SELECT sum(score) FROM h0r) AS score FROM h0r),
+       |$rounds,
+       |both_kinds AS (
+       |  SELECT 'hub' AS kind, node, round(score, 6) AS score FROM h$iters
+       |  UNION ALL
+       |  SELECT 'auth' AS kind, node, round(score, 6) AS score FROM a$iters)
+       |SELECT kind, node, score FROM (
+       |  SELECT kind, node, score,
+       |    row_number() OVER (PARTITION BY kind ORDER BY score DESC, node) AS rn
+       |  FROM both_kinds)
+       |WHERE rn <= 100 ORDER BY kind, score DESC, node""".stripMargin
+  }
+
   /** Deterministic label propagation (synchronous min-mode LPA,
     * Raghavan et al. '07 made order-free): labels start as node ids;
     * each FIXED round every node adopts the most frequent label among
@@ -661,5 +750,27 @@ object GraphOps {
     QueryDef("q_label_prop", labelPropagationSql(edgeCteYearSql, iters = 5)) { (s, d) =>
       labelPropagation(coOrderEdges(s, d, yearSlice = true), iters = 5)
         .orderBy("node")
+    },
+
+    // HITS on the DIRECTED customer→part purchase graph: top-100 hubs
+    // (broad buyers) and authorities (widely-bought parts), ranked on
+    // the rounded score (float-ranking rule)
+    QueryDef(
+      "q_hits",
+      hitsSql(
+        """SELECT DISTINCT o.o_custkey AS hub, l.l_partkey AS auth
+          |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey""".stripMargin,
+        iters = 5)) { (s, d) =>
+      val e = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("hub"), col("l_partkey").as("auth"))
+        .distinct()
+      val w = Window.partitionBy(col("kind")).orderBy(col("score").desc, col("node"))
+      hits(e, iters = 5)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 100)
+        .select("kind", "node", "score")
+        .orderBy(col("kind"), col("score").desc, col("node"))
     })
 }

@@ -193,6 +193,30 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("HITS: mutual reinforcement ranks the shared authority and the broad hub first; L1 normalized") {
+    // hubs {1,2}, authorities {10,11,12}: hub 1 points at everything,
+    // hub 2 only at 10 — so 10 is the strongest authority (both hubs)
+    // and 1 the strongest hub (more, stronger authorities)
+    val e = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L)).toDF("hub", "auth")
+    val out = GraphOps.hits(e, iters = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out(("auth", 10L)) > out(("auth", 11L)), s"shared authority must lead: $out")
+    assert(out(("auth", 11L)) === out(("auth", 12L)), "symmetric authorities tie")
+    assert(out(("hub", 1L)) > out(("hub", 2L)), "the broad hub must lead")
+    // L1 normalization survives to the (rounded) output
+    Seq("hub", "auth").foreach { k =>
+      val s = out.collect { case ((`k`, _), v) => v }.sum
+      assert(math.abs(s - 1.0) < 1e-4, s"$k scores must sum to ~1: $s")
+    }
+    // spark loop equals the unrolled SQL twin on the same graph
+    e.createOrReplaceTempView("g_hits")
+    val viaSql = spark.sql(
+      GraphOps.hitsSql("SELECT hub, auth FROM g_hits", iters = 5)
+        .replace(" MATERIALIZED", ""))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(viaSql === out)
+  }
+
   test("label propagation: bridged cliques resolve to per-clique communities") {
     // two 4-cliques bridged by one edge: min-mode LPA must settle each
     // clique on its own minimum id, bridge notwithstanding (3 in-clique
