@@ -482,51 +482,68 @@ object GraphOps {
     */
   /** HITS (Kleinberg '99) over a DIRECTED bipartite-style edge list
     * (hub → authority): auth = Σ hub-scores of pointers, hub = Σ
-    * auth-scores pointed at, L1-normalized each round, fixed
-    * iterations (the [[pagerank]] oracle scheme — no convergence
-    * test). On the customer→part purchase graph this is the classic
-    * buyer-breadth / item-authority decomposition; HITS degenerates on
-    * a SYMMETRIC graph (E = Eᵀ makes hubs ≡ authorities), which is why
-    * this operator takes the directed order-derived edges rather than
-    * the co-order graph the rest of the family uses.
+    * auth-scores pointed at, fixed iterations (the [[pagerank]] oracle
+    * scheme — no convergence test). On the customer→part purchase
+    * graph this is the classic buyer-breadth / item-authority
+    * decomposition; HITS degenerates on a SYMMETRIC graph (E = Eᵀ
+    * makes hubs ≡ authorities), which is why this operator takes the
+    * directed order-derived edges rather than the co-order graph the
+    * rest of the family uses.
     *
-    * Float determinism: per-round sums drift ~1e-14 relative across
-    * engines (the measured PageRank bound); scores surface ROUNDED to
-    * 6 dp and every rank is taken on the rounded value with a node
-    * tie-break (the q_tpch_q15 rule). Scale shape: edges pinned once;
-    * each round is two edge-bound join+agg passes plus two scalar-sum
-    * broadcasts — no node-frame ever exceeds the side it aggregates.
+    * L1 normalization is DEFERRED to the end: every iterate is a
+    * scalar multiple of the unnormalized power iterate (all scores
+    * positive, normalization divides by a scalar), so one final divide
+    * yields the identical result — and drops 2·iters scalar-sum
+    * passes, each of which also re-executed its half-round's join+agg
+    * for the total (the naive per-round shape measured 8.2 s at sf0.1;
+    * this one 2.6 s). Magnitudes grow ~(d̄_hub·d̄_auth)^iters ≈ 1e16 at
+    * sf0.1 — far inside double range, and positive-sum conditioning
+    * keeps cross-engine drift at the usual ~1e-12 relative, absorbed
+    * by the 6 dp rounding (scores surface ROUNDED and every rank is
+    * taken on the rounded value with a node tie-break — the q_tpch_q15
+    * rule).
+    *
+    * Scale shape: edges pinned once; each half-round is one edge-bound
+    * join+agg whose node-sized score frame is broadcast under the
+    * [[broadcastRanksMaxNodes]] guard (shuffle-join fallback above it,
+    * the 1B-node shape) and lineage-cut per half-round.
     */
   def hits(edges: DataFrame, iters: Int = 5): DataFrame = {
     val spark = edges.sparkSession
     val e0 = edges.repartition(col("hub")).localCheckpoint(false)
     val nEdges = e0.count()
+    val Array(nHub, nAuth) = e0
+      .agg(countDistinct(col("hub")), countDistinct(col("auth")))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    val small = math.max(nHub, nAuth) <= broadcastRanksMaxNodes
     val loop = loopSession(spark, nEdges)
     val tag = java.util.UUID.randomUUID().toString.replace("-", "")
     val (ev, ov) = (s"graft_ht_e_$tag", s"graft_ht_o_$tag")
     try {
       e0.createOrReplaceGlobalTempView(ev)
       val e = loop.table(s"global_temp.$ev")
+      var hub = e.select(col("hub").as("node")).distinct()
+        .withColumn("score", lit(1.0)).localCheckpoint(false)
+      var auth: DataFrame = null
+      for (_ <- 1 to iters) {
+        val h = hub.select(col("node").as("ht_h"), col("score"))
+        auth = e.join(if (small) broadcast(h) else h, col("hub") === col("ht_h"))
+          .groupBy(col("auth").as("node")).agg(sum(col("score")).as("score"))
+          .localCheckpoint(false)
+        val a = auth.select(col("node").as("ht_a"), col("score"))
+        hub = e.join(if (small) broadcast(a) else a, col("auth") === col("ht_a"))
+          .groupBy(col("hub").as("node")).agg(sum(col("score")).as("score"))
+          .localCheckpoint(false)
+      }
       def l1(df: DataFrame): DataFrame = {
+        // frames are checkpointed: the total's pass reads the cut, not
+        // the loop lineage
         val tot = df.agg(sum(col("score")).as("ht_tot"))
         df.crossJoin(broadcast(tot))
           .select(col("node"), (col("score") / col("ht_tot")).as("score"))
       }
-      var hub = l1(e.select(col("hub").as("node")).distinct()
-        .withColumn("score", lit(1.0)))
-      var auth: DataFrame = null
-      for (i <- 1 to iters) {
-        auth = l1(e
-          .join(hub.select(col("node").as("ht_h"), col("score")), col("hub") === col("ht_h"))
-          .groupBy(col("auth").as("node")).agg(sum(col("score")).as("score")))
-          .localCheckpoint(false)
-        hub = l1(e
-          .join(auth.select(col("node").as("ht_a"), col("score")), col("auth") === col("ht_a"))
-          .groupBy(col("hub").as("node")).agg(sum(col("score")).as("score")))
-          .localCheckpoint(false)
-      }
-      hub.withColumn("kind", lit("hub"))
-        .unionByName(auth.withColumn("kind", lit("auth")))
+      l1(hub).withColumn("kind", lit("hub"))
+        .unionByName(l1(auth).withColumn("kind", lit("auth")))
         .select(col("kind"), col("node"), round(col("score"), 6).as("score"))
         .localCheckpoint(true)
         .createOrReplaceGlobalTempView(ov)
@@ -538,29 +555,27 @@ object GraphOps {
     }
   }
 
-  /** [[hits]] as unrolled SQL over an `e(hub, auth)` CTE. Scalar-sum
-    * normalization per half-round; rounding only at the end. */
+  /** [[hits]] as unrolled SQL over an `e(hub, auth)` CTE: raw power
+    * iterates per half-round, one L1 divide + rounding at the end
+    * (the deferred-normalization identity the Scala loop documents). */
   def hitsSql(edgeCte: String, iters: Int = 5): String = {
     val rounds = (1 to iters).map { i =>
-      s"""a${i}r AS MATERIALIZED (
+      s"""a$i AS MATERIALIZED (
          |  SELECT e.auth AS node, sum(h.score) AS score
          |  FROM e JOIN h${i - 1} h ON h.node = e.hub GROUP BY e.auth),
-         |a$i AS MATERIALIZED (
-         |  SELECT node, score / (SELECT sum(score) FROM a${i}r) AS score FROM a${i}r),
-         |h${i}r AS MATERIALIZED (
-         |  SELECT e.hub AS node, sum(a.score) AS score
-         |  FROM e JOIN a$i a ON a.node = e.auth GROUP BY e.hub),
          |h$i AS MATERIALIZED (
-         |  SELECT node, score / (SELECT sum(score) FROM h${i}r) AS score FROM h${i}r)""".stripMargin
+         |  SELECT e.hub AS node, sum(a.score) AS score
+         |  FROM e JOIN a$i a ON a.node = e.auth GROUP BY e.hub)""".stripMargin
     }.mkString(",\n")
     s"""WITH e AS MATERIALIZED ($edgeCte),
-       |h0r AS (SELECT DISTINCT hub AS node, CAST(1.0 AS DOUBLE) AS score FROM e),
-       |h0 AS (SELECT node, score / (SELECT sum(score) FROM h0r) AS score FROM h0r),
+       |h0 AS (SELECT DISTINCT hub AS node, CAST(1.0 AS DOUBLE) AS score FROM e),
        |$rounds,
        |both_kinds AS (
-       |  SELECT 'hub' AS kind, node, round(score, 6) AS score FROM h$iters
+       |  SELECT 'hub' AS kind, node,
+       |    round(score / (SELECT sum(score) FROM h$iters), 6) AS score FROM h$iters
        |  UNION ALL
-       |  SELECT 'auth' AS kind, node, round(score, 6) AS score FROM a$iters)
+       |  SELECT 'auth' AS kind, node,
+       |    round(score / (SELECT sum(score) FROM a$iters), 6) AS score FROM a$iters)
        |SELECT kind, node, score FROM (
        |  SELECT kind, node, score,
        |    row_number() OVER (PARTITION BY kind ORDER BY score DESC, node) AS rn
