@@ -53,6 +53,12 @@ object GraphSoak {
 
   def main(args: Array[String]): Unit = {
     val targetEdges = if (args.nonEmpty) args(0).toLong else 24000000L
+    // optional op subset (arg 2, comma-separated) so a follow-up run
+    // can soak just the newest operators without re-paying the rest:
+    // pagerank,ppr,kcore,triangles,cc,lpa,hits
+    val ops: Set[String] =
+      if (args.length > 1) args(1).split(",").map(_.trim).toSet
+      else Set("pagerank", "ppr", "kcore", "triangles", "cc")
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
       .master("local[32]")
@@ -90,38 +96,63 @@ object GraphSoak {
         if (n > guard) s"SHUFFLE FALLBACK (n=$n > broadcast guard $guard) — the 1B-node shape"
         else s"broadcast (n=$n <= guard $guard)"))
 
-      t(s"pagerank 10 rounds @$e") {
+      if (ops("pagerank")) t(s"pagerank 10 rounds @$e") {
         GraphOps.pagerank(edges).agg(sum("pr")).collect()
       }
-      t(s"ppr 10 rounds @$e") {
+      if (ops("ppr")) t(s"ppr 10 rounds @$e") {
         GraphOps.personalizedPagerank(
           edges, spark.range(0, 100).toDF("node")).agg(sum("pr")).collect()
+      }
+      if (ops("lpa")) {
+        val comms = t(s"label-prop 5 rounds @$e") {
+          GraphOps.labelPropagation(edges, iters = 5)
+            .agg(countDistinct(col("community"))).collect()(0).getLong(0)
+        }
+        println(s"[gsoak] label-prop communities: $comms")
+      }
+      if (ops("hits")) {
+        // HITS wants a DIRECTED graph: take the one-way orientation of
+        // the symmetric edge set (src < dst) as hub → authority
+        val score = t(s"hits 5 iters @$e") {
+          GraphOps.hits(
+            edges.filter(col("src") < col("dst"))
+              .select(col("src").as("hub"), col("dst").as("auth")),
+            iters = 5)
+            .agg(sum(col("score"))).collect()(0).getDouble(0)
+        }
+        println(f"[gsoak] hits score mass (must be ~2): $score%.4f")
       }
       // k=8 sits at the cascade knee of the ~10-mean-degree graph (k=7
       // keeps ~everyone, k=9 peels to empty fast), so the fixed budget
       // does real cascading work every round — the cost shape under
       // test. The survivor count is the 8-peel REMNANT, not the
       // converged core (GraphOpsSpec covers converge mode)
-      val core = t(s"kcore k=8 8 peels @$e") {
-        GraphOps.kCore(edges, k = 8).count()
+      if (ops("kcore")) {
+        val core = t(s"kcore k=8 8 peels @$e") {
+          GraphOps.kCore(edges, k = 8).count()
+        }
+        println(s"[gsoak] k=8 8-peel survivors: $core")
       }
-      println(s"[gsoak] k=8 8-peel survivors: $core")
-      val tri = t(s"triangles @$e") {
-        GraphOps.triangleCounts(edges).agg(sum("triangles")).collect()(0).getLong(0)
+      if (ops("triangles")) {
+        val tri = t(s"triangles @$e") {
+          GraphOps.triangleCounts(edges).agg(sum("triangles")).collect()(0).getLong(0)
+        }
+        println(s"[gsoak] triangle corner-count: $tri")
       }
-      println(s"[gsoak] triangle corner-count: $tri")
       // log-rounds CC over the same graph (the r8 ask: CC measured at
       // the ≥100M-edge point, not only in the corpus soak). The ring
       // chords make the graph connected BY CONSTRUCTION, so the
       // component count doubles as a correctness invariant: anything
       // but 1 is a propagation bug, printed for the log to certify.
-      val cc = t(s"cc star @$e") {
-        graft.ops.DedupOps.connectedComponentsStar(
-          edges.filter(col("src") < col("dst"))
-            .select(col("src").as("doc_a"), col("dst").as("doc_b")))
-          .agg(countDistinct("component")).collect()(0).getLong(0)
+      if (ops("cc")) {
+        val cc = t(s"cc star @$e") {
+          graft.ops.DedupOps.connectedComponentsStar(
+            edges.filter(col("src") < col("dst"))
+              .select(col("src").as("doc_a"), col("dst").as("doc_b")))
+            .agg(countDistinct("component")).collect()(0).getLong(0)
+        }
+        println(s"[gsoak] cc components (must be 1): $cc")
       }
-      println(s"[gsoak] cc components (must be 1): $cc")
       // drop THIS scale's block-store residue (the edge localCheckpoint
       // plus any loop checkpoints not yet GC'd) before the next scale
       // generates, so the 10× measurement starts with clean memory
