@@ -138,10 +138,19 @@ object GraphOps {
           .join(if (small) broadcast(mass) else mass, col("node") === col("dst"))
           .withColumn("pr", update)
           .drop("mass", "dst")
-        // lineage cut every few rounds (not every round: for a FIXED
-        // shallow loop the block-store writes cost more than the plan
-        // depth saves; an unbounded loop would cut per round like CC)
-        ranks = if (i % 5 == 0 && i < iters) next.localCheckpoint(false) else next
+        // lineage-cut cadence gated on measured edge volume. Small
+        // graphs: every 5 rounds — the block-store writes cost more
+        // than the plan depth saves. Big graphs: EVERY round — shuffle
+        // files stay on disk until their RDDs are unreachable, so a
+        // 5-deep uncut chain keeps ~5 rounds of full-scale exchange
+        // spill live simultaneously (measured: the 400M-edge soak
+        // accumulated >60 GB mid-loop and died ENOSPC with the 5-round
+        // cadence; per-round cuts bound live spill to ~2 rounds). The
+        // threshold reuses the codegen gate's measured 4M-edge scale
+        // point — well below the regime where a round's spill is disk-
+        // significant, well above the sf0.1 graphs the 5-cadence wins.
+        val cutEvery = if (nEdges > loopCodegenMinRows) 1 else 5
+        ranks = if (i % cutEvery == 0 && i < iters) next.localCheckpoint(false) else next
       }
       ranks.select(col("node"), col("pr")).localCheckpoint(true)
         .createOrReplaceGlobalTempView(ov)
