@@ -138,19 +138,28 @@ object GraphOps {
           .join(if (small) broadcast(mass) else mass, col("node") === col("dst"))
           .withColumn("pr", update)
           .drop("mass", "dst")
-        // lineage-cut cadence gated on measured edge volume. Small
-        // graphs: every 5 rounds — the block-store writes cost more
-        // than the plan depth saves. Big graphs: EVERY round — shuffle
-        // files stay on disk until their RDDs are unreachable, so a
-        // 5-deep uncut chain keeps ~5 rounds of full-scale exchange
-        // spill live simultaneously (measured: the 400M-edge soak
-        // accumulated >60 GB mid-loop and died ENOSPC with the 5-round
-        // cadence; per-round cuts bound live spill to ~2 rounds). The
-        // threshold reuses the codegen gate's measured 4M-edge scale
-        // point — well below the regime where a round's spill is disk-
-        // significant, well above the sf0.1 graphs the 5-cadence wins.
-        val cutEvery = if (nEdges > loopCodegenMinRows) 1 else 5
-        ranks = if (i % cutEvery == 0 && i < iters) next.localCheckpoint(false) else next
+        // Lineage-cut policy gated on measured edge volume. Small
+        // graphs: LAZY cut every 5 rounds — the whole loop runs as one
+        // action at the end, and the block-store writes of extra cuts
+        // cost more than the plan depth saves. Big graphs: EAGER cut
+        // EVERY round. The distinction matters because a lazy cut
+        // materializes nothing: with lazy cuts the single final action
+        // executes all k rounds while every round's exchange files are
+        // still plan-referenced (lineage only truncates as each
+        // checkpoint completes inside that same action), so peak disk
+        // is the SUM of all rounds' shuffle spill — measured ~15 GB ×
+        // 10 rounds at 400M edges, ENOSPC on a 250 GB volume even with
+        // per-round lazy cuts and aggressive periodic GC. An eager cut
+        // runs each round as its own job, making prior rounds'
+        // shuffles unreachable while the loop progresses (the k-core
+        // loop gets this for free from its per-round isEmpty action) —
+        // peak disk becomes ~2 rounds of spill. Threshold reuses the
+        // 4M-edge gate: well below disk-significant spill, well above
+        // the sf0.1 graphs where the lazy 5-cadence measured fastest.
+        ranks =
+          if (nEdges > loopCodegenMinRows) next.localCheckpoint(true)
+          else if (i % 5 == 0 && i < iters) next.localCheckpoint(false)
+          else next
       }
       ranks.select(col("node"), col("pr")).localCheckpoint(true)
         .createOrReplaceGlobalTempView(ov)
@@ -531,18 +540,22 @@ object GraphOps {
     try {
       e0.createOrReplaceGlobalTempView(ev)
       val e = loop.table(s"global_temp.$ev")
+      // eager per-half-round cuts above the size gate (the rankLoop
+      // disk rationale: lazy cuts leave every round's shuffle live in
+      // the one final action); lazy below it
+      val eager = nEdges > loopCodegenMinRows
       var hub = e.select(col("hub").as("node")).distinct()
-        .withColumn("score", lit(1.0)).localCheckpoint(false)
+        .withColumn("score", lit(1.0)).localCheckpoint(eager)
       var auth: DataFrame = null
       for (_ <- 1 to iters) {
         val h = hub.select(col("node").as("ht_h"), col("score"))
         auth = e.join(if (small) broadcast(h) else h, col("hub") === col("ht_h"))
           .groupBy(col("auth").as("node")).agg(sum(col("score")).as("score"))
-          .localCheckpoint(false)
+          .localCheckpoint(eager)
         val a = auth.select(col("node").as("ht_a"), col("score"))
         hub = e.join(if (small) broadcast(a) else a, col("auth") === col("ht_a"))
           .groupBy(col("hub").as("node")).agg(sum(col("score")).as("score"))
-          .localCheckpoint(false)
+          .localCheckpoint(eager)
       }
       def l1(df: DataFrame): DataFrame = {
         // frames are checkpointed: the total's pass reads the cut, not
@@ -637,8 +650,11 @@ object GraphOps {
           .groupBy(col("src").as("node"))
           .agg(max(struct(col("lp_c").as("c"), (-col("lbl")).as("nl"))).as("m"))
           .select(col("node"), (-col("m.nl")).as("lbl"))
-        // node-sized lineage cut per round (the CC discipline)
-        labels = if (i < iters) next.localCheckpoint(false) else next
+        // node-sized lineage cut per round (the CC discipline); eager
+        // above the size gate so big-graph rounds release their
+        // shuffle spill as the loop progresses (rankLoop rationale)
+        labels =
+          if (i < iters) next.localCheckpoint(nEdges > loopCodegenMinRows) else next
       }
       labels.select(col("node"), col("lbl").as("community"))
         .localCheckpoint(true)
