@@ -508,10 +508,10 @@ object GraphOps {
     * directed order-derived edges rather than the co-order graph the
     * rest of the family uses.
     *
-    * L1 normalization is DEFERRED to the end: every iterate is a
-    * scalar multiple of the unnormalized power iterate (all scores
-    * positive, normalization divides by a scalar), so one final divide
-    * yields the identical result — and drops 2·iters scalar-sum
+    * Normalization is DEFERRED to the end: every iterate is a scalar
+    * multiple of the unnormalized power iterate (all scores positive,
+    * normalization scales by a scalar), so one final mean-1 normalize
+    * yields the identical ranking — and drops 2·iters scalar-sum
     * passes, each of which also re-executed its half-round's join+agg
     * for the total (the naive per-round shape measured 8.2 s at sf0.1;
     * this one 2.6 s). Magnitudes grow ~(d̄_hub·d̄_auth)^iters ≈ 1e16 at
@@ -557,15 +557,22 @@ object GraphOps {
           .groupBy(col("hub").as("node")).agg(sum(col("score")).as("score"))
           .localCheckpoint(eager)
       }
-      def l1(df: DataFrame): DataFrame = {
+      // MEAN-1 normalization (score · n / Σscore), the pagerank
+      // convention, NOT sum-1: surfaced scores are O(1) at ANY graph
+      // size, so the 6 dp rounding the cross-engine hash needs stays
+      // meaningful. Sum-1 scores shrink as 1/n — measured at the
+      // 10M-node soak point, every score fell below 5e-7 and the
+      // rounded output collapsed to zeros.
+      def norm(df: DataFrame): DataFrame = {
         // frames are checkpointed: the total's pass reads the cut, not
         // the loop lineage
-        val tot = df.agg(sum(col("score")).as("ht_tot"))
+        val tot = df.agg(sum(col("score")).as("ht_tot"), count(lit(1)).as("ht_n"))
         df.crossJoin(broadcast(tot))
-          .select(col("node"), (col("score") / col("ht_tot")).as("score"))
+          .select(col("node"),
+            (col("score") * col("ht_n") / col("ht_tot")).as("score"))
       }
-      l1(hub).withColumn("kind", lit("hub"))
-        .unionByName(l1(auth).withColumn("kind", lit("auth")))
+      norm(hub).withColumn("kind", lit("hub"))
+        .unionByName(norm(auth).withColumn("kind", lit("auth")))
         .select(col("kind"), col("node"), round(col("score"), 6).as("score"))
         .localCheckpoint(true)
         .createOrReplaceGlobalTempView(ov)
@@ -578,8 +585,10 @@ object GraphOps {
   }
 
   /** [[hits]] as unrolled SQL over an `e(hub, auth)` CTE: raw power
-    * iterates per half-round, one L1 divide + rounding at the end
-    * (the deferred-normalization identity the Scala loop documents). */
+    * iterates per half-round, one mean-1 normalize (score · n /
+    * Σscore, matching the Scala multiply-then-divide order) + rounding
+    * at the end (the deferred-normalization identity the Scala loop
+    * documents). */
   def hitsSql(edgeCte: String, iters: Int = 5): String = {
     val rounds = (1 to iters).map { i =>
       s"""a$i AS MATERIALIZED (
@@ -594,10 +603,12 @@ object GraphOps {
        |$rounds,
        |both_kinds AS (
        |  SELECT 'hub' AS kind, node,
-       |    round(score / (SELECT sum(score) FROM h$iters), 6) AS score FROM h$iters
+       |    round(score * (SELECT count(*) FROM h$iters) / (SELECT sum(score) FROM h$iters), 6) AS score
+       |  FROM h$iters
        |  UNION ALL
        |  SELECT 'auth' AS kind, node,
-       |    round(score / (SELECT sum(score) FROM a$iters), 6) AS score FROM a$iters)
+       |    round(score * (SELECT count(*) FROM a$iters) / (SELECT sum(score) FROM a$iters), 6) AS score
+       |  FROM a$iters)
        |SELECT kind, node, score FROM (
        |  SELECT kind, node, score,
        |    row_number() OVER (PARTITION BY kind ORDER BY score DESC, node) AS rn

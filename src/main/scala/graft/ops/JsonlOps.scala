@@ -54,22 +54,28 @@ object JsonlOps {
     * counting quarantined lines is exactly what an ingest audit does
     * first. Returns (doc_id, lang, source, text, _corrupt).
     */
-  def readJsonl(spark: SparkSession, path: String): DataFrame = {
-    // the corrupt column must live INSIDE the from_json schema: the
-    // parser populates it with the raw line on failure (nulling the
-    // data fields), which distinguishes "malformed line" from a VALID
-    // line whose fields are absent/null ("{}") — a struct-level null
-    // check cannot (PERMISSIVE from_json nulls fields, not the struct)
-    val withCorrupt = docSchema.add("_corrupt", StringType)
+  /** PERMISSIVE parse of one JSONL line into a ([[docSchema]] +
+    * `_corrupt`) struct. The corrupt column must live INSIDE the
+    * from_json schema: the parser populates it with the raw line on
+    * failure (nulling the data fields), which distinguishes "malformed
+    * line" from a VALID line whose fields are absent/null ("{}") — a
+    * struct-level null check cannot (PERMISSIVE from_json nulls
+    * fields, not the struct). Shared by [[readJsonl]] and the
+    * streaming dead-letter tier
+    * ([[graft.pipeline.CorpusIngest.ingestJsonlBatch]]).
+    */
+  def parsedStruct(line: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    from_json(
+      line, docSchema.add("_corrupt", StringType),
+      Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt"))
+
+  def readJsonl(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
-      .withColumn("p", from_json(
-        col("value"), withCorrupt,
-        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt")))
+      .withColumn("p", parsedStruct(col("value")))
       .select(
         col("p.doc_id").as("doc_id"), col("p.lang").as("lang"),
         col("p.source").as("source"), col("p.text").as("text"),
         col("p._corrupt").as("_corrupt"))
-  }
 
   val all: Seq[QueryDef] = Seq(
     // serialize -> parse -> extract, plus a corrupt twin: each engine

@@ -96,6 +96,99 @@ object CorpusIngest {
       appended = appended)
   }
 
+  /** [[IngestStats]] extended with the JSONL dead-letter split: every
+    * raw line lands in exactly one of quarantined-this-batch or the
+    * parsed-ingest buckets, so `received = quarantined +
+    * ingest.received` and the inner six-way reconciliation both hold —
+    * nothing a producer sends can silently vanish between the file and
+    * the corpus.
+    */
+  final case class JsonlStats(
+      received: Long, quarantined: Long, ingest: IngestStats) {
+    def reconciles: Boolean =
+      received == quarantined + ingest.received && ingest.reconciles
+  }
+
+  /** One micro-batch of RAW JSONL lines (column `value`) through the
+    * dead-letter split + composed ingest:
+    *
+    *   - malformed JSON (PERMISSIVE `_corrupt` capture) and
+    *     structurally deficient docs (null `doc_id` or `text` — valid
+    *     JSON that cannot become a corpus row) are appended to a
+    *     quarantine TxTable with the ORIGINAL bytes and a reason,
+    *     keyed by `xxhash64(raw_line)`;
+    *   - the quarantine append is REPLAY-IDEMPOTENT the same way the
+    *     corpus append is: novel line-keys only (anti-join against the
+    *     committed quarantine), so a crashed/replayed micro-batch
+    *     never duplicates dead letters. Identical bad lines within one
+    *     batch collapse to one row carrying `n_seen`;
+    *   - surviving docs flow into [[ingestBatch]] unchanged, with
+    *     nullable lang/source coalesced to explicit unknowns (the
+    *     corpus partitions by source — a null partition value is an
+    *     operational trap, not data).
+    */
+  def ingestJsonlBatch(
+      spark: SparkSession, corpusRoot: String, indexRoot: String,
+      quarantineRoot: String, lines: DataFrame,
+      params: DedupIndex.Params = DedupIndex.Params()): JsonlStats = {
+    val parsed = lines
+      .withColumn("p", graft.ops.JsonlOps.parsedStruct(col("value")))
+      .select(
+        col("value"), col("p.doc_id").as("doc_id"), col("p.lang").as("lang"),
+        col("p.source").as("source"), col("p.text").as("text"),
+        col("p._corrupt").as("_corrupt"))
+      .persist()
+    val received = parsed.count()
+    val badCond = col("_corrupt").isNotNull ||
+      col("doc_id").isNull || col("text").isNull
+    val bad = parsed.filter(badCond)
+      .select(
+        xxhash64(col("value")).as("line_key"), col("value").as("raw_line"),
+        when(col("_corrupt").isNotNull, lit("malformed_json"))
+          .otherwise(lit("missing_required_field")).as("reason"))
+      .groupBy("line_key", "raw_line", "reason")
+      .agg(count(lit(1)).as("n_seen"))
+    val novelBad = (
+      if (TxTable.latest(spark, quarantineRoot)._1 > 0)
+        bad.join(
+          TxTable.read(spark, quarantineRoot).select("line_key").distinct(),
+          Seq("line_key"), "left_anti")
+      else bad).persist()
+    if (novelBad.count() > 0)
+      TxTable.appendCommit(spark, quarantineRoot, novelBad, "reason")
+    val quarantined = parsed.filter(badCond).count()
+    val good = parsed.filter(!badCond)
+      .select(
+        col("doc_id"),
+        coalesce(col("lang"), lit("und")).as("lang"),
+        coalesce(col("source"), lit("unknown")).as("source"),
+        col("text"))
+    val stats = ingestBatch(spark, corpusRoot, indexRoot, good, params)
+    parsed.unpersist(); novelBad.unpersist()
+    JsonlStats(received, quarantined, stats)
+  }
+
+  /** JSONL file-source stream → [[ingestJsonlBatch]] per micro-batch
+    * (AvailableNow): the full dead-letter + dedup + transactional
+    * corpus path from raw text files.
+    */
+  def runJsonlAvailableNow(
+      spark: SparkSession, sourceDir: String, corpusRoot: String,
+      indexRoot: String, quarantineRoot: String, checkpointDir: String,
+      params: DedupIndex.Params = DedupIndex.Params()): Unit = {
+    val q = spark.readStream.text(sourceDir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingestJsonlBatch(
+          batch.sparkSession, corpusRoot, indexRoot, quarantineRoot, batch, params)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** File-source stream → per-batch composed ingest (AvailableNow). */
   def runAvailableNow(
       spark: SparkSession, sourceDir: String,

@@ -1,0 +1,83 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** The JSONL dead-letter ingest tier ([[CorpusIngest.ingestJsonlBatch]]
+  * / [[CorpusIngest.runJsonlAvailableNow]]): malformed and structurally
+  * deficient lines land in a quarantine TxTable with their original
+  * bytes, good docs flow through the composed quality+dedup+append
+  * path, the accounting reconciles line-for-line, and a full replay
+  * duplicates nothing on either side.
+  */
+class JsonlIngestSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // quality-passing texts (≥10 words, stopword ratio in band) — the
+  // CorpusIngestSpec fixtures
+  private val good1 = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+  private val good2 = "large scale data pipelines shuffle partition and aggregate billions of rows hourly for training"
+  private val junk = "a a a" // valid JSON, fails the n_words >= 10 quality rule
+
+  private val malformed = "not json at all"
+  private val missingId = s"""{"lang": "en", "source": "web", "text": "$good2"}"""
+
+  private def writeLines(dir: String, name: String, lines: Seq[String]): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(Paths.get(s"$dir/$name"), lines.mkString("", "\n", "\n"))
+  }
+
+  test("dead-letter split: quarantine carries original bytes + reason; corpus gets the survivors; accounting reconciles; replay is idempotent") {
+    val base = Files.createTempDirectory("jsonl-ingest").toFile.getAbsolutePath
+    val (src, corpus, index, quarantine) =
+      (s"$base/src", s"$base/corpus", s"$base/index", s"$base/quarantine")
+
+    // 2 good docs (null source on doc 2 → coalesced, not quarantined),
+    // 1 quality-reject, 1 malformed line (twice — n_seen must count),
+    // 1 valid-JSON-missing-doc_id line
+    writeLines(src, "a.jsonl", Seq(
+      s"""{"doc_id": 1, "lang": "en", "source": "web", "text": "$good1"}""",
+      s"""{"doc_id": 2, "lang": "en", "text": "$good2"}""",
+      malformed,
+      s"""{"doc_id": 4, "lang": "en", "source": "web", "text": "$junk"}"""))
+    writeLines(src, "b.jsonl", Seq(malformed, missingId))
+
+    CorpusIngest.runJsonlAvailableNow(
+      spark, src, corpus, index, quarantine, s"$base/ck1")
+
+    // corpus: exactly the two quality-passing, structurally complete docs
+    val corpusRows = TxTable.read(spark, corpus)
+      .select("doc_id", "source").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(corpusRows.keySet === Set(1L, 2L))
+    assert(corpusRows(2L) === "unknown", "null source must coalesce, not quarantine")
+
+    // quarantine: the malformed line once (n_seen=2) + the missing-id line,
+    // original bytes preserved
+    val q = TxTable.read(spark, quarantine)
+      .select("raw_line", "reason", "n_seen").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(q.keySet === Set(malformed, missingId))
+    assert(q(malformed) === (("malformed_json", 2L)))
+    assert(q(missingId) === (("missing_required_field", 1L)))
+
+    // line accounting: file lines == quarantined + parsed-ingest rows
+    val fileLines = spark.read.text(src).count()
+    val s = CorpusIngest.ingestJsonlBatch(
+      spark, corpus, index, quarantine, spark.read.text(src))
+    assert(s.reconciles, s.toString)
+    assert(s.received === fileLines)
+
+    // that second pass was ALSO a full replay: quarantine unchanged
+    // (novel-key anti-join), corpus unchanged (docs land in
+    // alreadyCommitted / rejectedDup, appended == 0)
+    assert(s.quarantined === 3, "bad lines still ROUTED on replay")
+    assert(TxTable.read(spark, quarantine).count() === 2, "but never re-appended")
+    assert(s.ingest.appended === 0, s.toString)
+    assert(TxTable.read(spark, corpus).select("doc_id").distinct().count() === 2)
+  }
+}
