@@ -514,7 +514,7 @@ object GraphOps {
     * yields the identical ranking — and drops 2·iters scalar-sum
     * passes, each of which also re-executed its half-round's join+agg
     * for the total (the naive per-round shape measured 8.2 s at sf0.1;
-    * this one 2.6 s). Magnitudes grow ~(d̄_hub·d̄_auth)^iters ≈ 1e16 at
+    * this one 5.0 s in the same full-bench context). Magnitudes grow ~(d̄_hub·d̄_auth)^iters ≈ 1e16 at
     * sf0.1 — far inside double range, and positive-sum conditioning
     * keeps cross-engine drift at the usual ~1e-12 relative, absorbed
     * by the 6 dp rounding (scores surface ROUNDED and every rank is
