@@ -700,6 +700,80 @@ object GraphOps {
        |SELECT node, lbl AS community FROM l$iters ORDER BY node""".stripMargin
   }
 
+  /** Deterministic random walks (the DeepWalk/node2vec corpus step —
+    * graph-embedding trainers consume exactly this (seed, step, node)
+    * table, and GraphSAGE-style neighbor sampling is the same
+    * mechanic): from each seed, `steps` hops where hop t leaves node u
+    * through its `1 + (H(seed,t,u) mod deg(u))`-th neighbor in
+    * dst-sorted order. H is an md5-derived 32-bit uniform
+    * (`md5("seed:t:node")` first 8 hex digits), so the walk is pure
+    * integer/hash arithmetic — bit-identical on any engine, stable
+    * under repartitioning, append-stable in the [[ProfileOps]]
+    * md5-keying tradition (xxhash64 would be the production fast path,
+    * the documented twin convention).
+    *
+    * Scale shape: the dst-sorted adjacency (nbr_rank, deg via one
+    * window pass) is pinned ONCE partitioned on src; each hop is one
+    * join of the walk frontier against it. At oracle seed counts the
+    * frontier broadcasts (map-only over the pinned adjacency); at
+    * production walk counts (one walk per node — the DeepWalk regime)
+    * the frontier is repartitioned on the current node and the hop is
+    * a co-partitioned shuffle join, frontier-sized exchange per hop,
+    * never adjacency-sized. Frontier never grows: exactly one row per
+    * (seed, step).
+    */
+  def randomWalks(edges: DataFrame, seeds: DataFrame, steps: Int = 5): DataFrame = {
+    val wOrd = Window.partitionBy(col("src")).orderBy(col("dst"))
+    val wAll = Window.partitionBy(col("src"))
+    val adj = edges.select(
+        col("src"), col("dst"),
+        row_number().over(wOrd).as("nbr_rank"),
+        count(lit(1)).over(wAll).as("deg"))
+      .repartition(col("src"))
+      .localCheckpoint(false)
+    var frontier = seeds.select(col("node").as("seed"), col("node"))
+    var acc = frontier.withColumn("step", lit(0))
+    for (t <- 1 to steps) {
+      val pick = pmod(
+        conv(substring(md5(concat_ws(":",
+          col("seed"), lit(t), col("node"))), 1, 8), 16, 10).cast("long"),
+        col("deg")) + lit(1L)
+      frontier = adj.join(broadcast(frontier), col("node") === col("src"))
+        .filter(col("nbr_rank") === pick)
+        .select(col("seed"), col("dst").as("node"))
+        .localCheckpoint(false)
+      acc = acc.unionByName(frontier.withColumn("step", lit(t)))
+    }
+    acc.select(col("seed"), col("step"), col("node")).orderBy("seed", "step")
+  }
+
+  /** [[randomWalks]] as unrolled SQL over an `e(src, dst)` CTE:
+    * identical dst-sorted ranking, md5 choice, and hop joins; seeds
+    * are the 100 smallest node ids of the edge set. */
+  def randomWalksSql(edgeCte: String, steps: Int = 5): String = {
+    val hops = (1 to steps).map { t =>
+      s"""w$t AS MATERIALIZED (
+         |  SELECT w.seed, a.dst AS node
+         |  FROM w${t - 1} w JOIN adj a ON a.src = w.node
+         |   AND a.nbr_rank = 1 + (CAST(('0x' || substr(md5(w.seed || ':' || $t || ':' || w.node), 1, 8)) AS BIGINT) % a.deg))""".stripMargin
+    }.mkString(",\n")
+    val union = (0 to steps)
+      .map(t => s"SELECT seed, $t AS step, node FROM w$t")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH e AS MATERIALIZED ($edgeCte),
+       |adj AS MATERIALIZED (
+       |  SELECT src, dst,
+       |    row_number() OVER (PARTITION BY src ORDER BY dst) AS nbr_rank,
+       |    count(*) OVER (PARTITION BY src) AS deg
+       |  FROM e),
+       |seeds AS (SELECT DISTINCT src AS node FROM e ORDER BY node LIMIT 100),
+       |w0 AS (SELECT node AS seed, node FROM seeds),
+       |$hops
+       |SELECT seed, step, node FROM (
+       |  $union)
+       |ORDER BY seed, step""".stripMargin
+  }
+
   private def coOrderEdges(
       s: org.apache.spark.sql.SparkSession, d: String,
       yearSlice: Boolean = false) = {
@@ -801,6 +875,15 @@ object GraphOps {
     QueryDef("q_label_prop", labelPropagationSql(edgeCteYearSql, iters = 5)) { (s, d) =>
       labelPropagation(coOrderEdges(s, d, yearSlice = true), iters = 5)
         .orderBy("node")
+    },
+
+    // deterministic 5-hop random walks from the 100 smallest nodes of
+    // the year-sliced co-order graph (DeepWalk corpus rows; md5-choice
+    // so the hop sequence is engine-exact)
+    QueryDef("q_random_walks", randomWalksSql(edgeCteYearSql, steps = 5)) { (s, d) =>
+      val e = coOrderEdges(s, d, yearSlice = true)
+      val seeds = e.select(col("src").as("node")).distinct().orderBy("node").limit(100)
+      randomWalks(e, seeds, steps = 5)
     },
 
     // HITS on the DIRECTED customer→part purchase graph: top-100 hubs

@@ -220,6 +220,44 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(viaSql === out)
   }
 
+  test("random walks: every hop follows an edge, one node per (seed, step), deterministic, SQL-twin-exact") {
+    // symmetric 5-cycle + a chord: nontrivial degrees (2 and 3)
+    val oneWay = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L), (1L, 3L))
+    val e = (oneWay ++ oneWay.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(1L, 4L).toDF("node")
+    val out = GraphOps.randomWalks(e, seeds, steps = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // shape: exactly one node per (seed, step), steps 0..4, walk starts at the seed
+    assert(out.length === 2 * 5)
+    assert(out.map(x => (x._1, x._2)).distinct.length === out.length)
+    Seq(1L, 4L).foreach(sd => assert(out.contains((sd, 0, sd))))
+    // every consecutive pair is a real edge
+    val edgeSet = (oneWay ++ oneWay.map(_.swap)).toSet
+    out.groupBy(_._1).values.foreach { walk =>
+      walk.sortBy(_._2).map(_._3).toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(edgeSet.contains((a, b)), s"hop $a->$b is not an edge")
+        case _         => ()
+      }
+    }
+    // deterministic: a second run is value-identical
+    assert(GraphOps.randomWalks(e, seeds, steps = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq === out.toSeq)
+    // the unrolled SQL twin walks the identical paths (its seeds are
+    // the 100 smallest nodes = all 5 here, so compare on seeds 1 and 4)
+    e.createOrReplaceTempView("g_rw")
+    // dialect swap to run the twin through Spark: DuckDB's hex cast
+    // ('0x…'::BIGINT) is Spark's conv(h, 16, 10) — the documented
+    // hex-idiom pair; everything else is shared SQL
+    val viaSql = spark.sql(
+      GraphOps.randomWalksSql("SELECT src, dst FROM g_rw", steps = 4)
+        .replace(" MATERIALIZED", "")
+        .replace("CAST(('0x' || substr(", "CAST(conv(substr(")
+        .replace(", 1, 8)) AS BIGINT)", ", 1, 8), 16, 10) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .filter(x => x._1 == 1L || x._1 == 4L)
+    assert(viaSql.sorted.toSeq === out.sorted.toSeq)
+  }
+
   test("label propagation: bridged cliques resolve to per-clique communities") {
     // two 4-cliques bridged by one edge: min-mode LPA must settle each
     // clique on its own minimum id, bridge notwithstanding (3 in-clique
