@@ -731,26 +731,54 @@ object GraphOps {
         count(lit(1)).over(wAll).as("deg"))
       .repartition(col("src"))
       .localCheckpoint(false)
+    // frontier-size gate, the rankLoop discipline: oracle-sized seed
+    // sets broadcast into the hop join (map-only over the pinned
+    // adjacency); the DeepWalk regime (one walk per node) exceeds any
+    // sane broadcast, so big frontiers take the co-partitioned shuffle
+    // join — frontier-sized exchange per hop, never adjacency-sized.
+    // Eager per-hop cuts above the edge gate for the same disk reason
+    // as the rank loops.
+    val nSeeds = seeds.count()
+    val small = nSeeds <= broadcastRanksMaxNodes
+    val eager = { val n = adj.count(); n > loopCodegenMinRows }
     var frontier = seeds.select(col("node").as("seed"), col("node"))
-    var acc = frontier.withColumn("step", lit(0))
+    var acc = List(frontier.withColumn("step", lit(0)))
     for (t <- 1 to steps) {
       val pick = pmod(
         conv(substring(md5(concat_ws(":",
           col("seed"), lit(t), col("node"))), 1, 8), 16, 10).cast("long"),
         col("deg")) + lit(1L)
-      frontier = adj.join(broadcast(frontier), col("node") === col("src"))
+      val f = if (small) broadcast(frontier) else frontier.repartition(col("node"))
+      frontier = adj.join(f, col("node") === col("src"))
         .filter(col("nbr_rank") === pick)
         .select(col("seed"), col("dst").as("node"))
-        .localCheckpoint(false)
-      acc = acc.unionByName(frontier.withColumn("step", lit(t)))
+        .localCheckpoint(eager)
+      acc ::= frontier.withColumn("step", lit(t))
     }
-    acc.select(col("seed"), col("step"), col("node")).orderBy("seed", "step")
+    acc.reverse.reduce(_ unionByName _)
+      .select(col("seed"), col("step"), col("node")).orderBy("seed", "step")
   }
+
+  /** Skip-gram training pairs from [[randomWalks]] output — the
+    * DeepWalk corpus: every ordered (center, context) node pair within
+    * `window` hops of each other on the SAME walk. One self-join per
+    * walk keyed on seed with a bounded step-distance residual; output
+    * ∝ walks · steps · window, never quadratic in the graph.
+    */
+  def skipGramPairs(walks: DataFrame, window: Int = 2): DataFrame =
+    walks.select(col("seed"), col("step").as("c_step"), col("node").as("center"))
+      .join(
+        walks.select(col("seed"), col("step").as("x_step"), col("node").as("context")),
+        Seq("seed"))
+      .filter(col("c_step") =!= col("x_step") &&
+        abs(col("c_step") - col("x_step")) <= window)
+      .select(col("seed"), col("c_step"), col("center"), col("x_step"), col("context"))
 
   /** [[randomWalks]] as unrolled SQL over an `e(src, dst)` CTE:
     * identical dst-sorted ranking, md5 choice, and hop joins; seeds
     * are the 100 smallest node ids of the edge set. */
-  def randomWalksSql(edgeCte: String, steps: Int = 5): String = {
+  def randomWalksSql(
+      edgeCte: String, steps: Int = 5, ordered: Boolean = true): String = {
     val hops = (1 to steps).map { t =>
       s"""w$t AS MATERIALIZED (
          |  SELECT w.seed, a.dst AS node
@@ -770,9 +798,20 @@ object GraphOps {
        |w0 AS (SELECT node AS seed, node FROM seeds),
        |$hops
        |SELECT seed, step, node FROM (
-       |  $union)
-       |ORDER BY seed, step""".stripMargin
+       |  $union)${if (ordered) "\nORDER BY seed, step" else ""}""".stripMargin
   }
+
+  /** [[skipGramPairs]] over [[randomWalksSql]] as one nested query —
+    * the same self-join on seed with the bounded step-distance
+    * residual. */
+  def skipGramPairsSql(edgeCte: String, steps: Int = 5, window: Int = 2): String =
+    s"""WITH walks AS (
+       |${randomWalksSql(edgeCte, steps, ordered = false)})
+       |SELECT c.seed, c.step AS c_step, c.node AS center,
+       |       x.step AS x_step, x.node AS context
+       |FROM walks c JOIN walks x ON c.seed = x.seed
+       | AND c.step <> x.step AND abs(c.step - x.step) <= $window
+       |ORDER BY c.seed, c_step, x_step""".stripMargin
 
   private def coOrderEdges(
       s: org.apache.spark.sql.SparkSession, d: String,
@@ -884,6 +923,17 @@ object GraphOps {
       val e = coOrderEdges(s, d, yearSlice = true)
       val seeds = e.select(col("src").as("node")).distinct().orderBy("node").limit(100)
       randomWalks(e, seeds, steps = 5)
+    },
+
+    // the DeepWalk training corpus: ordered (center, context) pairs
+    // within 2 hops on the same walk — composed walks -> self-join
+    QueryDef(
+      "q_skipgram_pairs",
+      skipGramPairsSql(edgeCteYearSql, steps = 5, window = 2)) { (s, d) =>
+      val e = coOrderEdges(s, d, yearSlice = true)
+      val seeds = e.select(col("src").as("node")).distinct().orderBy("node").limit(100)
+      skipGramPairs(randomWalks(e, seeds, steps = 5), window = 2)
+        .orderBy("seed", "c_step", "x_step")
     },
 
     // HITS on the DIRECTED customer→part purchase graph: top-100 hubs

@@ -258,6 +258,26 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(viaSql.sorted.toSeq === out.sorted.toSeq)
   }
 
+  test("skip-gram pairs: exactly the within-window ordered pairs of each walk") {
+    // a hand-built 3-step walk for one seed: pair count and membership
+    // are closed-form (window 2, steps 0..3: ordered pairs with
+    // |i-j| in {1,2} -> 2*(3+2) = 10)
+    val walk = Seq((7L, 0, 10L), (7L, 1, 11L), (7L, 2, 12L), (7L, 3, 13L))
+      .toDF("seed", "step", "node")
+    val pairs = GraphOps.skipGramPairs(walk, window = 2).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getInt(3), r.getLong(4)))
+    assert(pairs.length === 10)
+    assert(pairs.forall { case (cs, _, xs, _) => cs != xs && math.abs(cs - xs) <= 2 })
+    assert(pairs.contains((0, 10L, 2, 12L)) && pairs.contains((3, 13L, 1, 11L)))
+    assert(!pairs.exists { case (cs, _, xs, _) => math.abs(cs - xs) > 2 },
+      "no pair may span more than the window")
+    // two walks never pair across seeds
+    val two = walk.unionByName(
+      Seq((8L, 0, 10L), (8L, 1, 12L)).toDF("seed", "step", "node"))
+    assert(GraphOps.skipGramPairs(two, window = 2)
+      .filter(col("seed") === 8L).count() === 2)
+  }
+
   test("label propagation: bridged cliques resolve to per-clique communities") {
     // two 4-cliques bridged by one edge: min-mode LPA must settle each
     // clique on its own minimum id, bridge notwithstanding (3 in-clique
