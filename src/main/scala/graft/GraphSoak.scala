@@ -147,6 +147,17 @@ object GraphSoak {
       // chords make the graph connected BY CONSTRUCTION, so the
       // component count doubles as a correctness invariant: anything
       // but 1 is a propagation bug, printed for the log to certify.
+      if (ops("walks")) {
+        // the DeepWalk regime: ONE walk per node — the frontier is
+        // node-sized, so past the 4M guard every hop takes the
+        // co-partitioned shuffle join (the production shape)
+        val rows = t(s"walks 5 hops/node @$e") {
+          GraphOps.randomWalks(
+            edges, edges.select(col("src").as("node")).distinct(), steps = 5)
+            .count()
+        }
+        println(s"[gsoak] walk rows (must be 6x nodes = ${6 * n}): $rows")
+      }
       if (ops("cc")) {
         val cc = t(s"cc star @$e") {
           graft.ops.DedupOps.connectedComponentsStar(
