@@ -759,6 +759,103 @@ object GraphOps {
       .select(col("seed"), col("step"), col("node")).orderBy("seed", "step")
   }
 
+  /** node2vec biased walks (Grover & Leskovec '16): hop t from node u
+    * (arrived from `prev`) weights each candidate neighbor x by 1/p if
+    * x = prev (return), 1 if x is adjacent to prev (BFS-ish), else 1/q
+    * (DFS-ish); the first hop is uniform. The pick is inverse-CDF over
+    * the dst-ordered cumulative weights at an md5-derived dyadic
+    * uniform u = H/2^32 — with 1/p and 1/q DYADIC (p, q powers of
+    * two), every weight, prefix sum, and u·total product is an EXACT
+    * double, so the selection compares exact values and the walk is
+    * engine-exact like [[randomWalks]] (non-dyadic p/q would put
+    * selection one ulp from flipping; the oracle query uses p=2, q=4).
+    *
+    * Scale shape: per hop, candidates = frontier ⋈ adjacency (one row
+    * per neighbor of each walk head — O(walks · d̄), the inherent
+    * node2vec cost), the prev-adjacency mark is one more edge-keyed
+    * join, and the pick is a per-seed window over the candidate set —
+    * everything keyed, nothing quadratic, frontier never grows.
+    */
+  def node2vecWalks(
+      edges: DataFrame, seeds: DataFrame, steps: Int = 5,
+      p: Double = 2.0, q: Double = 4.0): DataFrame = {
+    val adj = edges.repartition(col("src")).localCheckpoint(false)
+    val nSeeds = seeds.count()
+    val small = nSeeds <= broadcastRanksMaxNodes
+    val eager = adj.count() > loopCodegenMinRows
+    var frontier = seeds.select(
+      col("node").as("seed"), col("node"), lit(null).cast("long").as("prev"))
+    var acc = List(frontier.select(col("seed"), lit(0).as("step"), col("node")))
+    val wSum = Window.partitionBy(col("seed"))
+    val wCum = Window.partitionBy(col("seed")).orderBy(col("cand"))
+    for (t <- 1 to steps) {
+      val f = if (small) broadcast(frontier) else frontier.repartition(col("node"))
+      val cands = adj.join(f, col("node") === col("src"))
+        .select(col("seed"), col("node"), col("prev"), col("dst").as("cand"))
+      val marked = cands.join(
+        adj.select(col("src").as("m_s"), col("dst").as("m_d")),
+        col("cand") === col("m_s") && col("prev") === col("m_d"), "left")
+      val wt = when(col("prev").isNull, lit(1.0))
+        .when(col("cand") === col("prev"), lit(1.0 / p))
+        .when(col("m_s").isNotNull, lit(1.0))
+        .otherwise(lit(1.0 / q))
+      val u = conv(substring(md5(concat_ws(":",
+        col("seed"), lit(t), col("node"))), 1, 8), 16, 10)
+        .cast("long").cast("double") / lit(4294967296.0)
+      frontier = marked
+        .withColumn("wt", wt)
+        .withColumn("cumw", sum(col("wt")).over(wCum))
+        .withColumn("wsum", sum(col("wt")).over(wSum))
+        .filter(col("cumw") >= u * col("wsum"))
+        .withColumn("rn", row_number().over(wCum))
+        .filter(col("rn") === 1)
+        .select(col("seed"), col("cand").as("node"), col("node").as("prev"))
+        .localCheckpoint(eager)
+      acc ::= frontier.withColumn("step", lit(t)).select("seed", "step", "node")
+    }
+    acc.reverse.reduce(_ unionByName _).orderBy("seed", "step")
+  }
+
+  /** [[node2vecWalks]] as unrolled SQL (p=2, q=4 dyadic weights —
+    * 0.5 / 1.0 / 0.25 exact). */
+  def node2vecWalksSql(
+      edgeCte: String, steps: Int = 5, p: Double = 2.0, q: Double = 4.0): String = {
+    val (rp, rq) = (1.0 / p, 1.0 / q)
+    val hops = (1 to steps).map { t =>
+      s"""c$t AS MATERIALIZED (
+         |  SELECT w.seed, w.node, w.prev, a.dst AS cand,
+         |    CASE WHEN w.prev IS NULL THEN CAST(1.0 AS DOUBLE)
+         |         WHEN a.dst = w.prev THEN CAST($rp AS DOUBLE)
+         |         WHEN m.src IS NOT NULL THEN CAST(1.0 AS DOUBLE)
+         |         ELSE CAST($rq AS DOUBLE) END AS wt,
+         |    CAST(CAST(('0x' || substr(md5(w.seed || ':' || $t || ':' || w.node), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+         |  FROM w${t - 1} w
+         |  JOIN e a ON a.src = w.node
+         |  LEFT JOIN e m ON m.src = a.dst AND m.dst = w.prev),
+         |w$t AS MATERIALIZED (
+         |  SELECT seed, cand AS node, node AS prev FROM (
+         |    SELECT seed, node, cand,
+         |      row_number() OVER (PARTITION BY seed ORDER BY cand) AS rn
+         |    FROM (
+         |      SELECT seed, node, cand, u,
+         |        sum(wt) OVER (PARTITION BY seed ORDER BY cand) AS cumw,
+         |        sum(wt) OVER (PARTITION BY seed) AS wsum
+         |      FROM c$t)
+         |    WHERE cumw >= u * wsum)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 to steps)
+      .map(t => s"SELECT seed, $t AS step, node FROM w$t")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH e AS MATERIALIZED ($edgeCte),
+       |seeds AS (SELECT DISTINCT src AS node FROM e ORDER BY node LIMIT 100),
+       |w0 AS (SELECT node AS seed, node, CAST(NULL AS BIGINT) AS prev FROM seeds),
+       |$hops
+       |SELECT seed, step, node FROM (
+       |  $union)
+       |ORDER BY seed, step""".stripMargin
+  }
+
   /** Skip-gram training pairs from [[randomWalks]] output — the
     * DeepWalk corpus: every ordered (center, context) node pair within
     * `window` hops of each other on the SAME walk. One self-join per
@@ -923,6 +1020,16 @@ object GraphOps {
       val e = coOrderEdges(s, d, yearSlice = true)
       val seeds = e.select(col("src").as("node")).distinct().orderBy("node").limit(100)
       randomWalks(e, seeds, steps = 5)
+    },
+
+    // node2vec biased walks (p=2 return-averse, q=4 DFS-averse —
+    // dyadic so the inverse-CDF selection is engine-exact)
+    QueryDef(
+      "q_node2vec_walks",
+      node2vecWalksSql(edgeCteYearSql, steps = 5)) { (s, d) =>
+      val e = coOrderEdges(s, d, yearSlice = true)
+      val seeds = e.select(col("src").as("node")).distinct().orderBy("node").limit(100)
+      node2vecWalks(e, seeds, steps = 5)
     },
 
     // the DeepWalk training corpus: ordered (center, context) pairs

@@ -258,6 +258,44 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(viaSql.sorted.toSeq === out.sorted.toSeq)
   }
 
+  test("node2vec walks: bias semantics (return-averse, triangle-closing), edge-valid, deterministic, SQL-twin-exact") {
+    // triangle 1-2-3 plus pendant 4 on 3
+    val oneWay = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val e = (oneWay ++ oneWay.map(_.swap)).toDF("src", "dst")
+    val edgeSet = (oneWay ++ oneWay.map(_.swap)).toSet
+    // extreme biases make the choice closed-form: p huge -> never
+    // return when an alternative exists; q huge -> prefer the
+    // prev-adjacent (triangle-closing) candidate
+    val out = GraphOps.node2vecWalks(
+      e, Seq(2L).toDF("node"), steps = 3, p = math.pow(2, 30), q = math.pow(2, 30))
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toMap
+    assert(out(0) === 2L)
+    val first = out(1) // uniform hop: 1 or 3
+    assert(Set(1L, 3L).contains(first))
+    // hop 2 from `first` with prev=2: the non-return, prev-adjacent
+    // candidate is the OTHER triangle corner — must be chosen over
+    // both returning (1/p ~ 0) and the non-adjacent pendant (1/q ~ 0)
+    val other = if (first == 1L) 3L else 1L
+    assert(out(2) === other, s"triangle closure must win: $out")
+    // every hop is an edge
+    (0 to 2).foreach(t => assert(edgeSet.contains((out(t), out(t + 1)))))
+    // deterministic re-run
+    assert(GraphOps.node2vecWalks(
+      e, Seq(2L).toDF("node"), steps = 3, p = math.pow(2, 30), q = math.pow(2, 30))
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toMap === out)
+    // dyadic default (p=2, q=4) equals the unrolled SQL twin
+    e.createOrReplaceTempView("g_n2v")
+    val viaScala = GraphOps.node2vecWalks(e, Seq(1L, 2L, 3L, 4L).toDF("node"), steps = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    val viaSql = spark.sql(
+      GraphOps.node2vecWalksSql("SELECT src, dst FROM g_n2v", steps = 4)
+        .replace(" MATERIALIZED", "")
+        .replace("CAST(CAST(('0x' || substr(", "CAST(CAST(conv(substr(")
+        .replace(", 1, 8)) AS BIGINT) AS DOUBLE)", ", 1, 8), 16, 10) AS BIGINT) AS DOUBLE)"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(viaSql === viaScala)
+  }
+
   test("skip-gram pairs: exactly the within-window ordered pairs of each walk") {
     // a hand-built 3-step walk for one seed: pair count and membership
     // are closed-form (window 2, steps 0..3: ordered pairs with
