@@ -158,6 +158,17 @@ object GraphSoak {
         }
         println(s"[gsoak] walk rows (must be 6x nodes = ${6 * n}): $rows")
       }
+      if (ops("n2v")) {
+        // node2vec at one walk per node: per-hop work is O(walks · d̄)
+        // candidate rows + the prev-adjacency mark join — the inherent
+        // biased-walk cost, ~10× the uniform walk's frontier-sized hops
+        val rows = t(s"node2vec 5 hops/node @$e") {
+          GraphOps.node2vecWalks(
+            edges, edges.select(col("src").as("node")).distinct(), steps = 5)
+            .count()
+        }
+        println(s"[gsoak] n2v walk rows (must be 6x nodes = ${6 * n}): $rows")
+      }
       if (ops("cc")) {
         val cc = t(s"cc star @$e") {
           graft.ops.DedupOps.connectedComponentsStar(
