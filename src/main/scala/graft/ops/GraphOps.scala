@@ -722,7 +722,14 @@ object GraphOps {
     * never adjacency-sized. Frontier never grows: exactly one row per
     * (seed, step).
     */
-  def randomWalks(edges: DataFrame, seeds: DataFrame, steps: Int = 5): DataFrame = {
+  /** `epoch` salts the hop hashes (DeepWalk's `num_walks`: r
+    * independent walks per seed = union over r epochs, each
+    * deterministic and replayable on its own — the
+    * [[ExportOps]] epoch-reshuffle convention applied to walks).
+    * Epoch 0 is hash-compatible with the unsalted original. */
+  def randomWalks(
+      edges: DataFrame, seeds: DataFrame, steps: Int = 5,
+      epoch: Int = 0): DataFrame = {
     val wOrd = Window.partitionBy(col("src")).orderBy(col("dst"))
     val wAll = Window.partitionBy(col("src"))
     val adj = edges.select(
@@ -744,9 +751,13 @@ object GraphOps {
     var frontier = seeds.select(col("node").as("seed"), col("node"))
     var acc = List(frontier.withColumn("step", lit(0)))
     for (t <- 1 to steps) {
+      // epoch 0 keeps the unsalted input (hash-compatible with the
+      // oracle twin); other epochs prepend the salt
+      val hashIn =
+        if (epoch == 0) concat_ws(":", col("seed"), lit(t), col("node"))
+        else concat_ws(":", lit(epoch), col("seed"), lit(t), col("node"))
       val pick = pmod(
-        conv(substring(md5(concat_ws(":",
-          col("seed"), lit(t), col("node"))), 1, 8), 16, 10).cast("long"),
+        conv(substring(md5(hashIn), 1, 8), 16, 10).cast("long"),
         col("deg")) + lit(1L)
       val f = if (small) broadcast(frontier) else frontier.repartition(col("node"))
       frontier = adj.join(f, col("node") === col("src"))

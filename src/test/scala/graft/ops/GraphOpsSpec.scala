@@ -296,6 +296,26 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(viaSql === viaScala)
   }
 
+  test("multi-epoch walks: distinct per-epoch paths, identical shape invariants, epoch 0 unsalted") {
+    // a denser graph so epochs actually diverge (cycle + chords)
+    val oneWay = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 1L),
+      (1L, 3L), (2L, 5L), (4L, 6L))
+    val e = (oneWay ++ oneWay.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("node")
+    def run(ep: Int) = GraphOps.randomWalks(e, seeds, steps = 5, epoch = ep)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val byEpoch = (0 to 2).map(run)
+    // DeepWalk num_walks: every epoch is a full, well-formed walk set...
+    byEpoch.foreach(w => assert(w.length === 6 * 6))
+    // ...but the paths differ across epochs (independent hash streams)
+    assert(byEpoch.distinct.length === 3, "epochs must yield distinct walks")
+    // epoch 0 is exactly the unsalted default (oracle compatibility)
+    assert(run(0) === GraphOps.randomWalks(e, seeds, steps = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq)
+    // replay determinism per epoch
+    assert(run(2) === run(2))
+  }
+
   test("skip-gram pairs: exactly the within-window ordered pairs of each walk") {
     // a hand-built 3-step walk for one seed: pair count and membership
     // are closed-form (window 2, steps 0..3: ordered pairs with
