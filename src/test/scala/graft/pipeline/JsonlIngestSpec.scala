@@ -80,4 +80,35 @@ class JsonlIngestSpec extends AnyFunSuite {
     assert(s.ingest.appended === 0, s.toString)
     assert(TxTable.read(spark, corpus).select("doc_id").distinct().count() === 2)
   }
+
+  test("tailing: a second checkpointed drain processes only new files; corpus and quarantine extend incrementally") {
+    val base = Files.createTempDirectory("jsonl-tail").toFile.getAbsolutePath
+    val (src, corpus, index, quarantine, ck) =
+      (s"$base/src", s"$base/corpus", s"$base/index", s"$base/quarantine", s"$base/ck")
+    val freshText = "completely unrelated text about cooking pasta with garlic olive oil and fresh basil leaves"
+
+    writeLines(src, "a.jsonl", Seq(
+      s"""{"doc_id": 1, "lang": "en", "source": "web", "text": "$good1"}""",
+      malformed))
+    CorpusIngest.runJsonlAvailableNow(spark, src, corpus, index, quarantine, ck)
+    assert(TxTable.read(spark, corpus).count() === 1)
+    assert(TxTable.read(spark, quarantine).count() === 1)
+    val v1 = (TxTable.latest(spark, corpus)._1, TxTable.latest(spark, quarantine)._1)
+
+    // tail: new file arrives; SAME checkpoint — only the new file runs
+    writeLines(src, "b.jsonl", Seq(
+      s"""{"doc_id": 2, "lang": "en", "source": "web", "text": "$freshText"}""",
+      "also not json"))
+    CorpusIngest.runJsonlAvailableNow(spark, src, corpus, index, quarantine, ck)
+    assert(TxTable.read(spark, corpus).select("doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(1L, 2L))
+    assert(TxTable.read(spark, quarantine).select("raw_line").collect()
+      .map(_.getString(0)).toSet === Set(malformed, "also not json"))
+    // old rows were NOT re-ingested: doc 1 would have been a
+    // rejectedDup/alreadyCommitted had a.jsonl re-run, but the
+    // manifests advanced exactly once each — one new commit per table
+    val v2 = (TxTable.latest(spark, corpus)._1, TxTable.latest(spark, quarantine)._1)
+    assert(v2._1 === v1._1 + 1 && v2._2 === v1._2 + 1,
+      s"exactly one incremental commit per table: $v1 -> $v2")
+  }
 }
