@@ -110,9 +110,10 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.values.filter(_ >= 0).sum
-    // FROZEN per-query floor gate (r8): bench_floor_r7.json is a
-    // committed snapshot of the round-7 clean run that is NEVER
-    // refreshed — unlike bench_reference.json (re-baselined each round
+    // FROZEN per-query floor gate (r8, re-frozen r9 to cover the six r8
+    // queries): bench_floor_r8.json is a committed snapshot of the
+    // round-8 clean run. A freeze is a DELIBERATE COMMIT, never a
+    // refresh — unlike bench_reference.json (re-baselined each round
     // for the contention-retry heuristic above), the floor cannot drift
     // with the code it gates, so a slow creep across rounds is caught
     // against a fixed budget. A query is a VIOLATION when it runs >2×
@@ -122,16 +123,16 @@ object Bench {
     // Queries newer than the freeze have no floor and are listed
     // separately, not failed. SPARK_GRAFT_FLOOR_STRICT=1 turns a
     // quiet-run violation into exit 1 for CI-style use.
-    val floor: Map[String, Double] = {
-      val p = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_FLOOR", "bench_floor_r7.json"))
-      if (java.nio.file.Files.isReadable(p)) {
-        val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    val floorPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FLOOR", "bench_floor_r8.json")
+    val floorReadable = java.nio.file.Files.isReadable(java.nio.file.Paths.get(floorPath))
+    val floor: Map[String, Double] =
+      if (floorReadable) {
+        val s = new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(floorPath)), "UTF-8")
         val m = "\"queries\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(s).map(_.group(1)).getOrElse("")
         "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r.findAllMatchIn(m)
           .map(mm => mm.group(1) -> mm.group(2).toDouble).toMap
       } else Map.empty
-    }
     val quiet = (midProbes :+ calBefore :+ calAfter).forall(_ < 2.0)
     val floorViolations = results.collect {
       case (k, v) if v >= 0 && floor.get(k).exists(f => v > 2.0 * f) =>
@@ -141,8 +142,13 @@ object Bench {
     val floorJson = {
       val viol = floorViolations.map { case (k, (v, f)) =>
         s"""\"$k\":{"sec":$v,"floor_sec":$f,"ratio":${v / f}}""" }.mkString("{", ",", "}")
-      s"""{"ref":"bench_floor_r7.json","n_floor":${floor.size},"quiet":$quiet,"violations":$viol,"no_floor":${noFloor.map("\"" + _ + "\"").mkString("[", ",", "]")},"verdict":"${
-        if (floor.isEmpty) "no_floor_file"
+      s"""{"ref":"$floorPath","n_floor":${floor.size},"quiet":$quiet,"violations":$viol,"no_floor":${noFloor.map("\"" + _ + "\"").mkString("[", ",", "]")},"verdict":"${
+        // a PRESENT floor file that parses to zero queries is a broken
+        // gate (format drift), not an ungated run — surface it as its
+        // own verdict so silent loss of the regression gate can't read
+        // as the benign 'no_floor_file'
+        if (!floorReadable) "no_floor_file"
+        else if (floor.isEmpty) "floor_parse_error"
         else if (floorViolations.nonEmpty && quiet) "FAIL"
         else if (floorViolations.nonEmpty) "abstain_contended"
         else "pass"}"}"""

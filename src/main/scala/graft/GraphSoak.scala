@@ -55,7 +55,7 @@ object GraphSoak {
     val targetEdges = if (args.nonEmpty) args(0).toLong else 24000000L
     // optional op subset (arg 2, comma-separated) so a follow-up run
     // can soak just the newest operators without re-paying the rest:
-    // pagerank,ppr,kcore,triangles,cc,lpa,hits
+    // pagerank,ppr,kcore,triangles,cc,lpa,hits,walks,n2v
     val ops: Set[String] =
       if (args.length > 1) args(1).split(",").map(_.trim).toSet
       else Set("pagerank", "ppr", "kcore", "triangles", "cc")
@@ -142,11 +142,6 @@ object GraphSoak {
         }
         println(s"[gsoak] triangle corner-count: $tri")
       }
-      // log-rounds CC over the same graph (the r8 ask: CC measured at
-      // the ≥100M-edge point, not only in the corpus soak). The ring
-      // chords make the graph connected BY CONSTRUCTION, so the
-      // component count doubles as a correctness invariant: anything
-      // but 1 is a propagation bug, printed for the log to certify.
       if (ops("walks")) {
         // the DeepWalk regime: ONE walk per node — the frontier is
         // node-sized, so past the 4M guard every hop takes the
@@ -169,6 +164,11 @@ object GraphSoak {
         }
         println(s"[gsoak] n2v walk rows (must be 6x nodes = ${6 * n}): $rows")
       }
+      // log-rounds CC over the same graph (the r8 ask: CC measured at
+      // the ≥100M-edge point, not only in the corpus soak). The ring
+      // chords make the graph connected BY CONSTRUCTION, so the
+      // component count doubles as a correctness invariant: anything
+      // but 1 is a propagation bug, printed for the log to certify.
       if (ops("cc")) {
         val cc = t(s"cc star @$e") {
           graft.ops.DedupOps.connectedComponentsStar(

@@ -53,8 +53,12 @@ object ExportOps {
     * multi-epoch training run needs: each epoch's export is a DISTINCT
     * deterministic permutation of the same corpus (seeded md5 shuffle
     * key, the [[ProfileOps]] `q_corpus_shuffle` construction with the
-    * zero-padded unique id appended so the order never depends on
-    * md5-collision luck), with the SAME manifest/checksum guarantees:
+    * unique id appended so the order never depends on md5-collision
+    * luck — appended RAW, not zero-padded: md5 hex is fixed-width 32,
+    * so the suffix only ever compares md5-equal keys, where uniqueness
+    * is what matters and a fixed-width `lpad` would silently TRUNCATE
+    * order keys longer than the pad and let distinct rows collide),
+    * with the SAME manifest/checksum guarantees:
     * per-shard checksums differ per epoch (membership moved), but the
     * xor-fold of all shard checksums is epoch-INVARIANT (it telescopes
     * to the whole-corpus row-hash xor), so content identity across
@@ -70,7 +74,7 @@ object ExportOps {
     writeShardsDropping(
       df.withColumn(ek, concat(
         md5(concat_ws(":", lit(epochSeed).cast("string"), col(orderCol).cast("string"))),
-        lpad(col(orderCol).cast("string"), 20, "0"))),
+        col(orderCol).cast("string"))),
       path, ek, rowsPerShard, Seq(ek))
   }
 

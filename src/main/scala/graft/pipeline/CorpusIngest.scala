@@ -57,18 +57,24 @@ object CorpusIngest {
     // pass it and append twice. Deterministic winner (lowest text) —
     // dropDuplicates would pick by partition order.
     val raw = batch.persist() // counted once raw, scanned once more for the window
+    // every persist released on ALL exits: a long-running stream retries
+    // failed micro-batches (runJsonlAvailableNow), and an exception from
+    // TxTable.appendCommit that left four frames cached per retry would
+    // bleed the block store across a night of retries
+    var quality, verdicts, toAppend: DataFrame = null
+    try {
     val received = raw.count()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("text")
     val unique = raw
       .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
-    val quality = CurationOps.withQuality(unique).persist()
+    quality = CurationOps.withQuality(unique).persist()
     val uniqueCnt = quality.count()
     val passed = quality.filter(col("keep"))
       .select("doc_id", "text", "lang", "source")
     // verdicts drive three consumers (append set, dup count, accept
     // count) — persist, or each one re-runs the minhash+probe pipeline
-    val verdicts = DedupIndex.ingest(spark, indexRoot, passed, params).persist()
+    verdicts = DedupIndex.ingest(spark, indexRoot, passed, params).persist()
     val acceptedIds = verdicts.filter(col("accepted")).select("doc_id")
     val accepted = passed.join(acceptedIds, Seq("doc_id"), "leftsemi")
     // corpus-side idempotence: never re-append a doc_id already
@@ -79,12 +85,11 @@ object CorpusIngest {
           TxTable.read(spark, corpusRoot).select("doc_id").distinct(),
           Seq("doc_id"), "left_anti")
       else accepted
-    val toAppend = novel.persist()
+    toAppend = novel.persist()
     val appended = toAppend.count()
     if (appended > 0) TxTable.appendCommit(spark, corpusRoot, toAppend, "source")
     val nPassed = verdicts.count() // = passed rows, off the cached verdicts
     val nDup = verdicts.filter(!col("accepted")).count()
-    raw.unpersist(); quality.unpersist(); verdicts.unpersist(); toAppend.unpersist()
     IngestStats(
       received = received,
       dedupedInBatch = received - uniqueCnt,
@@ -94,6 +99,12 @@ object CorpusIngest {
       // a replay or a later-batch resend of an already-committed doc
       alreadyCommitted = (nPassed - nDup) - appended,
       appended = appended)
+    } finally {
+      raw.unpersist()
+      if (quality != null) quality.unpersist()
+      if (verdicts != null) verdicts.unpersist()
+      if (toAppend != null) toAppend.unpersist()
+    }
   }
 
   /** [[IngestStats]] extended with the JSONL dead-letter split: every
@@ -138,6 +149,8 @@ object CorpusIngest {
         col("p.source").as("source"), col("p.text").as("text"),
         col("p._corrupt").as("_corrupt"))
       .persist()
+    var novelBad: DataFrame = null
+    try {
     val received = parsed.count()
     val badCond = col("_corrupt").isNotNull ||
       col("doc_id").isNull || col("text").isNull
@@ -148,7 +161,7 @@ object CorpusIngest {
           .otherwise(lit("missing_required_field")).as("reason"))
       .groupBy("line_key", "raw_line", "reason")
       .agg(count(lit(1)).as("n_seen"))
-    val novelBad = (
+    novelBad = (
       if (TxTable.latest(spark, quarantineRoot)._1 > 0)
         bad.join(
           TxTable.read(spark, quarantineRoot).select("line_key").distinct(),
@@ -164,8 +177,11 @@ object CorpusIngest {
         coalesce(col("source"), lit("unknown")).as("source"),
         col("text"))
     val stats = ingestBatch(spark, corpusRoot, indexRoot, good, params)
-    parsed.unpersist(); novelBad.unpersist()
     JsonlStats(received, quarantined, stats)
+    } finally {
+      parsed.unpersist()
+      if (novelBad != null) novelBad.unpersist()
+    }
   }
 
   /** JSONL file-source stream → [[ingestJsonlBatch]] per micro-batch
