@@ -55,7 +55,7 @@ object GraphSoak {
     val targetEdges = if (args.nonEmpty) args(0).toLong else 24000000L
     // optional op subset (arg 2, comma-separated) so a follow-up run
     // can soak just the newest operators without re-paying the rest:
-    // pagerank,ppr,kcore,triangles,cc,lpa,hits,walks,n2v
+    // pagerank,ppr,kcore,triangles,cc,lpa,hits,walks,walksxx,n2v,n2vxx
     val ops: Set[String] =
       if (args.length > 1) args(1).split(",").map(_.trim).toSet
       else Set("pagerank", "ppr", "kcore", "triangles", "cc")
@@ -152,6 +152,26 @@ object GraphSoak {
             .count()
         }
         println(s"[gsoak] walk rows (must be 6x nodes = ${6 * n}): $rows")
+      }
+      if (ops("walksxx")) {
+        // the xxhash64 production twin at the same scale: the delta vs
+        // ops("walks") is pure per-row hash cost (string build + md5 +
+        // hex parse vs one codegen'd long hash) — invisible at oracle
+        // seed counts, measurable in the one-walk-per-node regime
+        val rows = t(s"walks-xx 5 hops/node @$e") {
+          GraphOps.randomWalksXx(
+            edges, edges.select(col("src").as("node")).distinct(), steps = 5)
+            .count()
+        }
+        println(s"[gsoak] walk-xx rows (must be 6x nodes = ${6 * n}): $rows")
+      }
+      if (ops("n2vxx")) {
+        val rows = t(s"node2vec-xx 5 hops/node @$e") {
+          GraphOps.node2vecWalksXx(
+            edges, edges.select(col("src").as("node")).distinct(), steps = 5)
+            .count()
+        }
+        println(s"[gsoak] n2v-xx walk rows (must be 6x nodes = ${6 * n}): $rows")
       }
       if (ops("n2v")) {
         // node2vec at one walk per node: per-hop work is O(walks · d̄)

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -729,7 +729,42 @@ object GraphOps {
     * Epoch 0 is hash-compatible with the unsalted original. */
   def randomWalks(
       edges: DataFrame, seeds: DataFrame, steps: Int = 5,
-      epoch: Int = 0): DataFrame = {
+      epoch: Int = 0): DataFrame =
+    // epoch 0 keeps the unsalted input (hash-compatible with the
+    // oracle twin); other epochs prepend the salt
+    uniformWalkLoop(edges, seeds, steps, t =>
+      conv(substring(md5(
+        if (epoch == 0) concat_ws(":", col("seed"), lit(t), col("node"))
+        else concat_ws(":", lit(epoch), col("seed"), lit(t), col("node"))),
+        1, 8), 16, 10).cast("long"))
+
+  /** xxhash64 production twin of [[randomWalks]] — the documented twin
+    * convention (minhash/simhash precedent): identical hop-selection
+    * body via [[uniformWalkLoop]], but the per-hop uniform comes from
+    * `xxhash64(seed, t, node)` over NATIVE columns — no per-hop string
+    * materialization, no md5 — so a 100 TB walk run pays one codegen'd
+    * long hash per frontier row instead of a string build + md5 + hex
+    * parse. Engine-only hash ⇒ oracle-covered via the [[OracleDump]]
+    * hop-hash dump (the walk output determines exactly which
+    * (seed, t, node) hashes the replay consumes — one per walk
+    * position, unique by (seed, t)). Walk paths differ from the md5
+    * variant by construction (different hash, different picks); the
+    * CONTRACT (one row per (seed, step), every hop an edge, pick =
+    * 1 + H mod deg) is the same and is what the oracle replays.
+    */
+  def randomWalksXx(
+      edges: DataFrame, seeds: DataFrame, steps: Int = 5,
+      epoch: Int = 0): DataFrame =
+    uniformWalkLoop(edges, seeds, steps, t =>
+      if (epoch == 0) xxhash64(col("seed"), lit(t), col("node"))
+      else xxhash64(lit(epoch), col("seed"), lit(t), col("node")))
+
+  /** Shared hop-selection body of [[randomWalks]]/[[randomWalksXx]]:
+    * `hopHash(t)` is any deterministic long over (`seed`, `node`) —
+    * the pick is `1 + pmod(hopHash, deg)` in dst-sorted order. */
+  private def uniformWalkLoop(
+      edges: DataFrame, seeds: DataFrame, steps: Int,
+      hopHash: Int => Column): DataFrame = {
     val wOrd = Window.partitionBy(col("src")).orderBy(col("dst"))
     val wAll = Window.partitionBy(col("src"))
     val adj = edges.select(
@@ -751,14 +786,7 @@ object GraphOps {
     var frontier = seeds.select(col("node").as("seed"), col("node"))
     var acc = List(frontier.withColumn("step", lit(0)))
     for (t <- 1 to steps) {
-      // epoch 0 keeps the unsalted input (hash-compatible with the
-      // oracle twin); other epochs prepend the salt
-      val hashIn =
-        if (epoch == 0) concat_ws(":", col("seed"), lit(t), col("node"))
-        else concat_ws(":", lit(epoch), col("seed"), lit(t), col("node"))
-      val pick = pmod(
-        conv(substring(md5(hashIn), 1, 8), 16, 10).cast("long"),
-        col("deg")) + lit(1L)
+      val pick = pmod(hopHash(t), col("deg")) + lit(1L)
       val f = if (small) broadcast(frontier) else frontier.repartition(col("node"))
       frontier = adj.join(f, col("node") === col("src"))
         .filter(col("nbr_rank") === pick)
@@ -789,7 +817,33 @@ object GraphOps {
     */
   def node2vecWalks(
       edges: DataFrame, seeds: DataFrame, steps: Int = 5,
-      p: Double = 2.0, q: Double = 4.0): DataFrame = {
+      p: Double = 2.0, q: Double = 4.0): DataFrame =
+    node2vecWalkLoop(edges, seeds, steps, p, q, t =>
+      conv(substring(md5(concat_ws(":",
+        col("seed"), lit(t), col("node"))), 1, 8), 16, 10)
+        .cast("long").cast("double") / lit(4294967296.0))
+
+  /** xxhash64 production twin of [[node2vecWalks]] (same convention as
+    * [[randomWalksXx]]): identical biased-pick body via
+    * [[node2vecWalkLoop]], per-hop uniform u = (xxhash64(seed, t,
+    * node) mod 2^32) / 2^32 over native columns — 32 low-entropy-free
+    * bits, so u is an exact dyadic double like the md5 variant and the
+    * inverse-CDF comparison stays engine-exact. Oracle-covered via the
+    * [[OracleDump]] hop-hash dump of the 32-bit values the replay
+    * consumes. */
+  def node2vecWalksXx(
+      edges: DataFrame, seeds: DataFrame, steps: Int = 5,
+      p: Double = 2.0, q: Double = 4.0): DataFrame =
+    node2vecWalkLoop(edges, seeds, steps, p, q, t =>
+      pmod(xxhash64(col("seed"), lit(t), col("node")), lit(4294967296L))
+        .cast("double") / lit(4294967296.0))
+
+  /** Shared biased-pick body of [[node2vecWalks]]/[[node2vecWalksXx]]:
+    * `hopU(t)` is any deterministic exact-dyadic uniform in [0, 1)
+    * over (`seed`, `node`). */
+  private def node2vecWalkLoop(
+      edges: DataFrame, seeds: DataFrame, steps: Int,
+      p: Double, q: Double, hopU: Int => Column): DataFrame = {
     val adj = edges.repartition(col("src")).localCheckpoint(false)
     val nSeeds = seeds.count()
     val small = nSeeds <= broadcastRanksMaxNodes
@@ -810,9 +864,7 @@ object GraphOps {
         .when(col("cand") === col("prev"), lit(1.0 / p))
         .when(col("m_s").isNotNull, lit(1.0))
         .otherwise(lit(1.0 / q))
-      val u = conv(substring(md5(concat_ws(":",
-        col("seed"), lit(t), col("node"))), 1, 8), 16, 10)
-        .cast("long").cast("double") / lit(4294967296.0)
+      val u = hopU(t)
       frontier = marked
         .withColumn("wt", wt)
         .withColumn("cumw", sum(col("wt")).over(wCum))
@@ -907,6 +959,88 @@ object GraphOps {
        |$hops
        |SELECT seed, step, node FROM (
        |  $union)${if (ordered) "\nORDER BY seed, step" else ""}""".stripMargin
+  }
+
+  /** [[randomWalksXx]]'s DuckDB twin: the same unrolled hop CTEs as
+    * [[randomWalksSql]], but the per-hop hash comes from the
+    * [[OracleDump]] hop-hash dump `(seed, t, node, h)` — the SIGNED
+    * xxhash64 longs the Spark run consumed, one per walk position
+    * (unique by (seed, t)). The replay re-derives everything AROUND
+    * the engine-only hash: dst-sorted adjacency ranking, the
+    * sign-safe pmod pick `1 + ((h % deg) + deg) % deg`, the hop
+    * joins, union, and ordering — a wrong pick or a dropped hop row
+    * breaks the inner join and the row-count/hash compare. */
+  def randomWalksXxSql(edgeCte: String, steps: Int = 5): String = {
+    val hops = (1 to steps).map { t =>
+      s"""w$t AS MATERIALIZED (
+         |  SELECT w.seed, a.dst AS node
+         |  FROM w${t - 1} w
+         |  JOIN hd h ON h.seed = w.seed AND h.t = $t AND h.node = w.node
+         |  JOIN adj a ON a.src = w.node
+         |   AND a.nbr_rank = 1 + ((h.h % a.deg) + a.deg) % a.deg)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 to steps)
+      .map(t => s"SELECT seed, $t AS step, node FROM w$t")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH e AS MATERIALIZED ($edgeCte),
+       |adj AS MATERIALIZED (
+       |  SELECT src, dst,
+       |    row_number() OVER (PARTITION BY src ORDER BY dst) AS nbr_rank,
+       |    count(*) OVER (PARTITION BY src) AS deg
+       |  FROM e),
+       |hd AS MATERIALIZED (
+       |  SELECT seed, t, node, h FROM read_parquet('${OracleDump.path("q_random_walks_xx")}')),
+       |seeds AS (SELECT DISTINCT src AS node FROM e ORDER BY node LIMIT 100),
+       |w0 AS (SELECT node AS seed, node FROM seeds),
+       |$hops
+       |SELECT seed, step, node FROM (
+       |  $union)
+       |ORDER BY seed, step""".stripMargin
+  }
+
+  /** [[node2vecWalksXx]]'s DuckDB twin: [[node2vecWalksSql]]'s biased
+    * inverse-CDF pick with u = h / 2^32 over the [[OracleDump]]
+    * hop-hash dump of 32-bit values (exact dyadic doubles on both
+    * engines). */
+  def node2vecWalksXxSql(
+      edgeCte: String, steps: Int = 5, p: Double = 2.0, q: Double = 4.0): String = {
+    val (rp, rq) = (1.0 / p, 1.0 / q)
+    val hops = (1 to steps).map { t =>
+      s"""c$t AS MATERIALIZED (
+         |  SELECT w.seed, w.node, w.prev, a.dst AS cand,
+         |    CASE WHEN w.prev IS NULL THEN CAST(1.0 AS DOUBLE)
+         |         WHEN a.dst = w.prev THEN CAST($rp AS DOUBLE)
+         |         WHEN m.src IS NOT NULL THEN CAST(1.0 AS DOUBLE)
+         |         ELSE CAST($rq AS DOUBLE) END AS wt,
+         |    CAST(h.h AS DOUBLE) / 4294967296.0 AS u
+         |  FROM w${t - 1} w
+         |  JOIN hd h ON h.seed = w.seed AND h.t = $t AND h.node = w.node
+         |  JOIN e a ON a.src = w.node
+         |  LEFT JOIN e m ON m.src = a.dst AND m.dst = w.prev),
+         |w$t AS MATERIALIZED (
+         |  SELECT seed, cand AS node, node AS prev FROM (
+         |    SELECT seed, node, cand,
+         |      row_number() OVER (PARTITION BY seed ORDER BY cand) AS rn
+         |    FROM (
+         |      SELECT seed, node, cand, u,
+         |        sum(wt) OVER (PARTITION BY seed ORDER BY cand) AS cumw,
+         |        sum(wt) OVER (PARTITION BY seed) AS wsum
+         |      FROM c$t)
+         |    WHERE cumw >= u * wsum)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 to steps)
+      .map(t => s"SELECT seed, $t AS step, node FROM w$t")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH e AS MATERIALIZED ($edgeCte),
+       |hd AS MATERIALIZED (
+       |  SELECT seed, t, node, h FROM read_parquet('${OracleDump.path("q_node2vec_walks_xx")}')),
+       |seeds AS (SELECT DISTINCT src AS node FROM e ORDER BY node LIMIT 100),
+       |w0 AS (SELECT node AS seed, node, CAST(NULL AS BIGINT) AS prev FROM seeds),
+       |$hops
+       |SELECT seed, step, node FROM (
+       |  $union)
+       |ORDER BY seed, step""".stripMargin
   }
 
   /** [[skipGramPairs]] over [[randomWalksSql]] as one nested query —
@@ -1041,6 +1175,40 @@ object GraphOps {
       val e = coOrderEdges(s, d, yearSlice = true)
       val seeds = e.select(col("src").as("node")).distinct().orderBy("node").limit(100)
       node2vecWalks(e, seeds, steps = 5)
+    },
+
+    // xxhash64 production twin of q_random_walks: native-column long
+    // hash per hop (no string build / md5 / hex parse on the hot
+    // path); the hop hashes the run consumed are dumped for the
+    // DuckDB replay (OracleDump — one row per walk position)
+    QueryDef(
+      "q_random_walks_xx", randomWalksXxSql(edgeCteYearSql, steps = 5)) { (s, d) =>
+      val e = coOrderEdges(s, d, yearSlice = true)
+      val seeds = e.select(col("src").as("node")).distinct().orderBy("node").limit(100)
+      val w = randomWalksXx(e, seeds, steps = 5)
+      OracleDump.write(
+        w.filter(col("step") < 5).select(
+          col("seed"), (col("step") + lit(1)).as("t"), col("node"),
+          xxhash64(col("seed"), col("step") + lit(1), col("node")).as("h")),
+        d, "q_random_walks_xx")
+      w
+    },
+
+    // xxhash64 production twin of q_node2vec_walks (same dump scheme;
+    // u = 32 low bits / 2^32, exact dyadic on both engines)
+    QueryDef(
+      "q_node2vec_walks_xx",
+      node2vecWalksXxSql(edgeCteYearSql, steps = 5)) { (s, d) =>
+      val e = coOrderEdges(s, d, yearSlice = true)
+      val seeds = e.select(col("src").as("node")).distinct().orderBy("node").limit(100)
+      val w = node2vecWalksXx(e, seeds, steps = 5)
+      OracleDump.write(
+        w.filter(col("step") < 5).select(
+          col("seed"), (col("step") + lit(1)).as("t"), col("node"),
+          pmod(xxhash64(col("seed"), col("step") + lit(1), col("node")),
+            lit(4294967296L)).as("h")),
+        d, "q_node2vec_walks_xx")
+      w
     },
 
     // the DeepWalk training corpus: ordered (center, context) pairs

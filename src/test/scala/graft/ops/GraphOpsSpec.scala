@@ -296,6 +296,68 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(viaSql === viaScala)
   }
 
+  test("xxhash64 walk twins: same contract as the md5 variants, picks match the xxhash64 formula, hash streams diverge") {
+    val oneWay = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L), (1L, 3L))
+    val e = (oneWay ++ oneWay.map(_.swap)).toDF("src", "dst")
+    val edgeSet = (oneWay ++ oneWay.map(_.swap)).toSet
+    val seeds = Seq(1L, 4L).toDF("node")
+    val out = GraphOps.randomWalksXx(e, seeds, steps = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // identical CONTRACT to randomWalks: one node per (seed, step),
+    // starts at the seed, every hop a real edge, deterministic replay
+    assert(out.length === 2 * 5)
+    assert(out.map(x => (x._1, x._2)).distinct.length === out.length)
+    Seq(1L, 4L).foreach(sd => assert(out.contains((sd, 0, sd))))
+    out.groupBy(_._1).values.foreach { walk =>
+      walk.sortBy(_._2).map(_._3).toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(edgeSet.contains((a, b)), s"hop $a->$b is not an edge")
+        case _         => ()
+      }
+    }
+    assert(GraphOps.randomWalksXx(e, seeds, steps = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq === out.toSeq)
+    // every hop is EXACTLY the xxhash64 pick: re-derive each transition
+    // independently from the adjacency (dst-sorted rank, deg) and the
+    // documented formula 1 + pmod(xxhash64(seed, t, node), deg)
+    val adj = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (s, es) => s -> es.map(_._2).sorted }
+    val hops = out.groupBy(_._1).values.flatMap { walk =>
+      walk.sortBy(_._2).sliding(2).collect {
+        case Array((sd, t0, from), (_, t1, to)) => (sd, t1, from, to)
+      }
+    }.toSeq
+    val hashed = hops.toDF("seed", "t", "from", "to")
+      .withColumn("h", xxhash64(col("seed"), col("t").cast("int"), col("from")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    hashed.foreach { case (sd, t, from, to, h) =>
+      val nbrs = adj(from)
+      val pick = (((h % nbrs.length) + nbrs.length) % nbrs.length).toInt
+      assert(nbrs(pick) === to, s"hop ($sd, $t) from $from must take xxhash64 pick ${nbrs(pick)}, got $to")
+    }
+    // the md5 and xxhash64 streams are independent: paths diverge on
+    // this graph (pinned — a shared stream would be a twin-wiring bug)
+    val md5Out = GraphOps.randomWalks(e, seeds, steps = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(md5Out !== out.toSeq, "xx twin must consume a different hash stream")
+
+    // node2vec xx twin: the bias semantics are hash-independent —
+    // extreme p/q force the same closed-form triangle closure as the
+    // md5 variant — and the walk is edge-valid and deterministic
+    val triWay = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val te = (triWay ++ triWay.map(_.swap)).toDF("src", "dst")
+    val tEdges = (triWay ++ triWay.map(_.swap)).toSet
+    val n2v = GraphOps.node2vecWalksXx(
+      te, Seq(2L).toDF("node"), steps = 3, p = math.pow(2, 30), q = math.pow(2, 30))
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toMap
+    assert(n2v(0) === 2L)
+    assert(Set(1L, 3L).contains(n2v(1)))
+    assert(n2v(2) === (if (n2v(1) == 1L) 3L else 1L), s"triangle closure must win: $n2v")
+    (0 to 2).foreach(t => assert(tEdges.contains((n2v(t), n2v(t + 1)))))
+    assert(GraphOps.node2vecWalksXx(
+      te, Seq(2L).toDF("node"), steps = 3, p = math.pow(2, 30), q = math.pow(2, 30))
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toMap === n2v)
+  }
+
   test("multi-epoch walks: distinct per-epoch paths, identical shape invariants, epoch 0 unsalted") {
     // a denser graph so epochs actually diverge (cycle + chords)
     val oneWay = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 1L),
