@@ -55,7 +55,7 @@ object GraphSoak {
     val targetEdges = if (args.nonEmpty) args(0).toLong else 24000000L
     // optional op subset (arg 2, comma-separated) so a follow-up run
     // can soak just the newest operators without re-paying the rest:
-    // pagerank,ppr,kcore,triangles,cc,lpa,hits,walks,walksxx,n2v,n2vxx
+    // pagerank,ppr,kcore,triangles,cc,lpa,hits,walks,walksxx,n2v,n2vxx,n2vcap
     val ops: Set[String] =
       if (args.length > 1) args(1).split(",").map(_.trim).toSet
       else Set("pagerank", "ppr", "kcore", "triangles", "cc")
@@ -189,6 +189,29 @@ object GraphSoak {
       // chords make the graph connected BY CONSTRUCTION, so the
       // component count doubles as a correctness invariant: anything
       // but 1 is a propagation bug, printed for the log to certify.
+      if (ops("n2vcap")) {
+        // degree-capped node2vec with a PLANTED 1M-degree hub: node n
+        // (outside the ring ids) links to the first min(n, 1M) nodes.
+        // The exact variant is infeasible on this shape — every walker
+        // sitting on the hub would window-sort the full 1M-neighbor
+        // list per hop — while the capped variant hash-rank-reduces
+        // the hub's list ONCE per hop through TopKAgg's bounded
+        // partial buffers, so wall time must stay in the n2v range.
+        val hubDeg = math.min(n, 1000000L)
+        val hubOne = spark.range(0, hubDeg)
+          .select(lit(n).as("src"), col("id").as("dst"))
+        val hubbed = edges
+          .unionAll(hubOne)
+          .unionAll(hubOne.select(col("dst").as("src"), col("src").as("dst")))
+          .localCheckpoint(false)
+        val rows = t(s"n2v-capped16 5 hops/node, 1 hub deg=$hubDeg @${e + 2 * hubDeg}") {
+          GraphOps.node2vecWalksCapped(
+            hubbed, hubbed.select(col("src").as("node")).distinct(),
+            steps = 5, cap = 16)
+            .count()
+        }
+        println(s"[gsoak] n2v-capped walk rows (must be 6x(nodes+1) = ${6 * (n + 1)}): $rows")
+      }
       if (ops("cc")) {
         val cc = t(s"cc star @$e") {
           graft.ops.DedupOps.connectedComponentsStar(

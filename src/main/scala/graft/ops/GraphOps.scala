@@ -838,12 +838,43 @@ object GraphOps {
       pmod(xxhash64(col("seed"), lit(t), col("node")), lit(4294967296L))
         .cast("double") / lit(4294967296.0))
 
-  /** Shared biased-pick body of [[node2vecWalks]]/[[node2vecWalksXx]]:
-    * `hopU(t)` is any deterministic exact-dyadic uniform in [0, 1)
-    * over (`seed`, `node`). */
+  /** Degree-capped node2vec — the scale-safe production twin of
+    * [[node2vecWalks]] (GraphSAGE-style bounded fan-out): at each hop,
+    * every CURRENT node's neighbor list is first sampled down to the
+    * `cap` neighbors with the smallest md5 rank (`md5("cap:t:node:
+    * cand")`, ties by cand), and the biased inverse-CDF pick then runs
+    * over ≤cap candidates. The sample stream is keyed by (t, node,
+    * cand) — seed-INDEPENDENT — which is both the GraphSAGE semantics
+    * (one sampled fan-out per node per layer, shared by every walker
+    * on it) and the scale fix: the exact variant's per-seed window
+    * sorts the full neighbor list of the current node once PER WALKER
+    * per hop, so a 100M-degree hub with 10k walkers on it sorts 10^12
+    * rows; here the hub's list is rank-REDUCED once per hop through
+    * [[graft.functions.TopKAgg]]'s capacity-bounded partial buffers
+    * (map-side combine to K per partition, no whole-list sort, no
+    * single-task frame), and the per-hop cost is Σ deg(distinct
+    * current nodes) ≤ E streamed through a bounded aggregation.
+    *
+    * Exactness contract: a node with deg ≤ cap keeps its FULL neighbor
+    * list (rank filter passes everything), so on a graph with max
+    * degree ≤ cap the capped walk is row-identical to
+    * [[node2vecWalks]] — the spec pins this equivalence, and the
+    * planted-hub soak pins the bounded-cost claim. */
+  def node2vecWalksCapped(
+      edges: DataFrame, seeds: DataFrame, steps: Int = 5,
+      p: Double = 2.0, q: Double = 4.0, cap: Int = 16): DataFrame =
+    node2vecWalkLoop(edges, seeds, steps, p, q, t =>
+      conv(substring(md5(concat_ws(":",
+        col("seed"), lit(t), col("node"))), 1, 8), 16, 10)
+        .cast("long").cast("double") / lit(4294967296.0), cap = cap)
+
+  /** Shared biased-pick body of [[node2vecWalks]]/[[node2vecWalksXx]]/
+    * [[node2vecWalksCapped]]: `hopU(t)` is any deterministic
+    * exact-dyadic uniform in [0, 1) over (`seed`, `node`); `cap` > 0
+    * bounds each hop's candidate fan-out per current node. */
   private def node2vecWalkLoop(
       edges: DataFrame, seeds: DataFrame, steps: Int,
-      p: Double, q: Double, hopU: Int => Column): DataFrame = {
+      p: Double, q: Double, hopU: Int => Column, cap: Int = 0): DataFrame = {
     val adj = edges.repartition(col("src")).localCheckpoint(false)
     val nSeeds = seeds.count()
     val small = nSeeds <= broadcastRanksMaxNodes
@@ -855,7 +886,37 @@ object GraphOps {
     val wCum = Window.partitionBy(col("seed")).orderBy(col("cand"))
     for (t <- 1 to steps) {
       val f = if (small) broadcast(frontier) else frontier.repartition(col("node"))
-      val cands = adj.join(f, col("node") === col("src"))
+      // hop adjacency: full fan-out, or the cap-K hash-rank sample per
+      // current node (built from only the CURRENT nodes' lists — a
+      // semi-join first, so the per-hop aggregation streams
+      // Σ deg(distinct current nodes), processed once per NODE even
+      // when thousands of walkers sit on it)
+      val hopAdj =
+        if (cap <= 0) adj
+        else {
+          import edges.sparkSession.implicits._
+          val cur = frontier.select(col("node")).distinct()
+          val curAdj = adj.join(
+            if (small) broadcast(cur) else cur, col("src") === col("node"), "leftsemi")
+          val topk = new graft.functions.TopKAgg(cap)
+          curAdj
+            .select(
+              col("src"),
+              // negated 32-bit rank: TopKAgg keeps k LARGEST by
+              // (value desc, id asc) = k smallest hashes, ties by dst
+              negate(conv(substring(md5(concat_ws(":",
+                lit("cap"), lit(t), col("src"), col("dst"))), 1, 8), 16, 10)
+                .cast("long").cast("double")).as("v"),
+              col("dst"))
+            .as[(Long, Double, Long)]
+            .groupByKey(_._1)
+            .mapValues(r => (r._2, r._3))
+            .agg(topk.toColumn)
+            .toDF("src", "topk")
+            .select(col("src"), explode(col("topk.items")).as("e"))
+            .select(col("src"), col("e.id").as("dst"))
+        }
+      val cands = hopAdj.join(f, col("node") === col("src"))
         .select(col("seed"), col("node"), col("prev"), col("dst").as("cand"))
       val marked = cands.join(
         adj.select(col("src").as("m_s"), col("dst").as("m_d")),
@@ -1043,6 +1104,59 @@ object GraphOps {
        |ORDER BY seed, step""".stripMargin
   }
 
+  /** [[node2vecWalksCapped]]'s DuckDB twin: per hop, a capped
+    * adjacency CTE ranks each current node's neighbors by the same
+    * seed-independent md5 ("cap:t:node:cand", ties by cand) and keeps
+    * `cap`, then the [[node2vecWalksSql]] biased pick runs over it.
+    * (The oracle formulates the rank as a window — fine at oracle SF;
+    * the engine side is the bounded [[graft.functions.TopKAgg]]
+    * aggregation, which the spec proves rank-equivalent.) */
+  def node2vecWalksCappedSql(
+      edgeCte: String, steps: Int = 5, p: Double = 2.0, q: Double = 4.0,
+      cap: Int = 16): String = {
+    val (rp, rq) = (1.0 / p, 1.0 / q)
+    val hops = (1 to steps).map { t =>
+      s"""ca$t AS MATERIALIZED (
+         |  SELECT src, dst FROM (
+         |    SELECT a.src, a.dst,
+         |      row_number() OVER (PARTITION BY a.src ORDER BY
+         |        CAST(('0x' || substr(md5('cap:' || $t || ':' || a.src || ':' || a.dst), 1, 8)) AS BIGINT), a.dst) AS srk
+         |    FROM e a JOIN (SELECT DISTINCT node FROM w${t - 1}) f ON f.node = a.src)
+         |  WHERE srk <= $cap),
+         |c$t AS MATERIALIZED (
+         |  SELECT w.seed, w.node, w.prev, a.dst AS cand,
+         |    CASE WHEN w.prev IS NULL THEN CAST(1.0 AS DOUBLE)
+         |         WHEN a.dst = w.prev THEN CAST($rp AS DOUBLE)
+         |         WHEN m.src IS NOT NULL THEN CAST(1.0 AS DOUBLE)
+         |         ELSE CAST($rq AS DOUBLE) END AS wt,
+         |    CAST(CAST(('0x' || substr(md5(w.seed || ':' || $t || ':' || w.node), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+         |  FROM w${t - 1} w
+         |  JOIN ca$t a ON a.src = w.node
+         |  LEFT JOIN e m ON m.src = a.dst AND m.dst = w.prev),
+         |w$t AS MATERIALIZED (
+         |  SELECT seed, cand AS node, node AS prev FROM (
+         |    SELECT seed, node, cand,
+         |      row_number() OVER (PARTITION BY seed ORDER BY cand) AS rn
+         |    FROM (
+         |      SELECT seed, node, cand, u,
+         |        sum(wt) OVER (PARTITION BY seed ORDER BY cand) AS cumw,
+         |        sum(wt) OVER (PARTITION BY seed) AS wsum
+         |      FROM c$t)
+         |    WHERE cumw >= u * wsum)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 to steps)
+      .map(t => s"SELECT seed, $t AS step, node FROM w$t")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH e AS MATERIALIZED ($edgeCte),
+       |seeds AS (SELECT DISTINCT src AS node FROM e ORDER BY node LIMIT 100),
+       |w0 AS (SELECT node AS seed, node, CAST(NULL AS BIGINT) AS prev FROM seeds),
+       |$hops
+       |SELECT seed, step, node FROM (
+       |  $union)
+       |ORDER BY seed, step""".stripMargin
+  }
+
   /** [[skipGramPairs]] over [[randomWalksSql]] as one nested query —
     * the same self-join on seed with the bounded step-distance
     * residual. */
@@ -1175,6 +1289,18 @@ object GraphOps {
       val e = coOrderEdges(s, d, yearSlice = true)
       val seeds = e.select(col("src").as("node")).distinct().orderBy("node").limit(100)
       node2vecWalks(e, seeds, steps = 5)
+    },
+
+    // degree-capped node2vec (cap=3 so the sample bites at this SF:
+    // co-order degrees routinely exceed 3) — the GraphSAGE-style
+    // bounded-fan-out production twin; sample keyed (t, node, cand),
+    // biased pick unchanged over the ≤3 survivors
+    QueryDef(
+      "q_node2vec_capped",
+      node2vecWalksCappedSql(edgeCteYearSql, steps = 5, cap = 3)) { (s, d) =>
+      val e = coOrderEdges(s, d, yearSlice = true)
+      val seeds = e.select(col("src").as("node")).distinct().orderBy("node").limit(100)
+      node2vecWalksCapped(e, seeds, steps = 5, cap = 3)
     },
 
     // xxhash64 production twin of q_random_walks: native-column long

@@ -358,6 +358,65 @@ class GraphOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(1), r.getLong(2))).toMap === n2v)
   }
 
+  test("degree-capped node2vec: row-identical to exact when deg <= cap, hops confined to the hash-sampled fan-out, SQL-twin-exact") {
+    // 5-cycle + chord: max degree 3, so cap=3 keeps every list whole
+    // and the capped walk must equal the exact variant row-for-row
+    val oneWay = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L), (1L, 3L))
+    val e = (oneWay ++ oneWay.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(1L, 2L, 3L, 4L, 5L).toDF("node")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(rows(GraphOps.node2vecWalksCapped(e, seeds, steps = 4, cap = 3)) ===
+      rows(GraphOps.node2vecWalks(e, seeds, steps = 4)),
+      "cap >= max degree must reproduce the exact variant")
+
+    // hub graph: node 0 has degree 8, every other node degree <= 3 —
+    // with cap=3, any hop leaving the hub must land in the hub's
+    // 3-element hash sample for that hop (seed-INDEPENDENT: the same
+    // sampled fan-out for every walker on the hub at that step)
+    val hubWay = (1L to 8L).map(i => (0L, i)) ++ Seq((1L, 2L), (3L, 4L), (5L, 6L))
+    val he = (hubWay ++ hubWay.map(_.swap)).toDF("src", "dst")
+    val hubSeeds = (0L to 8L).toDF("node")
+    val walks = GraphOps.node2vecWalksCapped(he, hubSeeds, steps = 4, cap = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // expected per-hop hub sample: 3 smallest md5("cap:t:0:cand") among 1..8
+    val sampleByStep = (1 to 4).map { t =>
+      val ranked = (1L to 8L).toDF("cand")
+        .withColumn("h", conv(substring(md5(concat_ws(":",
+          lit("cap"), lit(t), lit(0L), col("cand"))), 1, 8), 16, 10).cast("long"))
+        .collect().map(r => (r.getLong(1), r.getLong(0))).sorted.take(3).map(_._2).toSet
+      t -> ranked
+    }.toMap
+    val hubHops = walks.groupBy(_._1).values.flatMap { w =>
+      w.sortBy(_._2).sliding(2).collect {
+        case Array((_, _, 0L), (_, t1, to)) => (t1, to)
+      }
+    }.toSeq
+    assert(hubHops.nonEmpty, "some walk must pass through the hub")
+    hubHops.foreach { case (t, to) =>
+      assert(sampleByStep(t).contains(to),
+        s"hop $t left the hub to $to, outside the sampled fan-out ${sampleByStep(t)}")
+    }
+    // walk shape invariants hold under capping
+    assert(walks.length === 9 * 5)
+    assert(walks.map(x => (x._1, x._2)).distinct.length === walks.length)
+    // deterministic replay
+    assert(rows(GraphOps.node2vecWalksCapped(he, hubSeeds, steps = 4, cap = 3)) ===
+      walks.sorted.toSeq)
+    // the TopKAgg sampling equals the SQL twin's window-rank
+    // formulation (hex-idiom swap to run DuckDB dialect through Spark)
+    he.createOrReplaceTempView("g_n2v_cap")
+    val viaSql = spark.sql(
+      GraphOps.node2vecWalksCappedSql("SELECT src, dst FROM g_n2v_cap", steps = 4, cap = 3)
+        .replace(" MATERIALIZED", "")
+        .replace("CAST(CAST(('0x' || substr(", "CAST(CAST(conv(substr(")
+        .replace(", 1, 8)) AS BIGINT) AS DOUBLE)", ", 1, 8), 16, 10) AS BIGINT) AS DOUBLE)")
+        .replace("CAST(('0x' || substr(", "CAST(conv(substr(")
+        .replace(", 1, 8)) AS BIGINT)", ", 1, 8), 16, 10) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(viaSql === walks.sorted.toSeq)
+  }
+
   test("multi-epoch walks: distinct per-epoch paths, identical shape invariants, epoch 0 unsalted") {
     // a denser graph so epochs actually diverge (cycle + chords)
     val oneWay = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 1L),
