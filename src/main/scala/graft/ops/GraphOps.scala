@@ -86,8 +86,8 @@ object GraphOps {
     * caller's queries; plans cross sessions zero-copy via global temp
     * views.
     */
-  private val loopCodegenMinRows = 4000000L
-  private def loopSession(
+  private[ops] val loopCodegenMinRows = 4000000L
+  private[ops] def loopSession(
       spark: org.apache.spark.sql.SparkSession, workingRows: Long) = {
     val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toLong
     val loopParts = math.max(1L, math.min(sessionParts, workingRows / 250000L))
@@ -1169,7 +1169,7 @@ object GraphOps {
        | AND c.step <> x.step AND abs(c.step - x.step) <= $window
        |ORDER BY c.seed, c_step, x_step""".stripMargin
 
-  private def coOrderEdges(
+  private[ops] def coOrderEdges(
       s: org.apache.spark.sql.SparkSession, d: String,
       yearSlice: Boolean = false) = {
     // no pre-distinct on the (orderkey, partkey) projection: the final
@@ -1212,7 +1212,7 @@ object GraphOps {
   // (orientation, wedge, closure, corner explode) on a real subgraph;
   // at 100 TB the same pattern runs windowed (cohesion per epoch), not
   // on the all-time graph
-  private val edgeCteYearSql =
+  private[ops] val edgeCteYearSql =
     """SELECT DISTINCT x.l_partkey AS src, y.l_partkey AS dst
       |FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
       |      WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01') x
