@@ -184,6 +184,74 @@ object CorpusIngest {
     }
   }
 
+  /** One quarantine-replay pass: `candidates` = quarantine rows at
+    * entry, `retired` = rows whose fixed line re-parsed clean (deleted
+    * from quarantine after their docs went through the full ingest
+    * path), `stillBad` = rows the fix did not heal (they stay
+    * quarantined for the next fix). Reconciles:
+    * `candidates = retired + stillBad` and `retired = ingest.received`
+    * (every healed line became exactly one ingest-input row, which the
+    * inner six-way reconciliation then accounts for). */
+  final case class ReplayStats(
+      candidates: Long, retired: Long, stillBad: Long, ingest: IngestStats) {
+    def reconciles: Boolean =
+      candidates == retired + stillBad && retired == ingest.received &&
+        ingest.reconciles
+  }
+
+  /** Close the dead-letter loop: re-ingest FIXED quarantine rows and
+    * retire them. `fix` is a Column→Column rewrite of the original raw
+    * line (e.g. `regexp_replace(_, "NaN", "null")`) — a column
+    * expression, not a Scala lambda, so the heal stays codegen'd and
+    * the retire predicate below stays deterministic-by-construction
+    * (TxTable.deleteWhere rejects nondeterministic predicates).
+    *
+    * The retire criterion is ROW-LOCAL: a row leaves quarantine iff
+    * `parsedStruct(fix(raw_line))` yields a structurally valid doc
+    * (no `_corrupt`, doc_id and text present). That one predicate is
+    * evaluated twice — once to select the ingest inputs, once inside
+    * [[TxTable.deleteWhere]] — so the ingested set and the retired set
+    * coincide by construction, with no driver-side key list between
+    * them (an `isin(collectedKeys)` retire would bound the replay by
+    * driver memory).
+    *
+    * Ordering and idempotence: the corpus ingest commits BEFORE the
+    * quarantine delete. A crash between the two leaves healed rows in
+    * both tables — rerunning the replay re-heals them, the corpus
+    * anti-join drops them as `alreadyCommitted` (nothing duplicates),
+    * and the delete then retires them; a second full replay after
+    * success is a no-op (`candidates` may count the still-bad
+    * remainder, `retired = 0`). Exactly the [[ingestBatch]] replay
+    * contract extended to the dead-letter table.
+    */
+  def replayQuarantine(
+      spark: SparkSession, corpusRoot: String, indexRoot: String,
+      quarantineRoot: String,
+      fix: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      params: DedupIndex.Params = DedupIndex.Params()): ReplayStats = {
+    import org.apache.spark.sql.Column
+    def healed(raw: Column): Column = graft.ops.JsonlOps.parsedStruct(fix(raw))
+    def isClean(p: Column): Column =
+      p.getField("_corrupt").isNull &&
+        p.getField("doc_id").isNotNull && p.getField("text").isNotNull
+    if (TxTable.latest(spark, quarantineRoot)._1 == 0)
+      return ReplayStats(0, 0, 0, IngestStats(0, 0, 0, 0, 0, 0))
+    val quar = TxTable.read(spark, quarantineRoot)
+    val candidates = quar.count()
+    val good = quar
+      .withColumn("p", healed(col("raw_line")))
+      .filter(isClean(col("p")))
+      .select(
+        col("p.doc_id").as("doc_id"),
+        coalesce(col("p.lang"), lit("und")).as("lang"),
+        coalesce(col("p.source"), lit("unknown")).as("source"),
+        col("p.text").as("text"))
+    val stats = ingestBatch(spark, corpusRoot, indexRoot, good, params)
+    val retired = TxTable.deleteWhere(
+      spark, quarantineRoot, "reason", isClean(healed(col("raw_line"))))
+    ReplayStats(candidates, retired, candidates - retired, stats)
+  }
+
   /** JSONL file-source stream → [[ingestJsonlBatch]] per micro-batch
     * (AvailableNow): the full dead-letter + dedup + transactional
     * corpus path from raw text files.

@@ -111,4 +111,59 @@ class JsonlIngestSpec extends AnyFunSuite {
     assert(v2._1 === v1._1 + 1 && v2._2 === v1._2 + 1,
       s"exactly one incremental commit per table: $v1 -> $v2")
   }
+
+  test("quarantine replay: fixed rows enter the corpus exactly once and retire; unfixable rows stay; crash-replay and re-replay converge") {
+    val base = Files.createTempDirectory("jsonl-replay").toFile.getAbsolutePath
+    val (src, corpus, index, quarantine) =
+      (s"$base/src", s"$base/corpus", s"$base/index", s"$base/quarantine")
+
+    // the producer bug under replay: a rogue "XX" prefix corrupting
+    // otherwise-valid lines. Three fixable lines (one later crash-
+    // simulated, one quality-junk), plus two lines this fix cannot heal
+    // distinct text — doc 1 already holds good1, and the near-dup index
+    // would (correctly) reject a same-text replay as rejectedDup
+    val good7 = "seven distinct operators compose in a resilient streaming corpus pipeline for the nightly run"
+    val fx7 = s"""XX{"doc_id": 7, "lang": "en", "source": "web", "text": "$good7"}"""
+    val fx8 = s"""XX{"doc_id": 8, "lang": "en", "source": "web", "text": "$good2"}"""
+    val fx9 = s"""XX{"doc_id": 9, "lang": "en", "source": "web", "text": "$junk"}"""
+    writeLines(src, "a.jsonl", Seq(
+      s"""{"doc_id": 1, "lang": "en", "source": "web", "text": "$good1"}""",
+      fx7, fx8, fx9, malformed, missingId))
+    CorpusIngest.runJsonlAvailableNow(
+      spark, src, corpus, index, quarantine, s"$base/ck")
+    assert(TxTable.read(spark, quarantine).count() === 5)
+    assert(TxTable.read(spark, corpus).count() === 1)
+
+    // crash simulation: a previous replay died AFTER committing doc 8
+    // to the corpus but BEFORE retiring its quarantine row
+    CorpusIngest.ingestBatch(spark, corpus, index,
+      Seq((8L, "en", "web", good2)).toDF("doc_id", "lang", "source", "text"))
+    assert(TxTable.read(spark, corpus).count() === 2)
+
+    val fix = (raw: org.apache.spark.sql.Column) => regexp_replace(raw, "^XX", "")
+    val r1 = CorpusIngest.replayQuarantine(spark, corpus, index, quarantine, fix)
+    assert(r1.reconciles, s"replay stats must reconcile: $r1")
+    assert(r1.candidates === 5 && r1.retired === 3 && r1.stillBad === 2, s"$r1")
+    assert(r1.ingest.received === 3)
+    assert(r1.ingest.appended === 1, s"only doc 7 is new: $r1") // doc 7
+    assert(r1.ingest.alreadyCommitted === 1, s"crash-committed doc 8 must not duplicate: $r1")
+    assert(r1.ingest.rejectedQuality === 1, s"junk text retired but rejected by curation: $r1")
+
+    // corpus: docs 1, 7, 8 exactly once each (doc 9 curated away)
+    val docs = TxTable.read(spark, corpus).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(docs === Seq(1L, 7L, 8L))
+    // quarantine: only the two lines this fix cannot heal, bytes intact
+    val left = TxTable.read(spark, quarantine).select("raw_line")
+      .collect().map(_.getString(0)).toSet
+    assert(left === Set(malformed, missingId))
+
+    // a second identical replay is a full no-op on both tables
+    val r2 = CorpusIngest.replayQuarantine(spark, corpus, index, quarantine, fix)
+    assert(r2.reconciles && r2.candidates === 2 && r2.retired === 0 &&
+      r2.ingest.received === 0, s"$r2")
+    assert(TxTable.read(spark, corpus).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 7L, 8L))
+    assert(TxTable.read(spark, quarantine).count() === 2)
+  }
 }
