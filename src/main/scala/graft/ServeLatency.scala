@@ -72,10 +72,30 @@ object ServeLatency {
     }
     (1 to 20).foreach(call) // warm the plans/codegen outside the window
     val timed = (1 to calls).map(call)
-    val lat = timed.map(_._1).sorted
-    def pct(p: Double) = lat((p * (lat.size - 1)).round.toInt)
-    println(
-      f"""{"metric":"serve_latency","sf":"$sfDir","calls":$calls,"rows_per_call_avg":${timed.map(_._2).sum / calls},"p50_ms":${pct(0.50)}%.1f,"p90_ms":${pct(0.90)}%.1f,"p95_ms":${pct(0.95)}%.1f,"p99_ms":${pct(0.99)}%.1f,"max_ms":${lat.last}%.1f}""")
+    def report(tier: String, ts: Seq[(Double, Long)]): Unit = {
+      val lat = ts.map(_._1).sorted
+      def pct(p: Double) = lat((p * (lat.size - 1)).round.toInt)
+      println(
+        f"""{"metric":"serve_latency","tier":"$tier","sf":"$sfDir","calls":$calls,"rows_per_call_avg":${ts.map(_._2).sum / calls},"p50_ms":${pct(0.50)}%.1f,"p90_ms":${pct(0.90)}%.1f,"p95_ms":${pct(0.95)}%.1f,"p99_ms":${pct(0.99)}%.1f,"max_ms":${lat.last}%.1f}""")
+    }
+    report("spark", timed)
+
+    // the pinned-snapshot tier over the same store: one bounded collect
+    // per version, then each range call is binary search + slice on the
+    // driver — no Spark job in the serving loop
+    val cache = graft.pipeline.ServeCache.fromFrames(silver, gold, maxRows = 50000000L)
+    def cachedCall(i: Int): (Double, Long) = {
+      val fromDom = 1 + (i % 20)
+      val days = 1 + (i % 7)
+      val f = f"2024-01-$fromDom%02d"
+      val t = f"2024-01-${fromDom + days}%02d"
+      val t0 = System.nanoTime()
+      val rows = cache.range(Some(f), Some(t))
+        .fold(msg => sys.error(s"serve rejected ($f,$t): $msg"), identity)
+      ((System.nanoTime() - t0) / 1e6, rows.length.toLong)
+    }
+    (1 to 20).foreach(cachedCall)
+    report("cached", (1 to calls).map(cachedCall))
     spark.stop()
   }
 }
