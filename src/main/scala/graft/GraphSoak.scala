@@ -59,10 +59,17 @@ object GraphSoak {
     val ops: Set[String] =
       if (args.length > 1) args(1).split(",").map(_.trim).toSet
       else Set("pagerank", "ppr", "kcore", "triangles", "cc")
-    val spark = SparkSession.builder()
+    // 400M-regime knobs (SCALE.md §12f): more shuffle partitions shrink
+    // per-task aggregation state (the r8 400M OOM was 32-way hash aggs
+    // over ~12M rows/task), and Tungsten off-heap moves shuffle/agg
+    // buffers out of the GC'd heap — heap + offheap must stay under the
+    // box (e.g. SPARK_DRIVER_MEM=80g + offheap 32g on 128 GiB)
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SOAK_PARTS", "32")
+    val offheap = sys.env.get("SPARK_GRAFT_SOAK_OFFHEAP") // e.g. "32g"
+    val b = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       // long iterative loops dereference a round's shuffle files
@@ -73,7 +80,11 @@ object GraphSoak {
       // disk at ~2 rounds of live shuffle.
       .config("spark.cleaner.periodicGC.interval", "60s")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = offheap.fold(b) { sz =>
+      b.config("spark.memory.offHeap.enabled", "true")
+        .config("spark.memory.offHeap.size", sz)
+    }.getOrCreate()
+    println(s"[gsoak] shuffle.partitions=$parts offheap=${offheap.getOrElse("off")}")
     spark.sparkContext.setLogLevel("WARN")
 
     def t[T](name: String)(body: => T): T = {
