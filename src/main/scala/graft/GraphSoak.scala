@@ -55,7 +55,7 @@ object GraphSoak {
     val targetEdges = if (args.nonEmpty) args(0).toLong else 24000000L
     // optional op subset (arg 2, comma-separated) so a follow-up run
     // can soak just the newest operators without re-paying the rest:
-    // pagerank,ppr,kcore,triangles,cc,lpa,hits,walks,walksxx,n2v,n2vxx,n2vcap
+    // pagerank,ppr,kcore,triangles,cc,lpa,hits,walks,walksxx,n2v,n2vxx,n2vcap,sgns
     val ops: Set[String] =
       if (args.length > 1) args(1).split(",").map(_.trim).toSet
       else Set("pagerank", "ppr", "kcore", "triangles", "cc")
@@ -222,6 +222,34 @@ object GraphSoak {
             .count()
         }
         println(s"[gsoak] n2v-capped walk rows (must be 6x(nodes+1) = ${6 * (n + 1)}): $rows")
+      }
+      if (ops("sgns")) {
+        // the full DeepWalk production line at soak scale: xx walks
+        // (one per node) → skip-gram pairs → SGNS. Node-sized vocab
+        // puts V·dim far past the broadcast guard, so the model joins
+        // run the co-partitioned SHUFFLE path — the 1B-node
+        // embedding-table shape the oracle-scale query never touches.
+        // One epoch × two batches keeps the soak bounded while every
+        // stage (vocab prefix-sum, negative draws, example scoring,
+        // exploded gradient aggregation, model rebuild + eager cuts)
+        // runs at full width twice.
+        val walks = GraphOps.randomWalksXx(
+          edges, edges.select(col("src").as("node")).distinct(), steps = 5)
+        val pairs = GraphOps.skipGramPairs(walks, window = 2)
+        val model = t(s"sgns 1x2 batches dim=16 @$e") {
+          graft.ops.SgnsOps.train(pairs, graft.ops.SgnsOps.SgnsParams(
+            dim = 16, negatives = 3, lr = 0.05, epochs = 1, batches = 2,
+            trackLoss = false))
+        }
+        val stats = model.inVecs
+          .select(graft.ops.SgnsOps.normCol(col("vec")).as("nrm"))
+          .agg(count(lit(1)), avg(col("nrm")), min(col("nrm"))).collect()(0)
+        // invariants: one vector per vocab node; training moved mass
+        // (zero-init out-vectors make untouched in-vectors keep their
+        // tiny init norm, so a mean norm ABOVE init scale certifies
+        // updates landed; min > 0 certifies none degenerated)
+        println(s"[gsoak] sgns vectors=${stats.getLong(0)} " +
+          f"meanNorm=${stats.getDouble(1)}%.5f minNorm=${stats.getDouble(2)}%.6f")
       }
       if (ops("cc")) {
         val cc = t(s"cc star @$e") {

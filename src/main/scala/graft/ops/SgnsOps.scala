@@ -68,7 +68,12 @@ object SgnsOps {
       // loss tracking costs one extra driver action per batch (the
       // scalar agg job) — specs want the trajectory, a production
       // training query doesn't
-      trackLoss: Boolean = true)
+      trackLoss: Boolean = true,
+      // test hook: force the above-guard shuffle-join model path at
+      // any vocab size, so its equivalence with the broadcast path is
+      // spec-checkable without a 4M-row fixture (the rankLoop guard
+      // convention — the two paths must be value-identical)
+      forceShuffleModel: Boolean = false)
 
   /** Trained model: `inVecs`/`outVecs` are (node LONG, vec
     * ARRAY<DOUBLE>[dim]), checkpointed (stable — safe to both dump and
@@ -82,6 +87,9 @@ object SgnsOps {
 
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm of a vector column (soak/diagnostic helper). */
+  def normCol(vec: Column): Column = sqrt(dot(vec, vec))
 
   /** Train over `pairs` (the [[GraphOps.skipGramPairs]] schema: seed,
     * c_step, center, x_step, context — (seed, c_step, x_step) is the
@@ -115,7 +123,7 @@ object SgnsOps {
     // model frames broadcast when V·dim fits the scaled guard —
     // a vector row is dim doubles, not one score, so the node guard
     // divides by dim
-    val small = v * p.dim <= GraphOps.broadcastRanksMaxNodes
+    val small = !p.forceShuffleModel && v * p.dim <= GraphOps.broadcastRanksMaxNodes
     val loop = GraphOps.loopSession(spark, nPairs * (1L + p.negatives))
     val tag = java.util.UUID.randomUUID().toString.replace("-", "")
     val (pv, vv, ov) = (s"graft_sgns_p_$tag", s"graft_sgns_v_$tag", s"graft_sgns_o_$tag")

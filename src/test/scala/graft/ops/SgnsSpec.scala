@@ -136,6 +136,25 @@ class SgnsSpec extends AnyFunSuite {
     trainingPairs(steps = 8, epochs = 3),
     SgnsOps.SgnsParams(dim = 8, negatives = 3, lr = 2.0, epochs = 10, batches = 2))
 
+  test("shuffle-join model path (above the broadcast guard) is value-identical to the broadcast path") {
+    val params = SgnsOps.SgnsParams(dim = 8, negatives = 3, lr = 0.1, epochs = 2, batches = 3)
+    val pairs = trainingPairs(steps = 5, epochs = 2)
+    val viaBroadcast = SgnsOps.train(pairs, params)
+    val viaShuffle = SgnsOps.train(pairs, params.copy(forceShuffleModel = true))
+    // identical hashes, identical batch partition, identical math —
+    // only the JOIN STRATEGY differs, so vectors must agree to float
+    // summation tolerance and the loss trajectories likewise
+    def maxDiff(a: Map[Long, Array[Double]], b: Map[Long, Array[Double]]): Double =
+      a.map { case (n, vec) =>
+        vec.zip(b(n)).map { case (x, y) => math.abs(x - y) }.max
+      }.max
+    assert(maxDiff(collectVecs(viaBroadcast.inVecs), collectVecs(viaShuffle.inVecs)) < 1e-9)
+    assert(maxDiff(collectVecs(viaBroadcast.outVecs), collectVecs(viaShuffle.outVecs)) < 1e-9)
+    viaBroadcast.losses.zip(viaShuffle.losses).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9)
+    }
+  }
+
   test("loss decreases over training and planted communities separate in embedding space") {
     val model = learnedModel
     assert(model.losses.head > model.losses.last,
