@@ -61,7 +61,16 @@ object Plans {
         // ≤100-row frames (TakeOrderedAndProject feeds the lexical
         // window; the cosine leg partitions by q_id), idf broadcast,
         // full-outer fusion join
-        "q_hybrid_rrf")) {
+        "q_hybrid_rrf",
+        // round 9: the trained-embedding knn — the retrieval operator
+        // over the SGNS checkpoint (training's per-batch shape is an
+        // iterative loop like pagerank, documented in SCALE.md §12g):
+        // broadcast 10-row query frame, codegen'd fold dot products,
+        // bounded per-query rank window over the checkpoint scan.
+        // (q_node2vec_capped's sampling plan is likewise per-hop inside
+        // the loop — the TopKAgg partial/merge pair shows in any single
+        // hop; its evidence is the hub soak, SCALE.md §12f.)
+        "q_sgns_knn")) {
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, d).queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode))
