@@ -73,7 +73,13 @@ object SgnsOps {
       // any vocab size, so its equivalence with the broadcast path is
       // spec-checkable without a 4M-row fixture (the rankLoop guard
       // convention — the two paths must be value-identical)
-      forceShuffleModel: Boolean = false)
+      forceShuffleModel: Boolean = false,
+      // warm-start continuation: the absolute index of this run's
+      // first epoch. Batch assignment and negative draws hash the
+      // ABSOLUTE epoch, so train(E1+E2) ≡ train(E2, offset=E1,
+      // resume=train(E1)) — the checkpointed-training contract
+      // (SgnsSpec pins the split equivalence)
+      epochOffset: Int = 0)
 
   /** Trained model: `inVecs`/`outVecs` are (node LONG, vec
     * ARRAY<DOUBLE>[dim]), checkpointed (stable — safe to both dump and
@@ -93,8 +99,19 @@ object SgnsOps {
 
   /** Train over `pairs` (the [[GraphOps.skipGramPairs]] schema: seed,
     * c_step, center, x_step, context — (seed, c_step, x_step) is the
-    * unique pair key all hashing is derived from). */
-  def train(pairs: DataFrame, params: SgnsParams = SgnsParams()): SgnsModel = {
+    * unique pair key all hashing is derived from).
+    *
+    * `resume` warm-starts from a previously trained model (the
+    * crash-recovery / corpus-growth path): vocab nodes present in the
+    * resumed frames keep their trained vectors, NEW nodes get the
+    * deterministic hash init (in) / zeros (out) — so growing the
+    * corpus never perturbs what was already learned, and with
+    * `epochOffset` set to the epochs already run, a resumed
+    * continuation replays the exact hash streams of the
+    * never-interrupted run. */
+  def train(
+      pairs: DataFrame, params: SgnsParams = SgnsParams(),
+      resume: Option[SgnsModel] = None): SgnsModel = {
     val spark = pairs.sparkSession
     val p = params
     require(p.dim > 0 && p.negatives >= 0 && p.epochs > 0 && p.batches > 0)
@@ -137,11 +154,29 @@ object SgnsOps {
         (h32(concat_ws(":", lit("init"), col("node"), lit(i)))
           .cast("double") / lit(4294967296.0) - lit(0.5)) / lit(p.dim.toDouble)): _*)
       val zeroVec = array((0 until p.dim).map(_ => lit(0.0)): _*)
-      var vin = voc.select(col("node"), initVec.as("vec")).localCheckpoint(true)
-      var vout = voc.select(col("node"), zeroVec.as("vec")).localCheckpoint(true)
+      // warm start: resumed nodes keep their trained vectors; vocab
+      // nodes absent from the resumed model (corpus growth) get the
+      // same deterministic init a cold start would give them
+      def initFrame(fresh: Column, resumed: Option[DataFrame]): DataFrame =
+        resumed match {
+          case None => voc.select(col("node"), fresh.as("vec"))
+          case Some(m) =>
+            val mv = s"graft_sgns_r_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+            m.createOrReplaceGlobalTempView(mv)
+            val r = loop.table(s"global_temp.$mv")
+              .select(col("node"), col("vec").as("rvec"))
+            val out = voc.join(r, Seq("node"), "left")
+              .select(col("node"), coalesce(col("rvec"), fresh).as("vec"))
+            // eager cut below materializes before the view drops
+            val cut = out.localCheckpoint(true)
+            spark.catalog.dropGlobalTempView(mv)
+            cut
+        }
+      var vin = initFrame(initVec, resume.map(_.inVecs)).localCheckpoint(true)
+      var vout = initFrame(zeroVec, resume.map(_.outVecs)).localCheckpoint(true)
 
       val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
-      for (e <- 0 until p.epochs; b <- 0 until p.batches) {
+      for (e <- p.epochOffset until p.epochOffset + p.epochs; b <- 0 until p.batches) {
         val bp = bp0.filter(
           pmod(h32(concat_ws(":", lit("batch"), lit(e), col("pk"))),
             lit(p.batches.toLong)) === b)

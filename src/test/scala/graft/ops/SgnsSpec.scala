@@ -155,6 +155,40 @@ class SgnsSpec extends AnyFunSuite {
     }
   }
 
+  test("warm-start continuation with epochOffset replays the uninterrupted run; corpus growth keeps trained vectors and covers new vocab") {
+    val params = SgnsOps.SgnsParams(dim = 8, negatives = 3, lr = 0.1, epochs = 4, batches = 2)
+    val pairs = trainingPairs(steps = 5, epochs = 2)
+    def maxDiff(a: Map[Long, Array[Double]], b: Map[Long, Array[Double]]): Double =
+      a.map { case (n, vec) =>
+        vec.zip(b(n)).map { case (x, y) => math.abs(x - y) }.max
+      }.max
+    // the checkpointed-training contract: 4 epochs straight equals
+    // 2 epochs + a resumed continuation at epochOffset=2 (absolute
+    // epoch hashing makes the batch/negative streams line up)
+    val full = SgnsOps.train(pairs, params)
+    val phase1 = SgnsOps.train(pairs, params.copy(epochs = 2))
+    val resumed = SgnsOps.train(
+      pairs, params.copy(epochs = 2, epochOffset = 2), resume = Some(phase1))
+    assert(maxDiff(collectVecs(full.inVecs), collectVecs(resumed.inVecs)) < 1e-9)
+    assert(maxDiff(collectVecs(full.outVecs), collectVecs(resumed.outVecs)) < 1e-9)
+    assert((phase1.losses ++ resumed.losses).zip(full.losses)
+      .forall { case (a, b) => math.abs(a - b) < 1e-9 },
+      "split loss trajectory must equal the uninterrupted one")
+    // corpus growth: phase 1 saw only community-1 walks; resuming on
+    // the full corpus must keep every phase-1 node and cover the new
+    // vocabulary with finite, non-degenerate vectors
+    val subset = pairs.filter(col("seed") < 6)
+    val m1 = SgnsOps.train(subset, params.copy(epochs = 2))
+    val grown = SgnsOps.train(
+      pairs, params.copy(epochs = 2, epochOffset = 2), resume = Some(m1))
+    val m1Nodes = collectVecs(m1.inVecs).keySet
+    val grownVecs = collectVecs(grown.inVecs)
+    assert(m1Nodes.subsetOf(grownVecs.keySet))
+    assert(grownVecs.keySet === collectVecs(full.inVecs).keySet,
+      "grown vocab must equal the full corpus vocab")
+    assert(grownVecs.values.forall(v => v.forall(x => !x.isNaN) && v.exists(_ != 0.0)))
+  }
+
   test("loss decreases over training and planted communities separate in embedding space") {
     val model = learnedModel
     assert(model.losses.head > model.losses.last,
