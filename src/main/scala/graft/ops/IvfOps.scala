@@ -24,7 +24,7 @@ import org.apache.spark.sql.types._
 object IvfOps {
   import SimilarityOps.{dot, l2norm}
 
-  private def withNorm(df: org.apache.spark.sql.DataFrame) = df.select(
+  private[graft] def withNorm(df: org.apache.spark.sql.DataFrame) = df.select(
     col("vec_id"),
     transform(col("embedding"), _.cast(DoubleType)).as("emb"))
     .withColumn("norm", l2norm(col("emb")))
@@ -35,7 +35,7 @@ object IvfOps {
     * cosine metric (and division by the zero norm yields nulls that
     * would NPE the driver-side training collect).
     */
-  private def unitEmb(df: org.apache.spark.sql.DataFrame) =
+  private[graft] def unitEmb(df: org.apache.spark.sql.DataFrame) =
     withNorm(df)
       .filter(col("norm") > 0)
       .select(
@@ -272,11 +272,28 @@ object IvfOps {
     val corpus = base.join(
       KMeans.assignClusters(unit, model.centroids).select(col("vec_id"), col("cluster")),
       "vec_id")
-    val cents = KMeans.centroidDf(s, model.centroids)
+    probeRank(corpus, base.filter(queryPred),
+      KMeans.centroidDf(s, model.centroids), k, nprobe)
+  }
+
+  /** The IVF probe + rank stage, shared by [[annTrained]] and the
+    * persisted [[graft.pipeline.AnnIndex]] so index queries are the
+    * SAME operator as the one-shot path by construction: `corpus` is
+    * (vec_id, emb, norm, cluster), `queryBase` is (vec_id, emb, norm)
+    * rows to query with, `cents` is (cid, cemb). Each query probes its
+    * `nprobe` nearest cells (exact d2 against broadcast centroids),
+    * scans only those postings, ranks by ROUNDED cosine with vec_id
+    * tie-break (the float-ranking rule), keeps top k. */
+  private[graft] def probeRank(
+      corpus: org.apache.spark.sql.DataFrame,
+      queryBase: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame,
+      k: Int,
+      nprobe: Int): org.apache.spark.sql.DataFrame = {
     def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
     val wq = Window.partitionBy(col("q_id")).orderBy(col("d2").asc, col("cid").asc)
-    val probes = base.filter(queryPred)
+    val probes = queryBase
       .filter(col("norm") > 0) // zero-norm queries have no cosine ranking
       .select(
         col("vec_id").as("q_id"), col("emb").as("q_emb"), col("norm").as("q_norm"),

@@ -34,7 +34,7 @@ object KMeans {
 
   private def embDouble = transform(col("embedding"), _.cast(DoubleType)).as("emb")
 
-  private[ops] def centroidDf(spark: SparkSession, centroids: Array[Array[Double]]): DataFrame = {
+  private[graft] def centroidDf(spark: SparkSession, centroids: Array[Array[Double]]): DataFrame = {
     val rows = centroids.zipWithIndex.map { case (c, i) => Row(i, c.toSeq) }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toSeq, 1),

@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.ops.{IvfOps, KMeans, Tables}
+
+/** [[AnnIndex]]: the persisted IVF index must answer EXACTLY like the
+  * one-shot `annTrained` path when their centroids and postings match
+  * (shared probeRank makes that structural — these tests prove the
+  * storage layer preserves it), stay replay-idempotent on appends, and
+  * keep frozen centroids immutable.
+  */
+class AnnIndexSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val sf = "/root/testdata/sf0.001"
+  private def emb = Tables.embeddings(spark, sf)
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+
+  test("one-shot parity: index answers equal annTrained exactly (same training, same postings)") {
+    val root = Files.createTempDirectory("ann-index").toFile.getAbsolutePath
+    AnnIndex.build(spark, root, emb, nlist = 4)
+    val viaIndex = AnnIndex.query(
+      spark, root, emb.filter(col("vec_id") < 10), k = 5, nprobe = 2)
+    val viaOneShot = IvfOps.annTrained(
+      emb, queryPred = col("vec_id") < 10, k = 5, nprobe = 2, nlist = 4)
+    assert(rows(viaIndex) === rows(viaOneShot))
+    // the codebook is frozen: a second build on the same root refuses
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.build(spark, root, emb, nlist = 4)
+    }
+    assert(e.getMessage.contains("frozen"))
+  }
+
+  test("incremental growth: frozen-centroid appends equal the reconstructed frozen-model search; replays are no-ops") {
+    val root = Files.createTempDirectory("ann-index-inc").toFile.getAbsolutePath
+    val half1 = emb.filter(col("vec_id") % 2 === 0)
+    val half2 = emb.filter(col("vec_id") % 2 === 1)
+    AnnIndex.build(spark, root, half1, nlist = 4)
+    val appended = AnnIndex.append(spark, root, half2)
+    assert(appended > 0)
+
+    // independent reconstruction through the public ops: centroids
+    // trained on half1 only (deterministic fitSample), ALL vectors
+    // assigned to those frozen centroids, same probe+rank
+    val model = KMeans.fitSample(IvfOps.unitEmb(half1), k = 4, iters = 5, spherical = true)
+    val base = IvfOps.withNorm(emb)
+    val corpus = base.join(
+      KMeans.assignClusters(IvfOps.unitEmb(emb), model.centroids)
+        .select(col("vec_id"), col("cluster")),
+      "vec_id")
+    val queries = emb.filter(col("vec_id") < 10)
+    val expected = IvfOps.probeRank(
+      corpus, IvfOps.withNorm(queries),
+      KMeans.centroidDf(spark, model.centroids), k = 5, nprobe = 2)
+    assert(rows(AnnIndex.query(spark, root, queries, k = 5, nprobe = 2)) === rows(expected))
+
+    // odd-id (appended-increment) vectors are retrievable results:
+    // the expected frame above contains them iff the index does — also
+    // assert directly that some appended vector surfaces
+    assert(rows(AnnIndex.query(spark, root, queries, k = 5, nprobe = 2))
+      .exists { case (_, vid, _, _) => vid % 2 == 1 },
+      "appended vectors must be retrievable")
+
+    // replayed append: zero novel rows, postings version advances only
+    // on real appends, answers unchanged
+    val before = AnnIndex.cellStats(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(AnnIndex.append(spark, root, half2) === 0L)
+    val after = AnnIndex.cellStats(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after === before)
+    assert(before.values.sum === emb.count())
+    assert(rows(AnnIndex.query(spark, root, queries, k = 5, nprobe = 2)) === rows(expected))
+  }
+}
