@@ -123,6 +123,33 @@ object AnnIndex {
     IvfOps.probeRank(corpus, IvfOps.withNorm(queries), cents, k, nprobe)
   }
 
+  /** Many small appends fragment the postings table (one file set per
+    * commit); compact cells back to one file each. Pure layout — query
+    * answers are unchanged (spec-pinned) — and atomic, same as every
+    * TxTable commit. */
+  def compact(spark: SparkSession, root: String): Unit =
+    TxTable.compactAll(spark, postingsRoot(root), "cluster")
+
+  /** Embedding stream → per-batch [[append]] (AvailableNow): the
+    * growing-index ingest tier ([[CorpusIngest.runAvailableNow]]
+    * shape). Batch replays after a crash are absorbed by append's
+    * vec_id anti-join. */
+  def runAppendAvailableNow(
+      spark: SparkSession, root: String, sourceDir: String,
+      sourceSchema: org.apache.spark.sql.types.StructType,
+      checkpointDir: String): Unit = {
+    val q = spark.readStream.schema(sourceSchema).parquet(sourceDir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        append(batch.sparkSession, root, batch)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Per-cell posting counts — the imbalance signal a re-build
     * decision reads (frozen centroids drift as the corpus grows). */
   def cellStats(spark: SparkSession, root: String): DataFrame =

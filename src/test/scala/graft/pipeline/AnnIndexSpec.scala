@@ -78,5 +78,37 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(after === before)
     assert(before.values.sum === emb.count())
     assert(rows(AnnIndex.query(spark, root, queries, k = 5, nprobe = 2)) === rows(expected))
+
+    // compaction is pure layout: answers and cell stats identical
+    AnnIndex.compact(spark, root)
+    assert(AnnIndex.cellStats(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === before)
+    assert(rows(AnnIndex.query(spark, root, queries, k = 5, nprobe = 2)) === rows(expected))
+  }
+
+  test("streaming ingest tier: checkpointed AvailableNow appends grow the index to the batch-built answers") {
+    val base = Files.createTempDirectory("ann-index-stream").toFile.getAbsolutePath
+    val (root, src, ck) = (s"$base/index", s"$base/src", s"$base/ck")
+    val half1 = emb.filter(col("vec_id") % 2 === 0)
+    val half2 = emb.filter(col("vec_id") % 2 === 1)
+    AnnIndex.build(spark, root, half1, nlist = 4)
+    half2.write.parquet(src)
+    AnnIndex.runAppendAvailableNow(spark, root, src, emb.schema, ck)
+    assert(AnnIndex.cellStats(spark, root)
+      .agg(sum(col("postings"))).collect()(0).getLong(0) === emb.count())
+    // a second drain with the same checkpoint sees no new files; a
+    // re-delivered file (fresh checkpoint) is absorbed by the vec_id
+    // anti-join — either way the index is unchanged
+    AnnIndex.runAppendAvailableNow(spark, root, src, emb.schema, ck)
+    AnnIndex.runAppendAvailableNow(spark, root, src, emb.schema, s"$base/ck2")
+    assert(AnnIndex.cellStats(spark, root)
+      .agg(sum(col("postings"))).collect()(0).getLong(0) === emb.count())
+    // answers equal the same-centroid batch-built index
+    val batchRoot = s"$base/batch"
+    AnnIndex.build(spark, batchRoot, half1, nlist = 4)
+    AnnIndex.append(spark, batchRoot, half2)
+    val queries = emb.filter(col("vec_id") < 10)
+    assert(rows(AnnIndex.query(spark, root, queries, k = 5, nprobe = 2)) ===
+      rows(AnnIndex.query(spark, batchRoot, queries, k = 5, nprobe = 2)))
   }
 }
