@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.AnnIndex
+
+/** Scale soak for the persisted ANN index ([[graft.pipeline.AnnIndex]]):
+  * build on half a synthetic embedding corpus, grow to full size in two
+  * frozen-centroid appends, replay one append (must be a 0-row no-op),
+  * then probe. Embeddings are deterministic xxhash64-derived uniforms —
+  * no data files, nothing random across runs.
+  *
+  * What the numbers must show (SCALE.md §13):
+  *  - build cost is training (bounded driver sample) + ONE assignment
+  *    pass over the increment — not corpus-sized re-clustering;
+  *  - append cost ≈ the same assignment pass + the vec_id anti-join
+  *    against a column-pruned postings scan — O(increment);
+  *  - a replayed append is read-only (0 rows, no commit);
+  *  - query cost tracks probed postings (nprobe/nlist of the corpus),
+  *    not corpus size.
+  *
+  * Run: `sbt "runMain graft.AnnSoak [nVecs] [dim] [nlist]"`.
+  */
+object AnnSoak {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 5000000L
+    val dim = if (args.length > 1) args(1).toInt else 32
+    val nlist = if (args.length > 2) args(2).toInt else 1024
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def t[T](name: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[asoak] $name%-34s wall=${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      r
+    }
+
+    def synth(lo: Long, hi: Long) = spark.range(lo, hi).toDF("vec_id")
+      .withColumn("embedding", expr(
+        s"transform(sequence(0, ${dim - 1}), " +
+          "i -> cast(pmod(xxhash64(vec_id, i), 1000L) as double) / 1000.0 - 0.5)"))
+
+    val root = java.nio.file.Files.createTempDirectory("ann-soak").toFile.getAbsolutePath
+    println(s"[asoak] n=$n dim=$dim nlist=$nlist root=$root")
+
+    t(s"build (train nlist=$nlist + assign ${n / 2})") {
+      AnnIndex.build(spark, root, synth(0, n / 2), nlist = nlist)
+    }
+    t(s"append ${n / 4}") { AnnIndex.append(spark, root, synth(n / 2, 3 * n / 4)) }
+    t(s"append ${n - 3 * n / 4}") { AnnIndex.append(spark, root, synth(3 * n / 4, n)) }
+    val replayed = t("replayed append (must be 0)") {
+      AnnIndex.append(spark, root, synth(n / 2, 3 * n / 4))
+    }
+    println(s"[asoak] replay appended rows: $replayed")
+    val cells = AnnIndex.cellStats(spark, root)
+      .agg(count(lit(1)), sum(col("postings")), max(col("postings"))).collect()(0)
+    println(s"[asoak] cells=${cells.getLong(0)} postings=${cells.getLong(1)} maxCell=${cells.getLong(2)}")
+    for (nprobe <- Seq(8, 32)) {
+      val hits = t(s"query 100 vecs k=10 nprobe=$nprobe") {
+        AnnIndex.query(spark, root, synth(0, 100), k = 10, nprobe = nprobe).count()
+      }
+      println(s"[asoak] result rows: $hits")
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    spark.stop()
+  }
+}
