@@ -21,7 +21,8 @@ object SparkEntry {
       ProfileOps.all ++ LmOps.all ++ SemDedupOps.all ++ TpchMoreOps.all ++ TpchFullOps.all ++ FunnelOps.all ++
       SampleOps.all ++ ChunkOps.all ++ CovisitOps.all ++ TextStatsOps.all ++ RollingOps.all ++
       DataSelectOps.all ++ EmbedStatsOps.all ++ SubstrDedupOps.all ++ ZOrderOps.all ++
-      GraphOps.all ++ ExportOps.all ++ JsonlOps.all ++ SgnsOps.all
+      GraphOps.all ++ ExportOps.all ++ JsonlOps.all ++ SgnsOps.all ++ MiningOps.all ++
+      UnigramLmOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,185 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.ops.UnigramLmOps.UnigramModel
+
+/** [[UnigramLmOps]] vs an INDEPENDENT in-memory sequential trainer: the
+  * distributed hard-EM must be value-identical (it is exact long
+  * counting + driver renormalization — no float summation-order slack
+  * in the model itself), segmentation must reconstruct every word, and
+  * training must be partitioning-invariant.
+  *
+  * The sequential reference implements the same contract (seed by
+  * substring weight, Viterbi tie-break toward fewer pieces then
+  * earliest split, Laplace-1 floor, char coverage floor, prune by
+  * lowest logp) with its own code: a memoized recursive DP instead of
+  * the iterative array DP, plain Map folds instead of DataFrames.
+  */
+class UnigramLmSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---- independent sequential reference ----------------------------
+
+  private def refWordFreq(docs: Seq[String]): Map[String, Long] =
+    docs.flatMap(_.split(" ").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+  private def refSeed(wf: Map[String, Long], maxLen: Int, seedSize: Int): Map[String, Long] = {
+    val subs = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, n) <- wf; i <- 0 until w.length; l <- 1 to math.min(maxLen, w.length - i)) {
+      val p = w.substring(i, i + l)
+      subs(p) = subs.getOrElse(p, 0L) + n
+    }
+    val top = subs.toSeq.sortBy { case (p, c) => (-c, p) }.take(seedSize)
+    (top ++ subs.filter(_._1.length == 1)).toMap
+  }
+
+  /** Memoized recursive Viterbi — same tie-break contract, different
+    * code shape from the production array DP.
+    */
+  private def refViterbi(
+      word: String, logp: Map[String, Double], maxLen: Int): Option[Seq[String]] = {
+    val memo = scala.collection.mutable.Map.empty[Int, Option[(Double, Int, Seq[String])]]
+    // best segmentation of word[0, i): (score, nPieces, pieces)
+    def best(i: Int): Option[(Double, Int, Seq[String])] = memo.getOrElseUpdate(i, {
+      if (i == 0) Some((0.0, 0, Nil))
+      else {
+        val cands = for {
+          j <- (math.max(0, i - maxLen) until i).toSeq
+          lp <- logp.get(word.substring(j, i)).toSeq
+          (s, c, ps) <- best(j).toSeq
+        } yield (s + lp, c + 1, ps :+ word.substring(j, i), j)
+        if (cands.isEmpty) None
+        else {
+          // strictly-better score; tie → fewer pieces; tie → smallest j.
+          // cands are in j-ascending order, so maxBy with a strict
+          // comparator keeps the earliest j on full ties.
+          var bestC = cands.head
+          for (c <- cands.tail)
+            if (c._1 > bestC._1 || (c._1 == bestC._1 && c._2 < bestC._2)) bestC = c
+          Some((bestC._1, bestC._2, bestC._3))
+        }
+      }
+    })
+    best(word.length).map(_._3)
+  }
+
+  private def refEmStep(
+      wf: Map[String, Long], model: Map[String, Double], maxLen: Int
+  ): (Map[String, Double], Double) = {
+    var ll = 0.0
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, n) <- wf) {
+      val segs = refViterbi(w, model, maxLen).get
+      ll += segs.map(model).sum * n
+      for (p <- segs) counts(p) = counts.getOrElse(p, 0L) + n
+    }
+    val kept = model.keys.filter(p => counts.contains(p) || p.length == 1).toSeq.sorted
+    val total = kept.map(p => counts.getOrElse(p, 0L) + 1L).sum.toDouble
+    (kept.map(p => p -> math.log((counts.getOrElse(p, 0L) + 1L) / total)).toMap, ll)
+  }
+
+  private def refTrain(
+      docs: Seq[String], vocabSize: Int, maxLen: Int, seedSize: Int,
+      emIters: Int, pruneFrac: Double): Map[String, Double] = {
+    val wf = refWordFreq(docs)
+    val seed = refSeed(wf, maxLen, seedSize)
+    val total = seed.values.sum.toDouble
+    var model = seed.map { case (p, c) => p -> math.log(c / total) }
+    for (_ <- 0 until emIters) model = refEmStep(wf, model, maxLen)._1
+    var done = false
+    while (model.size > vocabSize && !done) {
+      model = refEmStep(wf, model, maxLen)._1
+      val multi = model.filter(_._1.length > 1)
+      if (multi.isEmpty) done = true
+      else {
+        val nDrop = math.max(1, math.min(
+          (multi.size * pruneFrac).toInt, model.size - vocabSize))
+        val dropped = multi.toSeq.sortBy { case (p, lp) => (lp, p) }
+          .take(nDrop).map(_._1).toSet
+        model = model -- dropped
+      }
+    }
+    if (!done) model = refEmStep(wf, model, maxLen)._1
+    model
+  }
+
+  // ---- fixtures -----------------------------------------------------
+
+  private val corpus = Seq(
+    "the cat sat on the mat",
+    "the cats sat on the mats",
+    "a hat and a mat for the cat",
+    "hats and mats and cats",
+    "the batter sat on the matter",
+    "a pattern of cats and hats",
+    "on and on the matter sat",
+    "the the the cat cat hat")
+  private def corpusDf = corpus.zipWithIndex
+    .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  test("distributed hard-EM training equals the independent sequential reference exactly") {
+    val (model, _) = UnigramLmOps.train(
+      corpusDf, vocabSize = 40, maxLen = 4, seedSize = 60, emIters = 2, pruneFrac = 0.3)
+    val refModel = refTrain(
+      corpus, vocabSize = 40, maxLen = 4, seedSize = 60, emIters = 2, pruneFrac = 0.3)
+    assert(model.logp.keySet === refModel.keySet)
+    for ((p, lp) <- refModel)
+      assert(math.abs(model.logp(p) - lp) < 1e-12, s"piece '$p'")
+    // and the tokenizations agree word for word
+    val got = UnigramLmOps.tokenize(corpusDf, model, maxLen = 4)
+      .orderBy("doc_id", "word_idx", "pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val want = corpus.zipWithIndex.flatMap { case (t, id) =>
+      t.split(" ").filter(_.nonEmpty).zipWithIndex.flatMap { case (w, wi) =>
+        refViterbi(w, refModel, 4).get.zipWithIndex.map {
+          case (p, pi) => (id.toLong, wi.toLong, pi.toLong, p)
+        }
+      }
+    }
+    assert(got.toSeq === want)
+  }
+
+  test("Viterbi log-likelihood is non-decreasing across EM steps (hard-EM monotonicity)") {
+    val (_, lls) = UnigramLmOps.train(
+      corpusDf, vocabSize = 40, maxLen = 4, seedSize = 60, emIters = 4, pruneFrac = 0.3)
+    assert(lls.size === 4)
+    for (i <- 1 until lls.size)
+      assert(lls(i) >= lls(i - 1) - 1e-9 * math.abs(lls(i - 1)),
+        s"LL decreased at step $i: ${lls(i - 1)} -> ${lls(i)}")
+  }
+
+  test("every word reconstructs from its pieces on real corpus data (char coverage floor)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val (model, _) = UnigramLmOps.train(
+      docs, vocabSize = 300, maxLen = 4, seedSize = 800, emIters = 1, pruneFrac = 0.5)
+    val seg = UnigramLmOps.tokenize(docs, model, maxLen = 4)
+    val rebuilt = seg.groupBy("doc_id", "word_idx")
+      .agg(concat_ws("",
+        sort_array(collect_list(struct(col("pos"), col("piece")))).getField("piece"))
+        .as("joined"))
+    val words = docs.select(col("doc_id"),
+      posexplode(filter(split(col("text"), " "), w => length(w) > 0))
+        .as(Seq("word_idx", "word")))
+      .withColumn("word_idx", col("word_idx").cast("long"))
+    val joined = words.join(rebuilt, Seq("doc_id", "word_idx"), "left")
+    assert(joined.filter(col("joined").isNull || col("joined") =!= col("word")).count() === 0)
+    // multi-char pieces actually get used (the model compresses)
+    assert(seg.filter(length(col("piece")) > 1).count() > 0)
+  }
+
+  test("training is partitioning-invariant (1 vs 8 partitions)") {
+    val one = UnigramLmOps.train(
+      corpusDf.repartition(1), vocabSize = 40, maxLen = 4,
+      seedSize = 60, emIters = 2, pruneFrac = 0.3)._1
+    val eight = UnigramLmOps.train(
+      corpusDf.repartition(8), vocabSize = 40, maxLen = 4,
+      seedSize = 60, emIters = 2, pruneFrac = 0.3)._1
+    assert(one.logp.keySet === eight.logp.keySet)
+    for ((p, lp) <- one.logp) assert(eight.logp(p) === lp, s"piece '$p'")
+  }
+}
