@@ -70,6 +70,31 @@ object AnnSoak {
       }
       println(s"[asoak] result rows: $hits")
     }
+    // the build+2 appends leave one file set per commit under every
+    // cell (3× fragmentation); compaction is layout-only (answers
+    // spec-identical, AnnIndexSpec) — measure what the re-query saves
+    t("compact postings (layout only)") { AnnIndex.compact(spark, root) }
+    for (nprobe <- Seq(8, 32)) {
+      val hits = t(s"query post-compact nprobe=$nprobe") {
+        AnnIndex.query(spark, root, synth(0, 100), k = 10, nprobe = nprobe).count()
+      }
+      println(s"[asoak] result rows: $hits")
+    }
+    // index-backed hard-negative mining over the same index
+    // (MiningOps.hardNegativesIndexed — the production DPR/ANCE shape):
+    // cost must track the probe (queries × probed postings + the pool's
+    // label join), never corpus × corpus. Labels are a deterministic
+    // 16-way hash partition of vec_id, corpus-sized like a real
+    // supervision frame.
+    val labels = spark.range(0, n).toDF("vec_id")
+      .withColumn("label", pmod(xxhash64(col("vec_id"), lit(7)), lit(16)))
+    for (nprobe <- Seq(8, 32)) {
+      val rows = t(s"mine negatives 256q k=8 nprobe=$nprobe") {
+        graft.ops.MiningOps.hardNegativesIndexed(
+          spark, root, synth(0, 256), labels, kNeg = 8, nprobe = nprobe).count()
+      }
+      println(s"[asoak] negative rows: $rows")
+    }
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     spark.stop()
   }
