@@ -27,10 +27,12 @@ import org.apache.spark.sql.types._
   *    per-row logic — the documented mapPartitions/typed-map case);
   *    piece counts come back through ONE partial-aggregating groupBy;
   *    the M-step renormalizes driver-side over the bounded vocab.
-  *  - pruning drops the lowest-contribution (count × logp) removable
-  *    pieces per round (single chars are never dropped — they are the
-  *    coverage floor that keeps every word segmentable), re-running EM
-  *    between rounds, until the vocab reaches `vocabSize`.
+  *  - pruning drops the lowest-PROBABILITY removable pieces per round
+  *    (logp rank — the per-use contribution proxy; a piece the refit
+  *    EM left near the Laplace floor is one Viterbi never chose).
+  *    Single chars are never dropped — they are the coverage floor
+  *    that keeps every word segmentable. EM re-runs between rounds,
+  *    until the vocab reaches `vocabSize`.
   *
   * Determinism: the DP tie-breaks on (score, then FEWER pieces, then
   * lexicographically smaller split point), counts are exact longs
@@ -183,9 +185,9 @@ object UnigramLmOps {
       model = m; lls += ll
     }
     while (model.logp.size > vocabSize) {
-      // contribution of piece p under the CURRENT model's Viterbi
-      // segmentation = count(p) × logp(p); recompute counts once per
-      // prune round via an EM step (which also refits the survivors)
+      // refit once per prune round so the logp rank reflects the
+      // CURRENT model's Viterbi counts (unused pieces fall to the
+      // Laplace floor and rank first for removal)
       val (m, _) = emStep(wf, model, maxLen)
       model = m
       val multi = model.logp.filter(_._1.length > 1)
