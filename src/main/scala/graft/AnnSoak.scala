@@ -52,6 +52,54 @@ object AnnSoak {
     val root = java.nio.file.Files.createTempDirectory("ann-soak").toFile.getAbsolutePath
     println(s"[asoak] n=$n dim=$dim nlist=$nlist root=$root")
 
+    // ---- recall mode: `runMain graft.AnnSoak n dim nlist recall` ----
+    // Measures retrieval QUALITY at scale instead of lifecycle cost:
+    // recall@10 of the probed index vs the exact brute-force top-10
+    // (SimilarityOps.cosineTopK — the corpus pass stays one broadcast
+    // BNLJ with Partial WindowGroupLimit, so 100 queries × n rows is
+    // feasible). Synthesis here is CLUSTERED (512 planted centers +
+    // bounded noise): on structureless uniform data nearest neighbors
+    // scatter across cells and IVF recall measures nothing — the
+    // mixture is the shape real embedding corpora have and the shape
+    // the cell-pruned probe is built for.
+    if (args.length > 3 && args(3) == "recall") {
+      val nGroups = 512
+      // noise-to-center amplitude ratio (arg 5): at small ratios every
+      // neighborhood sits deep inside one planted cluster and recall
+      // saturates at 1.0 regardless of nprobe; the interesting regime
+      // is noise comparable to center separation, where true neighbors
+      // straddle cell boundaries and nprobe buys recall
+      val noise = if (args.length > 4) args(4).toDouble else 0.7
+      def clustered(lo: Long, hi: Long) = spark.range(lo, hi).toDF("vec_id")
+        .withColumn("embedding", expr(
+          s"""transform(sequence(0, ${dim - 1}), i ->
+             |  (cast(pmod(xxhash64(pmod(vec_id, $nGroups), i), 1000L) as double) / 1000.0 - 0.5)
+             |  + (cast(pmod(xxhash64(vec_id, i, 99), 1000L) as double) / 1000.0 - 0.5) * $noise)"""
+            .stripMargin))
+      println(s"[asoak] recall mode: nGroups=$nGroups noise=$noise")
+      t(s"build full $n (clustered corpus)") {
+        AnnIndex.build(spark, root, clustered(0, n), nlist = nlist)
+      }
+      val exact = t("exact top-10 (brute force)") {
+        val e = graft.ops.SimilarityOps
+          .cosineTopK(clustered(0, n), col("vec_id") < 100, 10)
+          .select("q_id", "vec_id").persist()
+        e.count(); e
+      }
+      for (nprobe <- Seq(4, 8, 32, 64)) {
+        val inter = t(s"ann top-10 nprobe=$nprobe") {
+          AnnIndex.query(spark, root, clustered(0, 100), k = 10, nprobe = nprobe)
+            .select("q_id", "vec_id")
+            .join(exact, Seq("q_id", "vec_id")).count()
+        }
+        println(f"[asoak] recall@10 nprobe=$nprobe: ${inter / 1000.0}%.3f")
+      }
+      exact.unpersist()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      spark.stop()
+      return
+    }
+
     t(s"build (train nlist=$nlist + assign ${n / 2})") {
       AnnIndex.build(spark, root, synth(0, n / 2), nlist = nlist)
     }

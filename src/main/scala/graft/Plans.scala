@@ -70,7 +70,15 @@ object Plans {
         // (q_node2vec_capped's sampling plan is likewise per-hop inside
         // the loop — the TopKAgg partial/merge pair shows in any single
         // hop; its evidence is the hub soak, SCALE.md §12f.)
-        "q_sgns_knn")) {
+        "q_sgns_knn",
+        // round-9 continuation: exact hard-negative mining — the
+        // bounded query batch broadcast into a BNLJ against one
+        // streamed corpus pass, both roles ranked in a single window
+        // keyed (q_id, role) over the rounded cosine. (The unigram-LM
+        // trainer is EM-iterative like pagerank — its scale evidence
+        // is TokSoak/SCALE.md §13b; the tokenize application plan is
+        // a broadcast-model flatMap, nothing to capture.)
+        "q_hard_negatives")) {
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, d).queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode))

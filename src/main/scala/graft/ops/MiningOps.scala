@@ -50,6 +50,7 @@ object MiningOps {
     * `role='neg'` ranks 1..kNeg.
     */
   def hardNegatives(emb: DataFrame, queryPred: Column, kNeg: Int): DataFrame = {
+    require(kNeg >= 1, s"kNeg must be >= 1 (got $kNeg): the rank-<=kNeg bound also admits the positive's rank-1 row")
     val base = emb.select(
       col("vec_id"), col("label"),
       embDouble(col("embedding")).as("emb"))
@@ -66,8 +67,12 @@ object MiningOps {
       .withColumn("cosine",
         round(SimilarityOps.dot(col("emb"), col("q_emb")) / (col("norm") * col("q_norm")), 6))
       .withColumn("rn", row_number().over(w))
-      .filter((col("role") === "pos" && col("rn") === 1) ||
-        (col("role") === "neg" && col("rn") <= kNeg))
+      // the rank bound stands ALONE as a conjunct (kNeg ≥ 1 covers the
+      // pos role's rank-1 row) so InferWindowGroupLimit can lift it
+      // into a Partial/Final WindowGroupLimit pair — a disjunctive
+      // rank predicate would leave a full per-(q_id, role) sort
+      .filter(col("rn") <= kNeg)
+      .filter(col("role") === "neg" || col("rn") === 1)
       .select(col("q_id"), col("vec_id"), col("role"),
         col("cosine"), col("rn").cast(LongType).as("rank"))
   }
