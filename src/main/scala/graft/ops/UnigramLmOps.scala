@@ -207,6 +207,107 @@ object UnigramLmOps {
     (finalModel, lls.toSeq)
   }
 
+  /** Subword-regularization sampling (Kudo '18 §4, the SentencePiece
+    * `--alpha` path): instead of the Viterbi argmax, draw a
+    * segmentation of `word` from the α-scaled lattice posterior
+    * P(seg) ∝ Π p(piece)^α — the on-the-fly training-data
+    * augmentation real LLM tokenizer pipelines use (each epoch sees a
+    * different subword rendering of the same text). Exact lattice
+    * sampling: forward pass accumulates log-sum-exp of α-scaled path
+    * scores per end position, backward pass samples each edge from
+    * its softmax share. All randomness is the md5-dyadic convention —
+    * `u(i)` keys one uniform per (seed, word occurrence, lattice
+    * position), so sampling is a PURE FUNCTION of (word, model, α,
+    * seed) and the corpus-level operator is deterministic,
+    * partition-invariant, and replayable per epoch (epoch = seed).
+    * α→∞ sharpens to the max-score path (UnigramLmSpec pins
+    * score-convergence); α→0 flattens toward uniform over
+    * segmentations; empirical draw frequencies match the exact
+    * lattice posterior (spec-pinned on a crafted vocab).
+    */
+  def sampleSegment(
+      word: String, logp: Map[String, Double], maxLen: Int,
+      alpha: Double, u: Int => Double): Seq[String] = {
+    val n = word.length
+    if (n == 0) return Nil
+    val NEG = Double.NegativeInfinity
+    def lse(xs: Seq[Double]): Double = {
+      val m = xs.max
+      if (m == NEG) NEG else m + math.log(xs.map(x => math.exp(x - m)).sum)
+    }
+    // lf(i) = log Σ_paths→i exp(α · score(path))
+    val lf = Array.fill(n + 1)(NEG)
+    lf(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      val terms = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var j = math.max(0, i - maxLen)
+      while (j < i) {
+        if (lf(j) != NEG) logp.get(word.substring(j, i)).foreach { lp =>
+          terms += lf(j) + alpha * lp
+        }
+        j += 1
+      }
+      if (terms.nonEmpty) lf(i) = lse(terms.toSeq)
+      i += 1
+    }
+    require(lf(n) != NEG, s"unsegmentable word under char-closed vocab: $word")
+    // backward: at end position i, pick start j with softmax weight
+    // exp(lf(j) + α·logp(w[j,i)) − lf(i)); candidates scanned in
+    // ASCENDING j with a cumulative threshold against u(i) — position
+    // i strictly decreases, so each step consumes a distinct uniform
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var end = n
+    while (end > 0) {
+      val lo = math.max(0, end - maxLen)
+      // valid edges into `end`, ascending j (char closure guarantees
+      // at least the single-char edge at j = end-1)
+      val cands = (lo until end).flatMap { j =>
+        if (lf(j) == NEG) None
+        else logp.get(word.substring(j, end))
+          .map(lp => (j, math.exp(lf(j) + alpha * lp - lf(end))))
+      }
+      val r = u(end)
+      var acc = 0.0
+      // the LAST candidate absorbs float-sum slack (Σweights ≈ 1)
+      var pick = cands.last._1
+      val it = cands.iterator
+      var done = false
+      while (it.hasNext && !done) {
+        val (j, w) = it.next()
+        acc += w
+        if (r < acc) { pick = j; done = true }
+      }
+      out += word.substring(pick, end)
+      end = pick
+    }
+    out.reverse.toSeq
+  }
+
+  /** Corpus-level sampled tokenization — [[tokenize]]'s schema
+    * (doc_id, word_idx, pos, piece) with the Viterbi argmax replaced
+    * by one α-lattice draw per word occurrence, keyed by `seed` (use
+    * the epoch number: each epoch is a fresh deterministic rendering).
+    */
+  def sampleTokenize(
+      docs: DataFrame, model: UnigramModel, alpha: Double, seed: Long,
+      maxLen: Int = 6): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model.logp)
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val lp = bc.value
+        text.split(" ").iterator.filter(_.nonEmpty).zipWithIndex.flatMap {
+          case (w, wi) =>
+            sampleSegment(w, lp, maxLen, alpha,
+              i => PqOps.md5Dyadic(s"sr:$seed:$id:$wi:$i") + 0.5)
+              .iterator.zipWithIndex.map { case (p, pi) => (id, wi.toLong, pi.toLong, p) }
+        }
+      }
+      .toDF("doc_id", "word_idx", "pos", "piece")
+  }
+
   /** Tokenize a corpus with a trained model: one row per piece —
     * (doc_id, word_idx, pos, piece). `word_idx` is the word's index in
     * the whitespace split (empty tokens skipped, matching
@@ -269,6 +370,60 @@ object UnigramLmOps {
       // reconstruction recomputed ENGINE-side from the in-memory
       // segmentation (not the dump): concat pieces per word and compare
       // to the word from the raw split
+      val words = docs
+        .select(col("doc_id"), posexplode(filter(split(col("text"), " "), length(_) > 0))
+          .as(Seq("word_idx", "word")))
+        .withColumn("word_idx", col("word_idx").cast(LongType))
+      val rebuilt = seg.groupBy("doc_id", "word_idx")
+        .agg(
+          concat_ws("", sort_array(collect_list(struct(col("pos"), col("piece"))))
+            .getField("piece")).as("joined"),
+          count(lit(1)).as("n_pieces"))
+      words.join(rebuilt, Seq("doc_id", "word_idx"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).cast(LongType).as("n_words"),
+          sum(col("n_pieces")).cast(LongType).as("n_pieces"),
+          sum(when(col("joined") === col("word"), 1L).otherwise(0L))
+            .cast(LongType).as("n_reconstructed"))
+        .orderBy("doc_id")
+    },
+
+    // Subword-regularization sampling (one α-lattice draw per word,
+    // epoch-seeded). Same OracleDump scheme as q_unigram_tokenize —
+    // the sampled segmentation is the dump and DuckDB independently
+    // re-verifies every word's reconstruction against the raw text,
+    // so WHATEVER segmentation was drawn, a dump inconsistent with
+    // the corpus cannot hash-match. The sampled rendering costs more
+    // pieces than the Viterbi argmax by construction (suboptimal
+    // splits get probability mass); the spec pins the distributional
+    // properties the hash can't (exact lattice posterior, α-sharpening,
+    // seed determinism).
+    QueryDef(
+      "q_unigram_sample",
+      s"""WITH seg AS (SELECT * FROM read_parquet('${OracleDump.path("unigram_sample_tokens")}')),
+        |ws AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS l
+        |  FROM documents),
+        |words AS (
+        |  SELECT doc_id, unnest(l) AS word,
+        |    CAST(generate_subscripts(l, 1) - 1 AS BIGINT) AS word_idx
+        |  FROM ws),
+        |rebuilt AS (
+        |  SELECT doc_id, word_idx, string_agg(piece, '' ORDER BY pos) AS joined,
+        |    count(*) AS n_pieces
+        |  FROM seg GROUP BY doc_id, word_idx)
+        |SELECT w.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(r.n_pieces) AS BIGINT) AS n_pieces,
+        |  CAST(sum(CASE WHEN r.joined = w.word THEN 1 ELSE 0 END) AS BIGINT) AS n_reconstructed
+        |FROM words w JOIN rebuilt r USING (doc_id, word_idx)
+        |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val (model, _) = train(docs, vocabSize = 600, maxLen = 4,
+        seedSize = 1500, emIters = 1, pruneFrac = 0.5)
+      val seg = sampleTokenize(docs, model, alpha = 0.3, seed = 1L, maxLen = 4)
+      OracleDump.write(seg, d, "unigram_sample_tokens")
       val words = docs
         .select(col("doc_id"), posexplode(filter(split(col("text"), " "), length(_) > 0))
           .as(Seq("word_idx", "word")))

@@ -172,6 +172,92 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(seg.filter(length(col("piece")) > 1).count() > 0)
   }
 
+  // ---- subword-regularization sampling ------------------------------
+
+  test("sampled segmentations match the exact lattice posterior (crafted vocab)") {
+    // vocab {a, b, ab}: word "ab" has exactly two segmentations —
+    //   [ab]    with weight p(ab)^α
+    //   [a][b]  with weight (p(a)·p(b))^α
+    val logp = Map("a" -> math.log(0.3), "b" -> math.log(0.2), "ab" -> math.log(0.5))
+    val alpha = 1.0
+    val pJoint = 0.5
+    val pSplit = 0.3 * 0.2
+    val want = pJoint / (pJoint + pSplit) // P([ab]) ≈ 0.892857
+    val n = 20000
+    var joint = 0
+    for (k <- 0 until n) {
+      val seg = UnigramLmOps.sampleSegment(
+        "ab", logp, maxLen = 2, alpha = alpha,
+        i => PqOps.md5Dyadic(s"posterior:$k:$i") + 0.5)
+      if (seg == Seq("ab")) joint += 1
+      else assert(seg === Seq("a", "b"))
+    }
+    val got = joint.toDouble / n
+    val sigma = math.sqrt(want * (1 - want) / n)
+    assert(math.abs(got - want) < 4 * sigma,
+      s"empirical P([ab]) = $got, lattice posterior = $want (4σ = ${4 * sigma})")
+    // and α reweights it: at α=2 the joint becomes more likely
+    val want2 = math.pow(pJoint, 2) / (math.pow(pJoint, 2) + math.pow(pSplit, 2))
+    var joint2 = 0
+    for (k <- 0 until n) {
+      if (UnigramLmOps.sampleSegment("ab", logp, 2, 2.0,
+        i => PqOps.md5Dyadic(s"posterior2:$k:$i") + 0.5) == Seq("ab")) joint2 += 1
+    }
+    assert(math.abs(joint2.toDouble / n - want2) < 4 * math.sqrt(want2 * (1 - want2) / n))
+  }
+
+  test("large α sharpens sampling to the max-score segmentation") {
+    val logp = Map("a" -> math.log(0.3), "b" -> math.log(0.2), "ab" -> math.log(0.5))
+    for (k <- 0 until 200)
+      assert(UnigramLmOps.sampleSegment("ab", logp, 2, 50.0,
+        i => PqOps.md5Dyadic(s"sharp:$k:$i") + 0.5) === Seq("ab"))
+    // on a real trained model: every sampled path at α=10000 carries
+    // the Viterbi score (exact ties may sample EITHER argmax path, so
+    // the invariant is score equality, not piece equality)
+    val (model, _) = UnigramLmOps.train(
+      corpusDf, vocabSize = 40, maxLen = 4, seedSize = 60, emIters = 2, pruneFrac = 0.3)
+    def score(ps: Seq[String]) = ps.map(model.logp).sum
+    for (w <- corpus.flatMap(_.split(" ")).filter(_.nonEmpty).distinct; k <- 0 until 5) {
+      val sampled = UnigramLmOps.sampleSegment(w, model.logp, 4, 10000.0,
+        i => PqOps.md5Dyadic(s"argmax:$k:$w:$i") + 0.5)
+      val viterbi = UnigramLmOps.viterbi(w, model.logp, 4).get
+      assert(math.abs(score(sampled) - score(viterbi)) < 1e-9,
+        s"word '$w' draw $k: sampled $sampled (${score(sampled)}) vs viterbi $viterbi (${score(viterbi)})")
+    }
+  }
+
+  test("sampleTokenize: seed-deterministic, epoch-diverse, always reconstructs, partition-invariant") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val (model, _) = UnigramLmOps.train(
+      docs, vocabSize = 300, maxLen = 4, seedSize = 800, emIters = 1, pruneFrac = 0.5)
+    def rows(seed: Long, parts: Int) =
+      UnigramLmOps.sampleTokenize(docs.repartition(parts), model, alpha = 0.3, seed = seed, maxLen = 4)
+        .orderBy("doc_id", "word_idx", "pos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    val e1 = rows(1L, 4)
+    assert(e1 === rows(1L, 4), "same seed must replay identically")
+    assert(e1 === rows(1L, 1), "sampling is row-local: partitioning must not change draws")
+    assert(e1 !== rows(2L, 4), "different epochs must render differently at α=0.3")
+    // every sampled rendering reconstructs the raw text
+    val seg = UnigramLmOps.sampleTokenize(docs, model, alpha = 0.3, seed = 1L, maxLen = 4)
+    val rebuilt = seg.groupBy("doc_id", "word_idx")
+      .agg(concat_ws("",
+        sort_array(collect_list(struct(col("pos"), col("piece")))).getField("piece"))
+        .as("joined"))
+    val words = docs.select(col("doc_id"),
+      posexplode(filter(split(col("text"), " "), w => length(w) > 0))
+        .as(Seq("word_idx", "word")))
+      .withColumn("word_idx", col("word_idx").cast("long"))
+    val joined = words.join(rebuilt, Seq("doc_id", "word_idx"), "left")
+    assert(joined.filter(col("joined").isNull || col("joined") =!= col("word")).count() === 0)
+    // regularization really happens: the sampled rendering differs
+    // from the Viterbi argmax somewhere, and costs at least as many
+    // pieces on aggregate
+    val argmax = UnigramLmOps.tokenize(docs, model, maxLen = 4)
+    assert(seg.count() >= argmax.count())
+    assert(seg.exceptAll(argmax).count() > 0)
+  }
+
   test("training is partitioning-invariant (1 vs 8 partitions)") {
     val one = UnigramLmOps.train(
       corpusDf.repartition(1), vocabSize = 40, maxLen = 4,
