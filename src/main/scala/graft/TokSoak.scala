@@ -98,6 +98,14 @@ object TokSoak {
     }
     println(s"[tsoak] pieces=${pieces.getLong(0)} distinctPieces=${pieces.getLong(1)} " +
       f"piecesPerToken=${pieces.getLong(0).toDouble / (nDocs * wordsPerDoc)}%.3f")
+    // one epoch's subword-regularized rendering (α-lattice draw per
+    // word) — measures the augmentation premium over the Viterbi
+    // argmax pass at the same corpus size
+    val sampled = t("sampleTokenize α=0.3 epoch 1") {
+      UnigramLmOps.sampleTokenize(docs, model, alpha = 0.3, seed = 1L, maxLen = 4)
+        .agg(count(lit(1))).collect()(0).getLong(0)
+    }
+    println(f"[tsoak] sampled pieces=$sampled piecesVsArgmax=${sampled.toDouble / pieces.getLong(0)}%.4f")
     spark.stop()
   }
 }

@@ -116,6 +116,67 @@ object BpeTrain {
       case (syms, (a, b)) => mergePair(syms, a, b)
     }
 
+  /** Leftmost-first merge with per-position dropout: a matching (a, b)
+    * at symbol index i merges only when `keep(i)` — the
+    * [[mergePair]] scan otherwise (a dropped position's `a` is
+    * re-eligible as the RIGHT side of the next match, exactly like a
+    * non-match).
+    */
+  private[ops] def mergePairDropout(
+      syms: Seq[String], a: String, b: String, keep: Int => Boolean): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b && keep(i)) {
+        out += a + b; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** BPE-dropout encoding (Provilkov et al. 2020): apply the learned
+    * merge table but SKIP each individual merge application with
+    * probability `p` — the BPE family's subword regularization, the
+    * counterpart of [[UnigramLmOps.sampleTokenize]]'s α-lattice draws.
+    * Each (merge index, symbol position) gets one md5-dyadic uniform
+    * from `u`, so encoding is a pure function of (word, merges, p,
+    * key-context): p = 0 is exactly [[encodeWord]] (spec-pinned),
+    * p = 1 never merges (character + `</w>` fallback), in between each
+    * epoch sees a different, coarser-to-finer rendering of the word.
+    */
+  def encodeWordDropout(
+      word: String, merges: Seq[(String, String)], p: Double,
+      u: (Int, Int) => Double): Seq[String] = {
+    var syms: Seq[String] = word.map(_.toString) :+ "</w>"
+    var mi = 0
+    while (mi < merges.length) {
+      val (a, b) = merges(mi)
+      val m = mi // stable for the closure
+      syms = mergePairDropout(syms, a, b, i => u(m, i) >= p)
+      mi += 1
+    }
+    syms
+  }
+
+  /** Corpus-level BPE-dropout tokenization — [[tokenize]]'s schema with
+    * every merge application dropped at rate `p`, keyed by `seed` (the
+    * epoch number): seed-replayable, epoch-diverse, partition-invariant
+    * (all draws are row-local md5 of (seed, doc, word, merge, pos)).
+    */
+  def tokenizeDropout(
+      docs: DataFrame, merges: Seq[(String, String)], p: Double, seed: Long): DataFrame = {
+    import docs.sparkSession.implicits._
+    val m = merges
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        (id, text.split(" ").filter(_.nonEmpty).toSeq.zipWithIndex.flatMap {
+          case (w, wi) => encodeWordDropout(w, m, p,
+            (mi, i) => PqOps.md5Dyadic(s"bd:$seed:$id:$wi:$mi:$i") + 0.5)
+        })
+      }
+      .toDF("doc_id", "tokens")
+  }
+
   /** Tokenize a corpus with a learned merge table: (doc_id, tokens). */
   def tokenize(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     import docs.sparkSession.implicits._

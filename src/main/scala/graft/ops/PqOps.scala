@@ -67,10 +67,24 @@ object PqOps {
     * derivation behind every fixed stand-in model (PQ/IVFADC codebooks,
     * RHP hyperplanes).
     */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   private[ops] def md5Dyadic(key: String): Double = {
-    val md = java.security.MessageDigest.getInstance("MD5").digest(key.getBytes("UTF-8"))
-    val hex = md.map(x => f"$x%02x").mkString.substring(0, 13)
-    java.lang.Long.parseLong(hex, 16).toDouble / 4503599627370496.0 - 0.5
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(key.getBytes("UTF-8"))
+    // first 13 hex digits = bytes 0..5 in full plus the high nibble of
+    // byte 6 (bit-identical to parsing the hex prefix, without the
+    // per-byte format/parse round trip — this runs per lattice
+    // position in sampleTokenize's hot path)
+    var v = 0L
+    var i = 0
+    while (i < 6) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v = (v << 4) | ((d(6) & 0xf0L) >> 4)
+    v.toDouble / 4503599627370496.0 - 0.5
   }
 
   /** Points-based variant — shared with OPQ, which trains on ROTATED

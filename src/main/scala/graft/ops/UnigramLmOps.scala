@@ -231,52 +231,74 @@ object UnigramLmOps {
     val n = word.length
     if (n == 0) return Nil
     val NEG = Double.NegativeInfinity
-    def lse(xs: Seq[Double]): Double = {
-      val m = xs.max
-      if (m == NEG) NEG else m + math.log(xs.map(x => math.exp(x - m)).sum)
-    }
-    // lf(i) = log Σ_paths→i exp(α · score(path))
-    val lf = Array.fill(n + 1)(NEG)
+    // lf(i) = log Σ_paths→i exp(α · score(path)). Allocation-free
+    // inner loops (this runs per word occurrence at corpus scale):
+    // edge log-weights into `end` cached in one maxLen buffer, reused
+    // across positions; log-sum-exp as two ascending-j passes (max,
+    // then Σexp) — SAME summation order as a buffered lse, so draws
+    // are bit-stable against any refactor of this loop.
+    val lf = new Array[Double](n + 1)
+    val ew = new Array[Double](maxLen) // ew(d-1): weight of edge (i-d, i)
+    java.util.Arrays.fill(lf, NEG)
     lf(0) = 0.0
     var i = 1
     while (i <= n) {
-      val terms = scala.collection.mutable.ArrayBuffer.empty[Double]
-      var j = math.max(0, i - maxLen)
-      while (j < i) {
-        if (lf(j) != NEG) logp.get(word.substring(j, i)).foreach { lp =>
-          terms += lf(j) + alpha * lp
+      val dMax = math.min(maxLen, i)
+      var m = NEG
+      var d = dMax
+      while (d >= 1) { // j = i - d ascending ⇔ d descending
+        val j = i - d
+        var w = NEG
+        if (lf(j) != NEG) logp.get(word.substring(j, i)) match {
+          case Some(lp) => w = lf(j) + alpha * lp
+          case None =>
         }
-        j += 1
+        ew(d - 1) = w
+        if (w > m) m = w
+        d -= 1
       }
-      if (terms.nonEmpty) lf(i) = lse(terms.toSeq)
+      if (m != NEG) {
+        var s = 0.0
+        d = dMax
+        while (d >= 1) { if (ew(d - 1) != NEG) s += math.exp(ew(d - 1) - m); d -= 1 }
+        lf(i) = m + math.log(s)
+      }
       i += 1
     }
     require(lf(n) != NEG, s"unsegmentable word under char-closed vocab: $word")
-    // backward: at end position i, pick start j with softmax weight
-    // exp(lf(j) + α·logp(w[j,i)) − lf(i)); candidates scanned in
-    // ASCENDING j with a cumulative threshold against u(i) — position
-    // i strictly decreases, so each step consumes a distinct uniform
+    // backward: at end position, pick start j with softmax weight
+    // exp(lf(j) + α·logp(w[j,end)) − lf(end)); candidates scanned in
+    // ASCENDING j with a cumulative threshold against u(end), the LAST
+    // valid candidate absorbing float-sum slack (Σweights ≈ 1; char
+    // closure guarantees the single-char edge at j = end-1 is valid).
+    // `end` strictly decreases, so each step consumes a distinct
+    // uniform.
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var end = n
     while (end > 0) {
-      val lo = math.max(0, end - maxLen)
-      // valid edges into `end`, ascending j (char closure guarantees
-      // at least the single-char edge at j = end-1)
-      val cands = (lo until end).flatMap { j =>
-        if (lf(j) == NEG) None
-        else logp.get(word.substring(j, end))
-          .map(lp => (j, math.exp(lf(j) + alpha * lp - lf(end))))
+      val dMax = math.min(maxLen, end)
+      var d = dMax
+      while (d >= 1) {
+        val j = end - d
+        var w = NEG
+        if (lf(j) != NEG) logp.get(word.substring(j, end)) match {
+          case Some(lp) => w = lf(j) + alpha * lp
+          case None =>
+        }
+        ew(d - 1) = w
+        d -= 1
       }
       val r = u(end)
       var acc = 0.0
-      // the LAST candidate absorbs float-sum slack (Σweights ≈ 1)
-      var pick = cands.last._1
-      val it = cands.iterator
-      var done = false
-      while (it.hasNext && !done) {
-        val (j, w) = it.next()
-        acc += w
-        if (r < acc) { pick = j; done = true }
+      var pick = -1
+      d = dMax
+      while (d >= 1) { // ascending j
+        if (ew(d - 1) != NEG) {
+          pick = end - d // latest valid candidate so far = slack absorber
+          acc += math.exp(ew(d - 1) - lf(end))
+          if (r < acc) d = 0 // break: keep this pick
+        }
+        d -= 1
       }
       out += word.substring(pick, end)
       end = pick

@@ -70,4 +70,61 @@ class BpeTrainSpec extends AnyFunSuite {
       assert(rebuilt == text, s"doc $id: $rebuilt")
     }
   }
+
+  // ---- BPE-dropout (Provilkov '20) ----------------------------------
+
+  test("BPE-dropout: p=0 is exact encoding, p=1 never merges, draws hit the dropout rate") {
+    val docs = corpus.toDF("doc_id", "text")
+    val merges = BpeTrain.learnMerges(docs, 16, minCount = 2)
+    val exact = BpeTrain.tokenize(docs, merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val p0 = BpeTrain.tokenizeDropout(docs, merges, p = 0.0, seed = 1L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(p0 === exact, "p=0 must be exactly the deterministic encoding")
+    val p1 = BpeTrain.tokenizeDropout(docs, merges, p = 1.0, seed = 1L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    corpus.foreach { case (id, text) =>
+      val want = text.split(" ").filter(_.nonEmpty).toSeq
+        .flatMap(w => w.map(_.toString) :+ "</w>")
+      assert(p1(id) === want, s"p=1 must fall back to characters (doc $id)")
+    }
+    // single-merge word "aa" + merge (a,a): exactly one merge site, so
+    // the keep rate must match 1-p
+    val single = Seq(("a", "a"))
+    var kept = 0
+    val n = 5000
+    for (k <- 0 until n) {
+      val syms = BpeTrain.encodeWordDropout("aa", single, p = 0.3,
+        (mi, i) => PqOps.md5Dyadic(s"rate:$k:$mi:$i") + 0.5)
+      if (syms.contains("aa")) kept += 1
+    }
+    val got = kept.toDouble / n
+    val sigma = math.sqrt(0.7 * 0.3 / n)
+    assert(math.abs(got - 0.7) < 4 * sigma, s"keep rate $got vs 0.7 (4σ=${4 * sigma})")
+  }
+
+  test("BPE-dropout: seed-deterministic, epoch-diverse, partition-invariant, round-trips") {
+    val docs = corpus.toDF("doc_id", "text")
+    val merges = BpeTrain.learnMerges(docs, 16, minCount = 2)
+    def rows(seed: Long, parts: Int) =
+      BpeTrain.tokenizeDropout(docs.repartition(parts), merges, p = 0.2, seed = seed)
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val e1 = rows(1L, 4)
+    assert(e1 === rows(1L, 4), "same seed must replay identically")
+    assert(e1 === rows(1L, 1), "draws are row-local: partitioning must not matter")
+    assert(e1 !== rows(2L, 4), "different epochs must render differently at p=0.2")
+    // every epoch's rendering still round-trips the text, and sits
+    // between the exact encoding and the character fallback in length
+    val exactLen = BpeTrain.tokenize(docs, merges)
+      .collect().map(r => r.getSeq[String](1).size).sum
+    val charLen = corpus.map(_._2.split(" ").filter(_.nonEmpty).map(_.length + 1).sum).sum
+    val dropLen = e1.values.map(_.size).sum
+    assert(dropLen >= exactLen && dropLen <= charLen,
+      s"dropout length $dropLen outside [$exactLen, $charLen]")
+    assert(dropLen > exactLen, "at p=0.2 some merge must actually drop on this corpus")
+    corpus.foreach { case (id, text) =>
+      val rebuilt = e1(id).mkString("").replace("</w>", " ").trim
+      assert(rebuilt == text, s"doc $id: $rebuilt")
+    }
+  }
 }
