@@ -120,6 +120,62 @@ object LmOps {
         round(exp(-col("lp") / col("m")), 6).as("ppl"))
   }
 
+  /** Per-document perplexity under an INTERPOLATED KNESER–NEY bigram
+    * model (Kneser & Ney '95; the KenLM default and the strongest
+    * classical n-gram smoothing — what add-k approximates crudely):
+    *
+    *   p(w2|w1) = max(c(w1,w2) − D, 0)/c(w1)
+    *            + [D · N1+(w1,•)/c(w1)] · N1+(•,w2)/N1+(••)
+    *
+    * — absolute discounting of observed bigrams, with the held-out
+    * mass λ(w1) = D·N1+(w1,•)/c(w1) re-spread over CONTINUATION
+    * counts (how many distinct contexts a word follows), not raw
+    * unigram frequency — the insight that makes "Francisco" cheap
+    * after anything but "San". Per context, the model is a true
+    * distribution: Σ_w2 p(w2|w1) = 1 exactly (spec-pinned).
+    *
+    * Scale shape identical to [[bigramPerplexity]]: every model table
+    * is one hash agg off the SAME row-local zip-with-tail bigram
+    * explode (type counts N1+ are just count(*) over the (w1,w2)
+    * aggregate — no extra corpus pass), the bigram model is never
+    * broadcast, N1+(••) rides as a broadcast single row, and all
+    * counts are exact longs carried as DOUBLE so the float math
+    * matches the oracle's expression tree exactly.
+    */
+  def knPerplexity(docs: DataFrame, discount: Double = 0.75): DataFrame = {
+    val tok = split(col("text"), " ")
+    val bg = docs.select(
+      col("doc_id"),
+      explode(zip_with(
+        slice(tok, lit(1), size(tok) - 1),
+        slice(tok, lit(2), size(tok) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1"), col("p.w2"))
+    val bgTf = bg.groupBy("doc_id", "w1", "w2")
+      .agg(count(lit(1)).cast(DoubleType).as("tf"))
+    val bgCnt = bgTf.groupBy("w1", "w2").agg(sum(col("tf")).as("c2"))
+    // context table: total count AND distinct-continuation type count
+    // in one agg (bgCnt rows are distinct (w1, w2) by construction)
+    val w1Cnt = bgCnt.groupBy("w1")
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).cast(DoubleType).as("nf"))
+    val w2Cnt = bgCnt.groupBy("w2").agg(count(lit(1)).cast(DoubleType).as("np"))
+    val na = bgCnt.agg(count(lit(1)).cast(DoubleType).as("na"))
+    bgTf
+      .join(bgCnt, Seq("w1", "w2")) // corpus-sized model: shuffle join
+      .join(w1Cnt, Seq("w1"))
+      .join(w2Cnt, Seq("w2"))
+      .crossJoin(broadcast(na)) // one row: N1+(••)
+      .groupBy("doc_id")
+      .agg(
+        sum(col("tf") * log(
+          greatest(col("c2") - discount, lit(0.0)) / col("c1")
+            + lit(discount) * col("nf") / col("c1") * (col("np") / col("na")))).as("lp"),
+        sum(col("tf")).as("m"))
+      .select(
+        col("doc_id"), col("m").cast(LongType).as("n_bigrams"),
+        round(exp(-col("lp") / col("m")), 6).as("ppl"))
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -164,5 +220,42 @@ object LmOps {
          |SELECT doc_id, CAST(m AS BIGINT) AS n_bigrams, round(exp(-lp / m), 6) AS ppl
          |FROM sc ORDER BY doc_id""".stripMargin) { (s, d) =>
       bigramPerplexity(Tables.documents(s, d)).orderBy("doc_id")
+    },
+
+    // Interpolated Kneser–Ney bigram perplexity. The oracle rebuilds
+    // the full model from exact counts — discounted bigram term plus
+    // continuation-count back-off — with the IDENTICAL expression tree
+    // (left-assoc products, same literals), so the correctly-rounded
+    // float ops agree and ln/exp land inside round(,6) per the q_lm_*
+    // precedent.
+    QueryDef(
+      "q_lm_kn_ppl",
+      """WITH l AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         |bg AS (
+         |  SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+         |  FROM l, unnest(generate_series(1, len(l) - 1)) AS g(i)),
+         |bg_tf AS (
+         |  SELECT doc_id, w1, w2, CAST(count(*) AS DOUBLE) AS tf
+         |  FROM bg GROUP BY 1, 2, 3),
+         |bg_cnt AS (SELECT w1, w2, sum(tf) AS c2 FROM bg_tf GROUP BY 1, 2),
+         |w1_cnt AS (
+         |  SELECT w1, sum(c2) AS c1, CAST(count(*) AS DOUBLE) AS nf
+         |  FROM bg_cnt GROUP BY 1),
+         |w2_cnt AS (SELECT w2, CAST(count(*) AS DOUBLE) AS np FROM bg_cnt GROUP BY 1),
+         |na AS (SELECT CAST(count(*) AS DOUBLE) AS na FROM bg_cnt),
+         |sc AS (
+         |  SELECT t.doc_id,
+         |    sum(t.tf * ln(
+         |      greatest(b.c2 - 0.75, 0.0) / u.c1
+         |      + 0.75 * u.nf / u.c1 * (w.np / (SELECT na FROM na)))) AS lp,
+         |    sum(t.tf) AS m
+         |  FROM bg_tf t
+         |  JOIN bg_cnt b ON t.w1 = b.w1 AND t.w2 = b.w2
+         |  JOIN w1_cnt u ON t.w1 = u.w1
+         |  JOIN w2_cnt w ON t.w2 = w.w2
+         |  GROUP BY t.doc_id)
+         |SELECT doc_id, CAST(m AS BIGINT) AS n_bigrams, round(exp(-lp / m), 6) AS ppl
+         |FROM sc ORDER BY doc_id""".stripMargin) { (s, d) =>
+      knPerplexity(Tables.documents(s, d)).orderBy("doc_id")
     })
 }

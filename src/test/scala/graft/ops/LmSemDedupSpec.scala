@@ -43,6 +43,73 @@ class LmSemDedupSpec extends AnyFunSuite {
     assert(byId(1L) < 2.0, s"x->y / y->x is near-certain under add-k: $byId")
   }
 
+  // ---- interpolated Kneser–Ney -------------------------------------
+
+  /** Independent sequential interpolated-KN reference (plain maps). */
+  private def refKn(docs: Seq[(Long, String)], d: Double): Map[Long, (Long, Double)] = {
+    val bgs = docs.flatMap { case (id, t) =>
+      val w = t.split(" "); w.zip(w.drop(1)).map(p => (id, p))
+    }
+    val c2 = bgs.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+    val c1 = c2.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val nf = c2.keys.toSeq.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val np = c2.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+    val na = c2.size.toDouble
+    docs.flatMap { case (id, t) =>
+      val w = t.split(" ")
+      val pairs = w.zip(w.drop(1))
+      if (pairs.isEmpty) None
+      else {
+        val lp = pairs.map { p =>
+          math.log(math.max(c2(p) - d, 0.0) / c1(p._1)
+            + d * nf(p._1) / c1(p._1) * (np(p._2) / na))
+        }.sum
+        Some(id -> (pairs.length.toLong, math.exp(-lp / pairs.length)))
+      }
+    }.toMap
+  }
+
+  test("Kneser-Ney ppl matches an independent sequential reference; each context sums to 1") {
+    val corpus = Seq(
+      (1L, "san francisco san francisco san francisco new york new york"),
+      (2L, "san francisco new york san francisco san york new san"),
+      (3L, "a b a c a b a c b c a a b"),
+      (4L, "lonely"))
+    val docs = corpus.toDF("doc_id", "text")
+    val got = LmOps.knPerplexity(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val want = refKn(corpus, 0.75)
+    assert(got.keySet === want.keySet)
+    assert(!got.contains(4L), "single-token doc has no bigram row")
+    for ((id, (m, ppl)) <- want) {
+      assert(got(id)._1 === m)
+      assert(math.abs(got(id)._2 - ppl) < 1e-6, s"doc $id: ${got(id)._2} vs $ppl")
+    }
+    // the KN defining property: per observed context w1, the model is
+    // a true distribution over the continuation-type space
+    val bgs = corpus.flatMap { case (_, t) =>
+      val w = t.split(" "); w.zip(w.drop(1))
+    }
+    val c2 = bgs.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val c1 = c2.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val nf = c2.keys.toSeq.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val np = c2.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+    val na = c2.size.toDouble
+    val vocab2 = np.keys.toSeq
+    for (w1 <- c1.keys) {
+      val s = vocab2.map { w2 =>
+        math.max(c2.getOrElse((w1, w2), 0.0) - 0.75, 0.0) / c1(w1) +
+          0.75 * nf(w1) / c1(w1) * (np(w2) / na)
+      }.sum
+      assert(math.abs(s - 1.0) < 1e-9, s"context '$w1' sums to $s")
+    }
+    // and the continuation insight is live: "francisco" is frequent but
+    // follows ONLY "san", so its continuation probability is the
+    // minimum type share, strictly below "york"'s (follows "new" AND
+    // "san")
+    assert(np(("francisco": String)) < np(("york": String)))
+  }
+
   test("semanticDedup first-win: chain a~b, b~c with a!~c keeps BOTH endpoints (not connected components)") {
     // 1-D directions can't make a cosine chain; use 2-D unit vectors at
     // angles 0, 60, 120 degrees with threshold cos(75deg)≈0.259 <- pairs
