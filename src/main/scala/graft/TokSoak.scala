@@ -106,6 +106,13 @@ object TokSoak {
         .agg(count(lit(1))).collect()(0).getLong(0)
     }
     println(f"[tsoak] sampled pieces=$sampled piecesVsArgmax=${sampled.toDouble / pieces.getLong(0)}%.4f")
+    // Kneser–Ney scoring over the same corpus: the bigram-model
+    // shuffle-join path (model never broadcast) at corpus scale
+    val kn = t("Kneser-Ney ppl (all docs)") {
+      graft.ops.LmOps.knPerplexity(docs)
+        .agg(count(lit(1)), round(avg(col("ppl")), 3)).collect()(0)
+    }
+    println(s"[tsoak] kn docs=${kn.getLong(0)} meanPpl=${kn.getDouble(1)}")
     spark.stop()
   }
 }
