@@ -27,10 +27,15 @@ object AnnSoak {
     val n = if (args.nonEmpty) args(0).toLong else 5000000L
     val dim = if (args.length > 1) args(1).toInt else 32
     val nlist = if (args.length > 2) args(2).toInt else 1024
+    // SPARK_GRAFT_SOAK_PARTS: the GraphSoak 400M lesson — per-task
+    // sort/agg state scales with rows/partitions, and the 10M-vector
+    // postings commit dies in spill at 32 partitions on this box
+    // (SPILL_OUT_OF_MEMORY, 64g heap); 128 quarters the task state
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SOAK_PARTS", "32")
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")

@@ -70,8 +70,14 @@ object BpeTrain {
   def learnMerges(docs: DataFrame, numMerges: Int, minCount: Long = 2L): Seq[(String, String)] = {
     import docs.sparkSession.implicits._
     var words = wordCounts(docs).persist()
-    words.count()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    // ONE job per merge: the top-pair agg below is also what
+    // materializes the current words cache, so the predecessor's
+    // release is DEFERRED one iteration (unpersisting it before the
+    // agg ran would recompute the whole merge chain). Eager per-merge
+    // count() jobs cost a second driver round-trip per merge —
+    // measured ~2× the whole training wall at small merge counts.
+    var pendingRelease: Option[Dataset[BpeWord]] = None
     var iter = 0
     while (iter < numMerges) {
       val top = words.toDF("syms", "n")
@@ -86,24 +92,31 @@ object BpeTrain {
         .orderBy(col("c").desc, col("a"), col("b"))
         .limit(1)
         .collect()
+      pendingRelease.foreach(_.unpersist())
+      pendingRelease = None
       if (top.isEmpty || top(0).getLong(2) < minCount) iter = numMerges
       else {
         val (a, b) = (top(0).getString(0), top(0).getString(1))
         merges += ((a, b))
         val prev = words
         val mapped = prev.map(w => BpeWord(mergePair(w.syms, a, b), w.n)).persist()
-        // every 8th merge: cut lineage, then RELEASE the pre-checkpoint
-        // cache — rebinding without the unpersist would leak one
-        // vocabulary-sized cached table per checkpoint for the whole
-        // training run
-        words =
-          if (merges.size % 8 == 0) { val cp = mapped.localCheckpoint(); mapped.unpersist(); cp }
-          else mapped
-        words.count()
-        prev.unpersist()
+        // every 8th merge: cut lineage (localCheckpoint is eager — its
+        // job materializes `mapped`, so the pre-checkpoint cache AND
+        // prev can release immediately), else defer prev's release to
+        // the next iteration's agg
+        if (merges.size % 8 == 0) {
+          val cp = mapped.localCheckpoint()
+          mapped.unpersist()
+          prev.unpersist()
+          words = cp
+        } else {
+          words = mapped
+          pendingRelease = Some(prev)
+        }
         iter += 1
       }
     }
+    pendingRelease.foreach(_.unpersist())
     words.unpersist()
     merges.toSeq
   }
@@ -187,4 +200,54 @@ object BpeTrain {
       }
       .toDF("doc_id", "tokens")
   }
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Trained-BPE application with dropout regularization, end to end
+    // in one query: learn the merge table from the corpus (the driver
+    // merge loop runs over the vocabulary-sized word table — 10
+    // bounded jobs, never corpus passes), render one p=0.2 epoch, and
+    // oracle-check via the OracleDump reconstruction scheme — the
+    // token stream is the dump, and DuckDB independently re-verifies
+    // that every doc's tokens concatenate back to its
+    // whitespace-canonical text (a rendering inconsistent with the
+    // corpus cannot hash-match, whatever the draws were). Spark
+    // computes the same aggregates from its in-memory rendering.
+    QueryDef(
+      "q_bpe_dropout",
+      s"""WITH seg AS (SELECT * FROM read_parquet('${OracleDump.path("bpe_dropout_tokens")}')),
+        |rebuilt AS (
+        |  SELECT doc_id, string_agg(token, '' ORDER BY pos) AS joined,
+        |    CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN token LIKE '%</w>' THEN 1 ELSE 0 END) AS BIGINT) AS n_words
+        |  FROM seg GROUP BY doc_id),
+        |canon AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_filter(string_split(text, ' '), x -> len(x) > 0), ' ') AS ct
+        |  FROM documents)
+        |SELECT c.doc_id, r.n_tokens, r.n_words,
+        |  CAST(CASE WHEN rtrim(replace(r.joined, '</w>', ' ')) = c.ct
+        |       THEN 1 ELSE 0 END AS BIGINT) AS reconstructed
+        |FROM canon c JOIN rebuilt r USING (doc_id)
+        |ORDER BY c.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val merges = learnMerges(docs, numMerges = 6, minCount = 2)
+      val seg = tokenizeDropout(docs, merges, p = 0.2, seed = 1L)
+        .select(col("doc_id"), posexplode(col("tokens")).as(Seq("pos", "token")))
+        .withColumn("pos", col("pos").cast(LongType))
+      OracleDump.write(seg, d, "bpe_dropout_tokens")
+      val rebuilt = seg.groupBy("doc_id").agg(
+        concat_ws("", sort_array(collect_list(struct(col("pos"), col("token"))))
+          .getField("token")).as("joined"),
+        count(lit(1)).cast(LongType).as("n_tokens"),
+        sum(when(col("token").endsWith("</w>"), 1L).otherwise(0L))
+          .cast(LongType).as("n_words"))
+      val canon = docs.select(col("doc_id"),
+        concat_ws(" ", filter(split(col("text"), " "), t => length(t) > 0)).as("ct"))
+      canon.join(rebuilt, Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens"), col("n_words"),
+          when(rtrim(regexp_replace(col("joined"), "</w>", " ")) === col("ct"), 1L)
+            .otherwise(0L).cast(LongType).as("reconstructed"))
+        .orderBy("doc_id")
+    })
 }
