@@ -31,8 +31,11 @@ import org.apache.spark.sql.functions._
   *  - batch: pair → batch b via H32("batch:epoch:pairkey") mod B —
   *    epoch-salted, so epochs see the corpus in different groupings
   *    (the [[ExportOps.writeEpochShards]] epoch-reshuffle convention);
-  *  - negatives: k-th negative of a pair is vocab[H32("neg:epoch:k:
-  *    pairkey") mod V] — uniform over the vocabulary (the unigram^0.75
+  *  - negatives: k-th negative of a pair is vocab[(H32("neg:epoch:k:
+  *    pairkey") · V) >> 32] — the widening fixed-point draw, uniform
+  *    over the vocabulary to 1 part in 2^32/V (a plain mod V would
+  *    oversample low indices as V grows; exact for V < 2^31, guarded)
+  *    (the unigram^0.75
   *    table is a lookup-weight refinement, deliberately not modeled;
   *    accidental negative==context collisions are kept, as word2vec
   *    keeps them).
@@ -182,11 +185,22 @@ object SgnsOps {
             lit(p.batches.toLong)) === b)
         val pos = bp.select(
           col("center"), col("context").as("other"), lit(1.0).as("label"))
+        // widening multiply (h32 · V) >> 32, not pmod(h32, V): mod over
+        // a 32-bit hash is biased for V not dividing 2^32 (low indices
+        // drawn up to 2× more often as V grows); the fixed-point scale
+        // h32/2^32 · V keeps draws near-uniform (per-index frequency
+        // off by at most 1 part in 2^32/V). Exact for V < 2^31 — the
+        // signed-64-bit product bound, which covers the 1B-node scale
+        // claim — and guarded below so larger vocabs fail loudly
+        // rather than silently wrap.
+        require(v < (1L << 31),
+          s"vocab size $v exceeds the 2^31-1 negative-draw bound " +
+            "(widening multiply would overflow signed 64-bit)")
         val negIdx = (1 to p.negatives).map { k =>
           bp.select(
             col("center"),
-            pmod(h32(concat_ws(":", lit("neg"), lit(e), lit(k), col("pk"))),
-              lit(v)).as("idx"))
+            shiftright(h32(concat_ws(":", lit("neg"), lit(e), lit(k), col("pk"))) * lit(v),
+              32).as("idx"))
         }
         val negs =
           if (p.negatives == 0) None

@@ -37,9 +37,14 @@ import org.apache.spark.sql.types._
   * Determinism: the DP tie-breaks on (score, then FEWER pieces, then
   * lexicographically smaller split point), counts are exact longs
   * weighted by word frequency, and the M-step sorts before
-  * renormalizing — training is a pure function of the corpus multiset
-  * (spec'd 1-vs-8 partitions, and against an independent in-memory
-  * sequential reference in UnigramLmSpec).
+  * renormalizing — the trained MODEL is a pure function of the corpus
+  * multiset (spec'd 1-vs-8 partitions, and against an independent
+  * in-memory sequential reference in UnigramLmSpec). The returned
+  * log-likelihood TRAJECTORY is exact up to float summation order
+  * only: per-word LLs are summed by a distributed reduce whose order
+  * is partition-dependent, so lls is reproducible to ~1e-9 relative
+  * (not bit-stable) — soak/monotonicity checks must use a relative
+  * tolerance, never bit equality.
   */
 object UnigramLmOps {
 
@@ -174,7 +179,15 @@ object UnigramLmOps {
       emIters: Int = 3,
       pruneFrac: Double = 0.25): (UnigramModel, Seq[Double]) = {
     val wf = wordFreq(docs).persist()
-    wf.count()
+    // fail fast with a clear message: an empty/whitespace-only corpus
+    // yields an empty word-frequency table, and the EM step's reduce
+    // would otherwise crash opaquely ("empty collection") mid-train
+    if (wf.count() == 0L) {
+      wf.unpersist()
+      throw new IllegalArgumentException(
+        "cannot train a unigram LM on an empty or whitespace-only corpus " +
+          "(word-frequency table has zero rows)")
+    }
     val seed = seedVocab(wf, maxLen, seedSize)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val total = seed.values.sum.toDouble

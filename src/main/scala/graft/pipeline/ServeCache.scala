@@ -127,13 +127,26 @@ object ServeCache {
       .orderBy(col("d"), col("us"), col("n"))
       .collect() // bounded by the explicit maxRows guard above
     // response-order invariant: (date, time, name) order must BE
-    // (time, name) order, i.e. event time never decreases across the
-    // date-sorted array (reading_date derived from reading_time)
-    var i = 1
+    // (time, name) order. The nondecreasing-time check alone is not
+    // sufficient — two rows with EQUAL reading_time but different
+    // reading_date pass it yet would serve names mis-ordered across
+    // the date boundary relative to Serve.range's (time, name) order —
+    // so validate reading_date = date(reading_time) directly per row
+    // (UTC, matching the session timezone the slices were cast under).
+    var i = 0
     while (i < rows.length) {
-      require(rows(i).getLong(1) >= rows(i - 1).getLong(1),
-        s"serve store violates reading_date = date(reading_time) around " +
-          s"${rows(i - 1).getString(0)} / ${rows(i).getString(0)} — " +
+      val d = rows(i).getString(0)
+      val us = rows(i).getLong(1)
+      val derived = java.time.Instant
+        .ofEpochSecond(Math.floorDiv(us, 1000000L))
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+      require(d == derived,
+        s"serve store violates reading_date = date(reading_time) at row $i: " +
+          s"date '$d' vs time-derived '$derived' — " +
+          "cached ranges would misorder; fix the store producer")
+      if (i > 0) require(us >= rows(i - 1).getLong(1),
+        s"serve store event time decreases in (date,time,name) order around " +
+          s"${rows(i - 1).getString(0)} / $d — " +
           "cached ranges would misorder; fix the store producer")
       i += 1
     }

@@ -52,7 +52,8 @@ class SgnsSpec extends AnyFunSuite {
       val examples = bp.map { case (_, _, c, _, o) => (c, o, 1.0) } ++
         bp.flatMap { case (seed, cs, c, xs, _) =>
           (1 to p.negatives).map { k =>
-            val idx = (h32(s"neg:$e:$k:$seed:$cs:$xs") % v).toInt
+            // widening multiply, matching the trainer's unbiased draw
+            val idx = ((h32(s"neg:$e:$k:$seed:$cs:$xs") * v) >> 32).toInt
             (c, vocab(idx), 0.0)
           }
         }

@@ -258,6 +258,14 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(seg.exceptAll(argmax).count() > 0)
   }
 
+  test("empty / whitespace-only corpus fails fast with a clear message") {
+    val empty = Seq((0L, ""), (1L, "   ")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      UnigramLmOps.train(empty, vocabSize = 40, maxLen = 4, seedSize = 60)
+    }
+    assert(e.getMessage.contains("whitespace-only corpus"))
+  }
+
   test("training is partitioning-invariant (1 vs 8 partitions)") {
     val one = UnigramLmOps.train(
       corpusDf.repartition(1), vocabSize = 40, maxLen = 4,
