@@ -123,6 +123,43 @@ object AnnIndex {
     IvfOps.probeRank(corpus, IvfOps.withNorm(queries), cents, k, nprobe)
   }
 
+  /** Vector takedown — the index-side half of the corpus
+    * right-to-erasure path ([[TxTable.deleteWhere]] is the corpus
+    * half): remove `ids` from the postings so a deleted document's
+    * embedding is never retrievable again at ANY nprobe. Partition-
+    * local: only the cells that actually hold a hit are rewritten
+    * (deleteWhere's affected-partition rewrite), untouched cells keep
+    * their files; [[compact]] de-fragments afterwards if the takedown
+    * left small survivor files. Centroids are NOT touched — the frozen
+    * codebook is geometry, not content (it retains no per-vector
+    * data), exactly as [[DedupIndex]] keeps its band spec across
+    * deletes.
+    *
+    * Idempotent, which is what makes the cross-table takedown
+    * crash-safe: erase(corpus.deleteWhere → index.delete) interrupted
+    * between the two halves converges on replay — the corpus half
+    * matches zero rows the second time, the index half completes.
+    * Returns postings removed (0 on a pure replay).
+    *
+    * `ids` is a driver-side batch by design: takedown requests are
+    * human-scale (the predicate broadcasts into the partition scan).
+    * A corpus-scale purge is a rebuild, not a delete — chunk callers
+    * who genuinely need millions of ids.
+    *
+    * Ordering caveat (the tombstone-free trade): [[append]]'s replay
+    * idempotence is an anti-join against CURRENT postings, so an
+    * ingest replay AFTER a takedown can re-add a deleted vector if its
+    * source batch still contains it. Run the corpus-table delete
+    * FIRST (as the erase flow above does) so replayed ingests re-read
+    * a source that no longer has the row. */
+  def delete(spark: SparkSession, root: String, ids: Seq[Long]): Long = {
+    if (ids.isEmpty) return 0L
+    val pRoot = postingsRoot(root)
+    if (TxTable.latest(spark, pRoot)._1 == 0) return 0L // nothing committed yet
+    TxTable.deleteWhere(spark, pRoot, "cluster",
+      col("vec_id").isin(ids: _*))
+  }
+
   /** Many small appends fragment the postings table (one file set per
     * commit); compact cells back to one file each. Pure layout — query
     * answers are unchanged (spec-pinned) — and atomic, same as every

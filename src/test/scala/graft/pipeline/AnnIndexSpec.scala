@@ -86,6 +86,64 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(rows(AnnIndex.query(spark, root, queries, k = 5, nprobe = 2)) === rows(expected))
   }
 
+  test("vector takedown: deleted ids never retrieved at any nprobe, postings-level parity, compaction-stable, replay-convergent") {
+    val base = Files.createTempDirectory("ann-index-del").toFile.getAbsolutePath
+    val (root, corpusRoot) = (s"$base/index", s"$base/corpus")
+    AnnIndex.build(spark, root, emb, nlist = 4)
+    // a corpus TxTable alongside — the erase flow's other half
+    TxTable.commit(spark, corpusRoot,
+      emb.withColumn("part", pmod(col("vec_id"), lit(4L)).cast("string")), "part")
+
+    val doomed = Seq(3L, 7L, 12L, 25L)
+    val queries = emb.filter(col("vec_id") < 10) // includes deleted ids as queries
+    val nlist = 4
+
+    // the erase flow: corpus first, then index (the documented order)
+    val corpusGone = TxTable.deleteWhere(
+      spark, corpusRoot, "part", col("vec_id").isin(doomed: _*))
+    assert(corpusGone === doomed.length)
+    val removed = AnnIndex.delete(spark, root, doomed)
+    assert(removed === doomed.length)
+
+    // deleted vectors are never retrieved, at ANY nprobe
+    for (np <- 1 to nlist) {
+      val got = rows(AnnIndex.query(spark, root, queries, k = 8, nprobe = np))
+      assert(!got.exists { case (_, vid, _, _) => doomed.contains(vid) },
+        s"deleted vec_id surfaced at nprobe=$np")
+    }
+
+    // parity: the index now answers exactly like the same frozen
+    // centroids probing the corpus minus the deleted vectors
+    val cents = TxTable.read(spark, s"$root/centroids")
+      .select(col("cid").cast("long").as("cid"), col("cemb"))
+    val centsArr = cents.collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+    val survivors = emb.filter(!col("vec_id").isin(doomed: _*))
+    val corpus = IvfOps.withNorm(survivors).join(
+      KMeans.assignClusters(IvfOps.unitEmb(survivors), centsArr)
+        .select(col("vec_id"), col("cluster")),
+      "vec_id")
+    val expected = rows(IvfOps.probeRank(
+      corpus, IvfOps.withNorm(queries), cents, k = 8, nprobe = 2))
+    assert(rows(AnnIndex.query(spark, root, queries, k = 8, nprobe = 2)) === expected)
+
+    // compaction after the takedown is pure layout
+    AnnIndex.compact(spark, root)
+    assert(rows(AnnIndex.query(spark, root, queries, k = 8, nprobe = 2)) === expected)
+
+    // crash between the two halves converges on replay: re-running the
+    // WHOLE erase finds zero corpus rows and zero postings (pure
+    // replay), and a half-done state (corpus deleted, index not — the
+    // crash window) is completed by the replayed index half
+    assert(TxTable.deleteWhere(
+      spark, corpusRoot, "part", col("vec_id").isin(doomed: _*)) === 0L)
+    assert(AnnIndex.delete(spark, root, doomed) === 0L)
+    assert(rows(AnnIndex.query(spark, root, queries, k = 8, nprobe = 2)) === expected)
+
+    // deleting ids the index never held is a no-op, not an error
+    assert(AnnIndex.delete(spark, root, Seq(999999L)) === 0L)
+    assert(AnnIndex.delete(spark, root, Nil) === 0L)
+  }
+
   test("streaming ingest tier: checkpointed AvailableNow appends grow the index to the batch-built answers") {
     val base = Files.createTempDirectory("ann-index-stream").toFile.getAbsolutePath
     val (root, src, ck) = (s"$base/index", s"$base/src", s"$base/ck")
