@@ -85,9 +85,14 @@ object AnnSoak {
       t(s"build full $n (clustered corpus)") {
         AnnIndex.build(spark, root, clustered(0, n), nlist = nlist)
       }
-      val exact = t("exact top-10 (brute force)") {
+      val exact = t("exact top-10 (brute force, bounded TopKAgg)") {
+        // cosineTopKAgg, NOT the window formulation: the window path
+        // locally sorts queries × corpus-slice rows per task and its
+        // spill is what killed the r9 10M run (ENOSPC); the aggregate
+        // keeps O(queries · 2k) state per task — same answers
+        // (spec/oracle-pinned)
         val e = graft.ops.SimilarityOps
-          .cosineTopK(clustered(0, n), col("vec_id") < 100, 10)
+          .cosineTopKAgg(clustered(0, n), col("vec_id") < 100, 10)
           .select("q_id", "vec_id").persist()
         e.count(); e
       }

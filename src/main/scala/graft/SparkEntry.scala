@@ -22,7 +22,7 @@ object SparkEntry {
       SampleOps.all ++ ChunkOps.all ++ CovisitOps.all ++ TextStatsOps.all ++ RollingOps.all ++
       DataSelectOps.all ++ EmbedStatsOps.all ++ SubstrDedupOps.all ++ ZOrderOps.all ++
       GraphOps.all ++ ExportOps.all ++ JsonlOps.all ++ SgnsOps.all ++ MiningOps.all ++
-      UnigramLmOps.all ++ BpeTrain.all
+      UnigramLmOps.all ++ BpeTrain.all ++ PretrainExportOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -16,7 +16,7 @@ import org.apache.spark.sql.types._
 object CurationOps {
 
   // small English stopword set shared by both engines (literal in SQL)
-  private val Stops =
+  private[ops] val Stops =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "on", "for", "with", "as", "at", "by")
 
   /** Quality metrics + keep decision as columns over a documents frame —

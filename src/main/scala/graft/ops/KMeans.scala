@@ -51,6 +51,61 @@ object KMeans {
 
   /** Assignment of every vector to its nearest centroid. */
   def assignClusters(emb: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    // broadcast argmin KERNEL, not crossJoin + window: the join form
+    // materializes rows × k candidate rows (each carrying the full
+    // embedding) through a per-vector SORT — at 10M vectors × 1024
+    // centroids that is ~10B rows / TBs of sort spill, the measured
+    // ENOSPC killer of the 10M ANN soak. The kernel is one map-shaped
+    // pass: argmin over the broadcast codebook per row, zero shuffle,
+    // zero intermediate blowup — the shape a 100 TB assignment must
+    // have. Float-exact twin of the join form (spec-pinned): d2 =
+    // a·a − 2(a·b) + b·b with every dot accumulated in ascending
+    // index order from 0.0 (dot_product's order, = DuckDB's
+    // list_dot_product), ties broken toward the LOWest cid by the
+    // strict < scan — exactly the old window's (d2 asc, cid asc).
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    emb.select(col("vec_id"), embDouble).as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val cents = bc.value
+        val k = cents.length
+        // b·b per centroid, once per partition
+        val cc = new Array[Double](k)
+        var i = 0
+        while (i < k) {
+          val c = cents(i); var s = 0.0; var j = 0
+          while (j < c.length) { s += c(j) * c(j); j += 1 }
+          cc(i) = s; i += 1
+        }
+        it.map { case (id, e) =>
+          val n = e.length
+          val a = new Array[Double](n)
+          var j = 0
+          while (j < n) { a(j) = e(j); j += 1 }
+          var aa = 0.0; j = 0
+          while (j < n) { aa += a(j) * a(j); j += 1 }
+          var best = 0; var bestD = Double.PositiveInfinity
+          var ci = 0
+          while (ci < k) {
+            val c = cents(ci)
+            var ab = 0.0; var j2 = 0
+            while (j2 < n) { ab += a(j2) * c(j2); j2 += 1 }
+            val d2 = aa - 2.0 * ab + cc(ci)
+            if (d2 < bestD) { bestD = d2; best = ci }
+            ci += 1
+          }
+          (id, best, e, bestD)
+        }
+      }
+      .toDF("vec_id", "cluster", "emb", "d2")
+  }
+
+  /** The old crossJoin + window formulation of [[assignClusters]] —
+    * kept ONLY as the spec's equivalence reference (KMeansSpec pins
+    * kernel ≡ join float-for-float); never call it on a large corpus. */
+  private[graft] def assignClustersJoin(
+      emb: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
     val spark = emb.sparkSession
     val w = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cid").asc)
     emb.select(col("vec_id"), embDouble)

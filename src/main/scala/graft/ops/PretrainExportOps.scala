@@ -1,0 +1,188 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType}
+
+import graft.pipeline.TokenizerStore
+
+/** THE pretraining-export flagship — the end-to-end artifact a
+  * training-data team actually ships, as ONE oracle-checked key:
+  *
+  *   quality filter → MinHash near-dup dedup (canonical survivors) →
+  *   TokenizerStore-PINNED unigram rendering → packed context windows
+  *   (distributed prefix sum, budget 256) → striped shard manifest
+  *   with per-shard xor-fold checksums.
+  *
+  * Every stage is an operator proven by its own oracle key
+  * ([[CurationOps]] q_quality_filter, [[DedupOps]] q_dedup_groups,
+  * [[UnigramLmOps]] q_unigram_tokenize, [[PackOps]] q_seq_pack,
+  * [[ExportOps]] q_shard_stripe); what THIS key verifies is the
+  * COMPOSITION — a stage wired out of order (tokenizing before dedup,
+  * packing non-canonical docs, sharding before packing) cannot hide
+  * between green unit oracles, because DuckDB re-derives the whole
+  * chain from the raw tables and the reconstruction-re-verifying
+  * token dump, down to a per-shard checksum over every packed row.
+  *
+  * Oracle scheme: the trained vocab is the engine-only value (float
+  * EM), so the token stream over the CURATED corpus is the
+  * [[OracleDump]]; DuckDB independently (a) rebuilds the curated
+  * doc set from the raw documents table, (b) re-verifies every word's
+  * reconstruction from the dumped pieces against that text (a dump
+  * inconsistent with the corpus — or containing a non-canonical doc —
+  * breaks the join/checksum), (c) recomputes token counts, pack
+  * offsets, window ids, stripe assignment and checksums from scratch.
+  *
+  * The tokenizer is pinned through [[TokenizerStore]]: trained once
+  * per session (the [[TrainedCache]] shared artifact — the SAME vocab
+  * q_unigram_tokenize/q_unigram_sample apply), committed to the
+  * versioned store, and the rendering below reads the RELOADED copy
+  * (bit-exact reload is TokenizerStoreSpec's contract) — the
+  * what-version-tokenized-this-export question has a durable answer.
+  *
+  * 100 TB shape: every stage is the proven scale path of its operator
+  * — map-shaped quality scan, banded LSH + log-rounds CC, broadcast
+  * vocab rendering, distributed prefix sums (never a single-partition
+  * window), one hash exchange on the stripe id.
+  */
+object PretrainExportOps {
+
+  private val windowBudget = 256L
+  private val stripeShards = 8L
+
+  /** Session-pinned tokenizer: train once (shared artifact), commit to
+    * the versioned store, hand back the reloaded copy. */
+  def pinnedTokenizer(s: SparkSession, d: String): UnigramLmOps.UnigramModel =
+    TrainedCache.getOrTrain("unigram_lm_v800_pinned", d) {
+      val trained = TrainedCache.getOrTrain("unigram_lm_v800", d)(
+        UnigramLmOps.train(Tables.documents(s, d), vocabSize = 800, maxLen = 4,
+          seedSize = 2000, emIters = 2, pruneFrac = 0.5)._1)
+      val root = s"/tmp/graft_tokstore/pretrain_${new java.io.File(d).getName}" +
+        s"_${java.util.UUID.randomUUID().toString.take(8)}"
+      TokenizerStore.saveUnigram(s, root, trained)
+      TokenizerStore.loadUnigram(s, root)
+    }
+
+  /** The curated corpus: quality survivors, canonical near-dup reps —
+    * exactly q_curate_corpus's first two stages (no sampling: an
+    * export ships everything that survived curation). */
+  private def curated(s: SparkSession, d: String): DataFrame = {
+    val kept = CurationOps.withQuality(Tables.documents(s, d))
+      .filter(col("keep"))
+      .select("doc_id", "text")
+    kept.join(
+      DedupOps.dedupGroupsMd5(kept)
+        .filter(col("is_canonical")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_pretrain_export",
+      s"""WITH RECURSIVE q AS (
+        |  SELECT doc_id, text,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    CAST(len(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS mwl,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      w -> list_contains([${CurationOps.Stops.map("'" + _ + "'").mkString(",")}], w))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS swr
+        |  FROM documents),
+        |kept AS (
+        |  SELECT doc_id, text FROM q
+        |  WHERE n_words >= 10 AND n_words <= 5000
+        |    AND mwl >= 2 AND mwl <= 12 AND swr >= 0.03),
+        |${DedupOps.md5CcCtesSql("kept")},
+        |canon AS (
+        |  SELECT k.doc_id, k.text
+        |  FROM kept k LEFT JOIN comps c ON c.id = k.doc_id
+        |  WHERE coalesce(c.component, k.doc_id) = k.doc_id),
+        |seg AS (SELECT * FROM read_parquet('${OracleDump.path("pretrain_tokens")}')),
+        |ws AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS l
+        |  FROM canon),
+        |words AS (
+        |  SELECT doc_id, unnest(l) AS word,
+        |    CAST(generate_subscripts(l, 1) - 1 AS BIGINT) AS word_idx
+        |  FROM ws),
+        |rebuilt AS (
+        |  SELECT doc_id, word_idx, string_agg(piece, '' ORDER BY pos) AS joined,
+        |    count(*) AS n_pieces
+        |  FROM seg GROUP BY doc_id, word_idx),
+        |perdoc AS (
+        |  SELECT w.doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_words,
+        |    CAST(sum(r.n_pieces) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN r.joined = w.word THEN 1 ELSE 0 END) AS BIGINT) AS n_rec
+        |  FROM words w JOIN rebuilt r USING (doc_id, word_idx)
+        |  GROUP BY w.doc_id),
+        |packed AS (
+        |  SELECT doc_id, n_words, n_tokens, n_rec,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off,
+        |    row_number() OVER (ORDER BY doc_id) - 1 AS rn
+        |  FROM perdoc),
+        |p2 AS (
+        |  SELECT *, start_off // $windowBudget AS window_id,
+        |    start_off % $windowBudget AS off_in_window
+        |  FROM packed)
+        |SELECT rn % $stripeShards AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(n_rec) AS BIGINT) AS n_rec_words,
+        |  bit_xor(('0x' || substr(md5(
+        |    doc_id::VARCHAR || '|' || n_words::VARCHAR || '|' ||
+        |    n_tokens::VARCHAR || '|' || n_rec::VARCHAR || '|' ||
+        |    start_off::VARCHAR || '|' || window_id::VARCHAR || '|' ||
+        |    off_in_window::VARCHAR), 1, 15))::BIGINT) AS checksum
+        |FROM p2 GROUP BY 1 ORDER BY shard""".stripMargin) { (s, d) =>
+      val canon = curated(s, d)
+      val model = pinnedTokenizer(s, d)
+      val seg = UnigramLmOps.tokenize(canon, model, maxLen = 4)
+      OracleDump.write(seg, d, "pretrain_tokens")
+      // per-doc counts + reconstruction recomputed ENGINE-side from
+      // the in-memory segmentation (never the dump)
+      val words = canon
+        .select(col("doc_id"),
+          posexplode(filter(split(col("text"), " "), t => length(t) > 0))
+            .as(Seq("word_idx", "word")))
+        .withColumn("word_idx", col("word_idx").cast(LongType))
+      val rebuilt = seg.groupBy("doc_id", "word_idx")
+        .agg(
+          concat_ws("", sort_array(collect_list(struct(col("pos"), col("piece"))))
+            .getField("piece")).as("joined"),
+          count(lit(1)).as("n_pieces"))
+      val perDoc = words.join(rebuilt, Seq("doc_id", "word_idx"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).cast(LongType).as("n_words"),
+          sum(col("n_pieces")).cast(LongType).as("n_tokens"),
+          sum(when(col("joined") === col("word"), 1L).otherwise(0L))
+            .cast(LongType).as("n_rec"))
+      // pack offsets + stripe row numbers: two distributed prefix sums
+      val one = SkewOps.freshName(perDoc, "one")
+      val rn = SkewOps.freshName(perDoc, "rn")
+      val packed = PackOps
+        .exclusivePrefixSum(perDoc, "doc_id", "n_tokens", "start_off")
+        .withColumn("window_id", expr(s"start_off div $windowBudget"))
+        .withColumn("off_in_window", col("start_off") % windowBudget)
+      val striped = PackOps
+        .exclusivePrefixSum(packed.withColumn(one, lit(1L)), "doc_id", one, rn)
+        .withColumn("shard", pmod(col(rn), lit(stripeShards)))
+      val canonStr = concat_ws("|",
+        col("doc_id").cast(StringType), col("n_words").cast(StringType),
+        col("n_tokens").cast(StringType), col("n_rec").cast(StringType),
+        col("start_off").cast(StringType), col("window_id").cast(StringType),
+        col("off_in_window").cast(StringType))
+      striped.groupBy("shard")
+        .agg(
+          count(lit(1)).cast(LongType).as("n_rows"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"),
+          sum(col("n_tokens")).cast(LongType).as("sum_tokens"),
+          sum(col("n_rec")).cast(LongType).as("n_rec_words"),
+          bit_xor(conv(substring(md5(canonStr), 1, 15), 16, 10).cast(LongType))
+            .as("checksum"))
+        .orderBy("shard")
+    })
+}

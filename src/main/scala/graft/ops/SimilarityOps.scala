@@ -76,6 +76,45 @@ object SimilarityOps {
       .select(col("q_id"), col("vec_id"), col("cosine"), col("rn").cast(LongType).as("rank"))
   }
 
+  /** Bounded brute-force twin of [[cosineTopK]] — identical results
+    * (same rounded-cosine ordering, same vec_id tie-break; spec- and
+    * oracle-pinned), different physical shape: the per-query top-k
+    * runs through [[graft.functions.TopKAgg]]'s capacity-bounded
+    * partial buffers instead of a `row_number()` window. The window
+    * formulation locally SORTS every (query × corpus-slice) candidate
+    * row per task before WindowGroupLimit can drop any — at 10M
+    * vectors × 100 queries that local sort is the spill that killed
+    * the r9 recall soak — while the aggregate keeps O(queries · 2k)
+    * rows of state per task and moves O(queries · k) through the
+    * shuffle. This is the exact-baseline path the ANN recall soaks
+    * use; prefer it whenever queries × corpus is large.
+    */
+  def cosineTopKAgg(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    import emb.sparkSession.implicits._
+    val base = emb.select(
+      col("vec_id"),
+      embDouble(col("embedding")).as("emb"))
+      .withColumn("norm", l2norm(col("emb")))
+    val q = base.filter(queryPred).select(
+      col("vec_id").as("q_id"), col("emb").as("q_emb"), col("norm").as("q_norm"))
+    val topk = new graft.functions.TopKAgg(k)
+    base.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(
+        col("q_id"),
+        round(dot(col("emb"), col("q_emb")) / (col("norm") * col("q_norm")), 6).as("cosine"),
+        col("vec_id"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(topk.toColumn)
+      .toDF("q_id", "topk")
+      .select(col("q_id"), posexplode(col("topk.items")).as(Seq("pos", "e")))
+      .select(
+        col("q_id"), col("e.id").as("vec_id"), col("e.value").as("cosine"),
+        (col("pos") + 1).cast(LongType).as("rank"))
+  }
+
   /** Multi-table LSH ANN: `ntables` independent random-hyperplane hash
     * tables; a candidate is any vector sharing the query's bucket in ANY
     * table (standard OR-amplification — recall ≈ 1-(1-p^nbits)^ntables).
@@ -148,6 +187,28 @@ object SimilarityOps {
         |WHERE rn <= 3
         |ORDER BY q_id, rank""".stripMargin) { (s, d) =>
       cosineTopK(Tables.embeddings(s, d), col("vec_id") < 10, 3)
+        .orderBy("q_id", "rank")
+    },
+
+    // The bounded-aggregate twin of q_cosine_topk: same answer (same
+    // oracle SQL), TopKAgg physical shape — the exact-baseline kernel
+    // the ANN recall soaks run, oracle-checked here at suite SF.
+    QueryDef(
+      "q_cosine_topk_agg",
+      """WITH n AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb AS q_emb, norm AS q_norm FROM n WHERE vec_id < 10),
+        |p AS (
+        |  SELECT q_id, vec_id,
+        |    round(list_dot_product(emb, q_emb) / (norm * q_norm), 6) AS cosine
+        |  FROM n, q WHERE vec_id <> q_id)
+        |SELECT q_id, vec_id, cosine, CAST(rn AS BIGINT) AS rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn FROM p)
+        |WHERE rn <= 3
+        |ORDER BY q_id, rank""".stripMargin) { (s, d) =>
+      cosineTopKAgg(Tables.embeddings(s, d), col("vec_id") < 10, 3)
         .orderBy("q_id", "rank")
     },
 

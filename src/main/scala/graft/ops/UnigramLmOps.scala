@@ -171,13 +171,40 @@ object UnigramLmOps {
     * log-likelihood trajectory of the initial EM run (monotone,
     * spec-asserted).
     */
+  /** Warm-start seed for [[train]]'s `resume` path: the stored model's
+    * pieces keep their stored probability mass; characters of the NEW
+    * corpus absent from it enter COLD at the stored minimum probability
+    * (the bottom of the learned distribution — one EM step re-estimates
+    * everything from real counts anyway), and the union renormalizes.
+    * When the grown corpus introduces no new characters the stored
+    * model passes through BIT-EXACT — that is what makes retrain from
+    * a CONVERGED model on an unchanged corpus an identity (the
+    * spec-pinned exactness case); with new characters the perturbation
+    * is the documented divergence (a different seed can reach a
+    * different — equally valid — EM fixed point than from-scratch).
+    */
+  private def warmSeed(
+      stored: UnigramModel, corpusChars: Set[String]): UnigramModel = {
+    val missing = (corpusChars -- stored.logp.keySet).toSeq.sorted
+    if (missing.isEmpty) stored
+    else {
+      val floorLp = stored.logp.values.min
+      val combined = stored.logp ++ missing.map(_ -> floorLp)
+      // deterministic float order: sum in sorted-key order
+      val z = combined.toSeq.sortBy(_._1).map { case (_, lp) => math.exp(lp) }.sum
+      val lz = math.log(z)
+      UnigramModel(combined.map { case (p, lp) => p -> (lp - lz) })
+    }
+  }
+
   def train(
       docs: DataFrame,
       vocabSize: Int,
       maxLen: Int = 6,
       seedSize: Int = 4000,
       emIters: Int = 3,
-      pruneFrac: Double = 0.25): (UnigramModel, Seq[Double]) = {
+      pruneFrac: Double = 0.25,
+      resume: Option[UnigramModel] = None): (UnigramModel, Seq[Double]) = {
     val wf = wordFreq(docs).persist()
     // fail fast with a clear message: an empty/whitespace-only corpus
     // yields an empty word-frequency table, and the EM step's reduce
@@ -188,10 +215,26 @@ object UnigramLmOps {
         "cannot train a unigram LM on an empty or whitespace-only corpus " +
           "(word-frequency table has zero rows)")
     }
-    val seed = seedVocab(wf, maxLen, seedSize)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val total = seed.values.sum.toDouble
-    var model = UnigramModel(seed.map { case (p, w) => p -> math.log(w / total) })
+    var model = resume match {
+      case Some(stored) =>
+        // warm start: stored vocab + cold coverage chars of the grown
+        // corpus (alphabet-sized driver pull — same bound seedVocab's
+        // char floor already relies on)
+        require(stored.logp.nonEmpty, "cannot resume from an empty model")
+        require(stored.logp.keys.forall(_.length <= maxLen),
+          s"stored model has pieces longer than maxLen=$maxLen — " +
+            "resume with the maxLen the model was trained with")
+        val spark0 = wf.sparkSession
+        import spark0.implicits._
+        val chars = wf.as[(String, Long)]
+          .flatMap(_._1.map(_.toString)).distinct().collect().toSet
+        warmSeed(stored, chars)
+      case None =>
+        val seed = seedVocab(wf, maxLen, seedSize)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val total = seed.values.sum.toDouble
+        UnigramModel(seed.map { case (p, w) => p -> math.log(w / total) })
+    }
     val lls = scala.collection.mutable.ArrayBuffer.empty[Double]
     for (_ <- 0 until emIters) {
       val (m, ll) = emStep(wf, model, maxLen)

