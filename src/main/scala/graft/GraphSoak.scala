@@ -233,12 +233,19 @@ object GraphSoak {
         // stage (vocab prefix-sum, negative draws, example scoring,
         // exploded gradient aggregation, model rebuild + eager cuts)
         // runs at full width twice.
+        // SPARK_GRAFT_SOAK_SGNS_BATCHES: the batch count is the
+        // trainer's documented working-set knob — per-batch disk is
+        // examples/batches through the scoring joins, so a 10× corpus
+        // on the same box runs at a higher batch count (same total
+        // work, fresher steps). The 200M-edge / 360M-pair point needs
+        // ~6 on this 252 GB-disk host; 2 (the r9 setting) ENOSPC'd.
+        val nBatches = sys.env.getOrElse("SPARK_GRAFT_SOAK_SGNS_BATCHES", "2").toInt
         val walks = GraphOps.randomWalksXx(
           edges, edges.select(col("src").as("node")).distinct(), steps = 5)
         val pairs = GraphOps.skipGramPairs(walks, window = 2)
-        val model = t(s"sgns 1x2 batches dim=16 @$e") {
+        val model = t(s"sgns 1x$nBatches batches dim=16 @$e") {
           graft.ops.SgnsOps.train(pairs, graft.ops.SgnsOps.SgnsParams(
-            dim = 16, negatives = 3, lr = 0.05, epochs = 1, batches = 2,
+            dim = 16, negatives = 3, lr = 0.05, epochs = 1, batches = nBatches,
             trackLoss = false))
         }
         val stats = model.inVecs

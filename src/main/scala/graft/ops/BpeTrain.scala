@@ -85,12 +85,32 @@ object BpeTrain {
     * different merge order — the throughput/fidelity knob, O(merges /
     * batch) driver round-trips instead of O(merges).
     */
+  /** Warm-start continuation: `resume` is a previously learned merge
+    * table (e.g. [[graft.pipeline.TokenizerStore.loadBpe]]); training
+    * first REPLAYS it onto the (possibly grown) corpus in one map,
+    * then learns up to `numMerges` ADDITIONAL merges, returning the
+    * full table. The merge loop is Markovian in the words table —
+    * its future depends only on the current symbol sequences — so on
+    * an UNCHANGED corpus the continuation is EXACT:
+    * `learnMerges(docs, a + b) == learnMerges(docs, b, resume =
+    * learnMerges(docs, a))` (spec-pinned; the tokenizer twin of
+    * SgnsOps' epochOffset contract). On a grown corpus the replayed
+    * prefix is pinned (production vocabulary stability) and only the
+    * continuation sees the new counts — the documented divergence
+    * from a from-scratch retrain, which could reorder even the
+    * prefix. */
   def learnMerges(
       docs: DataFrame, numMerges: Int, minCount: Long = 2L,
-      batch: Int = 1): Seq[(String, String)] = {
+      batch: Int = 1, resume: Seq[(String, String)] = Nil): Seq[(String, String)] = {
     import docs.sparkSession.implicits._
     require(batch >= 1, s"batch must be >= 1, got $batch")
-    var words = wordCounts(docs).persist()
+    val replay = resume // stable local for the closure
+    var words = {
+      val wc = wordCounts(docs)
+      if (replay.isEmpty) wc
+      else wc.map(w => BpeWord(
+        replay.foldLeft(w.syms) { case (s, (a, b)) => mergePair(s, a, b) }, w.n))
+    }.persist()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     // ONE job per round: the top-pair agg below is also what
     // materializes the current words cache, so the predecessor's
@@ -160,7 +180,7 @@ object BpeTrain {
     }
     pendingRelease.foreach(_.unpersist())
     words.unpersist()
-    merges.toSeq
+    replay ++ merges.toSeq
   }
 
   /** Apply a learned merge table to one word (driver- or executor-side;

@@ -231,15 +231,21 @@ object SgnsOps {
           .withColumn("g", col("s") - col("label"))
           .select(col("center"), col("other"), col("cv"), col("ov"),
             col("g"), col("label"), col("s"))
-          .persist() // three consumers: loss, in-grads, out-grads
-          // (in the lazy-cut regime nothing runs an action inside the
-          // loop unless trackLoss does — the mark is then consumed by
-          // whichever final/loss job materializes the chain first)
+        // cache ONLY when loss tracking adds a third consumer: the
+        // cache is examples × two dim-vectors on MEMORY_AND_DISK, and
+        // at soak scale it is the batch's biggest disk consumer (the
+        // 200M-edge run ENOSPC'd on exactly this — 1.4B cached rows).
+        // Without it the in-grad and out-grad checkpoint jobs each
+        // recompute the scoring join once: 2× join compute, ZERO cache
+        // disk — the right trade on a disk-bound box and a wash
+        // elsewhere. Values identical either way (same plan, pure
+        // recompute; the md5 hashing is deterministic by construction).
+        val scoredP = if (p.trackLoss) scored.persist() else scored
         try {
           // mean NCE loss of the batch (bounded driver scalar; ε-clamped
           // logs — a saturated sigmoid would otherwise print -Inf)
           if (p.trackLoss) {
-            val lossRow = scored.agg(avg(
+            val lossRow = scoredP.agg(avg(
               -when(col("label") === 1.0, log(greatest(col("s"), lit(1e-12))))
                 .otherwise(log(greatest(lit(1.0) - col("s"), lit(1e-12))))).as("l"))
               .collect()(0)
@@ -248,7 +254,7 @@ object SgnsOps {
 
           // per-node gradient sums, exploded to scalars for partial agg
           def gradSum(keyCol: String, vecCol: String): DataFrame =
-            scored
+            scoredP
               .select(col(keyCol).as("node"),
                 posexplode(transform(col(vecCol), x => x * col("g"))).as(Seq("i", "gi")))
               .groupBy(col("node"), col("i"))
@@ -281,7 +287,7 @@ object SgnsOps {
           // inside the final model checkpoints' jobs)
           vin = applyGrad(vin, dIn).localCheckpoint(eager)
           vout = applyGrad(vout, dOut).localCheckpoint(eager)
-        } finally { scored.unpersist(); () }
+        } finally { if (p.trackLoss) { scoredP.unpersist(); () } }
       }
       // the returned model is ALWAYS an eager checkpoint — the
       // checkpoint-then-dump contract (OracleDump and the query must

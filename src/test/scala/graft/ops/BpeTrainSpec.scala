@@ -116,6 +116,25 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(got1 == classic)
   }
 
+  test("warm-start merge continuation is exact on an unchanged corpus, and extends the pinned prefix on growth") {
+    val docs = corpus.toDF("doc_id", "text")
+    // the Markov pin: a+b merges straight == a merges, then b resumed
+    val full = BpeTrain.learnMerges(docs, 12, minCount = 2)
+    val phase1 = BpeTrain.learnMerges(docs, 7, minCount = 2)
+    val resumed = BpeTrain.learnMerges(docs, 5, minCount = 2, resume = phase1)
+    assert(resumed == full, s"resumed $resumed\nfull $full")
+    // grown corpus: the replayed prefix is pinned verbatim, the
+    // continuation learns from the merged-grown word table, and the
+    // result still encodes every word reversibly
+    val grown = (corpus :+ ((4L, "zippy zippy zippy zippier zippier widest low")))
+      .toDF("doc_id", "text")
+    val cont = BpeTrain.learnMerges(grown, 4, minCount = 2, resume = phase1)
+    assert(cont.take(phase1.length) == phase1, "resumed prefix must be pinned")
+    assert(cont.length > phase1.length, "growth must learn new merges")
+    for (w <- grown.select("text").collect().flatMap(_.getString(0).split(" ")))
+      assert(BpeTrain.encodeWord(w, cont).mkString("") == w + "</w>")
+  }
+
   test("tokenizing with learned merges compresses the corpus and round-trips content") {
     val docs = corpus.toDF("doc_id", "text")
     val merges = BpeTrain.learnMerges(docs, 16, minCount = 2)

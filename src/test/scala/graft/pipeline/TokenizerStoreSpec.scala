@@ -96,4 +96,27 @@ class TokenizerStoreSpec extends AnyFunSuite {
     assert(TokenizerStore.loadBpe(spark, root) === merges.take(4))
     assert(TokenizerStore.loadBpeAt(spark, root, v1) === merges)
   }
+
+  test("BPE corpus-growth retrain: warm-start continuation from the stored table, old version frozen") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq(
+      (1L, "low low low low low lower lower newest newest newest"),
+      (2L, "newest newest newest widest widest widest low lower")).toDF("doc_id", "text")
+    val root = Files.createTempDirectory("tokstore-bpegrow").toFile.getAbsolutePath
+    val m1 = BpeTrain.learnMerges(corpus, 8, minCount = 2)
+    TokenizerStore.saveBpe(spark, root, m1)
+    val v1 = TxTable.latest(spark, root)._1
+    val grown = corpus.unionByName(
+      Seq((3L, "zippy zippy zippy zippier zippier widest low")).toDF("doc_id", "text"))
+    // incremental path: replay the STORED table, learn only the delta
+    val m2 = BpeTrain.learnMerges(grown, 4, minCount = 2,
+      resume = TokenizerStore.loadBpe(spark, root))
+    assert(m2.take(m1.length) === m1, "stored prefix pinned across growth")
+    TokenizerStore.saveBpe(spark, root, m2)
+    assert(TokenizerStore.loadBpeAt(spark, root, v1) === m1, "v1 frozen")
+    assert(TokenizerStore.loadBpe(spark, root) === m2)
+    // the grown table still encodes the grown corpus reversibly
+    for (w <- grown.select(col("text")).collect().flatMap(_.getString(0).split(" ")))
+      assert(BpeTrain.encodeWord(w, m2).mkString("") === w + "</w>")
+  }
 }
