@@ -110,10 +110,12 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.values.filter(_ >= 0).sum
-    // FROZEN per-query floor gate (r8, re-frozen r9 — first to cover
-    // the six r8 queries, then again at round-9 close to cover the four
-    // r9 queries): bench_floor_r9.json is a committed snapshot of the
-    // round-9 close clean run. A freeze is a DELIBERATE COMMIT, never a
+    // FROZEN per-query floor gate (r8, re-frozen r9, re-frozen r10 at
+    // the round-10 close to cover the two r10 queries and the round's
+    // deliberate query-shape changes — the in-query-training memo/trim
+    // work re-based several floors DOWN): bench_floor_r10.json is a
+    // committed snapshot of the round-10 close clean run (201 entries,
+    // zero no_floor). A freeze is a DELIBERATE COMMIT, never a
     // refresh — unlike bench_reference.json (re-baselined each round
     // for the contention-retry heuristic above), the floor cannot drift
     // with the code it gates, so a slow creep across rounds is caught
@@ -124,7 +126,7 @@ object Bench {
     // Queries newer than the freeze have no floor and are listed
     // separately, not failed. SPARK_GRAFT_FLOOR_STRICT=1 turns a
     // quiet-run violation into exit 1 for CI-style use.
-    val floorPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FLOOR", "bench_floor_r9.json")
+    val floorPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FLOOR", "bench_floor_r10.json")
     val floorReadable = java.nio.file.Files.isReadable(java.nio.file.Paths.get(floorPath))
     val floor: Map[String, Double] =
       if (floorReadable) {

@@ -296,8 +296,8 @@ object BpeTrain {
       // batched selection (2 counting jobs instead of 6) + per-session
       // memo — the merge table is a plain driver value, so the dump
       // and the aggregates below always derive from one training
-      val merges = TrainedCache.getOrTrain("bpe_merges_b3_n6", d)(
-        learnMerges(docs, numMerges = 6, minCount = 2, batch = 3))
+      val merges = TrainedCache.getOrTrain("bpe_merges_b6_n6", d)(
+        learnMerges(docs, numMerges = 6, minCount = 2, batch = 6))
       val seg = tokenizeDropout(docs, merges, p = 0.2, seed = 1L)
         .select(col("doc_id"), posexplode(col("tokens")).as(Seq("pos", "token")))
         .withColumn("pos", col("pos").cast(LongType))

@@ -158,6 +158,15 @@ object SgnsOps {
     val eager = p.eagerCuts.getOrElse(
       p.trackLoss || nPairs * (1L + p.negatives) > GraphOps.loopCodegenMinRows)
     val loop = GraphOps.loopSession(spark, nPairs * (1L + p.negatives))
+    // shuffled HASH join, not sort-merge, for the model joins: SMJ
+    // SORTS the example×vector intermediate (examples × dim doubles —
+    // ~40 GB of sort spill per batch at 240M examples), while the hash
+    // join builds on the vocab-sized model partition (~tens of MB at
+    // 128 partitions) and STREAMS the example side — zero sort, zero
+    // sort spill. Session-scoped: only this training loop's clone.
+    // Value-identical (join strategy never changes results; the
+    // shuffle≡broadcast spec pin covers the path).
+    loop.conf.set("spark.sql.join.preferSortMergeJoin", "false")
     val tag = java.util.UUID.randomUUID().toString.replace("-", "")
     val (pv, vv, ov) = (s"graft_sgns_p_$tag", s"graft_sgns_v_$tag", s"graft_sgns_o_$tag")
     try {
