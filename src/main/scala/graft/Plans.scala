@@ -78,7 +78,15 @@ object Plans {
         // trainer is EM-iterative like pagerank — its scale evidence
         // is TokSoak/SCALE.md §13b; the tokenize application plan is
         // a broadcast-model flatMap, nothing to capture.)
-        "q_hard_negatives")) {
+        "q_hard_negatives",
+        // round 10: the bounded exact-top-k baseline (TopKAgg partial/
+        // final ObjectHashAggregate over the broadcast BNLJ — no
+        // per-query window sort: the shape that replaced the r9 recall
+        // soak's spill), and the composed pretrain-export flagship
+        // (quality scan → LSH band join → CC'd canonical semi-join →
+        // broadcast-vocab rendering → two distributed prefix sums →
+        // one hash agg on the stripe id)
+        "q_cosine_topk_agg", "q_pretrain_export")) {
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, d).queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode))
