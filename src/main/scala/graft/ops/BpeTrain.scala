@@ -252,6 +252,25 @@ object BpeTrain {
       .toDF("doc_id", "tokens")
   }
 
+  /** Word-indexed BPE application — [[tokenize]]'s pieces under the
+    * (doc_id, word_idx, pos, piece) schema the composed-export oracle
+    * scheme consumes (`pos` is the piece position WITHIN the word, the
+    * [[UnigramLmOps.tokenize]] shape). Pieces keep the `</w>` marker:
+    * a word's pieces concatenate to `word + "</w>"` exactly. */
+  def tokenizeWordIndexed(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    import docs.sparkSession.implicits._
+    val m = merges // stable local for the closure
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        text.split(" ").iterator.filter(_.nonEmpty).zipWithIndex.flatMap {
+          case (w, wi) => encodeWord(w, m).iterator.zipWithIndex.map {
+            case (p, pi) => (id, wi.toLong, pi.toLong, p)
+          }
+        }
+      }
+      .toDF("doc_id", "word_idx", "pos", "piece")
+  }
+
   /** Tokenize a corpus with a learned merge table: (doc_id, tokens). */
   def tokenize(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     import docs.sparkSession.implicits._

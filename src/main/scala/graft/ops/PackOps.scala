@@ -94,6 +94,45 @@ object PackOps {
       .drop(bkt, base)
   }
 
+  /** MATERIALIZED fixed-budget context windows — the rows a dataloader
+    * actually reads, not just the offsets q_seq_pack computes: the
+    * corpus token stream in doc_id order, sliced into `budget`-token
+    * windows (windows cross doc boundaries; the last one is ragged).
+    * Returns (window_id, n_tokens, first_doc, last_doc, tokens) with
+    * `tokens` the in-window-order array.
+    *
+    * Shape: the same distributed prefix sum gives every doc its global
+    * start offset (bucketed — never a single-partition window); each
+    * token's global position is start_off + idx (posexplode, a narrow
+    * map); then ONE hash exchange on window_id with a capacity-bounded
+    * per-group sort (sort_array over ≤ budget elements — in-window
+    * order pinned by off_in_window, which is unique per window because
+    * global positions are). Per-group state is O(budget), so the agg
+    * never holds more than one context window per key — the 100 TB
+    * scan is embarrassingly parallel in windows.
+    */
+  def packWindows(docs: DataFrame, budget: Long): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("l"))
+    val counts = toks.select(
+      col("doc_id"), size(col("l")).cast(LongType).as("n_tokens"))
+    val offs = exclusivePrefixSum(counts, "doc_id", "n_tokens", "start_off")
+      .select("doc_id", "start_off")
+    toks.join(offs, "doc_id")
+      .select(col("doc_id"), col("start_off"),
+        posexplode(col("l")).as(Seq("idx", "tok")))
+      .withColumn("pos", col("start_off") + col("idx"))
+      .withColumn("window_id", expr(s"pos div $budget"))
+      .withColumn("off_in_window", col("pos") % budget)
+      .groupBy("window_id")
+      .agg(
+        count(lit(1)).cast(LongType).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        sort_array(collect_list(struct(
+          col("off_in_window").as("o"), col("tok").as("t"))))
+          .getField("t").as("tokens"))
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // Pack the corpus token stream into 256-token context windows in
@@ -118,5 +157,35 @@ object PackOps {
         .withColumn("window_id", expr(s"start_off div $budget"))
         .withColumn("off_in_window", col("start_off") % budget)
         .orderBy("doc_id")
+    },
+
+    // The windows themselves: DuckDB re-derives every window's CONTENT
+    // (string_agg in in-window order) from the raw documents table —
+    // a window with a missing, reordered, or doc-misattributed token
+    // cannot hash-match.
+    QueryDef(
+      "q_pack_windows",
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(coalesce(sum(len(l)) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+        |  FROM t),
+        |pos AS (
+        |  SELECT t.doc_id, unnest(t.l) AS tok,
+        |    c.start_off + CAST(generate_subscripts(t.l, 1) - 1 AS BIGINT) AS pos
+        |  FROM t JOIN c USING (doc_id)),
+        |win AS (
+        |  SELECT pos // 256 AS window_id, pos % 256 AS off, doc_id, tok FROM pos)
+        |SELECT window_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        |  string_agg(tok, ' ' ORDER BY off) AS win_text
+        |FROM win GROUP BY 1 ORDER BY window_id""".stripMargin) { (s, d) =>
+      packWindows(Tables.documents(s, d), budget = 256L)
+        .select(col("window_id"), col("n_tokens"),
+          col("first_doc"), col("last_doc"),
+          concat_ws(" ", col("tokens")).as("win_text"))
+        .orderBy("window_id")
     })
 }

@@ -51,35 +51,72 @@ object PretrainExportOps {
   private val stripeShards = 8L
 
   /** Session-pinned tokenizer: train once (shared artifact), commit to
-    * the versioned store, hand back the reloaded copy. */
+    * the versioned store, hand back the reloaded copy.
+    *
+    * The store root is DETERMINISTIC per sfDir (no per-session UUID —
+    * the old scheme orphaned a fresh store directory every JVM run):
+    * repeated sessions re-read the same versioned store, and a new
+    * version is committed ONLY when the freshly trained model differs
+    * from the stored head (training is deterministic per corpus, so in
+    * steady state the store stays at one version; a corpus change is
+    * the upgrade path and gets version N+1, TokenizerStore's contract).
+    */
   def pinnedTokenizer(s: SparkSession, d: String): UnigramLmOps.UnigramModel =
     TrainedCache.getOrTrain("unigram_lm_v800_pinned", d) {
       val trained = TrainedCache.getOrTrain("unigram_lm_v800", d)(
         UnigramLmOps.train(Tables.documents(s, d), vocabSize = 800, maxLen = 4,
           seedSize = 2000, emIters = 2, pruneFrac = 0.5)._1)
-      val root = s"/tmp/graft_tokstore/pretrain_${new java.io.File(d).getName}" +
-        s"_${java.util.UUID.randomUUID().toString.take(8)}"
-      TokenizerStore.saveUnigram(s, root, trained)
+      val root = s"/tmp/graft_tokstore/pretrain_${new java.io.File(d).getName}"
+      val stored =
+        if (graft.pipeline.TxTable.latest(s, root)._1 > 0)
+          Some(TokenizerStore.loadUnigram(s, root))
+        else None
+      if (!stored.contains(trained)) TokenizerStore.saveUnigram(s, root, trained)
       TokenizerStore.loadUnigram(s, root)
     }
+
+  /** Quality survivors (doc_id, text) — the export chain's first
+    * stage, shared with the incremental pipeline
+    * ([[graft.pipeline.PretrainExport]]). */
+  def qualityKept(docs: DataFrame): DataFrame =
+    CurationOps.withQuality(docs)
+      .filter(col("keep"))
+      .select("doc_id", "text")
 
   /** The curated corpus: quality survivors, canonical near-dup reps —
     * exactly q_curate_corpus's first two stages (no sampling: an
     * export ships everything that survived curation). */
   private def curated(s: SparkSession, d: String): DataFrame = {
-    val kept = CurationOps.withQuality(Tables.documents(s, d))
-      .filter(col("keep"))
-      .select("doc_id", "text")
+    val kept = qualityKept(Tables.documents(s, d))
     kept.join(
       DedupOps.dedupGroupsMd5(kept)
         .filter(col("is_canonical")).select("doc_id"),
       Seq("doc_id"), "left_semi")
   }
 
-  val all: Seq[QueryDef] = Seq(
-    QueryDef(
-      "q_pretrain_export",
-      s"""WITH RECURSIVE q AS (
+  /** Session-pinned BPE tokenizer — the same store discipline as
+    * [[pinnedTokenizer]] over the BPE merge table (the
+    * `bpe_merges_b6_n6` shared artifact q_bpe_dropout trains). */
+  def pinnedBpe(s: SparkSession, d: String): Seq[(String, String)] =
+    TrainedCache.getOrTrain("bpe_merges_b6_n6_pinned", d) {
+      val trained = TrainedCache.getOrTrain("bpe_merges_b6_n6", d)(
+        BpeTrain.learnMerges(Tables.documents(s, d),
+          numMerges = 6, minCount = 2, batch = 6))
+      val root = s"/tmp/graft_tokstore/pretrain_bpe_${new java.io.File(d).getName}"
+      val stored =
+        if (graft.pipeline.TxTable.latest(s, root)._1 > 0)
+          Some(TokenizerStore.loadBpe(s, root))
+        else None
+      if (!stored.contains(trained)) TokenizerStore.saveBpe(s, root, trained)
+      TokenizerStore.loadBpe(s, root)
+    }
+
+  /** The composed chain downstream of the rendering stage, shared by
+    * both tokenizer variants — `wordSql` / `suffix` express how a
+    * word's pieces concatenate back (unigram: the word itself; BPE:
+    * word + `</w>`). */
+  private def composedSql(dumpName: String, wordSql: String): String =
+    s"""WITH RECURSIVE q AS (
         |  SELECT doc_id, text,
         |    len(string_split(text, ' ')) AS n_words,
         |    CAST(len(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
@@ -97,7 +134,7 @@ object PretrainExportOps {
         |  SELECT k.doc_id, k.text
         |  FROM kept k LEFT JOIN comps c ON c.id = k.doc_id
         |  WHERE coalesce(c.component, k.doc_id) = k.doc_id),
-        |seg AS (SELECT * FROM read_parquet('${OracleDump.path("pretrain_tokens")}')),
+        |seg AS (SELECT * FROM read_parquet('${OracleDump.path(dumpName)}')),
         |ws AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS l
         |  FROM canon),
@@ -113,7 +150,7 @@ object PretrainExportOps {
         |  SELECT w.doc_id,
         |    CAST(count(*) AS BIGINT) AS n_words,
         |    CAST(sum(r.n_pieces) AS BIGINT) AS n_tokens,
-        |    CAST(sum(CASE WHEN r.joined = w.word THEN 1 ELSE 0 END) AS BIGINT) AS n_rec
+        |    CAST(sum(CASE WHEN r.joined = $wordSql THEN 1 ELSE 0 END) AS BIGINT) AS n_rec
         |  FROM words w JOIN rebuilt r USING (doc_id, word_idx)
         |  GROUP BY w.doc_id),
         |packed AS (
@@ -136,40 +173,76 @@ object PretrainExportOps {
         |    n_tokens::VARCHAR || '|' || n_rec::VARCHAR || '|' ||
         |    start_off::VARCHAR || '|' || window_id::VARCHAR || '|' ||
         |    off_in_window::VARCHAR), 1, 15))::BIGINT) AS checksum
-        |FROM p2 GROUP BY 1 ORDER BY shard""".stripMargin) { (s, d) =>
+        |FROM p2 GROUP BY 1 ORDER BY shard""".stripMargin
+
+  /** Engine side of the composed chain: render the curated corpus with
+    * the caller's tokenizer, dump the segmentation, then re-derive
+    * per-doc counts + reconstruction ENGINE-side from the in-memory
+    * segmentation (never the dump) and pack/stripe/checksum. `suffix`
+    * is what rendering appends to a reconstructed word ("" for
+    * unigram, "</w>" for BPE). */
+  private def composedQuery(
+      s: SparkSession, d: String, dumpName: String, suffix: String,
+      render: DataFrame => DataFrame): DataFrame = {
       val canon = curated(s, d)
-      val model = pinnedTokenizer(s, d)
-      val seg = UnigramLmOps.tokenize(canon, model, maxLen = 4)
-      OracleDump.write(seg, d, "pretrain_tokens")
-      // per-doc counts + reconstruction recomputed ENGINE-side from
-      // the in-memory segmentation (never the dump)
-      val words = canon
-        .select(col("doc_id"),
-          posexplode(filter(split(col("text"), " "), t => length(t) > 0))
-            .as(Seq("word_idx", "word")))
-        .withColumn("word_idx", col("word_idx").cast(LongType))
-      val rebuilt = seg.groupBy("doc_id", "word_idx")
-        .agg(
-          concat_ws("", sort_array(collect_list(struct(col("pos"), col("piece"))))
-            .getField("piece")).as("joined"),
-          count(lit(1)).as("n_pieces"))
-      val perDoc = words.join(rebuilt, Seq("doc_id", "word_idx"))
-        .groupBy("doc_id")
-        .agg(
-          count(lit(1)).cast(LongType).as("n_words"),
-          sum(col("n_pieces")).cast(LongType).as("n_tokens"),
-          sum(when(col("joined") === col("word"), 1L).otherwise(0L))
-            .cast(LongType).as("n_rec"))
+      val seg = render(canon)
+      OracleDump.write(seg, d, dumpName)
+      val perDoc = perDocStats(canon, seg, suffix)
       // pack offsets + stripe row numbers: two distributed prefix sums
-      val one = SkewOps.freshName(perDoc, "one")
-      val rn = SkewOps.freshName(perDoc, "rn")
-      val packed = PackOps
-        .exclusivePrefixSum(perDoc, "doc_id", "n_tokens", "start_off")
-        .withColumn("window_id", expr(s"start_off div $windowBudget"))
-        .withColumn("off_in_window", col("start_off") % windowBudget)
-      val striped = PackOps
-        .exclusivePrefixSum(packed.withColumn(one, lit(1L)), "doc_id", one, rn)
-        .withColumn("shard", pmod(col(rn), lit(stripeShards)))
+      val striped = packAndStripe(perDoc, windowBudget, stripeShards,
+        tokenBase = 0L, rowBase = 0L)
+      shardSummary(striped)
+  }
+
+  /** Per-doc rendering stats (doc_id, n_words, n_tokens, n_rec) from a
+    * (doc_id, word_idx, pos, piece) segmentation — the composed
+    * chain's reconstruction-re-verifying middle, shared with the
+    * incremental pipeline. `suffix` is what rendering appends to a
+    * reconstructed word ("" unigram, "</w>" BPE). */
+  def perDocStats(canon: DataFrame, seg: DataFrame, suffix: String): DataFrame = {
+    val words = canon
+      .select(col("doc_id"),
+        posexplode(filter(split(col("text"), " "), t => length(t) > 0))
+          .as(Seq("word_idx", "word")))
+      .withColumn("word_idx", col("word_idx").cast(LongType))
+    val rebuilt = seg.groupBy("doc_id", "word_idx")
+      .agg(
+        concat_ws("", sort_array(collect_list(struct(col("pos"), col("piece"))))
+          .getField("piece")).as("joined"),
+        count(lit(1)).as("n_pieces"))
+    words.join(rebuilt, Seq("doc_id", "word_idx"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast(LongType).as("n_words"),
+        sum(col("n_pieces")).cast(LongType).as("n_tokens"),
+        sum(when(col("joined") === concat(col("word"), lit(suffix)), 1L)
+          .otherwise(0L)).cast(LongType).as("n_rec"))
+  }
+
+  /** Pack offsets + stripe assignment over per-doc stats: two bucketed
+    * distributed prefix sums (never a single-partition window), with
+    * `tokenBase`/`rowBase` CONTINUING a stored export's counters (0 for
+    * a one-shot run) — the incremental-append hook. */
+  def packAndStripe(
+      perDoc: DataFrame, budget: Long, shards: Long,
+      tokenBase: Long, rowBase: Long): DataFrame = {
+    val one = SkewOps.freshName(perDoc, "one")
+    val rn = SkewOps.freshName(perDoc, "rn")
+    val packed = PackOps
+      .exclusivePrefixSum(perDoc, "doc_id", "n_tokens", "start_off")
+      .withColumn("start_off", col("start_off") + lit(tokenBase))
+      .withColumn("window_id", expr(s"start_off div $budget"))
+      .withColumn("off_in_window", col("start_off") % budget)
+    PackOps
+      .exclusivePrefixSum(packed.withColumn(one, lit(1L)), "doc_id", one, rn)
+      .withColumn("shard", pmod(col(rn) + lit(rowBase), lit(shards)))
+      .drop(one, rn)
+  }
+
+  /** The striped-manifest aggregate over packed rows — per-shard
+    * counts, id range, token totals, and the xor-fold checksum over
+    * every packed row's canonical string. */
+  def shardSummary(striped: DataFrame): DataFrame = {
       val canonStr = concat_ws("|",
         col("doc_id").cast(StringType), col("n_words").cast(StringType),
         col("n_tokens").cast(StringType), col("n_rec").cast(StringType),
@@ -184,5 +257,26 @@ object PretrainExportOps {
           bit_xor(conv(substring(md5(canonStr), 1, 15), 16, 10).cast(LongType))
             .as("checksum"))
         .orderBy("shard")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_pretrain_export",
+      composedSql("pretrain_tokens", "w.word")) { (s, d) =>
+      composedQuery(s, d, "pretrain_tokens", "",
+        canon => UnigramLmOps.tokenize(canon, pinnedTokenizer(s, d), maxLen = 4))
+    },
+
+    // The SAME composed chain with the rendering stage swapped to the
+    // TokenizerStore-pinned BPE merge table — proving the composition
+    // is tokenizer-pluggable: every other stage (curation, dedup,
+    // packing, striping, checksums) is shared code, and DuckDB
+    // re-derives the BPE variant end-to-end under its own
+    // reconstruction rule (pieces concat to word + '</w>').
+    QueryDef(
+      "q_pretrain_export_bpe",
+      composedSql("pretrain_tokens_bpe", "w.word || '</w>'")) { (s, d) =>
+      composedQuery(s, d, "pretrain_tokens_bpe", "</w>",
+        canon => BpeTrain.tokenizeWordIndexed(canon, pinnedBpe(s, d)))
     })
 }

@@ -21,20 +21,36 @@ package graft.ops
 object TrainedCache {
 
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), AnyRef]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), AnyRef]()
 
-  /** Memoized `train` per (name, sfDir). `train` may run more than
-    * once under a concurrent race (computeIfAbsent would hold the map
-    * lock across a Spark job); last write wins — training is
-    * deterministic by contract, so both values are identical. */
+  /** The third key component: the live SparkContext's applicationId.
+    * DataFrame-shaped artifacts (deepwalkPairs) are localCheckpoint'd,
+    * i.e. bound to the executors of the session that trained them — if
+    * the session is stopped and a new one created in the same JVM, a
+    * (name, sfDir)-only hit would hand consumers a frame referencing
+    * dead RDD blocks. Keying on applicationId makes a recreated
+    * session a clean miss (retrain) instead of an opaque failure. */
+  private def sessionTag: String =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .filter(!_.sparkContext.isStopped)
+      .map(_.sparkContext.applicationId)
+      .getOrElse("no-session")
+
+  /** Memoized `train` per (name, sfDir, session). `train` may run more
+    * than once under a concurrent race (computeIfAbsent would hold the
+    * map lock across a Spark job); the race loser returns the WINNER's
+    * value (putIfAbsent), so every caller observes one object — for
+    * DataFrame-shaped artifacts that means one materialization, not
+    * two value-identical checkpoints. */
   def getOrTrain[T <: AnyRef](name: String, sfDir: String)(train: => T): T = {
-    val k = (name, sfDir)
+    val k = (name, sfDir, sessionTag)
     val hit = cache.get(k)
     if (hit != null) hit.asInstanceOf[T]
     else {
       val v = train
-      cache.put(k, v)
-      v
+      val prev = cache.putIfAbsent(k, v)
+      (if (prev != null) prev else v).asInstanceOf[T]
     }
   }
 

@@ -131,15 +131,20 @@ object ServeCache {
     // sufficient — two rows with EQUAL reading_time but different
     // reading_date pass it yet would serve names mis-ordered across
     // the date boundary relative to Serve.range's (time, name) order —
-    // so validate reading_date = date(reading_time) directly per row
-    // (UTC, matching the session timezone the slices were cast under).
+    // so validate reading_date = date(reading_time) directly per row,
+    // derived under the SESSION timezone (the zone the store's date
+    // slices were cast under) — hardcoding UTC would false-fire on
+    // valid data whenever a deployment runs non-UTC.
+    val zone = java.time.ZoneId.of(
+      union.sparkSession.conf.get(
+        "spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID))
     var i = 0
     while (i < rows.length) {
       val d = rows(i).getString(0)
       val us = rows(i).getLong(1)
       val derived = java.time.Instant
         .ofEpochSecond(Math.floorDiv(us, 1000000L))
-        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+        .atZone(zone).toLocalDate.toString
       require(d == derived,
         s"serve store violates reading_date = date(reading_time) at row $i: " +
           s"date '$d' vs time-derived '$derived' — " +

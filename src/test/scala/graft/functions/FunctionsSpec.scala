@@ -101,7 +101,7 @@ class FunctionsSpec extends AnyFunSuite {
     import graft.streaming.StatefulSessions._
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    val root = java.nio.file.Files.createTempDirectory("graft-sess").toFile.getAbsolutePath
+    val root = graft.TestTmp.dir("graft-sess")
     val in = Seq(
       (1L, "2024-01-01 10:00:00", 1.0),
       (1L, "2024-01-01 10:10:00", 2.0),

@@ -20,7 +20,7 @@ class ExportOpsSpec extends AnyFunSuite {
     pmod(hash(col("id")), lit(100)).cast("long").as("score"))
 
   test("shards are exactly rowsPerShard (last partial), data round-trips, export is deterministic") {
-    val root = Files.createTempDirectory("shards").toFile.getAbsolutePath
+    val root = graft.TestTmp.dir("shards")
     val m = ExportOps.writeShards(corpus(10500L), s"$root/a", "doc_id", 1000L)
     assert(m.totalRows === 10500L)
     assert(m.shards.map(_.id) === (0L to 10L))
@@ -97,7 +97,7 @@ class ExportOpsSpec extends AnyFunSuite {
   }
 
   test("writeEpochShards: distinct deterministic orders per epoch, epoch-invariant content checksum") {
-    val root = Files.createTempDirectory("epochs").toFile.getAbsolutePath
+    val root = graft.TestTmp.dir("epochs")
     val docs = corpus(3000L)
     val e0 = ExportOps.writeEpochShards(docs, s"$root/e0", "doc_id", epochSeed = 0L, 500L)
     val e1 = ExportOps.writeEpochShards(docs, s"$root/e1", "doc_id", epochSeed = 1L, 500L)
@@ -135,7 +135,7 @@ class ExportOpsSpec extends AnyFunSuite {
   }
 
   test("verifyShards passes on intact shards and fails on tampering") {
-    val root = Files.createTempDirectory("shards2").toFile.getAbsolutePath
+    val root = graft.TestTmp.dir("shards2")
     ExportOps.writeShards(corpus(3000L), s"$root/t", "doc_id", 1000L)
     val ok = ExportOps.verifyShards(spark, s"$root/t")
     assert(ok.count() === 3)

@@ -24,7 +24,7 @@ class JsonlSpec extends AnyFunSuite {
     (6L, "en", "web", ""))
 
   test("JSONL file round-trip is lossless, including hostile text") {
-    val dir = Files.createTempDirectory("jsonl").toFile.getAbsolutePath
+    val dir = graft.TestTmp.dir("jsonl")
     val docs = hostile.toDF("doc_id", "lang", "source", "text")
     JsonlOps.writeJsonl(docs, s"$dir/out")
     val back = JsonlOps.readJsonl(spark, s"$dir/out")
@@ -36,7 +36,7 @@ class JsonlSpec extends AnyFunSuite {
   }
 
   test("corrupt lines are quarantined with the original bytes, never silently dropped") {
-    val dir = Files.createTempDirectory("jsonl2").toFile.getAbsolutePath
+    val dir = graft.TestTmp.dir("jsonl2")
     JsonlOps.writeJsonl(hostile.take(3).toDF("doc_id", "lang", "source", "text"), s"$dir/c")
     // plant malformed lines alongside the good files
     Files.writeString(java.nio.file.Paths.get(s"$dir/c/part-corrupt.txt"),

@@ -63,7 +63,7 @@ class MiningSpec extends AnyFunSuite {
   }
 
   test("indexed negative miner equals the exact tier's negatives under a full probe") {
-    val root = Files.createTempDirectory("mining-ann").toFile.getAbsolutePath
+    val root = graft.TestTmp.dir("mining-ann")
     AnnIndex.build(spark, root, emb, nlist = 4)
     val labels = emb.select(col("vec_id"), col("label"))
     val indexed = MiningOps.hardNegativesIndexed(
@@ -76,7 +76,7 @@ class MiningSpec extends AnyFunSuite {
   }
 
   test("pruned probe still mines only wrong-label rows and at most kNeg per query") {
-    val root = Files.createTempDirectory("mining-ann-p").toFile.getAbsolutePath
+    val root = graft.TestTmp.dir("mining-ann-p")
     AnnIndex.build(spark, root, emb, nlist = 4)
     val labels = emb.select(col("vec_id"), col("label"))
     val out = MiningOps.hardNegativesIndexed(

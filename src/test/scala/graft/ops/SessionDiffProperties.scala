@@ -64,7 +64,7 @@ class SessionDiffProperties extends AnyFunSuite {
 
   test("chunking invariants on the random corpus: full coverage, exact stride, tail clamp") {
     val got = SparkEntryAccess.query("q_chunk_overlap") // C=64, S=48
-    val dir = java.nio.file.Files.createTempDirectory("chunkprop").toFile.getAbsolutePath
+    val dir = graft.TestTmp.dir("chunkprop")
     docsDf.write.parquet(dir + "/documents.parquet")
     // reuse the registered query against the random corpus (it reads
     // the documents table from the given dir)

@@ -30,7 +30,7 @@ class TablesSpec extends AnyFunSuite {
 
   /** Write `df` as `<tmp>/events.parquet` and return the tmp dir. */
   private def eventsDir(df: org.apache.spark.sql.DataFrame): String = {
-    val d = Files.createTempDirectory("graft-tables").toFile.getAbsolutePath
+    val d = graft.TestTmp.dir("graft-tables")
     df.write.mode("overwrite").parquet(s"$d/events.parquet")
     d
   }
@@ -113,7 +113,7 @@ class TablesSpec extends AnyFunSuite {
 
   test("subset fixtures load (spec-local parquet with fewer columns)") {
     import spark.implicits._
-    val d = Files.createTempDirectory("graft-tables").toFile.getAbsolutePath
+    val d = graft.TestTmp.dir("graft-tables")
     Seq((1L, "hello", "en")).toDF("doc_id", "text", "lang")
       .write.mode("overwrite").parquet(s"$d/documents.parquet")
     assert(Tables.documents(spark, d).count() == 1L)

@@ -24,7 +24,7 @@ class AnnIndexSpec extends AnyFunSuite {
     df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
 
   test("one-shot parity: index answers equal annTrained exactly (same training, same postings)") {
-    val root = Files.createTempDirectory("ann-index").toFile.getAbsolutePath
+    val root = graft.TestTmp.dir("ann-index")
     AnnIndex.build(spark, root, emb, nlist = 4)
     val viaIndex = AnnIndex.query(
       spark, root, emb.filter(col("vec_id") < 10), k = 5, nprobe = 2)
@@ -39,7 +39,7 @@ class AnnIndexSpec extends AnyFunSuite {
   }
 
   test("incremental growth: frozen-centroid appends equal the reconstructed frozen-model search; replays are no-ops") {
-    val root = Files.createTempDirectory("ann-index-inc").toFile.getAbsolutePath
+    val root = graft.TestTmp.dir("ann-index-inc")
     val half1 = emb.filter(col("vec_id") % 2 === 0)
     val half2 = emb.filter(col("vec_id") % 2 === 1)
     AnnIndex.build(spark, root, half1, nlist = 4)
@@ -87,7 +87,7 @@ class AnnIndexSpec extends AnyFunSuite {
   }
 
   test("vector takedown: deleted ids never retrieved at any nprobe, postings-level parity, compaction-stable, replay-convergent") {
-    val base = Files.createTempDirectory("ann-index-del").toFile.getAbsolutePath
+    val base = graft.TestTmp.dir("ann-index-del")
     val (root, corpusRoot) = (s"$base/index", s"$base/corpus")
     AnnIndex.build(spark, root, emb, nlist = 4)
     // a corpus TxTable alongside — the erase flow's other half
@@ -145,7 +145,7 @@ class AnnIndexSpec extends AnyFunSuite {
   }
 
   test("streaming ingest tier: checkpointed AvailableNow appends grow the index to the batch-built answers") {
-    val base = Files.createTempDirectory("ann-index-stream").toFile.getAbsolutePath
+    val base = graft.TestTmp.dir("ann-index-stream")
     val (root, src, ck) = (s"$base/index", s"$base/src", s"$base/ck")
     val half1 = emb.filter(col("vec_id") % 2 === 0)
     val half2 = emb.filter(col("vec_id") % 2 === 1)

@@ -27,7 +27,7 @@ class BloomIndexSpec extends AnyFunSuite {
   }
 
   test("point lookups read a strict subset of files; results equal a full scan") {
-    val root = Files.createTempDirectory("graft-bloomidx").toFile.getAbsolutePath + "/t"
+    val root = graft.TestTmp.dir("graft-bloomidx") + "/t"
     val nFiles = writeClustered(root)
     assert(nFiles >= 4, s"need multiple files for a pruning test, got $nFiles")
 
@@ -50,7 +50,7 @@ class BloomIndexSpec extends AnyFunSuite {
   }
 
   test("a data file without a sidecar degrades to scan, never to a crash or wrong skip") {
-    val root = Files.createTempDirectory("graft-bloomidx3").toFile.getAbsolutePath + "/t"
+    val root = graft.TestTmp.dir("graft-bloomidx3") + "/t"
     writeClustered(root)
     // simulate a crash between data write and index build for one file
     val dataFile = new java.io.File(root).listFiles()
@@ -69,7 +69,7 @@ class BloomIndexSpec extends AnyFunSuite {
   }
 
   test("corrupt (truncated) sidecar degrades to scan; partitioned dirs are rejected loudly") {
-    val root = Files.createTempDirectory("graft-bloomidx5").toFile.getAbsolutePath + "/t"
+    val root = graft.TestTmp.dir("graft-bloomidx5") + "/t"
     writeClustered(root)
     val dataFile = new java.io.File(root).listFiles()
       .filter(_.getName.endsWith(".parquet")).head.getName
@@ -87,7 +87,7 @@ class BloomIndexSpec extends AnyFunSuite {
     assert(viaIndex == fullScan)
 
     // Hive-partitioned layout: refuse rather than silently read nulls
-    val proot = Files.createTempDirectory("graft-bloomidx6").toFile.getAbsolutePath + "/t"
+    val proot = graft.TestTmp.dir("graft-bloomidx6") + "/t"
     (0L until 100L).map(i => (i % 4, i)).toDF("key", "id")
       .write.partitionBy("key").parquet(proot)
     val err = intercept[IllegalArgumentException] {
@@ -100,7 +100,7 @@ class BloomIndexSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
     val helper = new AdaptiveSparkPlanHelper {}
-    val root = Files.createTempDirectory("graft-bloomidx4").toFile.getAbsolutePath + "/t"
+    val root = graft.TestTmp.dir("graft-bloomidx4") + "/t"
     val nFiles = writeClustered(root)
 
     def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
@@ -129,7 +129,7 @@ class BloomIndexSpec extends AnyFunSuite {
   }
 
   test("absent keys: no file survives the sidecar pass; lookup returns empty with schema") {
-    val root = Files.createTempDirectory("graft-bloomidx2").toFile.getAbsolutePath + "/t"
+    val root = graft.TestTmp.dir("graft-bloomidx2") + "/t"
     writeClustered(root)
     // 1% fpp over ≤8 files: a miss on every sidecar is the overwhelming
     // outcome; assert pruning strictly beats the full file list

@@ -39,7 +39,7 @@ class ChaosKillSpec extends AnyFunSuite {
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
   test("SIGKILL mid-micro-batch; checkpoint restart converges to the never-killed corpus exactly") {
-    val base = Files.createTempDirectory("chaos").toFile.getAbsolutePath
+    val base = graft.TestTmp.dir("chaos")
     val src = s"$base/src"
     val markers = new File(s"$base/markers"); markers.mkdirs()
 

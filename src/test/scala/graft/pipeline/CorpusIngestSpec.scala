@@ -30,7 +30,7 @@ class CorpusIngestSpec extends AnyFunSuite {
     TxTable.read(spark, root).select("doc_id").collect().map(_.getLong(0)).toSet
 
   test("batches compose: quality rejects, dedup gates across batches, appends are atomic and idempotent") {
-    val base = Files.createTempDirectory("corpus-ingest").toFile.getAbsolutePath
+    val base = graft.TestTmp.dir("corpus-ingest")
     val (corpus, index) = (base + "/corpus", base + "/index")
 
     // batch 1: one junk doc, a near-dup pair, one unique
@@ -66,7 +66,7 @@ class CorpusIngestSpec extends AnyFunSuite {
   }
 
   test("the same doc_id twice in ONE batch appends once, deterministically") {
-    val base = Files.createTempDirectory("corpus-intradup").toFile.getAbsolutePath
+    val base = graft.TestTmp.dir("corpus-intradup")
     val (corpus, index) = (base + "/corpus", base + "/index")
     // id 1 appears twice with different text: the lexicographically
     // smallest text wins (a deterministic pick, not partition order)
@@ -85,7 +85,7 @@ class CorpusIngestSpec extends AnyFunSuite {
   }
 
   test("the same pipeline runs through a checkpointed AvailableNow stream") {
-    val base = Files.createTempDirectory("corpus-stream").toFile.getAbsolutePath
+    val base = graft.TestTmp.dir("corpus-stream")
     val (corpus, index, src) = (base + "/corpus", base + "/index", base + "/src")
     val batch = docs(1L -> good1, 2L -> good1Dup, 3L -> good2, 4L -> junk, 5L -> good3)
     batch.repartition(2).write.parquet(src)

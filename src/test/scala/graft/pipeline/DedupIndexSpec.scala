@@ -31,7 +31,7 @@ class DedupIndexSpec extends AnyFunSuite {
       r.getLong(0) -> (Option(r.get(1)).map(_.toString.toLong), r.getBoolean(3))).toMap
 
   test("first ingest self-dedups greedily; second ingest is gated by the STORED index and grows it") {
-    val root = Files.createTempDirectory("dedupidx").toFile.getAbsolutePath + "/idx"
+    val root = graft.TestTmp.dir("dedupidx") + "/idx"
     // ingest 1: A and its near-dup A2 (same batch), plus unique B
     val v1 = verdictMap(DedupIndex.ingest(spark, root, docs(1L -> docA, 2L -> docA2, 3L -> docB)))
     assert(v1(1L) == (None, true), "earliest of the pair is kept")
@@ -56,8 +56,8 @@ class DedupIndexSpec extends AnyFunSuite {
 
   test("incremental ingests match a one-shot build when dup pairs don't straddle semantics edges") {
     val all = docs(1L -> docA, 2L -> docB, 3L -> docC, 4L -> docA2, 5L -> docB2)
-    val r1 = Files.createTempDirectory("dedupidx-one").toFile.getAbsolutePath + "/idx"
-    val r2 = Files.createTempDirectory("dedupidx-inc").toFile.getAbsolutePath + "/idx"
+    val r1 = graft.TestTmp.dir("dedupidx-one") + "/idx"
+    val r2 = graft.TestTmp.dir("dedupidx-inc") + "/idx"
     val oneShot = verdictMap(DedupIndex.ingest(spark, r1, all))
     val incA = verdictMap(DedupIndex.ingest(spark, r2, docs(1L -> docA, 2L -> docB, 3L -> docC)))
     val incB = verdictMap(DedupIndex.ingest(spark, r2, docs(4L -> docA2, 5L -> docB2)))
@@ -70,7 +70,7 @@ class DedupIndexSpec extends AnyFunSuite {
   }
 
   test("short docs shingle to one all-tokens shingle: matching is exact-text, and resends are caught") {
-    val root = Files.createTempDirectory("dedupidx-short").toFile.getAbsolutePath + "/idx"
+    val root = graft.TestTmp.dir("dedupidx-short") + "/idx"
     val v = verdictMap(DedupIndex.ingest(spark, root, docs(1L -> "tiny", 2L -> docA)))
     assert(v(1L) == (None, true))
     val stored = TxTable.read(spark, root).select("doc_id").distinct()
@@ -84,7 +84,7 @@ class DedupIndexSpec extends AnyFunSuite {
   }
 
   test("replayed ingest is idempotent: same verdicts, no self-matches, no duplicate index rows") {
-    val root = Files.createTempDirectory("dedupidx-retry").toFile.getAbsolutePath + "/idx"
+    val root = graft.TestTmp.dir("dedupidx-retry") + "/idx"
     val inc = docs(1L -> docA, 2L -> docA2, 3L -> docB)
     val first = verdictMap(DedupIndex.ingest(spark, root, inc))
     val rowsAfterFirst = TxTable.read(spark, root).count()
@@ -101,7 +101,7 @@ class DedupIndexSpec extends AnyFunSuite {
   }
 
   test("band geometry is pinned at creation: ingest with different (n, k, rowsPerBand) refuses loudly") {
-    val root = Files.createTempDirectory("dedupidx-params").toFile.getAbsolutePath + "/idx"
+    val root = graft.TestTmp.dir("dedupidx-params") + "/idx"
     DedupIndex.ingest(spark, root, docs(1L -> docA))
     val ex = intercept[IllegalArgumentException](
       DedupIndex.ingest(spark, root, docs(2L -> docB), DedupIndex.Params(rowsPerBand = 8)))

@@ -33,7 +33,7 @@ class JsonlIngestSpec extends AnyFunSuite {
   }
 
   test("dead-letter split: quarantine carries original bytes + reason; corpus gets the survivors; accounting reconciles; replay is idempotent") {
-    val base = Files.createTempDirectory("jsonl-ingest").toFile.getAbsolutePath
+    val base = graft.TestTmp.dir("jsonl-ingest")
     val (src, corpus, index, quarantine) =
       (s"$base/src", s"$base/corpus", s"$base/index", s"$base/quarantine")
 
@@ -82,7 +82,7 @@ class JsonlIngestSpec extends AnyFunSuite {
   }
 
   test("tailing: a second checkpointed drain processes only new files; corpus and quarantine extend incrementally") {
-    val base = Files.createTempDirectory("jsonl-tail").toFile.getAbsolutePath
+    val base = graft.TestTmp.dir("jsonl-tail")
     val (src, corpus, index, quarantine, ck) =
       (s"$base/src", s"$base/corpus", s"$base/index", s"$base/quarantine", s"$base/ck")
     val freshText = "completely unrelated text about cooking pasta with garlic olive oil and fresh basil leaves"
@@ -113,7 +113,7 @@ class JsonlIngestSpec extends AnyFunSuite {
   }
 
   test("quarantine replay: fixed rows enter the corpus exactly once and retire; unfixable rows stay; crash-replay and re-replay converge") {
-    val base = Files.createTempDirectory("jsonl-replay").toFile.getAbsolutePath
+    val base = graft.TestTmp.dir("jsonl-replay")
     val (src, corpus, index, quarantine) =
       (s"$base/src", s"$base/corpus", s"$base/index", s"$base/quarantine")
 

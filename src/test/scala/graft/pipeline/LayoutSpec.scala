@@ -15,7 +15,7 @@ class LayoutSpec extends AnyFunSuite {
   import spark.implicits._
 
   test("silver partitioned by reading_date: range scan prunes partitions; dynamic overwrite touches only changed days") {
-    val root = Files.createTempDirectory("graft-layout").toFile.getAbsolutePath
+    val root = graft.TestTmp.dir("graft-layout")
     val silver = Seq(
       (1L, "2022-04-14 13:10:17", "Voltage", 1.34, "2022-04-14"),
       (2L, "2022-04-15 09:00:00", "Voltage", 1.50, "2022-04-15"),
@@ -76,7 +76,7 @@ class LayoutSpec extends AnyFunSuite {
   }
 
   test("compaction: many small files -> few target-size files, identical data") {
-    val root = Files.createTempDirectory("graft-compact").toFile.getAbsolutePath
+    val root = graft.TestTmp.dir("graft-compact")
     val df = spark.range(0, 10000).toDF("id").withColumn("v", col("id") * 2)
     df.repartition(50).write.parquet(s"$root/t") // 50 tiny files
     val before = spark.read.parquet(s"$root/t")

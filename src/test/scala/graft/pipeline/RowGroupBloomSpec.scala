@@ -48,7 +48,7 @@ class RowGroupBloomSpec extends AnyFunSuite {
   }
 
   test("blooms are written per row group; an in-range absent key is skipped by bloom where stats cannot") {
-    val root = Files.createTempDirectory("rgbloom").toFile.getAbsolutePath + "/t"
+    val root = graft.TestTmp.dir("rgbloom") + "/t"
     val file = writeTable(root)
 
     val plain = openReader(file, None, bloom = true)
@@ -87,7 +87,7 @@ class RowGroupBloomSpec extends AnyFunSuite {
   }
 
   test("Spark reads of the bloom-written table stay exact (dictionary off changes layout, never values)") {
-    val root = Files.createTempDirectory("rgbloom2").toFile.getAbsolutePath + "/t"
+    val root = graft.TestTmp.dir("rgbloom2") + "/t"
     writeTable(root)
     val df = spark.read.parquet(root)
     assert(df.filter(col("key") === 5555L).count() == 0)

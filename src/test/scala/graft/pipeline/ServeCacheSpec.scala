@@ -70,7 +70,7 @@ class ServeCacheSpec extends AnyFunSuite {
   }
 
   test("staleness contract: version-pinned reads, manifest-driven refresh, no-op when current") {
-    val base = Files.createTempDirectory("serve-cache").toFile.getAbsolutePath
+    val base = graft.TestTmp.dir("serve-cache")
     val (sRoot, gRoot) = (s"$base/silver", s"$base/gold")
     val (silver, gold) = mkFrames()
     TxTable.commit(spark, sRoot, silver, "reading_date")

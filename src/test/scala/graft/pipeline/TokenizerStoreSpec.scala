@@ -20,7 +20,7 @@ class TokenizerStoreSpec extends AnyFunSuite {
   private def docs = Tables.documents(spark, "/root/testdata/sf0.001")
 
   test("unigram model round-trips bit-exactly; loaded model tokenizes identically") {
-    val root = Files.createTempDirectory("tokstore-uni").toFile.getAbsolutePath
+    val root = graft.TestTmp.dir("tokstore-uni")
     val (model, _) = UnigramLmOps.train(
       docs, vocabSize = 300, maxLen = 4, seedSize = 800, emIters = 1, pruneFrac = 0.5)
     TokenizerStore.saveUnigram(spark, root, model)
@@ -39,7 +39,7 @@ class TokenizerStoreSpec extends AnyFunSuite {
   }
 
   test("unigram versions pin: a retrain commits on top, readers at v1 still see the old vocab") {
-    val root = Files.createTempDirectory("tokstore-ver").toFile.getAbsolutePath
+    val root = graft.TestTmp.dir("tokstore-ver")
     val (m1, _) = UnigramLmOps.train(
       docs, vocabSize = 300, maxLen = 4, seedSize = 800, emIters = 1, pruneFrac = 0.5)
     TokenizerStore.saveUnigram(spark, root, m1)
@@ -54,7 +54,7 @@ class TokenizerStoreSpec extends AnyFunSuite {
 
   test("corpus-growth retrain: warm-start from the stored vocab commits a new version, old version stays frozen") {
     import org.apache.spark.sql.functions._
-    val root = Files.createTempDirectory("tokstore-grow").toFile.getAbsolutePath
+    val root = graft.TestTmp.dir("tokstore-grow")
     val (m1, _) = UnigramLmOps.train(
       docs, vocabSize = 300, maxLen = 4, seedSize = 800, emIters = 1, pruneFrac = 0.5)
     TokenizerStore.saveUnigram(spark, root, m1)
@@ -83,7 +83,7 @@ class TokenizerStoreSpec extends AnyFunSuite {
     val corpus = Seq(
       (1L, "low low low low low lower lower newest newest newest"),
       (2L, "newest newest newest widest widest widest low lower")).toDF("doc_id", "text")
-    val root = Files.createTempDirectory("tokstore-bpe").toFile.getAbsolutePath
+    val root = graft.TestTmp.dir("tokstore-bpe")
     val merges = BpeTrain.learnMerges(corpus, 12, minCount = 2)
     assert(merges.size >= 8)
     TokenizerStore.saveBpe(spark, root, merges)
@@ -102,7 +102,7 @@ class TokenizerStoreSpec extends AnyFunSuite {
     val corpus = Seq(
       (1L, "low low low low low lower lower newest newest newest"),
       (2L, "newest newest newest widest widest widest low lower")).toDF("doc_id", "text")
-    val root = Files.createTempDirectory("tokstore-bpegrow").toFile.getAbsolutePath
+    val root = graft.TestTmp.dir("tokstore-bpegrow")
     val m1 = BpeTrain.learnMerges(corpus, 8, minCount = 2)
     TokenizerStore.saveBpe(spark, root, m1)
     val v1 = TxTable.latest(spark, root)._1

@@ -24,7 +24,7 @@ class TxTableSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
 
   test("kill between partition swaps: staged-but-unpublished commit is invisible; publish flips all partitions atomically") {
-    val root = Files.createTempDirectory("txtable").toFile.getAbsolutePath + "/gold"
+    val root = graft.TestTmp.dir("txtable") + "/gold"
     // v1: days A, B
     TxTable.commit(spark, root, rows("2022-04-14" -> 1.0, "2022-04-15" -> 2.0), "day")
     assert(snapshot(root) == Set("2022-04-14" -> 1.0, "2022-04-15" -> 2.0))
@@ -44,7 +44,7 @@ class TxTableSpec extends AnyFunSuite {
   }
 
   test("crash during manifest write: .tmp debris is ignored by readers and cleaned by vacuum") {
-    val root = Files.createTempDirectory("txtable2").toFile.getAbsolutePath + "/t"
+    val root = graft.TestTmp.dir("txtable2") + "/t"
     TxTable.commit(spark, root, rows("d1" -> 1.0), "day")
     // simulate a publish that died mid-manifest-write
     Files.createDirectories(java.nio.file.Paths.get(s"$root/_txlog"))
@@ -68,7 +68,7 @@ class TxTableSpec extends AnyFunSuite {
   }
 
   test("vacuum drops superseded versions but keeps every partition the latest manifest references") {
-    val root = Files.createTempDirectory("txtable3").toFile.getAbsolutePath + "/t"
+    val root = graft.TestTmp.dir("txtable3") + "/t"
     TxTable.commit(spark, root, rows("d1" -> 1.0, "d2" -> 2.0), "day")
     TxTable.commit(spark, root, rows("d1" -> 10.0), "day") // v2 rewrites only d1
     TxTable.commit(spark, root, rows("d1" -> 100.0), "day") // v3 rewrites only d1
@@ -86,7 +86,7 @@ class TxTableSpec extends AnyFunSuite {
   }
 
   test("time travel: readAt returns each past version exactly; vacuum bounds the horizon") {
-    val root = Files.createTempDirectory("txtable5").toFile.getAbsolutePath + "/t"
+    val root = graft.TestTmp.dir("txtable5") + "/t"
     TxTable.commit(spark, root, rows("d1" -> 1.0, "d2" -> 2.0), "day")
     TxTable.commit(spark, root, rows("d1" -> 10.0), "day")
     def at(v: Long) = TxTable.readAt(spark, root, v)
@@ -102,7 +102,7 @@ class TxTableSpec extends AnyFunSuite {
   }
 
   test("vacuum retention: a reader pinned to a superseded manifest keeps its files inside the horizon") {
-    val root = Files.createTempDirectory("txtable_ret").toFile.getAbsolutePath + "/t"
+    val root = graft.TestTmp.dir("txtable_ret") + "/t"
     TxTable.commit(spark, root, rows("d1" -> 1.0), "day") // v1
     // a long scan pins v1 BEFORE the writer supersedes it
     val pinned = TxTable.readAt(spark, root, 1)
@@ -131,7 +131,7 @@ class TxTableSpec extends AnyFunSuite {
   }
 
   test("vacuum running concurrently with a commit never deletes the in-flight staged dir") {
-    val root = Files.createTempDirectory("txtable6").toFile.getAbsolutePath + "/t"
+    val root = graft.TestTmp.dir("txtable6") + "/t"
     TxTable.commit(spark, root, rows("d1" -> 1.0), "day")
     // a second writer has staged v2 but not yet published when vacuum runs
     val staged = TxTable.stage(spark, root, rows("d1" -> 2.0), "day")
@@ -143,7 +143,7 @@ class TxTableSpec extends AnyFunSuite {
   }
 
   test("schema evolution: a commit adding a column reads back with nulls on old partitions") {
-    val root = Files.createTempDirectory("txtable7").toFile.getAbsolutePath + "/t"
+    val root = graft.TestTmp.dir("txtable7") + "/t"
     TxTable.commit(spark, root, rows("d1" -> 1.0, "d2" -> 2.0), "day")
     // v2 rewrites d1 only, with a NEW source column
     TxTable.commit(spark, root,
@@ -160,7 +160,7 @@ class TxTableSpec extends AnyFunSuite {
   }
 
   test("type widening: an int column promoted to long (and to double) still reads old partitions") {
-    val root = Files.createTempDirectory("txtable8").toFile.getAbsolutePath + "/t"
+    val root = graft.TestTmp.dir("txtable8") + "/t"
     TxTable.commit(spark, root,
       Seq(("d1", 1), ("d2", 2)).toDF("day", "n"), "day") // n: int
     TxTable.commit(spark, root,
@@ -188,7 +188,7 @@ class TxTableSpec extends AnyFunSuite {
   }
 
   test("compactAll rewrites every live partition into one version; vacuum then drops the rest") {
-    val root = Files.createTempDirectory("txtable9").toFile.getAbsolutePath + "/t"
+    val root = graft.TestTmp.dir("txtable9") + "/t"
     TxTable.commit(spark, root, rows("d1" -> 1.0, "d2" -> 2.0), "day")
     TxTable.commit(spark, root, rows("d1" -> 10.0), "day")
     TxTable.commit(spark, root, rows("d3" -> 3.0), "day")
@@ -202,7 +202,7 @@ class TxTableSpec extends AnyFunSuite {
   }
 
   test("optimistic concurrency: disjoint-partition writers both commit; same-partition conflict throws") {
-    val root = Files.createTempDirectory("graft-txocc").toFile.getAbsolutePath + "/t"
+    val root = graft.TestTmp.dir("graft-txocc") + "/t"
     TxTable.commit(spark, root, rows("d1" -> 1.0, "d2" -> 2.0), "day") // v1
 
     // A reads at v1 and stages d1; B commits d2 first; A must REBASE
@@ -234,7 +234,7 @@ class TxTableSpec extends AnyFunSuite {
   }
 
   test("appendCommit: O(increment) — existing partition dirs carry over verbatim, new rows union in") {
-    val root = Files.createTempDirectory("txappend").toFile.getAbsolutePath + "/t"
+    val root = graft.TestTmp.dir("txappend") + "/t"
     val v1 = TxTable.appendCommit(spark, root, rows("d1" -> 1.0, "d2" -> 2.0), "day")
     assert(v1 == 1L)
     val before = TxTable.latest(spark, root)._2
@@ -253,7 +253,7 @@ class TxTableSpec extends AnyFunSuite {
   }
 
   test("blind appends never conflict: two appenders to the SAME partition both land (the Delta append rule)") {
-    val root = Files.createTempDirectory("txappend2").toFile.getAbsolutePath + "/t"
+    val root = graft.TestTmp.dir("txappend2") + "/t"
     TxTable.commit(spark, root, rows("d1" -> 1.0), "day")
     // both stage before either publishes — maximal race
     val sA = TxTable.stage(spark, root, rows("d1" -> 2.0), "day")
@@ -274,7 +274,7 @@ class TxTableSpec extends AnyFunSuite {
   }
 
   test("history reports every travelable version with its fragmentation") {
-    val root = Files.createTempDirectory("txhist").toFile.getAbsolutePath + "/t"
+    val root = graft.TestTmp.dir("txhist") + "/t"
     assert(TxTable.history(spark, root).isEmpty)
     TxTable.commit(spark, root, rows("d1" -> 1.0, "d2" -> 2.0), "day")
     TxTable.appendCommit(spark, root, rows("d1" -> 3.0), "day")
@@ -291,7 +291,7 @@ class TxTableSpec extends AnyFunSuite {
   }
 
   test("appends compact away: compactAll collapses accumulated append dirs into one") {
-    val root = Files.createTempDirectory("txappend3").toFile.getAbsolutePath + "/t"
+    val root = graft.TestTmp.dir("txappend3") + "/t"
     TxTable.appendCommit(spark, root, rows("d1" -> 1.0), "day")
     TxTable.appendCommit(spark, root, rows("d1" -> 2.0), "day")
     TxTable.appendCommit(spark, root, rows("d1" -> 3.0), "day")
@@ -306,7 +306,7 @@ class TxTableSpec extends AnyFunSuite {
   }
 
   test("deleteWhere: partial-partition rewrite, full-partition drop, untouched files shared, audit trail") {
-    val root = Files.createTempDirectory("txdel").toFile.getAbsolutePath + "/t"
+    val root = graft.TestTmp.dir("txdel") + "/t"
     TxTable.commit(spark, root,
       rows("d1" -> 1.0, "d1" -> 2.0, "d2" -> 3.0, "d3" -> 4.0), "day")
     val before = TxTable.latest(spark, root)._2
@@ -346,7 +346,7 @@ class TxTableSpec extends AnyFunSuite {
   }
 
   test("deleteWhere: nondeterministic predicate refused — it would delete a different set than it counts") {
-    val root = Files.createTempDirectory("txdelnd").toFile.getAbsolutePath + "/t"
+    val root = graft.TestTmp.dir("txdelnd") + "/t"
     TxTable.commit(spark, root, rows("d1" -> 1.0, "d2" -> 2.0), "day")
     val ex = intercept[IllegalArgumentException](
       TxTable.deleteWhere(spark, root, "day", rand() < 0.5))
@@ -358,7 +358,7 @@ class TxTableSpec extends AnyFunSuite {
   }
 
   test("deleteWhere: partition values the writer escapes (':' in dir names) address the right manifest keys") {
-    val root = Files.createTempDirectory("txdelesc").toFile.getAbsolutePath + "/t"
+    val root = graft.TestTmp.dir("txdelesc") + "/t"
     // ':' is illegal in a Hadoop path segment — partitionBy writes day=a%3Ab;
     // the manifest key is that ESCAPED form, while rows hold the raw value
     TxTable.commit(spark, root, rows("a:b" -> 1.0, "a:b" -> 2.0, "plain" -> 3.0), "day")
@@ -377,7 +377,7 @@ class TxTableSpec extends AnyFunSuite {
   }
 
   test("deleteWhere: rows with a NULL partition value are refused, not silently mis-addressed") {
-    val root = Files.createTempDirectory("txdelnull").toFile.getAbsolutePath + "/t"
+    val root = graft.TestTmp.dir("txdelnull") + "/t"
     val data = Seq((Some("d1"), 1.0), (None, 2.0)).toDF("day", "value")
     TxTable.commit(spark, root, data, "day")
     val ex = intercept[IllegalArgumentException](
@@ -388,7 +388,7 @@ class TxTableSpec extends AnyFunSuite {
   }
 
   test("the gold merge path composes with TxTable: incremental day recompute commits atomically") {
-    val root = Files.createTempDirectory("txtable4").toFile.getAbsolutePath + "/gold"
+    val root = graft.TestTmp.dir("txtable4") + "/gold"
     // initial gold: two days
     val g1 = rows("2022-04-14" -> 17.485, "2022-04-15" -> 20.0)
       .withColumn("day", col("day").cast("date"))

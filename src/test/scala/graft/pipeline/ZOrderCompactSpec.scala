@@ -63,7 +63,7 @@ class ZOrderCompactSpec extends AnyFunSuite {
     })
 
   test("compactZOrder preserves data + history and makes box predicates prunable") {
-    val root = Files.createTempDirectory("zcompact").toFile.getAbsolutePath + "/t"
+    val root = graft.TestTmp.dir("zcompact") + "/t"
     // five appends -> five version dirs, each file spanning the whole
     // (user_bin, val_bin) domain
     (1 to 5).foreach(i => TxTable.appendCommit(spark, root, mkBatch(i, 20000), "day"))

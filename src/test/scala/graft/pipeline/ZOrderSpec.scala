@@ -63,7 +63,7 @@ class ZOrderSpec extends AnyFunSuite {
   }
 
   test("hilbert layout concentrates a second-dimension box at least as well as z-order") {
-    val root = Files.createTempDirectory("graft-hilbert").toFile.getAbsolutePath
+    val root = graft.TestTmp.dir("graft-hilbert")
     val df = (0 until 20000).map { i =>
       (i.toLong, (i % 200).toDouble * 5, (i / 200).toDouble * 10)
     }.toDF("id", "x", "y")
@@ -88,7 +88,7 @@ class ZOrderSpec extends AnyFunSuite {
   }
 
   test("z-ordered layout touches fewer files than single-column sort for a second-column box") {
-    val root = Files.createTempDirectory("graft-zorder").toFile.getAbsolutePath
+    val root = graft.TestTmp.dir("graft-zorder")
     // 2-D uniform grid: both dimensions GENUINELY independent (a
     // multiplier-mod pair would make y a bijection of x and the
     // comparison vacuous)
@@ -119,7 +119,7 @@ class ZOrderSpec extends AnyFunSuite {
   }
 
   test("n-D Hilbert layout prunes boxes on every clustered dimension (3-D)") {
-    val root = Files.createTempDirectory("graft-hilbnd").toFile.getAbsolutePath
+    val root = graft.TestTmp.dir("graft-hilbnd")
     // 3 genuinely independent dims on a 27k-point lattice
     val df = (0 until 27000).map { i =>
       (i.toLong, (i % 30).toDouble, (i / 30 % 30).toDouble, (i / 900).toDouble)

@@ -21,7 +21,7 @@ class SocketIngestSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
   test("socket lines -> silver via the shared micro-batch merge; invalid lines dropped; gold advances") {
-    val root = Files.createTempDirectory("graft-socket").toFile.getAbsolutePath
+    val root = graft.TestTmp.dir("graft-socket")
     val silverPath = s"$root/silver"
     val goldPath = s"$root/gold"
     val ckpt = s"$root/ckpt"

@@ -35,7 +35,7 @@ class StreamingDedupSpec extends AnyFunSuite {
   }
 
   test("duplicates flagged within and across micro-batches; originals survive") {
-    val root = Files.createTempDirectory("graft-sdedup").toFile.getAbsolutePath
+    val root = graft.TestTmp.dir("graft-sdedup")
     // batch 1: two distinct docs + a near-dup of doc 1
     Seq(
       (1L, base),
@@ -61,8 +61,8 @@ class StreamingDedupSpec extends AnyFunSuite {
   }
 
   test("transformWithState gate: verdict-for-verdict parity with the GroupState gate across batches") {
-    val rootA = Files.createTempDirectory("graft-sdedup-tws").toFile.getAbsolutePath
-    val rootB = Files.createTempDirectory("graft-sdedup-gs").toFile.getAbsolutePath
+    val rootA = graft.TestTmp.dir("graft-sdedup-tws")
+    val rootB = graft.TestTmp.dir("graft-sdedup-gs")
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     def drainTws(root: String): Map[Long, Verdict] = {
       val prev = spark.conf.getOption(providerKey)
@@ -108,7 +108,7 @@ class StreamingDedupSpec extends AnyFunSuite {
 
     // a non-default TTL must actually start (processing-time mode is
     // selected automatically — TimeMode.None + TTL throws at startup)
-    val rootC = Files.createTempDirectory("graft-sdedup-ttl").toFile.getAbsolutePath
+    val rootC = graft.TestTmp.dir("graft-sdedup-ttl")
     batch1.toDF("doc_id", "text").write.mode("append").parquet(s"$rootC/in")
     val prev = spark.conf.getOption(providerKey)
     spark.conf.set(providerKey,
@@ -165,7 +165,7 @@ class StreamingDedupSpec extends AnyFunSuite {
         (1 until 8).exists(b => band(sBase, b) == band(sv, b))
     }.getOrElse(fail("no suitable perturbation in 800 candidates — widen the search"))
 
-    val root = Files.createTempDirectory("graft-sdedup-mb").toFile.getAbsolutePath
+    val root = graft.TestTmp.dir("graft-sdedup-mb")
     val docs = Seq(
       (1L, base), (2L, variant),
       (3L, "entirely unrelated words about bloom filters " * 5))
@@ -203,7 +203,7 @@ class StreamingDedupSpec extends AnyFunSuite {
     // flatMapGroupsWithState semantics through nearDupVerdicts on a
     // 1-batch stream — covered above; here check determinism of verdict
     // for identical docs in ONE batch: smaller doc_id wins
-    val root = Files.createTempDirectory("graft-sdedup2").toFile.getAbsolutePath
+    val root = graft.TestTmp.dir("graft-sdedup2")
     Seq((5L, base), (6L, base), (7L, base))
       .toDF("doc_id", "text").write.mode("append").parquet(s"$root/in")
     val v = drain(root, "sdedup_3")

@@ -38,7 +38,7 @@ class StreamingEnrichSpec extends AnyFunSuite {
   }
 
   test("IN regime: parity with the plain left join, and the static scan skips files via BloomIndex") {
-    val root = Files.createTempDirectory("enrich1").toFile.getAbsolutePath
+    val root = graft.TestTmp.dir("enrich1")
     val nFiles = writeStatic(root)
     assert(nFiles >= 4)
     val static = BloomIndex.readIndexed(spark, root + "/idx", "key")
@@ -56,7 +56,7 @@ class StreamingEnrichSpec extends AnyFunSuite {
   }
 
   test("bloom regime: a wide-key batch still matches the plain join exactly") {
-    val root = Files.createTempDirectory("enrich2").toFile.getAbsolutePath
+    val root = graft.TestTmp.dir("enrich2")
     writeStatic(root)
     val static = spark.read.parquet(root + "/plain")
     // 600 distinct keys > maxInListKeys=64 forces the bloom path;
@@ -69,7 +69,7 @@ class StreamingEnrichSpec extends AnyFunSuite {
   }
 
   test("empty batch: no static scan output, no crash") {
-    val root = Files.createTempDirectory("enrich3").toFile.getAbsolutePath
+    val root = graft.TestTmp.dir("enrich3")
     writeStatic(root)
     val static = spark.read.parquet(root + "/plain")
     val batch = Seq.empty[Long].toDF("k")
@@ -77,7 +77,7 @@ class StreamingEnrichSpec extends AnyFunSuite {
   }
 
   test("end-to-end AvailableNow: file stream enriched per batch equals the batch join") {
-    val root = Files.createTempDirectory("enrich4").toFile.getAbsolutePath
+    val root = graft.TestTmp.dir("enrich4")
     writeStatic(root)
     val srcDir = root + "/src"
     val events = Seq((3L, "a"), (911L, "b"), (5555L, "c"), (42L, "d"))

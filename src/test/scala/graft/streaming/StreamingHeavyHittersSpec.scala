@@ -48,7 +48,7 @@ class StreamingHeavyHittersSpec extends AnyFunSuite {
       .as[(String, Long, Long)].collect().toSeq
 
   test("exact regime: streamed top-k equals the plain count across micro-batches") {
-    val root = Files.createTempDirectory("graft-shh").toFile.getAbsolutePath
+    val root = graft.TestTmp.dir("graft-shh")
     val b1 = Seq.fill(30)("alpha") ++ Seq.fill(20)("beta") ++ Seq.fill(5)("gamma")
     val b2 = Seq.fill(25)("beta") ++ Seq.fill(10)("delta") ++ Seq.fill(2)("alpha")
 
@@ -65,7 +65,7 @@ class StreamingHeavyHittersSpec extends AnyFunSuite {
   }
 
   test("approximate regime: est >= true >= est - err for every reported token") {
-    val root = Files.createTempDirectory("graft-shh2").toFile.getAbsolutePath
+    val root = graft.TestTmp.dir("graft-shh2")
     // heavy-tailed stream: a few heavy tokens + a long unique tail, with
     // capacity (4) far below the vocabulary so eviction genuinely runs
     val data = Seq.fill(200)("heavy1") ++ Seq.fill(120)("heavy2") ++

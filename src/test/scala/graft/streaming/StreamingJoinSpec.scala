@@ -40,7 +40,7 @@ class StreamingJoinSpec extends AnyFunSuite {
     df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
 
   test("stream-stream join == batch twin on the sf0.01 events table") {
-    val root = Files.createTempDirectory("graft-ssj").toFile.getAbsolutePath
+    val root = graft.TestTmp.dir("graft-ssj")
     val e = Tables.events(spark, "/root/testdata/sf0.01")
     val v = e.filter(col("event_type") === "view")
       .select(col("event_id").as("view_id"), col("user_id").as("v_user"), col("ts").as("v_ts"))
@@ -60,7 +60,7 @@ class StreamingJoinSpec extends AnyFunSuite {
   }
 
   test("watermark contract: late rows dropped, on-time rows still join, across checkpointed drains") {
-    val root = Files.createTempDirectory("graft-ssj2").toFile.getAbsolutePath
+    val root = graft.TestTmp.dir("graft-ssj2")
     def vRows(rows: Seq[(Long, Long, String)]): DataFrame =
       rows.toDF("view_id", "v_user", "t")
         .select(col("view_id"), col("v_user"), to_timestamp(col("t")).as("v_ts"))
@@ -99,7 +99,7 @@ class StreamingJoinSpec extends AnyFunSuite {
   }
 
   test("left-outer: unmatched views emit null-padded once the watermark proves no match can come") {
-    val root = Files.createTempDirectory("graft-ssj3").toFile.getAbsolutePath
+    val root = graft.TestTmp.dir("graft-ssj3")
     def vRows(rows: Seq[(Long, Long, String)]) =
       rows.toDF("view_id", "v_user", "t")
         .select(col("view_id"), col("v_user"), to_timestamp(col("t")).as("v_ts"))

@@ -82,7 +82,7 @@ class StreamingSemDedupSpec extends AnyFunSuite {
     (12L, vec(1.0, -0.9))) // kept — cell 0, far from both residents
 
   test("verdicts match the sequential reference, within and across batches") {
-    val root = Files.createTempDirectory("graft-semgate").toFile.getAbsolutePath
+    val root = graft.TestTmp.dir("graft-semgate")
     batch1.toDF("vec_id", "embedding").write.mode("append").parquet(s"$root/in")
     val v1 = drain(root, 0.95, 1024)
     val ref1 = reference(batch1, 0.95, 1024)
@@ -100,20 +100,20 @@ class StreamingSemDedupSpec extends AnyFunSuite {
   }
 
   test("checkpointed two-batch run equals the one-shot run verdict-for-verdict") {
-    val split = Files.createTempDirectory("graft-semgate-split").toFile.getAbsolutePath
+    val split = graft.TestTmp.dir("graft-semgate-split")
     batch1.toDF("vec_id", "embedding").write.mode("append").parquet(s"$split/in")
     val a = drain(split, 0.95, 1024)
     batch2.toDF("vec_id", "embedding").write.mode("append").parquet(s"$split/in")
     val b = drain(split, 0.95, 1024)
 
-    val oneShot = Files.createTempDirectory("graft-semgate-one").toFile.getAbsolutePath
+    val oneShot = graft.TestTmp.dir("graft-semgate-one")
     (batch1 ++ batch2).toDF("vec_id", "embedding").write.mode("append").parquet(s"$oneShot/in")
     val o = drain(oneShot, 0.95, 1024)
     assert((a ++ b) == o, "restart from checkpoint must be invisible in the verdicts")
   }
 
   test("cell cap: a full cell still matches its stored vectors but admits no new ones") {
-    val root = Files.createTempDirectory("graft-semgate-cap").toFile.getAbsolutePath
+    val root = graft.TestTmp.dir("graft-semgate-cap")
     val data = Seq(
       (1L, deg(0)),   // stored — fills the 1-slot cell
       (2L, deg(30)),  // kept verdict, NOT stored (cap)

@@ -16,7 +16,7 @@ class StreamingSpec extends AnyFunSuite {
   import spark.implicits._
 
   test("AvailableNow drain: files -> silver parquet; second drain of same checkpoint is a no-op; new file merges") {
-    val root = Files.createTempDirectory("graft-stream").toFile.getAbsolutePath
+    val root = graft.TestTmp.dir("graft-stream")
     val bronzeDir = s"$root/bronze"
     val silverPath = s"$root/silver"
     val ckpt = s"$root/ckpt"
@@ -61,7 +61,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("tier-2 watermarked daily window produces the same Power value as batch gold") {
-    val root = Files.createTempDirectory("graft-stream2").toFile.getAbsolutePath
+    val root = graft.TestTmp.dir("graft-stream2")
     val parsed = Seq(
       ("2022-04-14 13:10:17", "Voltage", 1.34),
       ("2022-04-14 13:10:18", "Voltage", 1.35),
@@ -89,7 +89,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("tier-2 bounded lateness: beyond-watermark rows are dropped (documented divergence from tier-1)") {
-    val root = Files.createTempDirectory("graft-late").toFile.getAbsolutePath
+    val root = graft.TestTmp.dir("graft-late")
     import graft.streaming.StreamingPipeline
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("reading_time", org.apache.spark.sql.types.TimestampType),
@@ -127,7 +127,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("tier-2 update mode emits per-batch corrections that converge to the batch gold") {
-    val root = Files.createTempDirectory("graft-upd").toFile.getAbsolutePath
+    val root = graft.TestTmp.dir("graft-upd")
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("reading_time", org.apache.spark.sql.types.TimestampType),
       org.apache.spark.sql.types.StructField("metric_name", org.apache.spark.sql.types.StringType),
@@ -162,7 +162,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("update-mode gold through TxTable: per-batch atomic day commits converge to batch gold") {
-    val root = Files.createTempDirectory("graft-updgold").toFile.getAbsolutePath
+    val root = graft.TestTmp.dir("graft-updgold")
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("reading_time", org.apache.spark.sql.types.TimestampType),
       org.apache.spark.sql.types.StructField("metric_name", org.apache.spark.sql.types.StringType),
@@ -205,7 +205,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("stream-stream interval join attributes facts to in-window dims; out-of-window pairs never match") {
-    val root = Files.createTempDirectory("graft-ssj").toFile.getAbsolutePath
+    val root = graft.TestTmp.dir("graft-ssj")
     val clickSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("click_time", org.apache.spark.sql.types.TimestampType),
@@ -257,7 +257,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("streaming dedup with watermark + stream-static dim join") {
-    val root = Files.createTempDirectory("graft-sdedup").toFile.getAbsolutePath
+    val root = graft.TestTmp.dir("graft-sdedup")
     val in = Seq(
       (1L, "2024-01-01 10:00:00", 1.0),
       (1L, "2024-01-01 10:00:00", 1.0), // exact duplicate delivery
@@ -287,7 +287,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("gold advances per micro-batch and stays in parity with a full batch recompute, including late data") {
     import graft.pipeline.SensorPipeline
-    val root = Files.createTempDirectory("graft-stream-gold").toFile.getAbsolutePath
+    val root = graft.TestTmp.dir("graft-stream-gold")
     val bronzeDir = s"$root/bronze"
     val silverPath = s"$root/silver"
     val goldPath = s"$root/gold"
@@ -333,7 +333,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("goldTxCommit refuses to silently shadow a pre-existing flat parquet gold") {
-    val root = Files.createTempDirectory("graft-goldfmt").toFile.getAbsolutePath
+    val root = graft.TestTmp.dir("graft-goldfmt")
     Seq((1L, "x")).toDF("a", "b").write.parquet(s"$root/silver")
     // old on-disk format: a flat parquet table at the gold path
     Seq((1L, 2.0)).toDF("k", "v").write.parquet(s"$root/gold")
@@ -344,7 +344,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("sessions -> gold: closed sessions maintain a per-day session mart incrementally via TxTable") {
     import graft.streaming.StatefulSessions.SessionEvent
-    val root = Files.createTempDirectory("graft-sess-gold").toFile.getAbsolutePath
+    val root = graft.TestTmp.dir("graft-sess-gold")
     val in = Seq(
       // user 1: two sessions on Jan 1 (80-min gap between them)
       (1L, "2024-01-01 10:00:00", 1.0),
