@@ -33,14 +33,14 @@ object IvfAdcOps {
 
   final case class AdcEncoded(vec_id: Long, cluster: Int, codes: Array[Int], recon_err2: Double)
 
-  private[ops] def sub(a: Array[Double], b: Array[Double]): Array[Double] = {
+  private[graft] def sub(a: Array[Double], b: Array[Double]): Array[Double] = {
     val out = new Array[Double](a.length)
     var i = 0
     while (i < a.length) { out(i) = a(i) - b(i); i += 1 }
     out
   }
 
-  private[ops] def argminL2(e: Array[Double], cents: Array[Array[Double]]): (Int, Double) = {
+  private[graft] def argminL2(e: Array[Double], cents: Array[Array[Double]]): (Int, Double) = {
     var best = 0; var bd = Double.MaxValue; var c = 0
     while (c < cents.length) {
       var s = 0.0; var i = 0

@@ -90,7 +90,7 @@ object PqOps {
   /** Points-based variant — shared with OPQ, which trains on ROTATED
     * sample points rather than a fresh sample.
     */
-  private[ops] def trainArrays(pts: Array[Array[Double]], m: Int, k: Int,
+  private[graft] def trainArrays(pts: Array[Array[Double]], m: Int, k: Int,
       iters: Int): PqModel = {
     require(pts.nonEmpty, "PQ training sample is empty")
     val dim = pts(0).length

@@ -1,10 +1,11 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-import graft.ops.{IvfOps, KMeans}
+import graft.ops.{IvfAdcOps, IvfOps, KMeans, PqOps}
 
 /** Persisted incremental IVF ANN index — the [[DedupIndex]] contract
   * applied to similarity search: at 100 TB you never re-train or
@@ -47,6 +48,46 @@ object AnnIndex {
 
   private def centroidsRoot(root: String) = s"$root/centroids"
   private def postingsRoot(root: String) = s"$root/postings"
+  private def codebooksRoot(root: String) = s"$root/codebooks"
+
+  /** Postings layout, pinned at build beside the log (the band-geometry
+    * discipline): RAW stores `(cluster, vec_id, emb, norm)` — exact
+    * cosine at query time, dim×8 bytes/vector; ADC stores
+    * `(cluster, vec_id, codes BINARY)` — m bytes/vector of PQ residual
+    * codes, the bytes-on-disk shape a 1B-vector index needs (the query
+    * machinery is q_ivfadc_ann's, persisted). Mode is immutable:
+    * re-encoding a corpus under the other layout is a new index.
+    */
+  sealed trait Mode
+  case object Raw extends Mode
+  final case class Adc(m: Int, k: Int) extends Mode
+
+  private def modePath(root: String) =
+    new org.apache.hadoop.fs.Path(root, "_graft_postings")
+
+  private def writeMode(spark: SparkSession, root: String, mode: Mode): Unit = {
+    val path = modePath(root)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val s = mode match {
+      case Raw => "mode=raw"
+      case Adc(m, k) => s"mode=adc,m=$m,k=$k"
+    }
+    val out = fs.create(path, false)
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Absence = raw: indexes built before the ADC tier existed carry no
+    * mode file and keep their exact-raw behavior. */
+  private def readMode(spark: SparkSession, root: String): Mode = {
+    val path = modePath(root)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return Raw
+    val in = fs.open(path)
+    val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    val kv = s.split(",").map(_.split("=")).map(a => a(0) -> a(1)).toMap
+    if (kv("mode") == "raw") Raw else Adc(kv("m").toInt, kv("k").toInt)
+  }
 
   /** Train the frozen codebook on `emb` and commit both tables
     * (centroids; initial postings). Creating the index IS the first
@@ -63,9 +104,78 @@ object AnnIndex {
       // one partition value: the codebook is one bounded immutable blob
       KMeans.centroidDf(spark, model.centroids).withColumn("part", lit("all")),
       "part")
+    writeMode(spark, root, Raw)
     appendAssigned(spark, root, emb, model.centroids)
     ()
   }
+
+  /** Build with ADC-COMPRESSED postings: the frozen coarse codebook as
+    * [[build]], plus frozen per-block PQ codebooks trained on the unit
+    * residuals of the same bounded driver sample (the
+    * [[IvfAdcOps.train]] recipe on the spherical geometry this index
+    * ranks under). Postings then store m one-byte codes per vector
+    * instead of dim×8 raw bytes — the ~dim×8/m compression that makes
+    * a 1B-vector index's bytes-on-disk and probe IO viable — and
+    * queries score them against broadcast per-(query, cell) ADC
+    * tables. Raw embeddings never enter the index; exact re-rank
+    * ([[queryRerank]]) fetches candidates from the CALLER's corpus
+    * table, so takedown stays one postings delete.
+    */
+  def buildAdc(
+      spark: SparkSession, root: String, emb: DataFrame,
+      nlist: Int, m: Int, k: Int = 256, iters: Int = 5): Unit = {
+    require(TxTable.latest(spark, centroidsRoot(root))._1 == 0,
+      s"index already built at $root (centroids are frozen — a new clustering is a new index)")
+    require(k <= 256, s"ADC codes are one byte: k=$k > 256")
+    val unit = IvfOps.unitEmb(emb)
+    val pts = KMeans.samplePoints(unit, KMeans.DefaultMaxSample)
+    require(pts.nonEmpty, "ADC training sample is empty")
+    require(pts(0).length % m == 0,
+      s"dim ${pts(0).length} not divisible into $m blocks")
+    val coarse = KMeans.fitSample(unit, k = nlist, iters = iters,
+      spherical = true).centroids
+    val residuals = pts.map(p =>
+      IvfAdcOps.sub(p, coarse(IvfAdcOps.argminL2(p, coarse)._1)))
+    val books = PqOps.trainArrays(residuals, m, k, iters).codebooks
+    TxTable.commit(
+      spark, centroidsRoot(root),
+      KMeans.centroidDf(spark, coarse).withColumn("part", lit("all")),
+      "part")
+    TxTable.commit(
+      spark, codebooksRoot(root),
+      codebookDf(spark, books).withColumn("part", lit("all")),
+      "part")
+    writeMode(spark, root, Adc(m, k))
+    appendAdcAssigned(spark, root, emb, coarse, books)
+    ()
+  }
+
+  private def codebookDf(
+      spark: SparkSession, books: Array[Array[Array[Double]]]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rows = for {
+      (book, b) <- books.zipWithIndex
+      (cv, c) <- book.zipWithIndex
+    } yield Row(b, c, cv.toSeq)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1),
+      StructType(Seq(
+        StructField("block", IntegerType, nullable = false),
+        StructField("code", IntegerType, nullable = false),
+        StructField("cvec", ArrayType(DoubleType, containsNull = false), nullable = false))))
+  }
+
+  /** Frozen PQ codebooks (bounded: m × k × subdim doubles — the same
+    * size the driver training held). */
+  private def loadCodebooks(spark: SparkSession, root: String): Array[Array[Array[Double]]] =
+    TxTable.read(spark, codebooksRoot(root))
+      .select(col("block"), col("code"), col("cvec"))
+      .collect()
+      .groupBy(_.getInt(0)).toArray.sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
+      }
 
   /** Frozen codebook as the driver array assignment needs (bounded:
     * nlist × dim doubles — the same size k-means training held). */
@@ -78,10 +188,65 @@ object AnnIndex {
 
   /** Assign an increment to the FROZEN centroids and append its novel
     * vectors (vec_id anti-join — replay-idempotent). Returns rows
-    * appended. */
+    * appended. Dispatches on the pinned postings mode — the grow
+    * contract is identical for both layouts. */
   def append(spark: SparkSession, root: String, emb: DataFrame): Long = {
     val cents = loadCentroids(spark, root)
-    appendAssigned(spark, root, emb, cents)
+    readMode(spark, root) match {
+      case Raw => appendAssigned(spark, root, emb, cents)
+      case Adc(_, _) =>
+        appendAdcAssigned(spark, root, emb, cents, loadCodebooks(spark, root))
+    }
+  }
+
+  /** ADC encode: cell assignment via the SAME broadcast argmin kernel
+    * the raw tier uses ([[KMeans.assignClusters]] — identical cells by
+    * construction), then a narrow map computing the residual's
+    * per-block codes against the broadcast books. One map pass, zero
+    * shuffle, m bytes per vector. */
+  private def adcEncode(
+      emb: DataFrame, cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast((cents, books))
+    KMeans.assignClusters(IvfOps.unitEmb(emb), cents)
+      .select(col("vec_id"), col("cluster"), col("emb"))
+      .as[(Long, Int, Seq[Double])]
+      .mapPartitions { it =>
+        val (cs, bks) = bc.value
+        val m = bks.length
+        val subdim = bks(0)(0).length
+        it.map { case (id, cell, u) =>
+          val r = IvfAdcOps.sub(u.toArray, cs(cell))
+          val codes = new Array[Byte](m)
+          var b = 0
+          while (b < m) {
+            val block = java.util.Arrays.copyOfRange(r, b * subdim, (b + 1) * subdim)
+            codes(b) = (IvfAdcOps.argminL2(block, bks(b))._1 & 0xFF).toByte
+            b += 1
+          }
+          (cell.toLong, id, codes)
+        }
+      }
+      .toDF("cluster", "vec_id", "codes")
+  }
+
+  private def appendAdcAssigned(
+      spark: SparkSession, root: String, emb: DataFrame,
+      cents: Array[Array[Double]], books: Array[Array[Array[Double]]]): Long = {
+    val assigned = adcEncode(emb, cents, books)
+    val pRoot = postingsRoot(root)
+    val novel =
+      if (TxTable.latest(spark, pRoot)._1 > 0)
+        assigned.join(
+          TxTable.read(spark, pRoot).select("vec_id").distinct(),
+          Seq("vec_id"), "left_anti")
+      else assigned
+    val cut = novel.localCheckpoint(false)
+    val n = cut.count()
+    if (n > 0) TxTable.appendCommit(spark, pRoot, cut, "cluster")
+    n
   }
 
   private def appendAssigned(
@@ -113,14 +278,147 @@ object AnnIndex {
     * `nprobe` nearest cells' postings). */
   def query(
       spark: SparkSession, root: String, queries: DataFrame,
-      k: Int, nprobe: Int): DataFrame = {
-    // partition-column values come back type-inferred from the path
-    // (INT for small cluster ids) — normalize to the written LONG
-    val corpus = TxTable.read(spark, postingsRoot(root))
-      .select(col("vec_id"), col("emb"), col("norm"),
-        col("cluster").cast(LongType).as("cluster"))
-    val cents = TxTable.read(spark, centroidsRoot(root)).select(col("cid"), col("cemb"))
-    IvfOps.probeRank(corpus, IvfOps.withNorm(queries), cents, k, nprobe)
+      k: Int, nprobe: Int): DataFrame = readMode(spark, root) match {
+    case Raw =>
+      // partition-column values come back type-inferred from the path
+      // (INT for small cluster ids) — normalize to the written LONG
+      val corpus = TxTable.read(spark, postingsRoot(root))
+        .select(col("vec_id"), col("emb"), col("norm"),
+          col("cluster").cast(LongType).as("cluster"))
+      val cents = TxTable.read(spark, centroidsRoot(root)).select(col("cid"), col("cemb"))
+      IvfOps.probeRank(corpus, IvfOps.withNorm(queries), cents, k, nprobe)
+    case Adc(_, _) =>
+      adcScored(spark, root, queries, nprobe)
+        .withColumn("cosine", round(lit(1.0) - col("adist") / 2.0, 6))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))))
+        .filter(col("rn") <= k)
+        .select(col("q_id"), col("vec_id"), col("cosine"),
+          col("rn").cast(LongType).as("rank"))
+        .orderBy("q_id", "rank")
+  }
+
+  /** ADC scoring core: per collected query, its `nprobe` nearest cells
+    * (same d2 form and (d2, cid) tie rule as [[IvfOps.probeRank]] —
+    * identical probe sets by construction) and a per-(query, cell) ADC
+    * table over the query residual; postings of the probed cells only
+    * (isin → partition-pruned scan) are scored in one broadcast
+    * mapPartitions pass: adist = Σ_b table(b)(code_b) ≈ ‖u_q − (c +
+    * r̂_v)‖², so 1 − adist/2 ≈ cosine — the documented quantization
+    * approximation. Queries are a bounded serve-side batch (the
+    * [[IvfAdcOps.search]] contract). */
+  private def adcScored(
+      spark: SparkSession, root: String, queries: DataFrame,
+      nprobe: Int): DataFrame = {
+    import spark.implicits._
+    val cents = loadCentroids(spark, root)
+    val books = loadCodebooks(spark, root)
+    val m = books.length
+    val subdim = books(0)(0).length
+    val qs = IvfOps.unitEmb(queries)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val cc = cents.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      s
+    }
+    val probes = qs.map { case (qid, u) =>
+      var aa = 0.0
+      var i = 0
+      while (i < u.length) { aa += u(i) * u(i); i += 1 }
+      val byCell = cents.indices.map { ci =>
+        val c = cents(ci)
+        var ab = 0.0; var j = 0
+        while (j < u.length) { ab += u(j) * c(j); j += 1 }
+        ci -> (aa - 2.0 * ab + cc(ci))
+      }.sortBy { case (ci, d) => (d, ci) }.take(nprobe).map(_._1)
+      val tables = byCell.map { ci =>
+        val r = IvfAdcOps.sub(u, cents(ci))
+        val t = Array.ofDim[Double](m, books(0).length)
+        var b = 0
+        while (b < m) {
+          var cd = 0
+          while (cd < books(b).length) {
+            val book = books(b)(cd)
+            var s = 0.0; var j = 0
+            while (j < subdim) { val d = r(b * subdim + j) - book(j); s += d * d; j += 1 }
+            t(b)(cd) = s; cd += 1
+          }
+          b += 1
+        }
+        ci.toLong -> t
+      }.toMap
+      (qid, tables)
+    }
+    val probedCells = probes.flatMap(_._2.keys).distinct.toSeq
+    val bc = spark.sparkContext.broadcast(probes)
+    TxTable.read(spark, postingsRoot(root))
+      .select(col("cluster").cast(LongType).as("cluster"),
+        col("vec_id"), col("codes"))
+      .filter(col("cluster").isin(probedCells: _*))
+      .as[(Long, Long, Array[Byte])]
+      .mapPartitions { it =>
+        val ps = bc.value
+        it.flatMap { case (cell, id, codes) =>
+          ps.iterator.flatMap { case (qid, tables) =>
+            if (qid == id) Iterator.empty
+            else tables.get(cell).iterator.map { t =>
+              var s = 0.0; var b = 0
+              while (b < codes.length) { s += t(b)(codes(b) & 0xFF); b += 1 }
+              (qid, id, s)
+            }
+          }
+        }
+      }
+      .toDF("q_id", "vec_id", "adist")
+  }
+
+  /** ADC query with EXACT re-rank: the ADC pass selects a `pool`-sized
+    * candidate set per query (by approximate distance), then the raw
+    * vectors of those candidates — fetched from the CALLER's `corpus`
+    * table (vec_id, embedding), a bounded point-lookup semi-join,
+    * never stored in the index — rank by exact rounded cosine, top
+    * `k`. The FAISS IVFADC+refine shape: the index pays m bytes per
+    * vector, full precision lives where the corpus already does. */
+  def queryRerank(
+      spark: SparkSession, root: String, queries: DataFrame,
+      k: Int, nprobe: Int, corpus: DataFrame, pool: Int = 0): DataFrame = {
+    readMode(spark, root) match {
+      case Raw => query(spark, root, queries, k, nprobe)
+      case Adc(_, _) =>
+        val p = if (pool > 0) pool else 10 * k
+        val cand = adcScored(spark, root, queries, nprobe)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("vec_id"))))
+          .filter(col("rn") <= p)
+          .select("q_id", "vec_id")
+        val cvec = IvfOps.withNorm(corpus)
+          .select(col("vec_id"), col("emb"), col("norm"))
+        val qvec = IvfOps.withNorm(queries).filter(col("norm") > 0)
+          .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+            col("norm").as("q_norm"))
+        import graft.ops.SimilarityOps.dot
+        cand.join(cvec, "vec_id").join(broadcast(qvec), "q_id")
+          .withColumn("cosine",
+            round(dot(col("emb"), col("q_emb")) / (col("norm") * col("q_norm")), 6))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))))
+          .filter(col("rn") <= k)
+          .select(col("q_id"), col("vec_id"), col("cosine"),
+            col("rn").cast(LongType).as("rank"))
+          .orderBy("q_id", "rank")
+    }
+  }
+
+  /** Live postings bytes on disk (current TxTable version only) — the
+    * compression evidence the ADC tier exists to move. */
+  def postingsBytes(spark: SparkSession, root: String): Long = {
+    val files = TxTable.read(spark, postingsRoot(root)).inputFiles
+    val conf = spark.sparkContext.hadoopConfiguration
+    files.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(conf).getFileStatus(p).getLen
+    }.sum
   }
 
   /** Vector takedown — the index-side half of the corpus

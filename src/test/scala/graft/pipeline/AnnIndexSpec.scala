@@ -144,6 +144,96 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(AnnIndex.delete(spark, root, Nil) === 0L)
   }
 
+  test("ADC postings: full-probe full-pool re-rank equals the raw tier exactly; bounded-pool recall holds; bytes shrink") {
+    val base = graft.TestTmp.dir("ann-index-adc")
+    val (rawRoot, adcRoot) = (s"$base/raw", s"$base/adc")
+    AnnIndex.build(spark, rawRoot, emb, nlist = 4)
+    AnnIndex.buildAdc(spark, adcRoot, emb, nlist = 4, m = 8, k = 32)
+    val queries = emb.filter(col("vec_id") < 10)
+
+    // exact-parity pin: probing every cell with an unbounded re-rank
+    // pool, the compressed index ranks the same candidates by the same
+    // rounded exact cosine as the raw tier — float-for-float
+    val exactRaw = rows(AnnIndex.query(spark, rawRoot, queries, k = 5, nprobe = 4))
+    val rerank = rows(AnnIndex.queryRerank(
+      spark, adcRoot, queries, k = 5, nprobe = 4, corpus = emb, pool = 1000))
+    assert(rerank === exactRaw,
+      "full-probe full-pool ADC re-rank must equal the raw tier exactly")
+
+    // same cells: the ADC encode uses the same assignment kernel, so
+    // per-cell posting counts match the raw index
+    def stats(r: String) = AnnIndex.cellStats(spark, r)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(stats(adcRoot) === stats(rawRoot))
+
+    // quantization quality: pure-ADC top-5 overlap with the exact
+    // top-5. These synthetic embeddings are near-uniform in pairwise
+    // cosine, so top-5 margins sit BELOW the residual-quantization
+    // error — the honest bound here is "far above chance" (chance =
+    // k/N = 1%); the meaningful recall table comes from the
+    // boundary-straddling clustered soak regime (SCALE.md §13d rule:
+    // a flat-1.0 table on easy data measures nothing, and so would a
+    // tuned-to-pass threshold here)
+    val adc = rows(AnnIndex.query(spark, adcRoot, queries, k = 5, nprobe = 4))
+    val overlap = exactRaw.groupBy(_._1).map { case (q, ex) =>
+      val a = adc.filter(_._1 == q).map(_._2).toSet
+      ex.map(_._2).count(a.contains) / ex.length.toDouble
+    }
+    val mean = overlap.sum / overlap.size
+    assert(mean >= 0.1, f"mean ADC top-5 overlap $mean%.2f not above 10x chance")
+    info(f"pure-ADC top-5 overlap on uniform-cosine data: $mean%.2f")
+
+    // a bounded pool recovers most of the exact top-k even here (pool
+    // covers 40% of the corpus; blind sampling would recall 0.4 — the
+    // ADC ordering must be doing real work to clear 0.9)
+    val pooled = rows(AnnIndex.queryRerank(
+      spark, adcRoot, queries, k = 5, nprobe = 4, corpus = emb, pool = 200))
+    val poolRecall = exactRaw.groupBy(_._1).map { case (q, ex) =>
+      val a = pooled.filter(_._1 == q).map(_._2).toSet
+      ex.map(_._2).count(a.contains) / ex.length.toDouble
+    }
+    assert(poolRecall.sum / poolRecall.size >= 0.9,
+      f"pool=200 re-rank recall ${poolRecall.sum / poolRecall.size}%.2f collapsed")
+
+    // the point of the tier: postings bytes shrink substantially
+    // (dim-64 doubles + norm vs m=8 one-byte codes)
+    val rawB = AnnIndex.postingsBytes(spark, rawRoot)
+    val adcB = AnnIndex.postingsBytes(spark, adcRoot)
+    assert(adcB * 2 < rawB,
+      s"ADC postings $adcB B not substantially smaller than raw $rawB B")
+    info(f"postings bytes raw=$rawB adc=$adcB ratio=${rawB.toDouble / adcB}%.1f")
+  }
+
+  test("ADC postings: append/replay, takedown at any nprobe, compaction — the persistence contracts hold for the compressed tier") {
+    val root = graft.TestTmp.dir("ann-index-adc-grow")
+    val half1 = emb.filter(col("vec_id") % 2 === 0)
+    val half2 = emb.filter(col("vec_id") % 2 === 1)
+    AnnIndex.buildAdc(spark, root, half1, nlist = 4, m = 8, k = 32)
+    assert(AnnIndex.append(spark, root, half2) > 0)
+    assert(AnnIndex.append(spark, root, half2) === 0L, "replay must be a no-op")
+    val queries = emb.filter(col("vec_id") < 10)
+    val before = rows(AnnIndex.query(spark, root, queries, k = 8, nprobe = 2))
+    assert(before.exists { case (_, vid, _, _) => vid % 2 == 1 },
+      "appended vectors must be retrievable")
+
+    val doomed = Seq(3L, 7L, 12L, 25L)
+    assert(AnnIndex.delete(spark, root, doomed) === doomed.length)
+    for (np <- 1 to 4) {
+      val got = rows(AnnIndex.query(spark, root, queries, k = 8, nprobe = np))
+      assert(!got.exists { case (_, vid, _, _) => doomed.contains(vid) },
+        s"deleted vec_id surfaced at nprobe=$np")
+      val gotR = rows(AnnIndex.queryRerank(
+        spark, root, queries, k = 8, nprobe = np, corpus = emb))
+      assert(!gotR.exists { case (_, vid, _, _) => doomed.contains(vid) },
+        s"deleted vec_id surfaced through re-rank at nprobe=$np")
+    }
+    assert(AnnIndex.delete(spark, root, doomed) === 0L, "delete replay must be a no-op")
+    val after = rows(AnnIndex.query(spark, root, queries, k = 8, nprobe = 2))
+    AnnIndex.compact(spark, root)
+    assert(rows(AnnIndex.query(spark, root, queries, k = 8, nprobe = 2)) === after,
+      "compaction changed ADC answers")
+  }
+
   test("streaming ingest tier: checkpointed AvailableNow appends grow the index to the batch-built answers") {
     val base = graft.TestTmp.dir("ann-index-stream")
     val (root, src, ck) = (s"$base/index", s"$base/src", s"$base/ck")
