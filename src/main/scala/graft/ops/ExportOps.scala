@@ -72,9 +72,7 @@ object ExportOps {
       rowsPerShard: Long): ShardManifest = {
     val ek = SkewOps.freshName(df, "ekey")
     writeShardsDropping(
-      df.withColumn(ek, concat(
-        md5(concat_ws(":", lit(epochSeed).cast("string"), col(orderCol).cast("string"))),
-        col(orderCol).cast("string"))),
+      df.withColumn(ek, epochKey(epochSeed, orderCol)),
       path, ek, rowsPerShard, Seq(ek))
   }
 
@@ -220,6 +218,46 @@ object ExportOps {
          |FROM numbered GROUP BY 1 ORDER BY shard""".stripMargin) { (s, d) =>
       shardManifestQuery(Tables.documents(s, d), manifestRowsPerShard)
     })
+
+  /** The epoch-`epochSeed` shuffle key of a row, recomputed from the
+    * row itself — [[writeEpochShards]]' exact construction (the key is
+    * dropped from the files, but it is a pure function of (seed,
+    * orderCol), so any reader can rebuild the within-shard order
+    * without the writer's help). */
+  def epochKey(epochSeed: Long, orderCol: String): org.apache.spark.sql.Column =
+    concat(
+      md5(concat_ws(":", lit(epochSeed).cast("string"), col(orderCol).cast("string"))),
+      col(orderCol).cast("string"))
+
+  /** Deterministic dataloader RESUME: the remaining stream of a
+    * partially consumed epoch, from a (shard, offset) checkpoint —
+    * skip-exact, so a training job that crashed mid-epoch replays
+    * exactly the rows it had not yet consumed (no dropped rows, no
+    * double-trained rows). The stream order is (shard asc, within-
+    * shard `orderKey` asc) — the order the writer laid the files down
+    * (`col(orderCol)` for [[writeShards]]; [[epochKey]] for
+    * [[writeEpochShards]] exports, whose key is recomputable from the
+    * rows). `offset` = rows of shard `shard` already consumed.
+    *
+    * Positions come from a per-SHARD window (bounded by rowsPerShard —
+    * never a global sort): at 100k shards the plan is one exchange on
+    * the shard id; a real loader resumes one shard locally, and this
+    * frame is the whole-fleet restatement of that.
+    */
+  def resumeFrom(
+      spark: SparkSession, path: String,
+      orderKey: org.apache.spark.sql.Column,
+      shard: Long, offset: Long): DataFrame = {
+    val written = spark.read.parquet(path)
+      .withColumn("shard", col("shard").cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(orderKey)
+    written
+      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+      .filter(col("shard") > shard ||
+        (col("shard") === shard && col("pos") >= offset))
+      .orderBy(col("shard"), col("pos"))
+  }
 
   /** Re-scan the shards and compare against the stored manifest.
     * Returns per-shard verdicts (shard, expected/actual rows,

@@ -134,6 +134,49 @@ class ExportOpsSpec extends AnyFunSuite {
     assert(ExportOps.verifyShards(spark, s"$root/e1").filter(!col("checksum_ok")).count() === 0)
   }
 
+  test("resumeFrom: skip-exact replay of a partially consumed epoch, plain and epoch-reshuffled") {
+    val root = graft.TestTmp.dir("resume")
+    val docs = corpus(530L)
+
+    // plain export: stream order is (shard, doc_id)
+    ExportOps.writeShards(docs, s"$root/plain", "doc_id", 100L)
+    def streamPlain(s: Long, o: Long) =
+      ExportOps.resumeFrom(spark, s"$root/plain", col("doc_id"), s, o)
+        .select("shard", "pos", "doc_id").collect().map(_.toString).toSeq
+    val fullPlain = streamPlain(0L, 0L)
+    assert(fullPlain.size === 530)
+    // every checkpoint is skip-exact: resume = the uninterrupted
+    // stream minus exactly the consumed prefix
+    for ((s, o) <- Seq((0L, 37L), (2L, 0L), (3L, 99L), (5L, 0L))) {
+      val consumed = (s * 100L + o).toInt
+      assert(streamPlain(s, o) === fullPlain.drop(consumed),
+        s"resume at shard=$s offset=$o is not skip-exact")
+    }
+    // resume past the end is an empty stream, not an error
+    assert(streamPlain(5L, 30L).isEmpty)
+    assert(streamPlain(6L, 0L).isEmpty)
+
+    // epoch export: the shuffle key was dropped from the files but is
+    // recomputable — resume follows the epoch's own order
+    ExportOps.writeEpochShards(docs, s"$root/ep7", "doc_id", epochSeed = 7L, 100L)
+    def streamEpoch(s: Long, o: Long) =
+      ExportOps.resumeFrom(spark, s"$root/ep7", ExportOps.epochKey(7L, "doc_id"), s, o)
+        .select("shard", "pos", "doc_id").collect().map(_.toString).toSeq
+    val fullEpoch = streamEpoch(0L, 0L)
+    assert(fullEpoch.size === 530)
+    for ((s, o) <- Seq((0L, 1L), (1L, 50L), (4L, 99L))) {
+      val consumed = (s * 100L + o).toInt
+      assert(streamEpoch(s, o) === fullEpoch.drop(consumed),
+        s"epoch resume at shard=$s offset=$o is not skip-exact")
+    }
+    // the epoch stream is a permutation of the corpus (content
+    // identity), in a genuinely different order than the plain export
+    assert(fullEpoch.map(_.split(",").last).toSet ===
+      fullPlain.map(_.split(",").last).toSet)
+    assert(fullEpoch.map(_.split(",").last) !==
+      fullPlain.map(_.split(",").last))
+  }
+
   test("verifyShards passes on intact shards and fails on tampering") {
     val root = graft.TestTmp.dir("shards2")
     ExportOps.writeShards(corpus(3000L), s"$root/t", "doc_id", 1000L)
