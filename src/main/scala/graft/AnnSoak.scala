@@ -67,7 +67,7 @@ object AnnSoak {
     // scatter across cells and IVF recall measures nothing — the
     // mixture is the shape real embedding corpora have and the shape
     // the cell-pruned probe is built for.
-    if (args.length > 3 && args(3) == "recall") {
+    if (args.length > 3 && (args(3) == "recall" || args(3) == "recall-adc")) {
       val nGroups = 512
       // noise-to-center amplitude ratio (arg 5): at small ratios every
       // neighborhood sits deep inside one planted cluster and recall
@@ -82,9 +82,6 @@ object AnnSoak {
              |  + (cast(pmod(xxhash64(vec_id, i, 99), 1000L) as double) / 1000.0 - 0.5) * $noise)"""
             .stripMargin))
       println(s"[asoak] recall mode: nGroups=$nGroups noise=$noise")
-      t(s"build full $n (clustered corpus)") {
-        AnnIndex.build(spark, root, clustered(0, n), nlist = nlist)
-      }
       val exact = t("exact top-10 (brute force, bounded TopKAgg)") {
         // cosineTopKAgg, NOT the window formulation: the window path
         // locally sorts queries × corpus-slice rows per task and its
@@ -96,13 +93,43 @@ object AnnSoak {
           .select("q_id", "vec_id").persist()
         e.count(); e
       }
-      for (nprobe <- Seq(4, 8, 32, 64)) {
-        val inter = t(s"ann top-10 nprobe=$nprobe") {
-          AnnIndex.query(spark, root, clustered(0, 100), k = 10, nprobe = nprobe)
-            .select("q_id", "vec_id")
-            .join(exact, Seq("q_id", "vec_id")).count()
+      def recallTable(tag: String, q: Int => org.apache.spark.sql.DataFrame): Unit =
+        for (nprobe <- Seq(4, 8, 32, 64)) {
+          val inter = t(s"$tag top-10 nprobe=$nprobe") {
+            q(nprobe).select("q_id", "vec_id")
+              .join(exact, Seq("q_id", "vec_id")).count()
+          }
+          println(f"[asoak] recall@10 $tag nprobe=$nprobe: ${inter / 1000.0}%.3f")
         }
-        println(f"[asoak] recall@10 nprobe=$nprobe: ${inter / 1000.0}%.3f")
+      if (args(3) == "recall") {
+        t(s"build full $n (clustered corpus)") {
+          AnnIndex.build(spark, root, clustered(0, n), nlist = nlist)
+        }
+        recallTable("ann", np =>
+          AnnIndex.query(spark, root, clustered(0, 100), k = 10, nprobe = np))
+      } else {
+        // the COMPRESSED tier, same corpus/queries/exact baseline: pure
+        // ADC ranking and corpus-sourced exact re-rank, plus the bytes
+        // comparison that is the tier's reason to exist (raw postings
+        // built alongside on the same data)
+        val m = sys.env.getOrElse("SPARK_GRAFT_ADC_M", (dim / 4).toString).toInt
+        val (rawRoot, adcRoot) = (s"$root/raw", s"$root/adc")
+        t(s"build raw full $n (clustered corpus)") {
+          AnnIndex.build(spark, rawRoot, clustered(0, n), nlist = nlist)
+        }
+        t(s"build adc full $n (m=$m k=256)") {
+          AnnIndex.buildAdc(spark, adcRoot, clustered(0, n), nlist = nlist, m = m)
+        }
+        recallTable("raw", np =>
+          AnnIndex.query(spark, rawRoot, clustered(0, 100), k = 10, nprobe = np))
+        recallTable("adc", np =>
+          AnnIndex.query(spark, adcRoot, clustered(0, 100), k = 10, nprobe = np))
+        recallTable("adc+rerank", np =>
+          AnnIndex.queryRerank(spark, adcRoot, clustered(0, 100), k = 10,
+            nprobe = np, corpus = clustered(0, n)))
+        val rawB = AnnIndex.postingsBytes(spark, rawRoot)
+        val adcB = AnnIndex.postingsBytes(spark, adcRoot)
+        println(f"[asoak] postings bytes raw=$rawB adc=$adcB ratio=${rawB.toDouble / adcB}%.1f")
       }
       exact.unpersist()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))

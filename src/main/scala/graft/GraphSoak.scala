@@ -240,13 +240,17 @@ object GraphSoak {
         // work, fresher steps). The 200M-edge / 360M-pair point needs
         // ~6 on this 252 GB-disk host; 2 (the r9 setting) ENOSPC'd.
         val nBatches = sys.env.getOrElse("SPARK_GRAFT_SOAK_SGNS_BATCHES", "2").toInt
+        // SPARK_GRAFT_SGNS_FLOATX=1: float32 model vectors through the
+        // scoring joins — halves the per-batch exchange bytes (the
+        // §12i disk bound), the knob the 200M-pair attempt needs
+        val floatX = sys.env.get("SPARK_GRAFT_SGNS_FLOATX").contains("1")
         val walks = GraphOps.randomWalksXx(
           edges, edges.select(col("src").as("node")).distinct(), steps = 5)
         val pairs = GraphOps.skipGramPairs(walks, window = 2)
-        val model = t(s"sgns 1x$nBatches batches dim=16 @$e") {
+        val model = t(s"sgns 1x$nBatches batches dim=16 floatX=$floatX @$e") {
           graft.ops.SgnsOps.train(pairs, graft.ops.SgnsOps.SgnsParams(
             dim = 16, negatives = 3, lr = 0.05, epochs = 1, batches = nBatches,
-            trackLoss = false))
+            trackLoss = false, floatExchange = floatX))
         }
         val stats = model.inVecs
           .select(graft.ops.SgnsOps.normCol(col("vec")).as("nrm"))

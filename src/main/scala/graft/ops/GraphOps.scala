@@ -635,7 +635,8 @@ object GraphOps {
     * node-sized label frame broadcasts under the same node-count guard
     * as the rank loops, and falls back to a shuffle join above it.
     */
-  def labelPropagation(edges: DataFrame, iters: Int = 5): DataFrame = {
+  def labelPropagation(edges: DataFrame, iters: Int = 5,
+      oneExchange: Boolean = sys.env.get("SPARK_GRAFT_LPA_ONE_EXCHANGE").contains("1")): DataFrame = {
     val spark = edges.sparkSession
     val e0 = edges.repartition(col("dst")).localCheckpoint(false)
     val nEdges = e0.count()
@@ -652,7 +653,22 @@ object GraphOps {
       for (i <- 1 to iters) {
         val lb = (if (small) broadcast(labels) else labels)
           .select(col("node").as("lp_n"), col("lbl"))
-        val next = e.join(lb, col("dst") === col("lp_n"))
+        val votes = e.join(lb, col("dst") === col("lp_n"))
+        // The vote-mode aggregation, two plan shapes (value-identical —
+        // spec-pinned; integer-only state, so bit-exact):
+        //  - two-phase (default): groupBy(src,lbl) → groupBy(src) lets
+        //    each agg pick its own exchange — TWO exchanges per round,
+        //    and the (src,lbl) partial state is PAIR-cardinality
+        //    (labels start all-distinct, so map-side combine reduces
+        //    nothing early — the HITS comparison's missing 2×: sum
+        //    aggs collapse to NODE-cardinality state immediately).
+        //  - oneExchange: repartition(src) first — hash(src) satisfies
+        //    both groupings (subset rule), so BOTH aggs run
+        //    partition-local complete: one edge-volume exchange per
+        //    round, no partial/final duplication of the pair-state
+        //    hash map. A/B'd at soak scale (SCALE.md §12h).
+        val counted =
+          (if (oneExchange) votes.repartition(col("src")) else votes)
           .groupBy(col("src"), col("lbl"))
           .agg(count(lit(1)).as("lp_c"))
           // argmax by (count, then SMALLEST label): max of (c, -lbl)
@@ -660,7 +676,7 @@ object GraphOps {
           // the min label — one partial-aggregable pass, no window
           .groupBy(col("src").as("node"))
           .agg(max(struct(col("lp_c").as("c"), (-col("lbl")).as("nl"))).as("m"))
-          .select(col("node"), (-col("m.nl")).as("lbl"))
+        val next = counted.select(col("node"), (-col("m.nl")).as("lbl"))
         // node-sized lineage cut per round (the CC discipline); eager
         // above the size gate so big-graph rounds release their
         // shuffle spill as the loop progresses (rankLoop rationale)

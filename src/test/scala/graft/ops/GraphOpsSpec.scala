@@ -495,6 +495,13 @@ class GraphOpsSpec extends AnyFunSuite {
       val got = GraphOps.labelPropagation(sym(oneWay: _*), iters = 3).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got === brute(es, 3), s"seed=$seed n=$n")
+      // the one-exchange plan shape (repartition-by-src, both mode
+      // aggs partition-local) is value-identical — integer-only state,
+      // so bit-exact, whatever the exchange layout
+      val one = GraphOps.labelPropagation(sym(oneWay: _*), iters = 3,
+        oneExchange = true).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(one === got, s"one-exchange variant diverged: seed=$seed")
     }
     // SQL twin (MATERIALIZED stripped for Spark's parser) on one graph
     val oneWay = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L), (5L, 6L))

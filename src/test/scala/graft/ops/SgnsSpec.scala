@@ -137,6 +137,32 @@ class SgnsSpec extends AnyFunSuite {
     trainingPairs(steps = 8, epochs = 3),
     SgnsOps.SgnsParams(dim = 8, negatives = 3, lr = 2.0, epochs = 10, batches = 2))
 
+  test("float-exchange path tracks the double path to float32 tolerance (and still learns)") {
+    val params = SgnsOps.SgnsParams(dim = 8, negatives = 3, lr = 0.1, epochs = 2, batches = 3)
+    val pairsDf = trainingPairs(steps = 5, epochs = 2)
+    val dbl = SgnsOps.train(pairsDf, params)
+    val flt = SgnsOps.train(pairsDf, params.copy(floatExchange = true))
+    def maxDiff(a: Map[Long, Array[Double]], b: Map[Long, Array[Double]]): Double =
+      a.map { case (n, vec) =>
+        vec.zip(b(n)).map { case (x, y) => math.abs(x - y) }.max
+      }.max
+    val dIn = maxDiff(collectVecs(dbl.inVecs), collectVecs(flt.inVecs))
+    val dOut = maxDiff(collectVecs(dbl.outVecs), collectVecs(flt.outVecs))
+    // documented tolerance: the only perturbation is float32 rounding
+    // of the shipped vectors at each scoring join — per-step relative
+    // error ~1e-7 on ~0.1-magnitude values, accumulated over 6 batch
+    // updates. 1e-4 absolute bounds it with margin; exact equality
+    // would be a bug (the paths must actually differ in representation)
+    assert(dIn < 1e-4 && dOut < 1e-4,
+      f"float-exchange diverged beyond float32 tolerance: in=$dIn%.2e out=$dOut%.2e")
+    assert(dIn > 0 || dOut > 0,
+      "float path bit-identical to double path — the cast is not being applied")
+    // the loss trajectory still decreases the same way
+    flt.losses.zip(dbl.losses).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-4, s"loss diverged: $a vs $b")
+    }
+  }
+
   test("shuffle-join model path (above the broadcast guard) is value-identical to the broadcast path") {
     val params = SgnsOps.SgnsParams(dim = 8, negatives = 3, lr = 0.1, epochs = 2, batches = 3)
     val pairs = trainingPairs(steps = 5, epochs = 2)
