@@ -86,7 +86,11 @@ object Plans {
         // (quality scan → LSH band join → CC'd canonical semi-join →
         // broadcast-vocab rendering → two distributed prefix sums →
         // one hash agg on the stripe id)
-        "q_cosine_topk_agg", "q_pretrain_export")) {
+        "q_cosine_topk_agg", "q_pretrain_export",
+        // round 11: materialized pack windows (one hash exchange on
+        // window_id, bucketed prefix sum, no global window) and the
+        // BPE-rendered export twin (shared composed chain)
+        "q_pack_windows", "q_pretrain_export_bpe")) {
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, d).queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode))
