@@ -1185,7 +1185,22 @@ object GraphOps {
        | AND c.step <> x.step AND abs(c.step - x.step) <= $window
        |ORDER BY c.seed, c_step, x_step""".stripMargin
 
+  /** Memoized per (session, sfDir, slice) as an eager localCheckpoint
+    * (the [[TrainedCache]] convention): a dozen registered graph
+    * queries derive exactly this edge set, and each previously re-ran
+    * the scan + set-collapse + distinct per query. The derivation is
+    * deterministic, and the checkpoint blocks live on the shared
+    * SparkContext, so the per-query isolated loop sessions read them
+    * through global temp views unchanged. */
   private[ops] def coOrderEdges(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      yearSlice: Boolean = false): DataFrame =
+    TrainedCache.getOrTrain(
+      if (yearSlice) "co_order_edges_y1995" else "co_order_edges_full", d) {
+      coOrderEdgesUncached(s, d, yearSlice).localCheckpoint(true)
+    }
+
+  private def coOrderEdgesUncached(
       s: org.apache.spark.sql.SparkSession, d: String,
       yearSlice: Boolean = false) = {
     // no pre-distinct on the (orderkey, partkey) projection: the final

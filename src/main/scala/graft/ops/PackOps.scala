@@ -36,8 +36,11 @@ object PackOps {
   /** `df` plus column `acc`: the exclusive prefix sum of `valueCol` in
     * `orderCol` order (the sum of all values STRICTLY before the row).
     * `orderCol` must be unique and non-null — it is the deterministic
-    * concatenation order. Three jobs: a bounded sample for the bucket
-    * boundaries, the per-bucket totals, and the scan itself.
+    * concatenation order. Four jobs: one narrow checkpoint of
+    * (orderCol, valueCol) that the two driver actions read (so they
+    * never re-execute the caller's upstream chain), a bounded sample
+    * for the bucket boundaries, the per-bucket totals, and the scan
+    * itself.
     *
     * The bucket test is a numBuckets-term indicator chain (codegen'd,
     * no UDF) — O(numBuckets) per row, fine into the hundreds; cap
@@ -54,10 +57,19 @@ object PackOps {
         else spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
       math.max(1, math.min(n, 512))
     }
+    // The sample and totals jobs below are driver actions over `df` —
+    // without a cut, EACH would re-execute df's full upstream chain
+    // (for the composed exports that chain holds curation + CC dedup +
+    // tokenizer rendering; measured 5x upstream recompute per composed
+    // query, r12). Cut a two-column projection eagerly: the actions
+    // need only (orderCol, valueCol), so the checkpoint stays rows x
+    // 2 fields however wide the caller's frame is, and the returned
+    // plan still consumes the caller's `df` lazily exactly once.
+    val stats = df.select(col(orderCol), col(valueCol)).localCheckpoint(true)
     // deterministic uniform sample: the sampleSize smallest xxhash64
     // values of orderCol (total order, data-dependent only)
     val sampleSize = nb * 64
-    val sample = df.select(col(orderCol))
+    val sample = stats.select(col(orderCol))
       .orderBy(xxhash64(col(orderCol)), col(orderCol))
       .limit(sampleSize)
       .collect().map(_.get(0))
@@ -75,9 +87,16 @@ object PackOps {
 
     val bkt = SkewOps.freshName(df, "bkt")
     val withB = df.withColumn(bkt, bucketExpr)
-    val totals = withB.groupBy(col(bkt)).agg(sum(col(valueCol)).as("t"))
+    // totals from the checkpointed projection, not withB: the bucket
+    // is a pure function of orderCol, so both frames assign every row
+    // the same bucket by construction (the invariant documented above)
+    val totals = stats.withColumn(bkt, bucketExpr).groupBy(col(bkt))
+      .agg(sum(col(valueCol)).as("t"))
       .collect().flatMap(r => Option(r.get(1)).map(t => r.getInt(0) -> t.asInstanceOf[Long]))
       .toMap
+    // no explicit unpersist: localCheckpoint blocks are not in the
+    // cache manager (unpersist would be a no-op); the ContextCleaner
+    // reaps them when the RDD is GC'd, and the frame is 2 fields/row
     val offsets = new Array[Long](bounds.length + 2)
     (0 to bounds.length).foreach { p =>
       offsets(p + 1) = offsets(p) + totals.getOrElse(p, 0L)
