@@ -50,6 +50,18 @@ object PretrainExportOps {
   private val windowBudget = 256L
   private val stripeShards = 8L
 
+  /** Deterministic per-corpus store key: basename for readability plus
+    * a short hash of the FULL canonical path — two corpus dirs sharing
+    * a basename must not collide in one store root (they'd alternate
+    * committing a new version per flip, unbounded churn). */
+  private def storeKey(d: String): String = {
+    val canonical = new java.io.File(d).getCanonicalPath
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(canonical.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    s"${new java.io.File(d).getName}_$h"
+  }
+
   /** Session-pinned tokenizer: train once (shared artifact), commit to
     * the versioned store, hand back the reloaded copy.
     *
@@ -66,7 +78,7 @@ object PretrainExportOps {
       val trained = TrainedCache.getOrTrain("unigram_lm_v800", d)(
         UnigramLmOps.train(Tables.documents(s, d), vocabSize = 800, maxLen = 4,
           seedSize = 2000, emIters = 2, pruneFrac = 0.5)._1)
-      val root = s"/tmp/graft_tokstore/pretrain_${new java.io.File(d).getName}"
+      val root = s"/tmp/graft_tokstore/pretrain_${storeKey(d)}"
       val stored =
         if (graft.pipeline.TxTable.latest(s, root)._1 > 0)
           Some(TokenizerStore.loadUnigram(s, root))
@@ -113,7 +125,7 @@ object PretrainExportOps {
       val trained = TrainedCache.getOrTrain("bpe_merges_b6_n6", d)(
         BpeTrain.learnMerges(Tables.documents(s, d),
           numMerges = 6, minCount = 2, batch = 6))
-      val root = s"/tmp/graft_tokstore/pretrain_bpe_${new java.io.File(d).getName}"
+      val root = s"/tmp/graft_tokstore/pretrain_bpe_${storeKey(d)}"
       val stored =
         if (graft.pipeline.TxTable.latest(s, root)._1 > 0)
           Some(TokenizerStore.loadBpe(s, root))

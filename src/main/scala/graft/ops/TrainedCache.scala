@@ -48,6 +48,14 @@ object TrainedCache {
     val hit = cache.get(k)
     if (hit != null) hit.asInstanceOf[T]
     else {
+      // evict dead-session entries on the miss path: one live session
+      // per JVM in this codebase, so a miss under a NEW applicationId
+      // means every entry tagged otherwise references a stopped
+      // context's checkpoint blocks — unreachable forever, and a
+      // long-lived JVM cycling sessions would accumulate them without
+      // bound. ConcurrentHashMap's keySet iterator supports remove.
+      val it = cache.keySet.iterator
+      while (it.hasNext) if (it.next()._3 != k._3) it.remove()
       val v = train
       val prev = cache.putIfAbsent(k, v)
       (if (prev != null) prev else v).asInstanceOf[T]

@@ -67,13 +67,16 @@ object AnnIndex {
 
   private def writeMode(spark: SparkSession, root: String, mode: Mode): Unit = {
     val path = modePath(root)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val s = mode match {
       case Raw => "mode=raw"
       case Adc(m, k) => s"mode=adc,m=$m,k=$k"
     }
-    val out = fs.create(path, false)
-    try out.write(s.getBytes("UTF-8")) finally out.close()
+    // atomic publish (PinFile): a crash mid-write must not leave a
+    // truncated mode file that readMode half-parses while build
+    // refuses to re-run
+    require(PinFile.writeAtomic(spark, path, s),
+      s"postings mode at $root was pinned concurrently — the index is " +
+        "built once (rebuild under a new root to change the mode)")
   }
 
   /** Absence = raw: indexes built before the ADC tier existed carry no
@@ -82,10 +85,7 @@ object AnnIndex {
     val path = modePath(root)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) return Raw
-    val in = fs.open(path)
-    val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-    val kv = s.split(",").map(_.split("=")).map(a => a(0) -> a(1)).toMap
+    val kv = PinFile.readKv(spark, path)
     if (kv("mode") == "raw") Raw else Adc(kv("m").toInt, kv("k").toInt)
   }
 

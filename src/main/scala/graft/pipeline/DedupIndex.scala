@@ -152,15 +152,20 @@ object DedupIndex {
     val path = new org.apache.hadoop.fs.Path(root, "_graft_params")
     val geometry = s"n=${p.n},k=${p.k},rowsPerBand=${p.rowsPerBand}"
     if (f.exists(path)) {
-      val in = f.open(path)
-      val stored = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
+      val stored = PinFile.read(spark, path)
       require(stored == geometry,
         s"index at $root was built with [$stored]; ingest called with [$geometry] — " +
           "band geometry is immutable (rebuild the index to change it)")
     } else {
-      val out = f.create(path, false)
-      try out.write(geometry.getBytes("UTF-8")) finally out.close()
+      // atomic publish: a crash mid-write must not leave a truncated
+      // pin that every later ingest would mismatch against. A
+      // concurrent winner is fine iff it pinned the same geometry.
+      if (!PinFile.writeAtomic(spark, path, geometry)) {
+        val stored = PinFile.read(spark, path)
+        require(stored == geometry,
+          s"index at $root was pinned concurrently with [$stored]; " +
+            s"this ingest uses [$geometry] — band geometry is immutable")
+      }
     }
   }
 

@@ -87,10 +87,16 @@ object PretrainExport {
     require(!fs.exists(path),
       s"export at $root is already initialized (params are immutable — " +
         "a different budget/stripe/vocabulary is a new export)")
-    val bytes = (s"budget=${p.windowBudget},stripes=${p.stripeShards}," +
-      s"maxLen=${p.maxLen},tokVersion=$tokVersion").getBytes("UTF-8")
-    val out = fs.create(path, false)
-    try out.write(bytes) finally out.close()
+    // the dedup geometry is part of the pinned identity: append
+    // reconstructs Params from THIS file, so an unserialized field
+    // would silently revert every append to default band geometry
+    val content = s"budget=${p.windowBudget},stripes=${p.stripeShards}," +
+      s"maxLen=${p.maxLen},tokVersion=$tokVersion," +
+      s"dedupN=${p.dedup.n},dedupK=${p.dedup.k}," +
+      s"dedupRowsPerBand=${p.dedup.rowsPerBand}," +
+      s"dedupThreshold=${p.dedup.threshold},dedupMaxBucket=${p.dedup.maxBucket}"
+    require(PinFile.writeAtomic(spark, path, content),
+      s"export at $root was initialized concurrently (params are immutable)")
   }
 
   private[pipeline] def readParams(
@@ -98,11 +104,15 @@ object PretrainExport {
     val path = paramsPath(root)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(path), s"export at $root is not initialized — call init first")
-    val in = fs.open(path)
-    val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-    val kv = s.split(",").map(_.split("=")).map(a => a(0) -> a(1)).toMap
-    (Params(kv("budget").toLong, kv("stripes").toLong, kv("maxLen").toInt),
+    val kv = PinFile.readKv(spark, path)
+    val dd = DedupIndex.Params() // defaults only for pre-r12 pins, which never carried geometry
+    val dedup = DedupIndex.Params(
+      n = kv.get("dedupN").map(_.toInt).getOrElse(dd.n),
+      k = kv.get("dedupK").map(_.toInt).getOrElse(dd.k),
+      rowsPerBand = kv.get("dedupRowsPerBand").map(_.toInt).getOrElse(dd.rowsPerBand),
+      threshold = kv.get("dedupThreshold").map(_.toDouble).getOrElse(dd.threshold),
+      maxBucket = kv.get("dedupMaxBucket").map(_.toInt).getOrElse(dd.maxBucket))
+    (Params(kv("budget").toLong, kv("stripes").toLong, kv("maxLen").toInt, dedup),
       kv("tokVersion").toLong)
   }
 
@@ -160,11 +170,19 @@ object PretrainExport {
     val (p, tokVersion) = readParams(spark, root)
     val model = TokenizerStore.loadUnigramAt(spark, tokRoot(root), tokVersion)
     val docsIn = docs.count()
-    val kept = PretrainExportOps.qualityKept(docs)
+    // eager cuts on the multi-consumer frames (the repo's discipline
+    // for frames driven through several actions): kept feeds the index
+    // ingest, the canon join, and its own count; canon feeds a count,
+    // the anti-join, and (via novel) the min-id guard, the rendering,
+    // and the per-doc stats. Without the cuts the quality scan and the
+    // verdict join re-executed per action. Both frames are
+    // increment-sized by contract.
+    val kept = PretrainExportOps.qualityKept(docs).localCheckpoint(true)
 
     val verdicts = DedupIndex.ingest(spark, dedupRoot(root), kept, p.dedup)
     val canon = kept.join(
       verdicts.filter(col("accepted")).select("doc_id"), Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
     val keptN = kept.count()
     val acceptedN = canon.count()
 
@@ -182,8 +200,12 @@ object PretrainExport {
       } else (0L, 0L, None)
     val novel =
       if (hasShards)
+        // same eager-cut rationale: three consumers (min-id guard,
+        // rendering, per-doc stats) would each re-run the anti-join
+        // against the stored table
         canon.join(TxTable.read(spark, sRoot).select("doc_id"),
           Seq("doc_id"), "left_anti")
+          .localCheckpoint(true)
       else canon
     // the append-only id contract the incremental ≡ one-shot
     // equivalence rests on — violations corrupt offset continuity, so

@@ -159,4 +159,45 @@ class PretrainExportPipelineSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] { initAt(root) }
     assert(e.getMessage.contains("already initialized"))
   }
+
+  test("custom dedup geometry round-trips through the pinned params") {
+    // the r11 advice finding: writeParams dropped the dedup field, so
+    // append silently ran every probe with DEFAULT band geometry —
+    // pin the full round-trip
+    val root = freshRoot("geom")
+    val custom = PretrainExport.Params(
+      windowBudget = 128L, stripeShards = 4L, maxLen = 3,
+      dedup = DedupIndex.Params(
+        n = 2, k = 16, rowsPerBand = 2, threshold = 0.4, maxBucket = 32))
+    PretrainExport.init(spark, root, tokCorpus, p = custom,
+      vocabSize = 200, seedSize = 500, emIters = 1, pruneFrac = 0.5)
+    val (read, _) = PretrainExport.readParams(spark, root)
+    assert(read == custom, s"params did not round-trip: $read")
+    // and the appends actually run under that geometry (the DedupIndex
+    // root gets pinned on first ingest — a mismatch would throw here)
+    PretrainExport.append(spark, root, mkDocs(b1))
+    PretrainExport.append(spark, root, mkDocs(b2))
+    assert(PretrainExport.shardTable(spark, root).count() > 0)
+  }
+
+  test("a torn params pin is refused loudly, not half-parsed") {
+    val root = freshRoot("torn")
+    initAt(root)
+    // simulate the pre-atomic failure mode: truncate the pin mid-token
+    // (through the Hadoop FS so the .crc sidecar stays consistent —
+    // the point under test is the PARSER, not the checksum layer)
+    val pin = new org.apache.hadoop.fs.Path(root, "_graft_export_params")
+    val fs = pin.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(pin)
+    val full = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    fs.delete(pin, false)
+    val out = fs.create(pin, false)
+    try out.write(full.take(full.indexOf("tokVersion") + 5).getBytes("UTF-8"))
+    finally out.close()
+    val e = intercept[IllegalArgumentException] {
+      PretrainExport.readParams(spark, root)
+    }
+    assert(e.getMessage.contains("malformed pin file"))
+  }
 }
