@@ -138,8 +138,10 @@ object PretrainExportOps {
     * both tokenizer variants — `wordSql` / `suffix` express how a
     * word's pieces concatenate back (unigram: the word itself; BPE:
     * word + `</w>`). */
-  private def composedSql(dumpName: String, wordSql: String): String =
-    s"""WITH RECURSIVE q AS (
+  /** The quality CTEs shared by every export oracle: re-derive the
+    * kept set from the raw documents table. */
+  private def qualitySqlCtes: String =
+    s"""q AS (
         |  SELECT doc_id, text,
         |    len(string_split(text, ' ')) AS n_words,
         |    CAST(len(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
@@ -151,14 +153,25 @@ object PretrainExportOps {
         |kept AS (
         |  SELECT doc_id, text FROM q
         |  WHERE n_words >= 10 AND n_words <= 5000
-        |    AND mwl >= 2 AND mwl <= 12 AND swr >= 0.03),
+        |    AND mwl >= 2 AND mwl <= 12 AND swr >= 0.03)""".stripMargin
+
+  private def composedSql(dumpName: String, wordSql: String): String =
+    s"""WITH RECURSIVE ${qualitySqlCtes},
         |${DedupOps.md5CcCtesSql("kept")},
         |canon AS (
         |  SELECT k.doc_id, k.text
         |  FROM kept k LEFT JOIN comps c ON c.id = k.doc_id
         |  WHERE coalesce(c.component, k.doc_id) = k.doc_id),
         |seg AS (SELECT * FROM read_parquet('${OracleDump.path(dumpName)}')),
-        |ws AS (
+        |${exportTailSql(wordSql)}""".stripMargin
+
+  /** The re-verification + pack/stripe/checksum tail shared by every
+    * export oracle: rebuild each word from the dumped pieces, verify
+    * reconstruction against the corpus text, and recompute offsets,
+    * window ids, stripe assignment and per-shard checksums from
+    * scratch. Consumes CTEs `canon` (doc_id, text) and `seg`. */
+  private def exportTailSql(wordSql: String): String =
+    s"""ws AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS l
         |  FROM canon),
         |words AS (
@@ -197,6 +210,28 @@ object PretrainExportOps {
         |    start_off::VARCHAR || '|' || window_id::VARCHAR || '|' ||
         |    off_in_window::VARCHAR), 1, 15))::BIGINT) AS checksum
         |FROM p2 GROUP BY 1 ORDER BY shard""".stripMargin
+
+  /** Oracle for the INCREMENTAL export ([[graft.pipeline.PretrainExport]]
+    * driven batch-by-batch): the dumped segmentation's doc set is the
+    * engine-only given (the [[graft.pipeline.DedupIndex]] greedy-LSH
+    * acceptance — the kernel itself stays DedupIndexSpec-verified),
+    * joined against the INDEPENDENTLY re-derived quality set, so an
+    * accepted doc that never passed quality drops out of the oracle's
+    * derivation and hash-fails the row counts. Everything downstream —
+    * per-word reconstruction, token counts, offsets, windows, stripes,
+    * checksums — is recomputed GLOBALLY from scratch, which is exactly
+    * the incremental ≡ one-shot contract: the engine produced batch 2's
+    * offsets by CONTINUING stored counters, and a continuity bug
+    * (wrong token base, wrong row base, re-derived rather than stored
+    * state) lands on different window ids/stripes and breaks the
+    * checksum. The oracle never sees the batch split at all. */
+  private def incrSql(dumpName: String): String =
+    s"""WITH RECURSIVE ${qualitySqlCtes},
+        |seg AS (SELECT * FROM read_parquet('${OracleDump.path(dumpName)}')),
+        |canon AS (
+        |  SELECT k.doc_id, k.text
+        |  FROM kept k JOIN (SELECT DISTINCT doc_id FROM seg) a USING (doc_id)),
+        |${exportTailSql("w.word")}""".stripMargin
 
   /** Engine side of the composed chain: render the curated corpus with
     * the caller's tokenizer, dump the segmentation, then re-derive
@@ -311,5 +346,59 @@ object PretrainExportOps {
       composedSql("pretrain_tokens_bpe", "w.word || '</w>'")) { (s, d) =>
       composedQuery(s, d, "pretrain_tokens_bpe", "</w>",
         canon => BpeTrain.tokenizeWordIndexed(canon, pinnedBpe(s, d)))
+    },
+
+    // The incremental pipeline as an oracle key: a FRESH export built
+    // batch-by-batch through the real PretrainExport surface (init →
+    // two id-ordered appends → manifest), with DuckDB re-deriving the
+    // stored table's offsets/stripes/checksums GLOBALLY — see
+    // [[incrSql]]. The split point is (min+max)/2 of doc_id, so the
+    // query exercises the offset-continuation path at every SF.
+    QueryDef(
+      "q_pretrain_export_incr",
+      incrSql("pretrain_incr_tokens")) { (s, d) =>
+      import graft.pipeline.PretrainExport
+      // the export pins the SESSION-SHARED v800 vocabulary (the same
+      // TrainedCache artifact q_unigram_tokenize / q_pretrain_export
+      // apply) instead of training a fresh one per run — initPinned is
+      // the production path for vocabulary reuse across exports, and
+      // it keeps this key measuring the PIPELINE, not a retrain
+      val model = pinnedTokenizer(s, d)
+      // increment-sized batches through 32-way exchanges are pure
+      // scheduling overhead — run the pipeline on a low-partition
+      // session clone (the GraphOps loop-session discipline; results
+      // are partition-count-independent, blocks shared via the context)
+      val incr = s.newSession()
+      s.conf.getAll.foreach { case (k, v) =>
+        try incr.conf.set(k, v)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+      incr.conf.set("spark.sql.shuffle.partitions", "8")
+      // the GraphOps loop-session gates, same rationale: ~45 small
+      // jobs per run, each paying whole-stage codegen compile and AQE
+      // re-planning that tiny frames never amortize. At production
+      // increment sizes run the pipeline on the plain session instead.
+      incr.conf.set("spark.sql.codegen.wholeStage", "false")
+      incr.conf.set("spark.sql.adaptive.enabled", "false")
+      val docs = Tables.documents(incr, d)
+      // a fresh export per run (deterministic root, rebuilt in place):
+      // the query IS the pipeline's lifecycle, so stale state from a
+      // prior run must not leak into this one's offsets
+      val root = s"/tmp/graft_incr_export/${storeKey(d)}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      PretrainExport.initPinned(incr, root, model)
+      val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).collect()(0)
+      val split = (r.getLong(0) + r.getLong(1)) / 2
+      PretrainExport.append(incr, root, docs.filter(col("doc_id") <= split))
+      PretrainExport.append(incr, root, docs.filter(col("doc_id") > split))
+      // the dump: re-render the ACCEPTED set with the pinned model —
+      // deterministic Viterbi, identical to what the appends rendered
+      val accepted = docs.join(
+        PretrainExport.shardTable(incr, root).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      OracleDump.write(
+        UnigramLmOps.tokenize(accepted, model, maxLen = 4),
+        d, "pretrain_incr_tokens")
+      PretrainExport.manifest(incr, root)
     })
 }

@@ -129,6 +129,16 @@ object PretrainExport {
     val model = UnigramLmOps.train(tokenizerCorpus, vocabSize = vocabSize,
       maxLen = p.maxLen, seedSize = seedSize, emIters = emIters,
       pruneFrac = pruneFrac)._1
+    initPinned(spark, root, model, p)
+  }
+
+  /** [[init]] with an ALREADY-trained model — the path for callers
+    * that share one session-trained vocabulary across several exports
+    * (or re-pin a model trained elsewhere): commit it as store
+    * version 1 and pin. Same immutability contract as init. */
+  def initPinned(
+      spark: SparkSession, root: String, model: UnigramLmOps.UnigramModel,
+      p: Params = Params()): Long = {
     TokenizerStore.saveUnigram(spark, tokRoot(root), model)
     val v = TxTable.latest(spark, tokRoot(root))._1
     writeParams(spark, root, p, v)
