@@ -206,5 +206,64 @@ object PackOps {
           col("first_doc"), col("last_doc"),
           concat_ws(" ", col("tokens")).as("win_text"))
         .orderBy("window_id")
+    },
+
+    // The dataloader SHARD layer over the materialized windows — the
+    // rows a training job memory-maps ARE the 256-token arrays, and
+    // the manifest checksum folds every window's CONTENT (not just
+    // counts), so a shard with a torn/reordered/misattributed window
+    // cannot verify. Shard assignment is a pure map (window_id is
+    // DENSE by construction — windows partition the global token
+    // stream — so `window_id div rowsPerShard` IS the prefix-sum row
+    // number and costs nothing); the only exchange is packWindows' own
+    // hash exchange on window_id. The file-writing twin is
+    // [[ExportOps.writeShards]] over this frame with
+    // [[ExportOps.resumeFrom]] resuming at (shard, window) granularity
+    // (ExportOpsSpec); this key pins the derivation both share.
+    QueryDef(
+      "q_shard_windows",
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(coalesce(sum(len(l)) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+        |  FROM t),
+        |pos AS (
+        |  SELECT t.doc_id, unnest(t.l) AS tok,
+        |    c.start_off + CAST(generate_subscripts(t.l, 1) - 1 AS BIGINT) AS pos
+        |  FROM t JOIN c USING (doc_id)),
+        |win AS (
+        |  SELECT pos // 256 AS window_id, pos % 256 AS off, doc_id, tok FROM pos),
+        |wins AS (
+        |  SELECT window_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        |    string_agg(tok, ' ' ORDER BY off) AS win_text
+        |  FROM win GROUP BY 1)
+        |SELECT window_id // 64 AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_windows,
+        |  min(window_id) AS first_window, max(window_id) AS last_window,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |  bit_xor(('0x' || substr(md5(
+        |    window_id::VARCHAR || '|' || n_tokens::VARCHAR || '|' ||
+        |    first_doc::VARCHAR || '|' || last_doc::VARCHAR || '|' ||
+        |    md5(win_text)), 1, 15))::BIGINT) AS checksum
+        |FROM wins GROUP BY 1 ORDER BY shard""".stripMargin) { (s, d) =>
+      val wins = packWindows(Tables.documents(s, d), budget = 256L)
+      val canon = concat_ws("|",
+        col("window_id").cast("string"), col("n_tokens").cast("string"),
+        col("first_doc").cast("string"), col("last_doc").cast("string"),
+        md5(concat_ws(" ", col("tokens"))))
+      wins
+        .withColumn("shard", expr("window_id div 64"))
+        .groupBy("shard")
+        .agg(
+          count(lit(1)).cast(LongType).as("n_windows"),
+          min(col("window_id")).as("first_window"),
+          max(col("window_id")).as("last_window"),
+          sum(col("n_tokens")).cast(LongType).as("sum_tokens"),
+          bit_xor(conv(substring(md5(canon), 1, 15), 16, 10).cast(LongType))
+            .as("checksum"))
+        .orderBy("shard")
     })
 }

@@ -177,6 +177,44 @@ class ExportOpsSpec extends AnyFunSuite {
       fullPlain.map(_.split(",").last))
   }
 
+  test("window-granular shard export: rows ARE the token windows, resume is window-exact") {
+    // the q_shard_windows composition as FILES: writeShards over
+    // packWindows' materialized windows — a training job memory-maps
+    // the token arrays, the manifest checksum covers array content
+    // (hashExprSql folds the tokens column), and resumeFrom restarts
+    // at (shard, window) granularity
+    val root = graft.TestTmp.dir("winshards")
+    val docs = spark.range(200L).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", (0 to 16).map(i => concat(lit(s"w$i"), col("id"))): _*).as("text"))
+    val wins = PackOps.packWindows(docs, budget = 32L)
+    val nWins = wins.count()
+    assert(nWins === (200L * 17L + 31L) / 32L)
+    val m = ExportOps.writeShards(wins, s"$root/w", "window_id", 20L)
+    assert(m.totalRows === nWins)
+    // round-trip: every window's token array survives the files intact
+    val back = spark.read.parquet(s"$root/w")
+    val origText = wins.select(col("window_id"), concat_ws(" ", col("tokens")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    back.select(col("window_id"), concat_ws(" ", col("tokens")).as("t"))
+      .collect().foreach(r => assert(origText(r.getLong(0)) === r.getString(1)))
+    assert(ExportOps.verifyShards(spark, s"$root/w")
+      .filter(!col("checksum_ok")).count() === 0)
+    // window-granular skip-exact resume
+    def stream(s: Long, o: Long) =
+      ExportOps.resumeFrom(spark, s"$root/w", col("window_id"), s, o)
+        .select(col("shard"), col("pos"), col("window_id"),
+          concat_ws(" ", col("tokens")))
+        .collect().map(_.toString).toSeq
+    val full = stream(0L, 0L)
+    assert(full.size === nWins)
+    for ((s, o) <- Seq((0L, 7L), (1L, 0L), (2L, 19L))) {
+      val consumed = (s * 20L + o).toInt
+      assert(stream(s, o) === full.drop(consumed),
+        s"window resume at shard=$s offset=$o is not skip-exact")
+    }
+  }
+
   test("verifyShards passes on intact shards and fails on tampering") {
     val root = graft.TestTmp.dir("shards2")
     ExportOps.writeShards(corpus(3000L), s"$root/t", "doc_id", 1000L)
