@@ -90,7 +90,15 @@ object Plans {
         // round 11: materialized pack windows (one hash exchange on
         // window_id, bucketed prefix sum, no global window) and the
         // BPE-rendered export twin (shared composed chain)
-        "q_pack_windows", "q_pretrain_export_bpe")) {
+        "q_pack_windows", "q_pretrain_export_bpe",
+        // round 12: the window-shard manifest (shard = pure map over
+        // the dense window_id — the only exchange is packWindows' own
+        // hash exchange, then partial→final agg on the shard key).
+        // (q_pretrain_export_incr's plan is the pipeline's own stages —
+        // the append path is profiled in SCALE.md; its RESULT is a
+        // TxTable scan like q_pagerank's checkpoint, nothing to
+        // capture.)
+        "q_shard_windows")) {
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, d).queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode))
