@@ -67,7 +67,7 @@ object AnnSoak {
     // scatter across cells and IVF recall measures nothing — the
     // mixture is the shape real embedding corpora have and the shape
     // the cell-pruned probe is built for.
-    if (args.length > 3 && (args(3) == "recall" || args(3) == "recall-adc")) {
+    if (args.length > 3 && Set("recall", "recall-adc", "recall-opq")(args(3))) {
       val nGroups = 512
       // noise-to-center amplitude ratio (arg 5): at small ratios every
       // neighborhood sits deep inside one planted cluster and recall
@@ -75,13 +75,22 @@ object AnnSoak {
       // is noise comparable to center separation, where true neighbors
       // straddle cell boundaries and nprobe buys recall
       val noise = if (args.length > 4) args(4).toDouble else 0.7
+      // spectral decay (arg 6, default 0 = the §13e isotropic regime):
+      // per-dim amplitude (1+i)^-decay. xxhash-uniform residuals are
+      // ISOTROPIC — every direction carries equal variance, so an OPQ
+      // rotation has nothing to re-balance and measures a wash by
+      // construction. Real embedding spectra decay; decay>0 gives the
+      // covariance structure the rotation exists to align with the PQ
+      // block boundaries.
+      val decay = if (args.length > 5) args(5).toDouble else 0.0
+      val amp = if (decay == 0.0) "" else s" * pow(cast(1 + i as double), ${-decay})"
       def clustered(lo: Long, hi: Long) = spark.range(lo, hi).toDF("vec_id")
         .withColumn("embedding", expr(
           s"""transform(sequence(0, ${dim - 1}), i ->
-             |  (cast(pmod(xxhash64(pmod(vec_id, $nGroups), i), 1000L) as double) / 1000.0 - 0.5)
-             |  + (cast(pmod(xxhash64(vec_id, i, 99), 1000L) as double) / 1000.0 - 0.5) * $noise)"""
+             |  ((cast(pmod(xxhash64(pmod(vec_id, $nGroups), i), 1000L) as double) / 1000.0 - 0.5)
+             |  + (cast(pmod(xxhash64(vec_id, i, 99), 1000L) as double) / 1000.0 - 0.5) * $noise)$amp)"""
             .stripMargin))
-      println(s"[asoak] recall mode: nGroups=$nGroups noise=$noise")
+      println(s"[asoak] recall mode: nGroups=$nGroups noise=$noise decay=$decay")
       val exact = t("exact top-10 (brute force, bounded TopKAgg)") {
         // cosineTopKAgg, NOT the window formulation: the window path
         // locally sorts queries × corpus-slice rows per task and its
@@ -107,6 +116,35 @@ object AnnSoak {
         }
         recallTable("ann", np =>
           AnnIndex.query(spark, root, clustered(0, 100), k = 10, nprobe = np))
+      } else if (args(3) == "recall-opq") {
+        // OPQ-vs-plain-PQ at EQUAL bytes (r11 verdict item 3): same
+        // corpus, same m (same one-byte codes per vector), the only
+        // difference is the frozen rotation the codes were trained
+        // under — the recall delta IS the rotation's value. Both
+        // pure-ADC and re-rank rows, against the same exact baseline
+        // as §13e's plain-PQ table.
+        val m = sys.env.getOrElse("SPARK_GRAFT_ADC_M", (dim / 4).toString).toInt
+        val (adcRoot, opqRoot) = (s"$root/adc", s"$root/opq")
+        t(s"build adc full $n (m=$m k=256)") {
+          AnnIndex.buildAdc(spark, adcRoot, clustered(0, n), nlist = nlist, m = m)
+        }
+        t(s"build opq-adc full $n (m=$m k=256)") {
+          AnnIndex.buildAdc(spark, opqRoot, clustered(0, n), nlist = nlist,
+            m = m, opq = true)
+        }
+        recallTable("adc", np =>
+          AnnIndex.query(spark, adcRoot, clustered(0, 100), k = 10, nprobe = np))
+        recallTable("opq", np =>
+          AnnIndex.query(spark, opqRoot, clustered(0, 100), k = 10, nprobe = np))
+        recallTable("adc+rerank", np =>
+          AnnIndex.queryRerank(spark, adcRoot, clustered(0, 100), k = 10,
+            nprobe = np, corpus = clustered(0, n)))
+        recallTable("opq+rerank", np =>
+          AnnIndex.queryRerank(spark, opqRoot, clustered(0, 100), k = 10,
+            nprobe = np, corpus = clustered(0, n)))
+        val adcB = AnnIndex.postingsBytes(spark, adcRoot)
+        val opqB = AnnIndex.postingsBytes(spark, opqRoot)
+        println(f"[asoak] postings bytes adc=$adcB opq=$opqB ratio=${opqB.toDouble / adcB}%.3f")
       } else {
         // the COMPRESSED tier, same corpus/queries/exact baseline: pure
         // ADC ranking and corpus-sourced exact re-rank, plus the bytes

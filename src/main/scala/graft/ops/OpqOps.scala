@@ -163,7 +163,7 @@ object OpqOps {
       maxSample: Int = KMeans.DefaultMaxSample): Rotation =
     trainRotationPts(KMeans.samplePoints(emb, maxSample), m)
 
-  private def trainRotationPts(pts: Array[Array[Double]], m: Int): Rotation = {
+  private[graft] def trainRotationPts(pts: Array[Array[Double]], m: Int): Rotation = {
     require(pts.nonEmpty, "OPQ training sample is empty")
     val d = pts(0).length
     require(d % m == 0, s"dim $d not divisible into $m blocks")
@@ -198,7 +198,7 @@ object OpqOps {
     Rotation(mean, rot)
   }
 
-  private def rotateOne(
+  private[graft] def rotateOne(
       x: Array[Double], mean: Array[Double], rot: Array[Array[Double]]): Array[Double] = {
     val d = x.length
     val y = new Array[Double](d)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-import graft.ops.{IvfAdcOps, IvfOps, KMeans, PqOps}
+import graft.ops.{IvfAdcOps, IvfOps, KMeans, OpqOps, PqOps}
 
 /** Persisted incremental IVF ANN index — the [[DedupIndex]] contract
   * applied to similarity search: at 100 TB you never re-train or
@@ -46,9 +46,13 @@ import graft.ops.{IvfAdcOps, IvfOps, KMeans, PqOps}
   */
 object AnnIndex {
 
+  /** Serve-batch cap for [[adcScored]] — see the guard there. */
+  val maxAdcQueryBatch = 4096
+
   private def centroidsRoot(root: String) = s"$root/centroids"
   private def postingsRoot(root: String) = s"$root/postings"
   private def codebooksRoot(root: String) = s"$root/codebooks"
+  private def rotationRoot(root: String) = s"$root/rotation"
 
   /** Postings layout, pinned at build beside the log (the band-geometry
     * discipline): RAW stores `(cluster, vec_id, emb, norm)` — exact
@@ -61,6 +65,13 @@ object AnnIndex {
   sealed trait Mode
   case object Raw extends Mode
   final case class Adc(m: Int, k: Int) extends Mode
+  /** ADC with a frozen OPQ rotation on the residuals (Ge et al.; the
+    * [[graft.ops.OpqOps]] query form, persisted): codes quantize
+    * R·(residual − mean) instead of the raw residual, spending the
+    * same m bytes on a variance-balanced block structure. The rotation
+    * is an isometry, so distances — and every persistence contract —
+    * are the Adc tier's; only quantization fidelity changes. */
+  final case class OpqAdc(m: Int, k: Int) extends Mode
 
   private def modePath(root: String) =
     new org.apache.hadoop.fs.Path(root, "_graft_postings")
@@ -70,6 +81,7 @@ object AnnIndex {
     val s = mode match {
       case Raw => "mode=raw"
       case Adc(m, k) => s"mode=adc,m=$m,k=$k"
+      case OpqAdc(m, k) => s"mode=opqadc,m=$m,k=$k"
     }
     // atomic publish (PinFile): a crash mid-write must not leave a
     // truncated mode file that readMode half-parses while build
@@ -86,7 +98,13 @@ object AnnIndex {
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) return Raw
     val kv = PinFile.readKv(spark, path)
-    if (kv("mode") == "raw") Raw else Adc(kv("m").toInt, kv("k").toInt)
+    kv("mode") match {
+      case "raw" => Raw
+      case "adc" => Adc(kv("m").toInt, kv("k").toInt)
+      case "opqadc" => OpqAdc(kv("m").toInt, kv("k").toInt)
+      case other => throw new IllegalArgumentException(
+        s"unknown postings mode '$other' at $path")
+    }
   }
 
   /** Train the frozen codebook on `emb` and commit both tables
@@ -123,7 +141,8 @@ object AnnIndex {
     */
   def buildAdc(
       spark: SparkSession, root: String, emb: DataFrame,
-      nlist: Int, m: Int, k: Int = 256, iters: Int = 5): Unit = {
+      nlist: Int, m: Int, k: Int = 256, iters: Int = 5,
+      opq: Boolean = false): Unit = {
     require(TxTable.latest(spark, centroidsRoot(root))._1 == 0,
       s"index already built at $root (centroids are frozen — a new clustering is a new index)")
     require(k <= 256, s"ADC codes are one byte: k=$k > 256")
@@ -136,7 +155,15 @@ object AnnIndex {
       spherical = true).centroids
     val residuals = pts.map(p =>
       IvfAdcOps.sub(p, coarse(IvfAdcOps.argminL2(p, coarse)._1)))
-    val books = PqOps.trainArrays(residuals, m, k, iters).codebooks
+    // OPQ tier: train the rotation on the SAME bounded residual sample,
+    // freeze it beside the codebooks, and train the books in the
+    // rotated space — encode and query apply the identical frozen map
+    val rot = if (opq) Some(OpqOps.trainRotationPts(residuals, m)) else None
+    val trainPts = rot match {
+      case Some(r) => residuals.map(p => OpqOps.rotateOne(p, r.mean, r.rot))
+      case None => residuals
+    }
+    val books = PqOps.trainArrays(trainPts, m, k, iters).codebooks
     TxTable.commit(
       spark, centroidsRoot(root),
       KMeans.centroidDf(spark, coarse).withColumn("part", lit("all")),
@@ -145,9 +172,43 @@ object AnnIndex {
       spark, codebooksRoot(root),
       codebookDf(spark, books).withColumn("part", lit("all")),
       "part")
-    writeMode(spark, root, Adc(m, k))
-    appendAdcAssigned(spark, root, emb, coarse, books)
+    rot.foreach { r =>
+      TxTable.commit(
+        spark, rotationRoot(root),
+        rotationDf(spark, r).withColumn("part", lit("all")),
+        "part")
+    }
+    writeMode(spark, root, if (opq) OpqAdc(m, k) else Adc(m, k))
+    appendAdcAssigned(spark, root, emb, coarse, books, rot)
     ()
+  }
+
+  /** Frozen rotation rows: idx = -1 is the mean, idx ∈ [0, d) are the
+    * rotation matrix rows — one bounded immutable blob, the centroids
+    * discipline. */
+  private def rotationDf(spark: SparkSession, r: OpqOps.Rotation): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rows = Row(-1, r.mean.toSeq) +:
+      r.rot.zipWithIndex.map { case (v, i) => Row(i, v.toSeq) }.toSeq
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("idx", IntegerType, nullable = false),
+        StructField("rvec", ArrayType(DoubleType, containsNull = false), nullable = false))))
+  }
+
+  private def loadRotation(spark: SparkSession, root: String): OpqOps.Rotation = {
+    val rows = TxTable.read(spark, rotationRoot(root))
+      .select(col("idx"), col("rvec"))
+      .collect()
+    val mean = rows.find(_.getInt(0) == -1)
+      .getOrElse(throw new IllegalStateException(
+        s"rotation table at ${rotationRoot(root)} has no mean row"))
+      .getSeq[Double](1).toArray
+    val rot = rows.filter(_.getInt(0) >= 0).sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+    OpqOps.Rotation(mean, rot)
   }
 
   private def codebookDf(
@@ -195,7 +256,10 @@ object AnnIndex {
     readMode(spark, root) match {
       case Raw => appendAssigned(spark, root, emb, cents)
       case Adc(_, _) =>
-        appendAdcAssigned(spark, root, emb, cents, loadCodebooks(spark, root))
+        appendAdcAssigned(spark, root, emb, cents, loadCodebooks(spark, root), None)
+      case OpqAdc(_, _) =>
+        appendAdcAssigned(spark, root, emb, cents, loadCodebooks(spark, root),
+          Some(loadRotation(spark, root)))
     }
   }
 
@@ -206,19 +270,24 @@ object AnnIndex {
     * shuffle, m bytes per vector. */
   private def adcEncode(
       emb: DataFrame, cents: Array[Array[Double]],
-      books: Array[Array[Array[Double]]]): DataFrame = {
+      books: Array[Array[Array[Double]]],
+      rot: Option[OpqOps.Rotation]): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast((cents, books))
+    val bc = spark.sparkContext.broadcast((cents, books, rot))
     KMeans.assignClusters(IvfOps.unitEmb(emb), cents)
       .select(col("vec_id"), col("cluster"), col("emb"))
       .as[(Long, Int, Seq[Double])]
       .mapPartitions { it =>
-        val (cs, bks) = bc.value
+        val (cs, bks, rt) = bc.value
         val m = bks.length
         val subdim = bks(0)(0).length
         it.map { case (id, cell, u) =>
-          val r = IvfAdcOps.sub(u.toArray, cs(cell))
+          val r0 = IvfAdcOps.sub(u.toArray, cs(cell))
+          val r = rt match {
+            case Some(x) => OpqOps.rotateOne(r0, x.mean, x.rot)
+            case None => r0
+          }
           val codes = new Array[Byte](m)
           var b = 0
           while (b < m) {
@@ -234,8 +303,9 @@ object AnnIndex {
 
   private def appendAdcAssigned(
       spark: SparkSession, root: String, emb: DataFrame,
-      cents: Array[Array[Double]], books: Array[Array[Array[Double]]]): Long = {
-    val assigned = adcEncode(emb, cents, books)
+      cents: Array[Array[Double]], books: Array[Array[Array[Double]]],
+      rot: Option[OpqOps.Rotation]): Long = {
+    val assigned = adcEncode(emb, cents, books, rot)
     val pRoot = postingsRoot(root)
     val novel =
       if (TxTable.latest(spark, pRoot)._1 > 0)
@@ -287,7 +357,7 @@ object AnnIndex {
           col("cluster").cast(LongType).as("cluster"))
       val cents = TxTable.read(spark, centroidsRoot(root)).select(col("cid"), col("cemb"))
       IvfOps.probeRank(corpus, IvfOps.withNorm(queries), cents, k, nprobe)
-    case Adc(_, _) =>
+    case Adc(_, _) | OpqAdc(_, _) =>
       adcScored(spark, root, queries, nprobe)
         .withColumn("cosine", round(lit(1.0) - col("adist") / 2.0, 6))
         .withColumn("rn", row_number().over(
@@ -313,10 +383,24 @@ object AnnIndex {
     import spark.implicits._
     val cents = loadCentroids(spark, root)
     val books = loadCodebooks(spark, root)
+    val rot = readMode(spark, root) match {
+      case OpqAdc(_, _) => Some(loadRotation(spark, root))
+      case _ => None
+    }
     val m = books.length
     val subdim = books(0)(0).length
     val qs = IvfOps.unitEmb(queries)
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    // bounded-driver-state guard: the broadcast carries one m×k ADC
+    // table per (query, probed cell) — queries are a SERVE-side batch
+    // by contract (the IvfAdcOps.search shape), not a corpus. At the
+    // cap the broadcast is maxAdcQueryBatch × nprobe × m × k doubles
+    // (~4096×8×16×256×8B ≈ 1 GiB worst-case); corpus-scale all-pairs
+    // scoring belongs to the batch operators (q_cosine_topk_agg), not
+    // the serve index.
+    require(qs.length <= maxAdcQueryBatch,
+      s"ADC query batch ${qs.length} exceeds $maxAdcQueryBatch — " +
+        "chunk serve batches; corpus-scale scoring is a batch operator's job")
     val cc = cents.map { c =>
       var s = 0.0; var i = 0
       while (i < c.length) { s += c(i) * c(i); i += 1 }
@@ -333,7 +417,13 @@ object AnnIndex {
         ci -> (aa - 2.0 * ab + cc(ci))
       }.sortBy { case (ci, d) => (d, ci) }.take(nprobe).map(_._1)
       val tables = byCell.map { ci =>
-        val r = IvfAdcOps.sub(u, cents(ci))
+        val r0 = IvfAdcOps.sub(u, cents(ci))
+        // the frozen map the postings codes were trained under — an
+        // isometry, so adist keeps its exact meaning
+        val r = rot match {
+          case Some(x) => OpqOps.rotateOne(r0, x.mean, x.rot)
+          case None => r0
+        }
         val t = Array.ofDim[Double](m, books(0).length)
         var b = 0
         while (b < m) {
@@ -385,7 +475,7 @@ object AnnIndex {
       k: Int, nprobe: Int, corpus: DataFrame, pool: Int = 0): DataFrame = {
     readMode(spark, root) match {
       case Raw => query(spark, root, queries, k, nprobe)
-      case Adc(_, _) =>
+      case Adc(_, _) | OpqAdc(_, _) =>
         val p = if (pool > 0) pool else 10 * k
         val cand = adcScored(spark, root, queries, nprobe)
           .withColumn("rn", row_number().over(

@@ -234,6 +234,62 @@ class AnnIndexSpec extends AnyFunSuite {
       "compaction changed ADC answers")
   }
 
+  test("OPQ-ADC postings: frozen rotation round-trips, re-rank equals the raw tier exactly, persistence contracts re-pinned") {
+    val base = graft.TestTmp.dir("ann-index-opq")
+    val (rawRoot, opqRoot) = (s"$base/raw", s"$base/opq")
+    AnnIndex.build(spark, rawRoot, emb, nlist = 4)
+    AnnIndex.buildAdc(spark, opqRoot, emb, nlist = 4, m = 8, k = 32, opq = true)
+    val queries = emb.filter(col("vec_id") < 10)
+
+    // exact-parity pin (the Adc tier's contract, re-pinned under the
+    // rotated layout): full probe + unbounded pool re-ranks the same
+    // candidates by the same rounded exact cosine — the rotation is an
+    // isometry and never reaches the re-rank's raw vectors at all
+    val exactRaw = rows(AnnIndex.query(spark, rawRoot, queries, k = 5, nprobe = 4))
+    val rerank = rows(AnnIndex.queryRerank(
+      spark, opqRoot, queries, k = 5, nprobe = 4, corpus = emb, pool = 1000))
+    assert(rerank === exactRaw,
+      "full-probe full-pool OPQ-ADC re-rank must equal the raw tier exactly")
+
+    // same assignment kernel → same cells as the raw index
+    def stats(r: String) = AnnIndex.cellStats(spark, r)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(stats(opqRoot) === stats(rawRoot))
+
+    // persistence contracts under the rotated layout: grow from half,
+    // replay no-op, takedown at every nprobe, compaction-stable
+    val growRoot = s"$base/grow"
+    val half1 = emb.filter(col("vec_id") % 2 === 0)
+    val half2 = emb.filter(col("vec_id") % 2 === 1)
+    AnnIndex.buildAdc(spark, growRoot, half1, nlist = 4, m = 8, k = 32, opq = true)
+    assert(AnnIndex.append(spark, growRoot, half2) > 0)
+    assert(AnnIndex.append(spark, growRoot, half2) === 0L, "replay must be a no-op")
+    val grown = rows(AnnIndex.query(spark, growRoot, queries, k = 8, nprobe = 2))
+    assert(grown.exists { case (_, vid, _, _) => vid % 2 == 1 },
+      "appended vectors must be retrievable under the OPQ layout")
+    val doomed = Seq(3L, 12L)
+    assert(AnnIndex.delete(spark, growRoot, doomed) === doomed.length)
+    for (np <- 1 to 4) {
+      val got = rows(AnnIndex.queryRerank(
+        spark, growRoot, queries, k = 8, nprobe = np, corpus = emb))
+      assert(!got.exists { case (_, vid, _, _) => doomed.contains(vid) },
+        s"deleted vec_id surfaced through OPQ re-rank at nprobe=$np")
+    }
+    val after = rows(AnnIndex.query(spark, growRoot, queries, k = 8, nprobe = 2))
+    AnnIndex.compact(spark, growRoot)
+    assert(rows(AnnIndex.query(spark, growRoot, queries, k = 8, nprobe = 2)) === after,
+      "compaction changed OPQ-ADC answers")
+
+    // equal bytes: the rotation lives beside the codebooks, never in
+    // the postings — the compression ratio is the plain-ADC tier's
+    val adcRoot = s"$base/plainadc"
+    AnnIndex.buildAdc(spark, adcRoot, emb, nlist = 4, m = 8, k = 32)
+    val (ob, ab) = (AnnIndex.postingsBytes(spark, opqRoot),
+      AnnIndex.postingsBytes(spark, adcRoot))
+    assert(math.abs(ob - ab) * 20 < math.max(ob, ab),
+      s"OPQ postings $ob B diverge from plain-ADC $ab B — rotation leaked into postings?")
+  }
+
   test("streaming ingest tier: checkpointed AvailableNow appends grow the index to the batch-built answers") {
     val base = graft.TestTmp.dir("ann-index-stream")
     val (root, src, ck) = (s"$base/index", s"$base/src", s"$base/ck")
