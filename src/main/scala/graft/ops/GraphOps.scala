@@ -87,10 +87,23 @@ object GraphOps {
     * views.
     */
   private[ops] val loopCodegenMinRows = 4000000L
+  /** `statePerPartRows` > 0 lifts the session-partition cap when the
+    * loop's PER-TASK aggregation state is pair-shaped rather than
+    * node-shaped (LPA's (src,lbl) vote counting — §12j attribution):
+    * partitions are then sized so each task's agg map holds at most
+    * that many rows, even if that means MORE partitions than the
+    * session default. Sum-shaped loops keep the cap: their state
+    * collapses to node cardinality map-side and extra partitions are
+    * pure scheduling overhead. */
   private[ops] def loopSession(
-      spark: org.apache.spark.sql.SparkSession, workingRows: Long) = {
+      spark: org.apache.spark.sql.SparkSession, workingRows: Long,
+      statePerPartRows: Long = 0L) = {
     val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toLong
-    val loopParts = math.max(1L, math.min(sessionParts, workingRows / 250000L))
+    val cap =
+      if (statePerPartRows > 0L)
+        math.max(sessionParts, workingRows / statePerPartRows)
+      else sessionParts
+    val loopParts = math.max(1L, math.min(cap, workingRows / 250000L))
     val loop = spark.newSession()
     spark.conf.getAll.foreach { case (k, v) =>
       try loop.conf.set(k, v)
@@ -642,7 +655,13 @@ object GraphOps {
     val nEdges = e0.count()
     val nNodes = e0.select(col("src")).distinct().count()
     val small = nNodes <= broadcastRanksMaxNodes
-    val loop = loopSession(spark, nEdges)
+    // pair-aware partitioning (the §12j fix): LPA's round-1 vote state
+    // is (src, lbl) with labels all-distinct — EDGE cardinality, not
+    // node cardinality — and it crosses into sort-fallback/spill past
+    // ~1-2M pairs per task. Size tasks to ~1.5M pairs even when that
+    // exceeds the session partition default; small graphs are
+    // unaffected (the rows/250k floor binds first).
+    val loop = loopSession(spark, nEdges, statePerPartRows = 1500000L)
     val tag = java.util.UUID.randomUUID().toString.replace("-", "")
     val (ev, ov) = (s"graft_lp_e_$tag", s"graft_lp_o_$tag")
     try {
