@@ -172,6 +172,101 @@ object PretrainExport {
     TxTable.latest(spark, tokRoot(root))._1
   }
 
+  /** Crash-consistent O(increment) base counters. The offset
+    * continuation needs (sum tokens, row count, max doc_id) over the
+    * STORED table; re-aggregating the table per append is the one
+    * O(corpus) term the incremental pipeline had. The checkpoint makes
+    * it O(increment): after each commit the updated counters are
+    * written create-once under `_graft_export_counters/<version>.ck`
+    * (the TxTable-manifest discipline — never an in-place overwrite
+    * that could tear), and the next append CATCHES UP from the newest
+    * checkpoint at-or-below the current table version by aggregating
+    * only the dirs committed since ([[TxTable.readSince]]). A crash
+    * between the shard commit and the checkpoint write just widens the
+    * catch-up window by one version; a compaction (which breaks the
+    * dir-level delta) falls back to the full re-derive and
+    * re-checkpoints. The counters are a CACHE of the stored table,
+    * never a side source of truth — any missing/unparseable state
+    * degrades to the derived aggregate, bit-identical by construction.
+    */
+  private def countersDir(root: String) =
+    new org.apache.hadoop.fs.Path(root, "_graft_export_counters")
+
+  private def writeCounters(spark: SparkSession, root: String,
+      version: Long, tokens: Long, rows: Long, maxId: Long): Unit = {
+    val dir = countersDir(root)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    val p = new org.apache.hadoop.fs.Path(dir, f"$version%08d.ck")
+    // create-once: a replayed append recomputes identical counters, so
+    // losing the race to an earlier writer of the same version is fine
+    PinFile.writeAtomic(spark, p,
+      s"version=$version,tokens=$tokens,rows=$rows,maxId=$maxId")
+    // superseded checkpoints are dead weight, not history — best-effort reap
+    fs.listStatus(dir).foreach { st =>
+      val n = st.getPath.getName
+      if (n.endsWith(".ck") && n.stripSuffix(".ck").toLong < version)
+        fs.delete(st.getPath, false)
+    }
+  }
+
+  /** (tokens, rows, maxId) of the shard table at `version`, via the
+    * newest usable checkpoint plus a readSince catch-up. */
+  private def baseCounters(spark: SparkSession, root: String,
+      version: Long): (Long, Long, Option[Long]) = {
+    if (version == 0L) return (0L, 0L, None)
+    val sRoot = shardsRoot(root)
+    val dir = countersDir(root)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ck: Option[(Long, Long, Long, Long)] =
+      if (!fs.exists(dir)) None
+      else fs.listStatus(dir).map(_.getPath)
+        .filter(_.getName.endsWith(".ck"))
+        .flatMap { p =>
+          // unparseable = torn pre-atomic debris or a hand edit: skip it
+          // (the cache degrades, never corrupts)
+          try {
+            val kv = PinFile.readKv(spark, p)
+            val v = kv("version").toLong
+            if (v <= version)
+              Some((v, kv("tokens").toLong, kv("rows").toLong, kv("maxId").toLong))
+            else None
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }
+        .sortBy(-_._1).headOption
+    def fullDerive(): (Long, Long, Option[Long]) = {
+      val r = TxTable.readAt(spark, sRoot, version)
+        .agg(sum(col("n_tokens")), count(lit(1)), max(col("doc_id"))).collect()(0)
+      (r.getLong(0), r.getLong(1), Some(r.getLong(2)))
+    }
+    val derived = ck match {
+      case Some((v, t, rws, mx)) if v == version => (t, rws, Some(mx))
+      case Some((v, t, rws, mx)) =>
+        (try Right(TxTable.readSince(spark, sRoot, v, version))
+         catch { case _: IllegalArgumentException => Left(()) }) match {
+          case Right(Some(delta)) =>
+            val d = delta.agg(sum(col("n_tokens")), count(lit(1)),
+              max(col("doc_id"))).collect()(0)
+            (t + d.getLong(0), rws + d.getLong(1), Some(math.max(mx, d.getLong(2))))
+          case Right(None) =>
+            // the window added no data dirs (manifest-only bumps):
+            // the checkpointed counters still describe the table
+            (t, rws, Some(mx))
+          case Left(_) =>
+            // a rewrite (compaction/delete) broke the dir-level delta —
+            // fall back to the full aggregate and re-checkpoint
+            fullDerive()
+        }
+      case None => fullDerive()
+    }
+    // checkpoint the caught-up state so the next append starts at zero
+    // lag (skip when the checkpoint already sits at this version)
+    if (!ck.exists(_._1 == version))
+      derived._3.foreach(mx =>
+        writeCounters(spark, root, version, derived._1, derived._2, mx))
+    derived
+  }
+
   /** Ingest one batch: quality gate → [[DedupIndex.ingest]] (the
     * O(increment) probe) → anti-join stored shard rows (replay guard)
     * → pinned-vocab rendering → offset-continued pack + stripe → one
@@ -197,26 +292,35 @@ object PretrainExport {
     val acceptedN = canon.count()
 
     val sRoot = shardsRoot(root)
-    val hasShards = TxTable.latest(spark, sRoot)._1 > 0
-    // base counters + replay guard from the STORED table (derived, not
-    // a side counter that could desync across a crash): one bounded
-    // aggregate — (sum tokens, row count, max id)
-    val (tokenBase, rowBase, maxStored) =
-      if (hasShards) {
-        val r = TxTable.read(spark, sRoot)
-          .agg(sum(col("n_tokens")), count(lit(1)), max(col("doc_id")))
-          .collect()(0)
-        (r.getLong(0), r.getLong(1), Some(r.getLong(2)))
-      } else (0L, 0L, None)
+    val storedVersion = TxTable.latest(spark, sRoot)._1
+    val hasShards = storedVersion > 0
+    // base counters for the offset continuation — checkpointed +
+    // readSince catch-up (O(increment)), derived from the stored table
+    // whenever the cache is missing or stale (never a side counter
+    // that could desync across a crash)
+    val (tokenBase, rowBase, maxStored) = baseCounters(spark, root, storedVersion)
     val novel =
-      if (hasShards)
-        // same eager-cut rationale: three consumers (min-id guard,
-        // rendering, per-doc stats) would each re-run the anti-join
-        // against the stored table
-        canon.join(TxTable.read(spark, sRoot).select("doc_id"),
-          Seq("doc_id"), "left_anti")
-          .localCheckpoint(true)
-      else canon
+      if (hasShards) {
+        val mn = canon.agg(min(col("doc_id"))).collect()(0)
+        if (mn.isNullAt(0)) canon // empty batch: nothing to re-guard
+        else
+          // replay guard. The stored side is pruned to doc_id >= the
+          // batch's min id BEFORE the anti-join — sound because canon
+          // ids are all >= that min, so dropped stored ids could never
+          // match — which the parquet min/max footers turn into an
+          // O(increment + overlap) probe: a fresh batch (ids above the
+          // stored max) prunes EVERY stored stripe; a replayed batch
+          // reads only the stripes its own id range landed in. Without
+          // the prune this join re-scanned the full stored id column
+          // per append — the last O(corpus) term in the loop.
+          // Same eager-cut rationale as kept/canon: three consumers
+          // (min-id guard, rendering, per-doc stats).
+          canon.join(
+            TxTable.read(spark, sRoot).select("doc_id")
+              .filter(col("doc_id") >= mn.getLong(0)),
+            Seq("doc_id"), "left_anti")
+            .localCheckpoint(true)
+      } else canon
     // the append-only id contract the incremental ≡ one-shot
     // equivalence rests on — violations corrupt offset continuity, so
     // refuse loudly instead of silently interleaving
@@ -236,16 +340,61 @@ object PretrainExport {
       perDoc, p.windowBudget, p.stripeShards, tokenBase, rowBase)
     val cut = rows.localCheckpoint(false)
     val n = cut.count()
-    if (n > 0) TxTable.appendCommit(spark, sRoot, cut, "shard")
+    if (n > 0) {
+      val v = TxTable.appendCommit(spark, sRoot, cut, "shard")
+      // roll the counter checkpoint forward from the increment (one
+      // bounded agg over the just-committed batch). A crash before
+      // this write only widens the next append's readSince catch-up.
+      val d = cut.agg(sum(col("n_tokens")), max(col("doc_id"))).collect()(0)
+      writeCounters(spark, root, v, tokenBase + d.getLong(0), rowBase + n,
+        math.max(maxStored.getOrElse(Long.MinValue), d.getLong(1)))
+    }
     AppendStats(docsIn, keptN, acceptedN, n)
   }
 
   /** The packed shard table (all rows, all stripes). */
   def shardTable(spark: SparkSession, root: String): DataFrame =
-    TxTable.read(spark, shardsRoot(root))
-      .select(col("doc_id"), col("n_words"), col("n_tokens"), col("n_rec"),
-        col("start_off"), col("window_id"), col("off_in_window"),
-        col("shard").cast("long").as("shard"))
+    shardCols(TxTable.read(spark, shardsRoot(root)))
+
+  private def shardCols(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("n_words"), col("n_tokens"), col("n_rec"),
+      col("start_off"), col("window_id"), col("off_in_window"),
+      col("shard").cast("long").as("shard"))
+
+  /** The shard table's committed [[TxTable]] version — the watermark a
+    * training job polls against (0 = nothing committed yet). Every
+    * successful [[append]] with surviving rows bumps it by exactly one;
+    * the version is read from the manifest log (two file listings),
+    * never invented, so read-your-writes is one [[shardVersion]] call
+    * after the append returns. */
+  def shardVersion(spark: SparkSession, root: String): Long =
+    TxTable.latest(spark, shardsRoot(root))._1
+
+  /** The shard table AS OF a committed version — a whole-version
+    * snapshot (one atomic manifest, never a mix of versions), the same
+    * staleness contract [[ServeCache]] gives the sensor gold tier. */
+  def shardTableAt(spark: SparkSession, root: String, version: Long): DataFrame =
+    shardCols(TxTable.readAt(spark, shardsRoot(root), version))
+
+  /** Incremental poll: the rows appended AFTER `sinceVersion`, pinned at
+    * the CURRENT committed version — `(that version, new rows)`, or None
+    * when the table hasn't advanced. Cost is O(increment): the shard
+    * table only ever grows by blind appends ([[append]] commits through
+    * [[TxTable.appendCommit]]), so the delta is exactly the data dirs
+    * added since `sinceVersion` ([[TxTable.readSince]]) — a consumer
+    * tailing a 100 TB export reads the new stripes, never the corpus.
+    * A compaction in the window breaks the dir-level delta and is
+    * REFUSED loudly by readSince (re-baseline from [[shardTableAt]]).
+    *
+    * snapshot(since) ∪ delta ≡ snapshot(returned version) — spec-pinned
+    * in ShardFeedSpec. */
+  def newShardsSince(
+      spark: SparkSession, root: String, sinceVersion: Long): Option[(Long, DataFrame)] = {
+    val v = shardVersion(spark, root)
+    if (v <= sinceVersion) None
+    else TxTable.readSince(spark, shardsRoot(root), sinceVersion, v)
+      .map(df => (v, shardCols(df)))
+  }
 
   /** The striped manifest over the CURRENT table — the same aggregate
     * the one-shot flagship query emits ([[PretrainExportOps.shardSummary]]),

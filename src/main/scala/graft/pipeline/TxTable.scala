@@ -506,6 +506,72 @@ object TxTable {
     publishOptimistic(spark, root, stage(spark, root, data, partitionCol), partitionCol, base)
   }
 
+  /** Incremental read: the rows ADDED between `sinceVersion` (exclusive)
+    * and `toVersion` (inclusive) — the cheap "new data since version V"
+    * poll an incremental consumer (a training job tailing a shard
+    * table) runs instead of re-scanning the table. Cost is O(increment):
+    * only the data dirs that appeared in the manifest AFTER
+    * `sinceVersion` are scanned; the manifests themselves are two small
+    * log files.
+    *
+    * Valid ONLY across blind-append commits ([[appendCommit]] /
+    * [[appendPublish]]), whose manifest entries GROW — every old
+    * partition keeps its dirs and new dirs join the tail. A rewriting
+    * commit in the window ([[commit]], [[deleteWhere]], [[compactAll]],
+    * [[compactZOrder]]) re-homes EXISTING rows into fresh dirs, where a
+    * dir-level diff would double-count them as new — detected (an old
+    * entry whose dir list is not a prefix of the new one, or a dropped
+    * partition) and REFUSED loudly: the consumer must re-baseline from a
+    * full snapshot at `toVersion` rather than receive silently duplicated
+    * or phantom rows. `sinceVersion = 0` returns the full snapshot (every
+    * dir is new to a consumer that has seen nothing).
+    *
+    * Both manifests must still exist ([[vacuum]] bounds the horizon —
+    * same contract as [[readAt]]). Returns None when the window adds no
+    * dirs (toVersion may still be > sinceVersion: a manifest can be
+    * published with no new data dirs, e.g. a lost-CAS retry artifact).
+    */
+  def readSince(spark: SparkSession, root: String,
+      sinceVersion: Long, toVersion: Long): Option[DataFrame] = {
+    require(sinceVersion <= toVersion,
+      s"readSince window is inverted: since=$sinceVersion > to=$toVersion")
+    if (sinceVersion == toVersion) return None
+    val f = fs(spark, root)
+    val newEntries = parseManifest(f, {
+      val m = new Path(logDir(root), manifestName(toVersion))
+      require(f.exists(m), s"version $toVersion does not exist at $root " +
+        "(committed or already vacuumed)")
+      m
+    })
+    val oldEntries: Map[String, String] =
+      if (sinceVersion == 0L) Map.empty
+      else parseManifest(f, {
+        val m = new Path(logDir(root), manifestName(sinceVersion))
+        require(f.exists(m), s"version $sinceVersion does not exist at $root " +
+          "(committed or already vacuumed) — re-baseline from a full snapshot")
+        m
+      })
+    val added = newEntries.toSeq.flatMap { case (k, entry) =>
+      val newDirs = dirsOf(entry)
+      val oldDirs = oldEntries.get(k).map(dirsOf).getOrElse(Seq.empty)
+      require(newDirs.take(oldDirs.size) == oldDirs,
+        s"partition '$k' was REWRITTEN between versions $sinceVersion and " +
+          s"$toVersion (dirs ${oldDirs.mkString(",")} -> ${newDirs.mkString(",")}) " +
+          "— a dir-level delta would double-count its rows; re-baseline from " +
+          s"readAt($toVersion)")
+      newDirs.drop(oldDirs.size).map(k -> _)
+    }
+    val dropped = (oldEntries.keySet -- newEntries.keySet).toSeq.sorted
+    require(dropped.isEmpty,
+      s"partitions [${dropped.mkString(", ")}] were DELETED between versions " +
+        s"$sinceVersion and $toVersion — the append-only delta contract is " +
+        s"broken; re-baseline from readAt($toVersion)")
+    if (added.isEmpty) None
+    else Some(readManifest(spark, root, added.groupBy(_._1).map {
+      case (k, kvs) => k -> kvs.map(_._2).mkString("\t")
+    }))
+  }
+
   /** Migration guard: a pre-existing FLAT parquet table at `root` (the
     * pre-TxTable on-disk format) must not be silently shadowed — writing
     * a `_txlog` beside it would freeze the flat files forever while
