@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.PretrainExport
+
+/** Scale soak for the INCREMENTAL pretrain export ([[PretrainExport]]):
+  * N synthetic documents arrive in K id-ordered batches through the
+  * real init/append surface, and the claim under test is the
+  * incremental model's defining property — per-batch wall stays FLAT
+  * as the stored corpus grows (O(increment), never O(corpus)). The
+  * reference's watermark+merge loop (stg_readings.sql:32-38) has the
+  * same shape: re-process only new partitions.
+  *
+  * What each batch pays, by design:
+  *  - quality gate + DedupIndex probe: O(batch + matched buckets);
+  *  - replay anti-join: stored side pruned to doc_id >= the batch's
+  *    min id (parquet footer pruning skips every older stripe);
+  *  - offset continuation: checkpointed counters + readSince catch-up
+  *    (aggregates only the dirs committed since the checkpoint);
+  *  - rendering/pack/stripe: O(batch) with one hash exchange.
+  * The O(corpus) terms this soak would expose if they existed:
+  * a full-table counter aggregate, an unpruned anti-join, or LSH
+  * band-bucket growth leaking into probe cost.
+  *
+  * Corpus: quality-passing 12-word docs with doc-unique vocabulary;
+  * ~1% planted exact dups referencing EARLIER ids (some cross-batch),
+  * so the dedup probe pays its real matched-bucket cost every batch.
+  *
+  * Run: `run_soak.sh graft.ExportSoak <heap> <log> [docs] [batches]`
+  * (defaults 2,000,000 docs / 10 batches). Prints per-batch wall +
+  * AppendStats + shard version; final manifest + feed-poll check.
+  */
+object ExportSoak {
+
+  def syntheticDocs(spark: SparkSession, from: Long, until: Long): DataFrame = {
+    // planted exact dups referencing EARLIER ids: ~1% adjacent (id-1,
+    // same batch) + ~0.02% far (id/2 — prior batches once the corpus
+    // grows), so the dedup probe pays same-batch AND cross-batch
+    // matched-bucket cost. (id/2 may itself be a remapped id, making
+    // the "dup" unique — rare noise, harmless to the cost shape.)
+    val src = when(pmod(col("id"), lit(5003)) === 0 && col("id") > 1,
+      (col("id") / 2).cast("long"))
+      .otherwise(when(pmod(col("id"), lit(97)) === 0 && col("id") > 1,
+        col("id") - 1).otherwise(col("id")))
+    spark.range(from, until).toDF("id")
+      .select(col("id").as("doc_id"),
+        concat_ws(" ",
+          lit("the"), concat(lit("alpha"), src), concat(lit("beta"), src),
+          concat(lit("gamma"), src), concat(lit("delta"), src),
+          concat(lit("epsilon"), src), concat(lit("zeta"), src),
+          concat(lit("eta"), src), concat(lit("theta"), src),
+          lit("and"), concat(lit("iota"), src), concat(lit("kappa"), src)
+        ).as("text"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = if (args.nonEmpty) args(0).toLong else 2000000L
+    val nBatches = if (args.length > 1) args(1).toInt else 10
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SOAK_PARTS", "32")
+    val offheap = sys.env.get("SPARK_GRAFT_SOAK_OFFHEAP")
+    val b = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.cleaner.periodicGC.interval", "60s")
+      .config("spark.ui.enabled", "false")
+    val spark = offheap.fold(b) { sz =>
+      b.config("spark.memory.offHeap.enabled", "true")
+        .config("spark.memory.offHeap.size", sz)
+    }.getOrCreate()
+    println(s"[esoak] docs=$nDocs batches=$nBatches " +
+      s"shuffle.partitions=$parts offheap=${offheap.getOrElse("off")}")
+    spark.sparkContext.setLogLevel("WARN")
+
+    val root = java.nio.file.Files.createTempDirectory("graft-export-soak")
+      .toFile.getAbsolutePath + "/export"
+    // tokenizer seed: a bounded sample — the vocabulary is a one-time
+    // training decision, never retrained per batch
+    val seed = syntheticDocs(spark, 1L, 2001L)
+    val t0 = System.nanoTime()
+    PretrainExport.init(spark, root, seed,
+      vocabSize = 400, seedSize = 1000, emIters = 1, pruneFrac = 0.5)
+    println(f"[esoak] init (tokenizer train + pin) wall=${(System.nanoTime() - t0) / 1e9}%7.2f s")
+
+    val per = nDocs / nBatches
+    var feedVersion = 0L
+    for (i <- 0 until nBatches) {
+      val from = 1L + i * per
+      val until = if (i == nBatches - 1) nDocs + 1L else from + per
+      val batch = syntheticDocs(spark, from, until).localCheckpoint(false)
+      val tb = System.nanoTime()
+      val st = PretrainExport.append(spark, root, batch)
+      val wall = (System.nanoTime() - tb) / 1e9
+      val v = PretrainExport.shardVersion(spark, root)
+      println(f"[esoak] batch ${i + 1}%2d/$nBatches ids=[$from,${until - 1}] " +
+        f"wall=$wall%7.2f s  in=${st.docsIn} kept=${st.qualityKept} " +
+        f"accepted=${st.accepted} appended=${st.appended} version=$v")
+      // the serve-freshness poll a training job would run: new rows
+      // since the last version, O(increment) by readSince
+      val tp = System.nanoTime()
+      val polled = PretrainExport.newShardsSince(spark, root, feedVersion)
+        .map { case (pv, df) => feedVersion = pv; df.count() }.getOrElse(0L)
+      println(f"[esoak]   feed poll: $polled rows to v$feedVersion " +
+        f"wall=${(System.nanoTime() - tp) / 1e9}%6.2f s")
+    }
+    val tm = System.nanoTime()
+    val man = PretrainExport.manifest(spark, root).collect()
+    println(f"[esoak] manifest (${man.length} stripes) wall=${(System.nanoTime() - tm) / 1e9}%6.2f s")
+    man.foreach(r => println(s"[esoak]   $r"))
+    val total = PretrainExport.shardTable(spark, root).count()
+    println(s"[esoak] total shard rows: $total")
+    spark.stop()
+    // one-off scratch store — reclaim the disk (the soak-litter
+    // discipline TestTmp enforces for the test JVM)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root).getParentFile)
+    ()
+  }
+}

@@ -27,14 +27,30 @@ object OracleDump {
   val oracleSf = "sf0.01"
   val root = "/tmp/graft_oracle"
 
-  /** Dump path for `name` as the DuckDB SQL must reference it. */
+  /** Dump path for `name` as the DuckDB SQL must reference it. The SQL
+    * string is static (the driver's contract), so it names the compare
+    * SF; a sweep at another SF rewrites the `_sf0.01/` segment to its
+    * own SF (`scripts/remap_dump_scoped.py`) after a Verify run made
+    * that SF's dumps exist (the `SPARK_GRAFT_DUMP_ALL_SF` knob below). */
   def path(name: String): String = s"$root/${name}_$oracleSf/*.parquet"
 
+  /** Sweep knob: with `SPARK_GRAFT_DUMP_ALL_SF=1`, dumps are written at
+    * EVERY SF (each under its own sf-keyed dir — concurrent sweeps at
+    * different SFs never collide), so the 3-SF sweep can oracle-check
+    * the dump-scoped keys instead of stripping them. Unset (the driver
+    * and every bench run), only the compare SF writes — a timed run at
+    * another SF pays zero dump cost and can't clobber the compare input. */
+  private def dumpAllSf: Boolean =
+    sys.env.get("SPARK_GRAFT_DUMP_ALL_SF").contains("1")
+
   /** Atomically publish `df` (small by contract — coalesced to one
-    * file) under `name` iff `sfDir` is the oracle SF. */
+    * file) under `name` iff `sfDir` is the oracle SF (or the all-SF
+    * sweep knob is set, in which case the dump is keyed by the ACTUAL
+    * SF name). */
   def write(df: DataFrame, sfDir: String, name: String): Unit = {
-    if (new java.io.File(sfDir).getName == oracleSf) {
-      val target = new java.io.File(s"$root/${name}_$oracleSf")
+    val sfName = new java.io.File(sfDir).getName
+    if (sfName == oracleSf || dumpAllSf) {
+      val target = new java.io.File(s"$root/${name}_$sfName")
       val tmp = new java.io.File(
         target.getParent, s".tmp_${target.getName}_${java.util.UUID.randomUUID()}")
       df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
