@@ -8,6 +8,7 @@
 # Usage: sweep_3sf.sh [outRoot]   (default /tmp/graft_sweep)
 set -e
 OUT=${1:-/tmp/graft_sweep}
+mkdir -p "$OUT"
 cd "$(dirname "$0")/.."
 for SF in sf0.001 sf0.01 sf0.1; do
   echo "=== $SF ==="

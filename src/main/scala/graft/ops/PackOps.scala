@@ -49,7 +49,21 @@ object PackOps {
     */
   def exclusivePrefixSum(
       df: DataFrame, orderCol: String, valueCol: String, acc: String,
+      numBuckets: Int = 0): DataFrame =
+    exclusivePrefixSums(df, orderCol, Seq(valueCol -> acc), numBuckets)
+
+  /** Multi-column twin of [[exclusivePrefixSum]]: ONE bucket sample,
+    * ONE narrow checkpoint, ONE totals pass and ONE bucket-local window
+    * scan produce the exclusive prefix sum of EVERY (valueCol -> acc)
+    * pair in the same `orderCol` order. Callers that need two
+    * accumulations over the same order (packAndStripe: token offsets
+    * AND row numbers) pay one scan instead of two nested ones — at
+    * bench scale that halves the prefix-sum job count, at 100 TB it
+    * halves the exchanges. */
+  def exclusivePrefixSums(
+      df: DataFrame, orderCol: String, vals: Seq[(String, String)],
       numBuckets: Int = 0): DataFrame = {
+    require(vals.nonEmpty, "exclusivePrefixSums needs at least one (value, acc) pair")
     val spark = df.sparkSession
     import spark.implicits._
     val nb = {
@@ -65,7 +79,8 @@ object PackOps {
     // need only (orderCol, valueCol), so the checkpoint stays rows x
     // 2 fields however wide the caller's frame is, and the returned
     // plan still consumes the caller's `df` lazily exactly once.
-    val stats = df.select(col(orderCol), col(valueCol)).localCheckpoint(true)
+    val stats = df.select((col(orderCol) +: vals.map(v => col(v._1))): _*)
+      .localCheckpoint(true)
     // deterministic uniform sample: the sampleSize smallest xxhash64
     // values of orderCol (total order, data-dependent only)
     val sampleSize = nb * 64
@@ -90,27 +105,39 @@ object PackOps {
     // totals from the checkpointed projection, not withB: the bucket
     // is a pure function of orderCol, so both frames assign every row
     // the same bucket by construction (the invariant documented above)
-    val totals = stats.withColumn(bkt, bucketExpr).groupBy(col(bkt))
-      .agg(sum(col(valueCol)).as("t"))
-      .collect().flatMap(r => Option(r.get(1)).map(t => r.getInt(0) -> t.asInstanceOf[Long]))
-      .toMap
+    val totalRows = stats.withColumn(bkt, bucketExpr).groupBy(col(bkt))
+      .agg(vals.map(v => sum(col(v._1)).as(s"_t_${v._2}")).head,
+        vals.drop(1).map(v => sum(col(v._1)).as(s"_t_${v._2}")): _*)
+      .collect()
     // no explicit unpersist: localCheckpoint blocks are not in the
     // cache manager (unpersist would be a no-op); the ContextCleaner
-    // reaps them when the RDD is GC'd, and the frame is 2 fields/row
-    val offsets = new Array[Long](bounds.length + 2)
-    (0 to bounds.length).foreach { p =>
-      offsets(p + 1) = offsets(p) + totals.getOrElse(p, 0L)
+    // reaps them when the RDD is GC'd, and the frame stays narrow
+    // (orderCol + the value columns) however wide the caller's df is
+    val baseRows: Seq[Seq[Any]] = {
+      val totals: Seq[Map[Int, Long]] = vals.indices.map { vi =>
+        totalRows.flatMap(r =>
+          Option(r.get(1 + vi)).map(t => r.getInt(0) -> t.asInstanceOf[Long])).toMap
+      }
+      (0 to bounds.length).map { p =>
+        p.asInstanceOf[Any] +: vals.indices.map(vi =>
+          (0 until p).map(q => totals(vi).getOrElse(q, 0L)).sum.asInstanceOf[Any])
+      }
     }
     // per-bucket base offsets ride back as a broadcast join with a
     // numBuckets-row table — never a numBuckets-deep expression
-    val base = SkewOps.freshName(withB, "base_off")
-    val offDf = (0 to bounds.length).map(p => (p, offsets(p))).toDF(bkt, base)
+    val baseNames = vals.map(v => SkewOps.freshName(withB, s"base_${v._2}"))
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        baseRows.map(org.apache.spark.sql.Row.fromSeq), 1),
+      StructType(StructField(bkt, IntegerType, nullable = false) +:
+        baseNames.map(n => StructField(n, LongType, nullable = false))))
     val w = Window.partitionBy(col(bkt)).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    withB
-      .join(broadcast(offDf), bkt)
-      .withColumn(acc, coalesce(sum(col(valueCol)).over(w), lit(0L)) + col(base))
-      .drop(bkt, base)
+    vals.zip(baseNames).foldLeft(withB.join(broadcast(offDf), bkt)) {
+      case (acc0, ((valueCol, acc), base)) =>
+        acc0.withColumn(acc,
+          coalesce(sum(col(valueCol)).over(w), lit(0L)) + col(base))
+    }.drop((bkt +: baseNames): _*)
   }
 
   /** MATERIALIZED fixed-budget context windows — the rows a dataloader

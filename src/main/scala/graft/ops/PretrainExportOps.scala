@@ -296,13 +296,17 @@ object PretrainExportOps {
     val perDocCk = perDoc.localCheckpoint(true)
     val one = SkewOps.freshName(perDocCk, "one")
     val rn = SkewOps.freshName(perDocCk, "rn")
-    val packed = PackOps
-      .exclusivePrefixSum(perDocCk, "doc_id", "n_tokens", "start_off")
+    // FUSED scan: token offsets and row numbers are both prefix sums in
+    // doc_id order, so one bucket sample / checkpoint / totals pass /
+    // window scan produces both (was two nested exclusivePrefixSum
+    // calls — double the driver actions and, at scale, double the
+    // exchanges)
+    PackOps
+      .exclusivePrefixSums(perDocCk.withColumn(one, lit(1L)), "doc_id",
+        Seq("n_tokens" -> "start_off", one -> rn))
       .withColumn("start_off", col("start_off") + lit(tokenBase))
       .withColumn("window_id", expr(s"start_off div $budget"))
       .withColumn("off_in_window", col("start_off") % budget)
-    PackOps
-      .exclusivePrefixSum(packed.withColumn(one, lit(1L)), "doc_id", one, rn)
       .withColumn("shard", pmod(col(rn) + lit(rowBase), lit(shards)))
       .drop(one, rn)
   }
