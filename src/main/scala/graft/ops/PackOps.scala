@@ -179,6 +179,17 @@ object PackOps {
           .getField("t").as("tokens"))
   }
 
+  /** Session-shared materialized 256-token windows over the corpus —
+    * q_pack_windows and q_shard_windows consume the IDENTICAL frame
+    * (the shard layer is a pure map over it), so one materialization
+    * serves both (the [[TrainedCache]] shared-artifact convention).
+    * Deterministic per corpus; the checkpoint is the speed point. */
+  private def materializedWindows(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    TrainedCache.getOrTrain("pack_windows_256", d) {
+      packWindows(Tables.documents(s, d), budget = 256L).localCheckpoint(true)
+    }
+
   val all: Seq[QueryDef] = Seq(
 
     // Pack the corpus token stream into 256-token context windows in
@@ -228,7 +239,7 @@ object PackOps {
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
         |  string_agg(tok, ' ' ORDER BY off) AS win_text
         |FROM win GROUP BY 1 ORDER BY window_id""".stripMargin) { (s, d) =>
-      packWindows(Tables.documents(s, d), budget = 256L)
+      materializedWindows(s, d)
         .select(col("window_id"), col("n_tokens"),
           col("first_doc"), col("last_doc"),
           concat_ws(" ", col("tokens")).as("win_text"))
@@ -276,7 +287,7 @@ object PackOps {
         |    first_doc::VARCHAR || '|' || last_doc::VARCHAR || '|' ||
         |    md5(win_text)), 1, 15))::BIGINT) AS checksum
         |FROM wins GROUP BY 1 ORDER BY shard""".stripMargin) { (s, d) =>
-      val wins = packWindows(Tables.documents(s, d), budget = 256L)
+      val wins = materializedWindows(s, d)
       val canon = concat_ws("|",
         col("window_id").cast("string"), col("n_tokens").cast("string"),
         col("first_doc").cast("string"), col("last_doc").cast("string"),
