@@ -352,6 +352,51 @@ object PretrainExport {
     AppendStats(docsIn, keptN, acceptedN, n)
   }
 
+  /** Streaming front end: a file-source stream of (doc_id, text)
+    * batches driven through [[append]] per micro-batch (AvailableNow)
+    * — raw landed files to training-ready shards with no batch driver
+    * in between. The export must be [[init]]'d first (the vocabulary
+    * is a training decision, not a stream side effect).
+    *
+    * Delivery semantics compose from the parts, nothing new is
+    * invented here:
+    *  - the file source's checkpoint gives at-least-once batches;
+    *    [[append]]'s replay guard (anti-join + derived counters) turns
+    *    replays into no-ops, so the composition is exactly-once into
+    *    the shard table — the same argument as
+    *    [[CorpusIngest.runJsonlAvailableNow]];
+    *  - a crash between the dedup commit and the shard commit inside a
+    *    batch converges on the replay (PretrainExportPipelineSpec);
+    *  - the append-only doc_id contract now binds the PRODUCER: the
+    *    file source picks up new files in landing (modification-time)
+    *    order, so a producer that lands monotone-id files in sequence
+    *    (the reference's monotone ingest key) delivers monotone
+    *    batches here, and a violation is refused loudly mid-stream
+    *    rather than corrupting offsets.
+    * Downstream, a training job tails the result with
+    * [[newShardsSince]] — the full landed-bytes → packed-windows loop
+    * with every hop O(increment).
+    */
+  def runAvailableNow(
+      spark: SparkSession, sourceDir: String,
+      sourceSchema: org.apache.spark.sql.types.StructType,
+      root: String, checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val reader = spark.readStream.schema(sourceSchema)
+    val src = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(sourceDir)
+    val q = src.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        append(batch.sparkSession, root, batch.select("doc_id", "text"))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** The packed shard table (all rows, all stripes). */
   def shardTable(spark: SparkSession, root: String): DataFrame =
     shardCols(TxTable.read(spark, shardsRoot(root)))
