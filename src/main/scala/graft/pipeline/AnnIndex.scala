@@ -575,6 +575,32 @@ object AnnIndex {
     q.awaitTermination()
   }
 
+  /** The postings table's committed [[TxTable]] version — the
+    * watermark a downstream index consumer (a mirror builder, a
+    * serving replica warming its cache, an offline re-rank job) polls.
+    * Every data-adding [[append]] bumps it by exactly one; the version
+    * comes from the manifest log, never a side counter. */
+  def postingsVersion(spark: SparkSession, root: String): Long =
+    TxTable.latest(spark, postingsRoot(root))._1
+
+  /** Incremental postings poll — the [[PretrainExport.newShardsSince]]
+    * contract for the ANN tier: the rows appended AFTER `sinceVersion`,
+    * pinned at the current committed version, or None when the table
+    * hasn't advanced. O(increment) because the postings table only
+    * ever grows by blind appends; a [[compact]] in the window breaks
+    * the dir-level delta and is REFUSED loudly by
+    * [[TxTable.readSince]] (re-baseline from a full read at the
+    * returned version). A replica applying deltas in version order
+    * reconstructs the index state byte-for-byte — the codebooks /
+    * centroids / rotation are immutable after build, so postings are
+    * the only moving part. */
+  def newPostingsSince(
+      spark: SparkSession, root: String, sinceVersion: Long): Option[(Long, DataFrame)] = {
+    val v = postingsVersion(spark, root)
+    if (v <= sinceVersion) None
+    else TxTable.readSince(spark, postingsRoot(root), sinceVersion, v).map((v, _))
+  }
+
   /** Per-cell posting counts — the imbalance signal a re-build
     * decision reads (frozen centroids drift as the corpus grows). */
   def cellStats(spark: SparkSession, root: String): DataFrame =

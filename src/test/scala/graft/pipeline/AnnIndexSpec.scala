@@ -315,4 +315,38 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(rows(AnnIndex.query(spark, root, queries, k = 5, nprobe = 2)) ===
       rows(AnnIndex.query(spark, batchRoot, queries, k = 5, nprobe = 2)))
   }
+
+  test("postings feed: appends bump the version, the poll returns exactly the delta, compaction forces a re-baseline") {
+    val root = graft.TestTmp.dir("ann-index-feed")
+    val half1 = emb.filter(col("vec_id") % 2 === 0)
+    val half2 = emb.filter(col("vec_id") % 2 === 1)
+    AnnIndex.build(spark, root, half1, nlist = 4)
+    val v1 = AnnIndex.postingsVersion(spark, root)
+    assert(v1 === 1L)
+    // a mirror bootstrapping from nothing drains the whole table
+    val Some((pv1, boot)) = AnnIndex.newPostingsSince(spark, root, 0L)
+    assert(pv1 === v1)
+    val half1Ids = half1.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(boot.select("vec_id").collect().map(_.getLong(0)).toSet === half1Ids)
+
+    AnnIndex.append(spark, root, half2)
+    val v2 = AnnIndex.postingsVersion(spark, root)
+    assert(v2 === v1 + 1)
+    // the delta is the appended vectors ONLY — the mirror never
+    // re-reads the bootstrapped half
+    val Some((pv2, delta)) = AnnIndex.newPostingsSince(spark, root, v1)
+    assert(pv2 === v2)
+    assert(delta.select("vec_id").collect().map(_.getLong(0)).toSet ===
+      half2.select("vec_id").collect().map(_.getLong(0)).toSet)
+    // caught up: no new version, no rows
+    assert(AnnIndex.newPostingsSince(spark, root, v2).isEmpty)
+
+    // compaction re-homes every posting: a dir-level delta would
+    // double-count, so the poll refuses and the mirror re-baselines
+    AnnIndex.compact(spark, root)
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.newPostingsSince(spark, root, v2)
+    }
+    assert(e.getMessage.contains("re-baseline"))
+  }
 }
