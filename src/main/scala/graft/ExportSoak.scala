@@ -106,6 +106,20 @@ object ExportSoak {
         .map { case (pv, df) => feedVersion = pv; df.count() }.getOrElse(0L)
       println(f"[esoak]   feed poll: $polled rows to v$feedVersion " +
         f"wall=${(System.nanoTime() - tp) / 1e9}%6.2f s")
+      // maintenance cadence (SPARK_GRAFT_SOAK_MAINTAIN = the
+      // dirs-per-partition threshold; unset = no maintenance — the
+      // fragmentation-slope baseline): compaction resets the dir
+      // sprawl both tables accrete, and the feed re-baselines across
+      // it (the documented refusal), exactly like a production tailer
+      val threshold = sys.env.get("SPARK_GRAFT_SOAK_MAINTAIN").map(_.toDouble)
+      threshold.foreach { th =>
+        val tc = System.nanoTime()
+        if (PretrainExport.maintain(spark, root, th)) {
+          println(f"[esoak]   maintain: compacted (threshold $th) " +
+            f"wall=${(System.nanoTime() - tc) / 1e9}%6.2f s")
+          feedVersion = PretrainExport.shardVersion(spark, root) // re-baseline
+        }
+      }
     }
     val tm = System.nanoTime()
     val man = PretrainExport.manifest(spark, root).collect()

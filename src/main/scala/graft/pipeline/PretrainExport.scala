@@ -446,4 +446,38 @@ object PretrainExport {
     * so incremental state is checkable against the oracle-green shape. */
   def manifest(spark: SparkSession, root: String): DataFrame =
     PretrainExportOps.shardSummary(shardTable(spark, root))
+
+  /** Table maintenance for a LONG-RUNNING export — the fix for the
+    * measured append-fragmentation slope (SCALE.md §14e: every blind
+    * append adds one dir per touched partition to the shard AND band
+    * tables, and per-append wall grows ~linearly in the accumulated
+    * dir count as listings/scans fan out). When either table's
+    * [[TxTable.fragmentation]] crosses `maxDirsPerPartition`, compact
+    * it; the shard table compacts Z-ORDERED on doc_id
+    * ([[TxTable.compactZOrder]]) so the replay anti-join's
+    * `doc_id >= min(batch)` footer prune stays tight afterwards (a
+    * plain compaction would leave each file spanning the whole id
+    * domain and the prune would read everything). Returns whether
+    * anything was compacted.
+    *
+    * Interactions, all by existing contract: the counter checkpoint's
+    * readSince catch-up refuses across the compaction and re-derives
+    * once (then re-checkpoints); [[newShardsSince]] pollers re-baseline
+    * (the loud refusal is the API); replay verdicts and offsets are
+    * unchanged — compaction is pure layout. Run [[TxTable.vacuum]]
+    * afterwards (outside any reader's retention window) to reclaim the
+    * superseded dirs. */
+  def maintain(spark: SparkSession, root: String,
+      maxDirsPerPartition: Double = 8.0): Boolean = {
+    var compacted = false
+    if (TxTable.fragmentation(spark, shardsRoot(root)) > maxDirsPerPartition) {
+      TxTable.compactZOrder(spark, shardsRoot(root), "shard", Seq("doc_id"))
+      compacted = true
+    }
+    if (TxTable.fragmentation(spark, dedupRoot(root)) > maxDirsPerPartition) {
+      DedupIndex.compact(spark, dedupRoot(root))
+      compacted = true
+    }
+    compacted
+  }
 }

@@ -669,6 +669,19 @@ object TxTable {
       }.toSeq
   }
 
+  /** Append-fragmentation signal: data dirs per live partition at the
+    * latest version (1.0 = perfectly compacted; each blind append adds
+    * one dir to every partition it touches, so a pure appender's value
+    * grows by ~1 per commit). 0 when the table has no committed
+    * version. The cheap poll a maintenance cadence reads —
+    * [[history]] gives the same number per version but parses every
+    * manifest. */
+  def fragmentation(spark: SparkSession, root: String): Double = {
+    val (v, entries) = latest(spark, root)
+    if (v == 0 || entries.isEmpty) 0.0
+    else entries.values.map(dirsOf(_).size).sum.toDouble / entries.size
+  }
+
   /** Default reader-retention horizon for [[vacuum]]: a reader that
     * pinned a manifest is guaranteed its files for this long AFTER the
     * manifest is superseded. 10 minutes covers any sane scan at this

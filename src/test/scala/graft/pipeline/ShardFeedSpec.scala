@@ -125,6 +125,32 @@ class ShardFeedSpec extends AnyFunSuite {
     assert(pv === vNow + 1 && delta.count() > 0)
   }
 
+  test("maintain compacts past the fragmentation threshold; replay guards and feed survive") {
+    val root = freshExport("maintain")
+    PretrainExport.append(spark, root, mkDocs(b1))
+    PretrainExport.append(spark, root, mkDocs(b2))
+    PretrainExport.append(spark, root, mkDocs(b3))
+    // three blind appends → ~3 dirs/partition on touched partitions;
+    // below a loose threshold nothing happens
+    assert(!PretrainExport.maintain(spark, root, maxDirsPerPartition = 8.0))
+    val before = rowSet(PretrainExport.shardTable(spark, root))
+    // at a tight threshold both tables compact; content is unchanged
+    // (compaction is pure layout) and fragmentation returns to 1
+    assert(PretrainExport.maintain(spark, root, maxDirsPerPartition = 1.5))
+    assert(rowSet(PretrainExport.shardTable(spark, root)) === before)
+    assert(TxTable.fragmentation(spark, s"$root/shards") === 1.0)
+    // the pipeline continues across the compaction: a replayed batch is
+    // still absorbed (the anti-join re-reads the compacted layout), a
+    // novel batch appends, offsets continue (counters re-derive once)
+    val replay = PretrainExport.append(spark, root, mkDocs(b2))
+    assert(replay.appended === 0L)
+    val v = PretrainExport.shardVersion(spark, root)
+    PretrainExport.append(spark, root,
+      mkDocs(Seq(31L -> text(31), 32L -> text(32))))
+    val Some((pv, delta)) = PretrainExport.newShardsSince(spark, root, v)
+    assert(pv === v + 1 && delta.count() > 0)
+  }
+
   test("TxTable.readSince refuses a deletion window and honors since=0") {
     val root = graft.TestTmp.dir("shard-feed-txtable")
     import spark.implicits._
