@@ -655,13 +655,19 @@ object GraphOps {
     val nEdges = e0.count()
     val nNodes = e0.select(col("src")).distinct().count()
     val small = nNodes <= broadcastRanksMaxNodes
-    // pair-aware partitioning (the §12j fix): LPA's round-1 vote state
-    // is (src, lbl) with labels all-distinct — EDGE cardinality, not
-    // node cardinality — and it crosses into sort-fallback/spill past
-    // ~1-2M pairs per task. Size tasks to ~1.5M pairs even when that
-    // exceeds the session partition default; small graphs are
-    // unaffected (the rows/250k floor binds first).
-    val loop = loopSession(spark, nEdges, statePerPartRows = 1500000L)
+    // Pair-aware partitioning MEASURED OFF (SCALE.md §14a): §12j
+    // attributed LPA's cost to (src,lbl) vote state at EDGE
+    // cardinality, and the statePerPartRows knob sized tasks to ~1.5M
+    // pairs (266 partitions at 400M edges vs the session 128) to pull
+    // per-task agg state under the sort-fallback threshold. Quiet
+    // A/B at 400M: 981.2 s with the knob vs 927.3 s without, on a box
+    // its own 40M calibration stage measured 13% FASTER — the extra
+    // tasks' fixed per-round cost (scheduling + exchange fan-out
+    // across ~10 joins/round × 5 rounds) cancels the state relief on
+    // this box. The state is irreducible by partition count; the knob
+    // stays available in loopSession for disk-bound clusters where
+    // spill, not scheduling, dominates.
+    val loop = loopSession(spark, nEdges)
     val tag = java.util.UUID.randomUUID().toString.replace("-", "")
     val (ev, ov) = (s"graft_lp_e_$tag", s"graft_lp_o_$tag")
     try {
