@@ -17,6 +17,7 @@ import json
 import os
 import re
 import sys
+import time
 
 out_dir, sf = sys.argv[1], sys.argv[2]
 p = f"{out_dir}/oracle_sql.json"
@@ -24,19 +25,41 @@ with open(p) as f:
     j = json.load(f)
 pat = re.compile(r"(/tmp/graft_oracle/[A-Za-z0-9_]+)_sf0\.01/")
 remapped = []
+unrewritten = []
 missing = []
+stale = []
+# Dumps must come from the Verify run that wrote oracle_sql.json: that
+# run writes dumps first, then the SQL map at the end, so a dump dir
+# older than the SQL file by more than a run's worth of slack is debris
+# from an earlier run satisfying the isdir check (r12 advice).
+sql_mtime = os.path.getmtime(p)
+SLACK_S = 2 * 3600
 for k, v in j.items():
     if "graft_oracle" not in v:
         continue
     new = pat.sub(rf"\1_{sf}/", v)
-    j[k] = new
-    remapped.append(k)
+    if new != v:
+        j[k] = new
+        remapped.append(k)
+    else:
+        unrewritten.append(k)
     for d in re.findall(r"/tmp/graft_oracle/[A-Za-z0-9_.]+/", new):
-        if not os.path.isdir(d.rstrip("/")):
+        d = d.rstrip("/")
+        if not os.path.isdir(d):
             missing.append((k, d))
-if missing:
+        elif os.path.getmtime(d) < sql_mtime - SLACK_S:
+            stale.append((k, d, sql_mtime - os.path.getmtime(d)))
+if unrewritten:
+    for k in unrewritten:
+        print(f"NOT REWRITTEN (graft_oracle path without _sf0.01/ segment) "
+              f"for {k}: {j[k][:200]}", file=sys.stderr)
+    sys.exit(1)
+if missing or stale:
     for k, d in missing:
         print(f"MISSING DUMP for {k}: {d}", file=sys.stderr)
+    for k, d, age in stale:
+        print(f"STALE DUMP for {k}: {d} is {age/3600:.1f}h older than "
+              f"oracle_sql.json — debris from an earlier run?", file=sys.stderr)
     print("(re-run Verify at this SF with SPARK_GRAFT_DUMP_ALL_SF=1)",
           file=sys.stderr)
     sys.exit(1)

@@ -5,8 +5,12 @@
 # points the oracle SQL at them (sf0.01 needs no remap — it's the
 # compare SF the static SQL already names).
 #
+# r12 advice: pipefail + full check_oracle output captured to a log and
+# exit status checked explicitly, so an oracle FAIL aborts the sweep and
+# no FAIL line is hidden by the tail.
+#
 # Usage: sweep_3sf.sh [outRoot]   (default /tmp/graft_sweep)
-set -e
+set -e -o pipefail
 OUT=${1:-/tmp/graft_sweep}
 mkdir -p "$OUT"
 cd "$(dirname "$0")/.."
@@ -18,6 +22,13 @@ for SF in sf0.001 sf0.01 sf0.1; do
   if [ "$SF" != "sf0.01" ]; then
     python3 scripts/remap_dump_scoped.py "$OUT/$SF" "$SF"
   fi
-  python3 scripts/check_oracle.py "/root/testdata/$SF" "$OUT/$SF" \
-    | tail -5
+  if ! python3 scripts/check_oracle.py "/root/testdata/$SF" "$OUT/$SF" \
+      > "$OUT/check_$SF.log" 2>&1; then
+    echo "ORACLE FAIL at $SF — full log: $OUT/check_$SF.log"
+    grep -n "FAIL\|ERR" "$OUT/check_$SF.log" || true
+    tail -5 "$OUT/check_$SF.log"
+    exit 1
+  fi
+  grep -n "FAIL\|ERR" "$OUT/check_$SF.log" && { echo "unexpected FAIL lines above"; exit 1; }
+  tail -5 "$OUT/check_$SF.log"
 done

@@ -409,6 +409,47 @@ object RepetitionStatsExpr {
       .map(StructField(_, DoubleType, nullable = false)))
 }
 
+/** Count-min frequency estimate of a string key against a FROZEN sketch
+  * (the bytes `CountMinSketch.writeTo` emits). The sketch rides the plan
+  * as serialized bytes — the distributed pass is the sketch BUILD
+  * (`df.stat.countMinSketch`); this probe expression evaluates inside
+  * whole-stage codegen like any other scalar, so a probe over a
+  * post-aggregation frame never breaks the codegen span the way a
+  * closure UDF does. Deserialization happens once per executor task via
+  * the transient lazy val (the generated code calls [[estimate]] through
+  * a plan reference to this expression instance).
+  */
+final case class CmsEstimateExpr(child: Expression, sketchBytes: Array[Byte])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType != StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"cms_estimate expects a string key, got ${child.dataType}")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  @transient private lazy val sketch: org.apache.spark.util.sketch.CountMinSketch =
+    org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketchBytes))
+
+  /** Called from both interpreted eval and the generated code. */
+  def estimate(key: UTF8String): Long = sketch.estimateCount(key.toString)
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(estimate(input.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cmsEstimate", this, classOf[CmsEstimateExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.estimate($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashFunctions {
 
   /** MinHash signature (array<long> of length k) over an array<string>. */
@@ -452,6 +493,12 @@ object HashFunctions {
   /** md5-based MinHash signature (oracle-reproducible variant). */
   def md5_minhash_sig(c: Column, k: Int): Column =
     ColumnBridge.column(Md5MinHashSigExpr(ColumnBridge.expression(c), k))
+
+  /** Count-min estimate of a string key against a frozen serialized
+    * sketch (codegen'd — no closure UDF).
+    */
+  def cms_estimate(c: Column, sketchBytes: Array[Byte]): Column =
+    ColumnBridge.column(CmsEstimateExpr(ColumnBridge.expression(c), sketchBytes))
 
   /** 2-D Hilbert curve index of two int cell coordinates in
     * [0, 2^bits).

@@ -154,11 +154,13 @@ object BloomOps {
       val total = ev.count()
       val cms = ev.stat.countMinSketch(col("event_type"), eps = 0.001, confidence = 0.99,
         seed = 42)
-      val bc = s.sparkContext.broadcast(cms)
-      // the UDF probes only the POST-AGGREGATION frame (one row per
+      // the probe touches only the POST-AGGREGATION frame (one row per
       // event type) — the sketch build is the distributed pass; the
-      // probe is never in the per-row hot path
-      val estimate = udf((k: String) => bc.value.estimateCount(k))
+      // probe rides the plan as a codegen'd expression over the frozen
+      // sketch bytes, so no closure UDF anywhere
+      val bos = new java.io.ByteArrayOutputStream()
+      cms.writeTo(bos)
+      val estimate = graft.functions.HashFunctions.cms_estimate(_: Column, bos.toByteArray)
       ev.groupBy("event_type").agg(count(lit(1)).as("exact"))
         .withColumn("est", estimate(col("event_type")))
         .select(

@@ -114,13 +114,17 @@ object PackOps {
     // reaps them when the RDD is GC'd, and the frame stays narrow
     // (orderCol + the value columns) however wide the caller's df is
     val baseRows: Seq[Seq[Any]] = {
-      val totals: Seq[Map[Int, Long]] = vals.indices.map { vi =>
-        totalRows.flatMap(r =>
+      // one scan per value column: running(vi)(p) = sum of buckets < p
+      // (O(numBuckets), not a fresh O(p) sum per bucket)
+      val running: Seq[Array[Long]] = vals.indices.map { vi =>
+        val tot = totalRows.flatMap(r =>
           Option(r.get(1 + vi)).map(t => r.getInt(0) -> t.asInstanceOf[Long])).toMap
+        (0 until bounds.length)
+          .scanLeft(0L)((acc, q) => acc + tot.getOrElse(q, 0L)).toArray
       }
       (0 to bounds.length).map { p =>
         p.asInstanceOf[Any] +: vals.indices.map(vi =>
-          (0 until p).map(q => totals(vi).getOrElse(q, 0L)).sum.asInstanceOf[Any])
+          running(vi)(p).asInstanceOf[Any])
       }
     }
     // per-bucket base offsets ride back as a broadcast join with a

@@ -202,10 +202,13 @@ object PretrainExport {
     // losing the race to an earlier writer of the same version is fine
     PinFile.writeAtomic(spark, p,
       s"version=$version,tokens=$tokens,rows=$rows,maxId=$maxId")
-    // superseded checkpoints are dead weight, not history — best-effort reap
+    // superseded checkpoints are dead weight, not history — best-effort
+    // reap; skip unparseable names the way baseCounters' reader does (a
+    // foreign .ck file must not fail an append whose commit succeeded)
     fs.listStatus(dir).foreach { st =>
       val n = st.getPath.getName
-      if (n.endsWith(".ck") && n.stripSuffix(".ck").toLong < version)
+      if (n.endsWith(".ck") &&
+          scala.util.Try(n.stripSuffix(".ck").toLong).toOption.exists(_ < version))
         fs.delete(st.getPath, false)
     }
   }

@@ -38,6 +38,27 @@ class FunctionsSpec extends AnyFunSuite {
     assert(counts.getOrElse("en", 0L) > 250, s"expected en-dominant, got $counts")
   }
 
+  test("cms_estimate: codegen and interpreted eval agree with the sketch API") {
+    import org.apache.spark.sql.functions._
+    val keys = Seq("a", "a", "a", "b", "b", "c")
+    val df = spark.createDataFrame(keys.map(Tuple1(_))).toDF("k")
+    val cms = df.stat.countMinSketch(col("k"), eps = 0.01, confidence = 0.99, seed = 7)
+    val bos = new java.io.ByteArrayOutputStream()
+    cms.writeTo(bos)
+    val bytes = bos.toByteArray
+    def run(codegen: Boolean): Map[String, Long] = {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen.toString)
+      try df.distinct()
+        .select(col("k"), HashFunctions.cms_estimate(col("k"), bytes).as("est"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+    val expected = Seq("a", "b", "c").map(k => k -> cms.estimateCount(k)).toMap
+    assert(run(codegen = true) == expected)
+    assert(run(codegen = false) == expected)
+    assert(expected("a") >= 3L && expected("b") >= 2L && expected("c") >= 1L)
+  }
+
   test("SQL registration: native expressions callable from spark.sql") {
     GraftFunctions.register(spark)
     val r = spark.sql(
