@@ -65,7 +65,8 @@ object BloomOps {
     * semantics cannot drift apart.
     */
   def filterToKeySet(df: DataFrame, dfKey: Column, keys: DataFrame,
-      maxInList: Int = 1024, fpp: Double = 0.01): DataFrame = {
+      maxInList: Int = 1024, fpp: Double = 0.01,
+      keyRowBound: Long = -1L): DataFrame = {
     // the big regime evaluates `keys` three times (probe, sizing count,
     // bloom build) — persist so a derived key set (e.g. a per-batch
     // distinct in StreamingEnrich) computes once. Both regimes finish
@@ -78,13 +79,24 @@ object BloomOps {
     val ownCache = keys.storageLevel == org.apache.spark.storage.StorageLevel.NONE
     val cached = if (ownCache) keys.persist() else keys
     try {
-      val probe = cached.limit(maxInList + 1).collect()
-      if (probe.length <= maxInList) {
+      // `keyRowBound` >= 0 is a caller-known upper bound on keys' rows
+      // (e.g. a just-counted pre-distinct frame): when it already
+      // exceeds maxInList the limit-probe job is skipped and the big
+      // regime is entered directly. Regime choice is a PERFORMANCE
+      // decision only — both regimes are correct (the bloom is a
+      // superset the caller's exact join clears) — so an over-estimate
+      // (many key rows collapsing to few distincts) costs nothing but
+      // the isin nicety.
+      val probe =
+        if (keyRowBound >= 0 && keyRowBound > maxInList) Array.empty[org.apache.spark.sql.Row]
+        else cached.limit(maxInList + 1).collect()
+      if ((keyRowBound < 0 || keyRowBound <= maxInList) && probe.length <= maxInList) {
         if (probe.isEmpty) df.filter(lit(false))
         else df.filter(dfKey.isin(probe.map(_.get(0)).toSeq: _*))
       } else {
         val n = cached.count() // counted only in the big regime, to size the bloom
-        buildBloom(cached, col(cached.columns.head), n, fpp) match {
+        if (n == 0) df.filter(lit(false))
+        else buildBloom(cached, col(cached.columns.head), n, fpp) match {
           case Some(bloom) => df.filter(mightContain(bloom, dfKey))
           case None => df.filter(lit(false))
         }

@@ -1,10 +1,16 @@
 package graft.ops
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch profiler for the incremental-export oracle key (r12):
-  * replicates PretrainExport.append's body with per-step timings. */
+/** Scratch profiler for the incremental-export oracle key: drives the
+  * REAL [[graft.pipeline.PretrainExport.append]] path (not a replica)
+  * phase by phase, with a job listener counting Spark jobs and summing
+  * job wall per phase — the fixed per-job driver latency on the
+  * low-partition session is the suspected dominant cost, so job COUNT
+  * is the number to watch, not just wall.
+  */
 object ProfileIncr {
   def main(args: Array[String]): Unit = {
     val spark0 = SparkSession.builder()
@@ -17,64 +23,63 @@ object ProfileIncr {
     spark0.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.1"
     graft.SparkEntry.entry(spark0).count()
+
+    // per-phase job accounting (job id -> (start ns, callsite))
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val done = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    spark0.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val site = js.stageInfos.lastOption.map(si =>
+          si.name.take(60) + " stages=" + js.stageInfos.size).getOrElse("?")
+        jobs.put(js.jobId, (System.nanoTime(), site)); ()
+      }
+      override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+        Option(jobs.remove(je.jobId)).foreach { case (t0, site) =>
+          done.add((System.nanoTime() - t0, site)); ()
+        }
+      }
+    })
     def time[T](name: String)(f: => T): T = {
+      Thread.sleep(200) // let listener events drain between phases
+      done.clear()
       val t0 = System.nanoTime()
       val v = f
-      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      Thread.sleep(200)
+      import scala.jdk.CollectionConverters._
+      val ds = done.asScala.toSeq
+      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%6.2f s  " +
+        f"jobs=${ds.size}%3d jobWall=${ds.map(_._1).sum / 1e9}%6.2f s")
+      ds.sortBy(-_._1).take(8).foreach { case (ns, site) =>
+        println(f"    ${ns / 1e9}%6.2f s  $site")
+      }
       v
     }
-    import graft.pipeline.{PretrainExport, DedupIndex, TxTable, TokenizerStore}
-    val model = time("pinned model")(PretrainExportOps.pinnedTokenizer(spark0, d))
-    val spark = spark0.newSession()
-    spark0.conf.getAll.foreach { case (k, v) =>
-      try spark.conf.set(k, v) catch { case scala.util.control.NonFatal(_) => () }
-    }
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val docs = Tables.documents(spark, d)
-    val root = "/tmp/graft_incr_export/profile3"
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
-    time("initPinned")(PretrainExport.initPinned(spark, root, model))
-    val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).collect()(0)
-    val split = (r.getLong(0) + r.getLong(1)) / 2
 
-    for ((b, tag) <- Seq(
-        (docs.filter(col("doc_id") <= split), "b1"),
-        (docs.filter(col("doc_id") > split), "b2"))) {
-      println(s"--- append $tag ---")
-      val p = PretrainExport.Params()
-      val m = time("loadModel")(TokenizerStore.loadUnigramAt(spark, s"$root/tokenizer", 1L))
-      val docsIn = time("docsIn count")(b.count())
-      val kept = time("kept ck")(PretrainExportOps.qualityKept(b).localCheckpoint(true))
-      val verdicts = time("dedup ingest")(DedupIndex.ingest(spark, s"$root/dedup", kept, p.dedup))
-      val canon = time("canon ck")(kept.join(
-        verdicts.filter(col("accepted")).select("doc_id"), Seq("doc_id"), "left_semi")
-        .localCheckpoint(true))
-      val sRoot = s"$root/shards"
-      val hasShards = TxTable.latest(spark, sRoot)._1 > 0
-      val (tokenBase, rowBase, maxStored) = time("base agg")(
-        if (hasShards) {
-          val rr = TxTable.read(spark, sRoot)
-            .agg(sum(col("n_tokens")), count(lit(1)), max(col("doc_id"))).collect()(0)
-          (rr.getLong(0), rr.getLong(1), Some(rr.getLong(2)))
-        } else (0L, 0L, None))
-      val novel = time("novel ck")(
-        if (hasShards)
-          canon.join(TxTable.read(spark, sRoot).select("doc_id"), Seq("doc_id"), "left_anti")
-            .localCheckpoint(true)
-        else canon)
-      time("min guard")(maxStored.foreach { mx =>
-        val minNew = novel.agg(min(col("doc_id"))).collect()(0)
-        require(minNew.isNullAt(0) || minNew.getLong(0) > mx)
-      })
-      val seg = UnigramLmOps.tokenize(novel, m, maxLen = p.maxLen)
-      val perDoc = PretrainExportOps.perDocStats(novel, seg, "")
-      val rows = time("packAndStripe plan+cks")(PretrainExportOps.packAndStripe(
-        perDoc, p.windowBudget, p.stripeShards, tokenBase, rowBase))
-      val cut = rows.localCheckpoint(false)
-      val n = time("rows count")(cut.count())
-      time("appendCommit")(if (n > 0) TxTable.appendCommit(spark, sRoot, cut, "shard"))
+    import graft.pipeline.PretrainExport
+    val model = time("pinned model")(PretrainExportOps.pinnedTokenizer(spark0, d))
+    val incr = spark0.newSession()
+    spark0.conf.getAll.foreach { case (k, v) =>
+      try incr.conf.set(k, v) catch { case scala.util.control.NonFatal(_) => () }
     }
-    time("manifest")(PretrainExport.manifest(spark, root)
+    incr.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_PROF_PARTS", "8"))
+    incr.conf.set("spark.sql.codegen.wholeStage",
+      sys.env.getOrElse("SPARK_GRAFT_PROF_CODEGEN", "false"))
+    incr.conf.set("spark.sql.adaptive.enabled",
+      sys.env.getOrElse("SPARK_GRAFT_PROF_AQE", "false"))
+    val docs = Tables.documents(incr, d)
+    val root = "/tmp/graft_incr_export/profile4"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    time("initPinned")(PretrainExport.initPinned(incr, root, model))
+    val r = time("split agg")(docs.agg(min(col("doc_id")), max(col("doc_id"))).collect()(0))
+    val split = (r.getLong(0) + r.getLong(1)) / 2
+    time("append b1")(PretrainExport.append(incr, root, docs.filter(col("doc_id") <= split)))
+    time("append b2")(PretrainExport.append(incr, root, docs.filter(col("doc_id") > split)))
+    val accepted = docs.join(
+      PretrainExport.shardTable(incr, root).select("doc_id"), Seq("doc_id"), "left_semi")
+    time("dump tokenize")(graft.ops.UnigramLmOps.tokenize(accepted, model, maxLen = 4)
+      .write.format("noop").mode("overwrite").save())
+    time("manifest")(PretrainExport.manifest(incr, root)
       .write.format("noop").mode("overwrite").save())
     spark0.stop()
   }

@@ -102,10 +102,16 @@ object DedupIndex {
     * band_hash would let stats prune the scan too.
     */
   private[pipeline] def prefilterIndex(idx: DataFrame, newBands: DataFrame,
-      maxInListBuckets: Int = 1024, fpp: Double = 0.01): DataFrame = {
+      maxInListBuckets: Int = 1024, fpp: Double = 0.01,
+      bandRowBound: Long = -1L): DataFrame = {
     val bucketKey = xxhash64(col("band_id"), col("band_hash"))
     val buckets = newBands.select(bucketKey.as("bk")).distinct()
-    graft.ops.BloomOps.filterToKeySet(idx, bucketKey, buckets, maxInListBuckets, fpp)
+    // bandRowBound (the increment's band-row count, known free from the
+    // ingest materialization) bounds the distinct buckets from above —
+    // lets filterToKeySet skip its regime-probe job for any real-sized
+    // increment (the probe only ever mattered for tiny batches)
+    graft.ops.BloomOps.filterToKeySet(idx, bucketKey, buckets, maxInListBuckets, fpp,
+      keyRowBound = bandRowBound)
   }
 
   /** Cap admission: within each (band_id, band_hash) bucket, admit new
@@ -113,12 +119,19 @@ object DedupIndex {
     * bucket-seeded hash (deterministic, no high-id bias).
     */
   private[pipeline] def admitWithCap(
-      newBands: DataFrame, bucketCounts: DataFrame, maxBucket: Int): DataFrame = {
+      newBands: DataFrame, bucketCounts: Option[DataFrame], maxBucket: Int): DataFrame = {
     val w = Window.partitionBy("band_id", "band_hash")
       .orderBy(xxhash64(col("band_hash"), col("doc_id")), col("doc_id"))
-    newBands
-      .join(bucketCounts, Seq("band_id", "band_hash"), "left")
-      .withColumn("_existing", coalesce(col("cnt"), lit(0L)))
+    // bucketCounts = None ⇔ the index is empty (first ingest): every
+    // bucket's existing count is zero, so the stored-count join is
+    // dropped from the plan instead of joining an empty frame
+    val withExisting = bucketCounts match {
+      case Some(bc) => newBands
+        .join(bc, Seq("band_id", "band_hash"), "left")
+        .withColumn("_existing", coalesce(col("cnt"), lit(0L)))
+      case None => newBands.withColumn("_existing", lit(0L))
+    }
+    withExisting
       .withColumn("_rk", row_number().over(w))
       .filter(col("_existing") + col("_rk") <= maxBucket)
       .select(newBands.columns.map(col).toSeq: _*)
@@ -177,7 +190,19 @@ object DedupIndex {
     * empty root.
     */
   def ingest(spark: SparkSession, root: String, newDocs: DataFrame,
-      p: Params = Params()): DataFrame = {
+      p: Params = Params()): DataFrame = ingestFull(spark, root, newDocs, p)._1
+
+  /** [[ingest]] plus the bounded duplicate frame itself ((doc_id,
+    * dup_of, est_jaccard), one row per REJECTED doc — the checkpointed
+    * `best`): callers that only need "kept minus dups" (the export
+    * chain) anti-join against this tiny frame directly instead of
+    * re-deriving it from the verdicts' left join (which costs a
+    * shuffle-join broadcast build the size of the increment). The
+    * verdicts frame remains the per-doc API; both views are derived
+    * from the same materialization.
+    */
+  private[pipeline] def ingestFull(spark: SparkSession, root: String, newDocs: DataFrame,
+      p: Params = Params()): (DataFrame, DataFrame) = {
     pinParams(spark, root, p)
     // EAGER localCheckpoint, not lazy persist(): the first consumer of
     // a lazily-cached frame here is a self-JOIN, whose two shuffle-map
@@ -193,12 +218,18 @@ object DedupIndex {
     // driver GC. At fleet scale swap for a reliable checkpoint (or
     // persist + an explicit first-consumer barrier); callers holding
     // verdicts long-lived should copy them out promptly either way.
-    val newBands = bandRows(newDocs, p).localCheckpoint(true)
+    // non-eager checkpoint + count as the materializing action: the cut
+    // and the band-row count cost one job, and the count doubles as the
+    // prefilter's regime bound below
+    val newBands = bandRows(newDocs, p).localCheckpoint(false)
+    val nBandRows = newBands.count()
     val hasIndex = TxTable.latest(spark, root)._1 > 0
     // every index consumer below (probe, bucket counts, replay
     // anti-join) works on the bucket-prefiltered view — the full index
     // never reaches a shuffle
-    val index = if (hasIndex) Some(prefilterIndex(TxTable.read(spark, root), newBands)) else None
+    val index = if (hasIndex)
+      Some(prefilterIndex(TxTable.read(spark, root), newBands, bandRowBound = nBandRows))
+    else None
 
     // probe: stored candidates sharing any bucket with a new doc. The
     // doc's OWN stored bands (a replayed ingest after a successful
@@ -256,25 +287,26 @@ object DedupIndex {
     // bands would duplicate index rows), making retry a true no-op.
     // The PREFILTERED index suffices for this anti-join: a replayed
     // doc's stored bands are by definition the increment's own buckets,
-    // so the prefilter always keeps them.
+    // so the prefilter always keeps them. Survivors are subtracted as
+    // newBands MINUS the duplicate set (an anti-join whose build side
+    // is the bounded `best` frame) rather than a semi-join against the
+    // accepted verdicts, whose build side would be the whole increment.
     val survivorBands = index.foldLeft(
-      newBands.join(verdicts.filter(col("accepted")).select("doc_id"), Seq("doc_id"), "leftsemi")) {
+      newBands.join(best.select("doc_id"), Seq("doc_id"), "left_anti")) {
       (bands, idx) => bands.join(idx.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
     }
     val bucketCounts = index.map { idx =>
       idx.join(newBands.select("band_id", "band_hash").distinct(),
         Seq("band_id", "band_hash"), "leftsemi")
         .groupBy("band_id", "band_hash").agg(count(lit(1)).as("cnt"))
-    }.getOrElse(
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(
-          StructField("band_id", IntegerType), StructField("band_hash", LongType),
-          StructField("cnt", LongType)))))
-    // one materialization for the emptiness probe AND the commit write
-    // (un-checkpointed, each would re-run the cap window + both joins)
-    val admitted = admitWithCap(survivorBands, bucketCounts, p.maxBucket).localCheckpoint(true)
-    if (!admitted.isEmpty)
+    }
+    // one materialization (non-eager cut + count) serves the emptiness
+    // probe AND the commit write — un-checkpointed, each would re-run
+    // the cap window + both joins; a separate eager cut + isEmpty was
+    // one job more
+    val admitted = admitWithCap(survivorBands, bucketCounts, p.maxBucket)
+      .localCheckpoint(false)
+    if (admitted.count() > 0)
       TxTable.appendCommit(spark, root, admitted, "band_id")
     // (newBands/admitted checkpoint blocks are reclaimed by the
     // ContextCleaner once this frame's references drop; the returned
@@ -284,6 +316,6 @@ object DedupIndex {
     // verdicts after the append (or after later ingests) still compares
     // against exactly the pre-ingest index — deterministic, never
     // self-matching.
-    verdicts
+    (verdicts, best)
   }
 }

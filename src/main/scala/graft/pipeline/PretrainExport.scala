@@ -278,20 +278,28 @@ object PretrainExport {
     val (p, tokVersion) = readParams(spark, root)
     val model = TokenizerStore.loadUnigramAt(spark, tokRoot(root), tokVersion)
     val docsIn = docs.count()
-    // eager cuts on the multi-consumer frames (the repo's discipline
-    // for frames driven through several actions): kept feeds the index
+    // cuts on the multi-consumer frames (the repo's discipline for
+    // frames driven through several actions): kept feeds the index
     // ingest, the canon join, and its own count; canon feeds a count,
     // the anti-join, and (via novel) the min-id guard, the rendering,
     // and the per-doc stats. Without the cuts the quality scan and the
     // verdict join re-executed per action. Both frames are
-    // increment-sized by contract.
-    val kept = PretrainExportOps.qualityKept(docs).localCheckpoint(true)
-
-    val verdicts = DedupIndex.ingest(spark, dedupRoot(root), kept, p.dedup)
-    val canon = kept.join(
-      verdicts.filter(col("accepted")).select("doc_id"), Seq("doc_id"), "left_semi")
-      .localCheckpoint(true)
+    // increment-sized by contract. NON-eager checkpoint + immediate
+    // count(): the count is the materializing first action, so the cut
+    // and the stat cost ONE job instead of two — per-job driver
+    // latency, not compute, dominates increment-sized appends.
+    val kept = PretrainExportOps.qualityKept(docs).localCheckpoint(false)
     val keptN = kept.count()
+
+    val (_, dups) = DedupIndex.ingestFull(spark, dedupRoot(root), kept, p.dedup)
+    // accepted = kept MINUS the duplicate set: anti-join against the
+    // (bounded, usually tiny) checkpointed dup frame instead of
+    // semi-join against the accepted verdicts — the broadcast build
+    // side becomes the cached dup blocks rather than a shuffle re-join
+    // of the whole increment (measured: the verdict-side broadcast was
+    // the largest single job of an append).
+    val canon = kept.join(dups.select("doc_id"), Seq("doc_id"), "left_anti")
+      .localCheckpoint(false)
     val acceptedN = canon.count()
 
     val sRoot = shardsRoot(root)
@@ -302,32 +310,41 @@ object PretrainExport {
     // whenever the cache is missing or stale (never a side counter
     // that could desync across a crash)
     val (tokenBase, rowBase, maxStored) = baseCounters(spark, root, storedVersion)
+    // FRESH-BATCH FAST PATH: when min(batch) > stored max — the normal
+    // id-ordered ingest — the replay anti-join is a no-op by
+    // construction (the stored side pruned to doc_id >= min(batch) is
+    // empty) and the append-only guard below is already proven by the
+    // same comparison, so both jobs are skipped. The slow path (a
+    // REPLAYED batch whose ids overlap the stored range) keeps the
+    // pruned anti-join + explicit guard unchanged. maxStored comes from
+    // the counter cache, which is bit-identical to the derived
+    // aggregate by construction (see baseCounters).
+    val mnCanon = canon.agg(min(col("doc_id"))).collect()(0)
+    val freshBatch = mnCanon.isNullAt(0) ||
+      maxStored.forall(mx => mnCanon.getLong(0) > mx)
     val novel =
-      if (hasShards) {
-        val mn = canon.agg(min(col("doc_id"))).collect()(0)
-        if (mn.isNullAt(0)) canon // empty batch: nothing to re-guard
-        else
-          // replay guard. The stored side is pruned to doc_id >= the
-          // batch's min id BEFORE the anti-join — sound because canon
-          // ids are all >= that min, so dropped stored ids could never
-          // match — which the parquet min/max footers turn into an
-          // O(increment + overlap) probe: a fresh batch (ids above the
-          // stored max) prunes EVERY stored stripe; a replayed batch
-          // reads only the stripes its own id range landed in. Without
-          // the prune this join re-scanned the full stored id column
-          // per append — the last O(corpus) term in the loop.
-          // Same eager-cut rationale as kept/canon: three consumers
-          // (min-id guard, rendering, per-doc stats).
-          canon.join(
-            TxTable.read(spark, sRoot).select("doc_id")
-              .filter(col("doc_id") >= mn.getLong(0)),
-            Seq("doc_id"), "left_anti")
-            .localCheckpoint(true)
-      } else canon
+      if (!hasShards || freshBatch) canon
+      else
+        // replay guard. The stored side is pruned to doc_id >= the
+        // batch's min id BEFORE the anti-join — sound because canon
+        // ids are all >= that min, so dropped stored ids could never
+        // match — which the parquet min/max footers turn into an
+        // O(increment + overlap) probe: a replayed batch reads only
+        // the stripes its own id range landed in. Without the prune
+        // this join re-scanned the full stored id column per append —
+        // the last O(corpus) term in the loop. Eager-cut: three
+        // consumers (min-id guard, rendering, per-doc stats).
+        canon.join(
+          TxTable.read(spark, sRoot).select("doc_id")
+            .filter(col("doc_id") >= mnCanon.getLong(0)),
+          Seq("doc_id"), "left_anti")
+          .localCheckpoint(true)
     // the append-only id contract the incremental ≡ one-shot
     // equivalence rests on — violations corrupt offset continuity, so
-    // refuse loudly instead of silently interleaving
-    maxStored.foreach { mx =>
+    // refuse loudly instead of silently interleaving. The fresh-batch
+    // path proved min(novel) = min(canon) > maxStored above; only the
+    // replay path needs the post-anti-join re-check.
+    if (!freshBatch) maxStored.foreach { mx =>
       val minNew = novel.agg(min(col("doc_id"))).collect()(0)
       if (!minNew.isNullAt(0))
         require(minNew.getLong(0) > mx,

@@ -140,19 +140,24 @@ class DedupIndexSpec extends AnyFunSuite {
       (1, 200L, 4L, Seq(4L)))
       .toDF("band_id", "band_hash", "doc_id", "sig")
     val counts = Seq((0, 100L, 2L)).toDF("band_id", "band_hash", "cnt")
-    val got = DedupIndex.admitWithCap(newBands, counts, maxBucket = 3)
+    val got = DedupIndex.admitWithCap(newBands, Some(counts), maxBucket = 3)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     // bucket (0,100) has 2 stored: exactly ONE of the three new rows fits;
     // bucket (1,200) is empty: its row always fits
     assert(got.contains(4L))
     assert((got - 4L).size == 1, s"one admission into the nearly-full bucket: $got")
     // deterministic: the same call admits the same row
-    val again = DedupIndex.admitWithCap(newBands, counts, maxBucket = 3)
+    val again = DedupIndex.admitWithCap(newBands, Some(counts), maxBucket = 3)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(got == again)
     // a FULL bucket admits nothing
-    val full = DedupIndex.admitWithCap(newBands, Seq((0, 100L, 3L)).toDF("band_id", "band_hash", "cnt"), 3)
+    val full = DedupIndex.admitWithCap(newBands, Some(Seq((0, 100L, 3L)).toDF("band_id", "band_hash", "cnt")), 3)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(full == Set(4L))
+    // empty index (None): every existing count is zero — same as an
+    // all-zero counts frame, without the join in the plan
+    val none = DedupIndex.admitWithCap(newBands, None, maxBucket = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(none == Set(1L, 2L, 3L, 4L))
   }
 }
