@@ -39,6 +39,7 @@ object ServeLatency {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
 
     // the serving store: silver readings + gold daily power, pinned
     val e = Tables.events(spark, sfDir).filter(col("event_type").isin("view", "click"))
@@ -96,6 +97,77 @@ object ServeLatency {
     }
     (1 to 20).foreach(cachedCall)
     report("cached", (1 to calls).map(cachedCall))
+
+    // CONCURRENT cached tier (r12 verdict item 6): N reader threads
+    // hammering range() while (optionally) a writer commits new days
+    // and swaps snapshots via refreshIfStale — the serving shape a real
+    // deployment runs. The snapshot swap is one volatile write, so
+    // reader latency must not degrade beyond scheduler noise and no
+    // call may error mid-swap.
+    def concurrentReport(tier: String, threads: Int, cacheCall: Int => (Double, Long)): Unit = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+      val all = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+      val t0 = System.nanoTime()
+      val futures = (0 until threads).map { th =>
+        pool.submit(new Runnable {
+          def run(): Unit = (1 to calls).foreach { i =>
+            all.add(cacheCall(th * calls + i)._1); ()
+          }
+        })
+      }
+      futures.foreach(_.get())
+      val wall = (System.nanoTime() - t0) / 1e9
+      pool.shutdown()
+      import scala.jdk.CollectionConverters._
+      val lat = all.asScala.toSeq.sorted
+      def pct(p: Double) = lat((p * (lat.size - 1)).round.toInt)
+      println(
+        f"""{"metric":"serve_latency","tier":"$tier","threads":$threads,"calls":${lat.size},"p50_ms":${pct(0.50)}%.3f,"p90_ms":${pct(0.90)}%.3f,"p99_ms":${pct(0.99)}%.3f,"max_ms":${lat.last}%.3f,"throughput_calls_per_s":${lat.size / wall}%.0f}""")
+    }
+    for (threads <- Seq(8, 16)) concurrentReport("cached-concurrent", threads, cachedCall)
+
+    // with refresh churn: the same store committed as TxTables, a
+    // writer thread appending one synthetic day + refreshIfStale in a
+    // tight loop for the whole read window
+    val base = java.nio.file.Files.createTempDirectory("serve-churn").toFile.getAbsolutePath
+    val (sRoot, gRoot) = (s"$base/silver", s"$base/gold")
+    graft.pipeline.TxTable.commit(spark, sRoot, silver, "reading_date")
+    graft.pipeline.TxTable.commit(spark, gRoot, gold, "reading_date")
+    val churnCache = graft.pipeline.ServeCache.fromTxTables(
+      spark, sRoot, gRoot, maxRows = 50000000L)
+    def churnCall(i: Int): (Double, Long) = {
+      val fromDom = 1 + (i % 20)
+      val days = 1 + (i % 7)
+      val f = f"2024-01-$fromDom%02d"
+      val t = f"2024-01-${fromDom + days}%02d"
+      val t0 = System.nanoTime()
+      val rows = churnCache.range(Some(f), Some(t))
+        .fold(msg => sys.error(s"serve rejected ($f,$t): $msg"), identity)
+      ((System.nanoTime() - t0) / 1e6, rows.length.toLong)
+    }
+    @volatile var writing = true
+    var swaps = 0
+    val writer = new Thread(() => {
+      var day = 1
+      while (writing && day <= 60) {
+        val d = f"2025-03-$day%02d"
+        graft.pipeline.TxTable.appendCommit(spark, sRoot,
+          Seq((d, s"$d 00:00:01", "click", day.toDouble))
+            .toDF("reading_date", "ts", "metric_name", "metric_value")
+            .select(col("reading_date"), to_timestamp(col("ts")).as("reading_time"),
+              col("metric_name"), col("metric_value")),
+          "reading_date")
+        if (churnCache.refreshIfStale()) swaps += 1
+        day += 1
+      }
+    })
+    writer.start()
+    (1 to 20).foreach(churnCall)
+    for (threads <- Seq(8, 16)) concurrentReport("cached-churn", threads, churnCall)
+    writing = false
+    writer.join()
+    println(s"""{"metric":"serve_churn_swaps","swaps":$swaps}""")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     spark.stop()
   }
 }

@@ -647,9 +647,24 @@ object GraphOps {
     * over the full vote set). All shuffle volume is edge-bound; the
     * node-sized label frame broadcasts under the same node-count guard
     * as the rank loops, and falls back to a shuffle join above it.
+    *
+    * ROUND-1 ALGEBRAIC COLLAPSE (`distinctEdges`, default on): initial
+    * labels are node ids, so with a DISTINCT edge set every neighbor
+    * casts exactly one vote for its own id — every count ties at 1 and
+    * the min tie-break makes round 1's mode exactly `min(neighbor)`.
+    * That turns the WORST round (all labels distinct — the one round
+    * where map-side combine reduces nothing and the (src,lbl) state is
+    * full pair cardinality, SCALE.md §12j/§14a) into a join-free
+    * node-state `min` aggregate. Rounds ≥2 keep the general mode agg,
+    * whose label diversity — and so pair state — shrinks as communities
+    * collapse. Callers with MULTI-edge voting semantics must pass
+    * `distinctEdges = false`; every caller in this repo (co-occurrence
+    * edges, soak generators, the SQL twin's set-derived CTE) is
+    * set-shaped, matching the brute-force spec's Set[(src,dst)] model.
     */
   def labelPropagation(edges: DataFrame, iters: Int = 5,
-      oneExchange: Boolean = sys.env.get("SPARK_GRAFT_LPA_ONE_EXCHANGE").contains("1")): DataFrame = {
+      oneExchange: Boolean = sys.env.get("SPARK_GRAFT_LPA_ONE_EXCHANGE").contains("1"),
+      distinctEdges: Boolean = true): DataFrame = {
     val spark = edges.sparkSession
     val e0 = edges.repartition(col("dst")).localCheckpoint(false)
     val nEdges = e0.count()
@@ -676,6 +691,12 @@ object GraphOps {
       var labels = e.select(col("src").as("node")).distinct()
         .withColumn("lbl", col("node"))
       for (i <- 1 to iters) {
+        if (i == 1 && distinctEdges) {
+          // round 1 against identity labels: min(neighbor id), no join,
+          // node-cardinality agg state (see the Scaladoc collapse note)
+          labels = e.groupBy(col("src").as("node")).agg(min(col("dst")).as("lbl"))
+          if (iters > 1) labels = labels.localCheckpoint(nEdges > loopCodegenMinRows)
+        } else {
         val lb = (if (small) broadcast(labels) else labels)
           .select(col("node").as("lp_n"), col("lbl"))
         val votes = e.join(lb, col("dst") === col("lp_n"))
@@ -707,6 +728,7 @@ object GraphOps {
         // shuffle spill as the loop progresses (rankLoop rationale)
         labels =
           if (i < iters) next.localCheckpoint(nEdges > loopCodegenMinRows) else next
+        }
       }
       labels.select(col("node"), col("lbl").as("community"))
         .localCheckpoint(true)

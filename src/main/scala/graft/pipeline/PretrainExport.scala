@@ -410,7 +410,12 @@ object PretrainExport {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        append(batch.sparkSession, root, batch.select("doc_id", "text"))
+        // cut the micro-batch once: append drives several actions over
+        // its input (stats count, quality checkpoint), and an un-cut
+        // foreachBatch frame re-reads the landed files per action
+        // (measured: numInputRows = 2× the landed rows per trigger)
+        append(batch.sparkSession, root,
+          batch.select("doc_id", "text").localCheckpoint(false))
         ()
       }
       .start()

@@ -470,6 +470,28 @@ class GraphOpsSpec extends AnyFunSuite {
     assert((10L to 13L).forall(comm(_) == 10L), s"clique B must settle on 10: $comm")
   }
 
+  test("label propagation round-1 collapse: distinctEdges contract on a multigraph") {
+    import spark.implicits._
+    // node 1's neighbor 3 appears TWICE: per-edge-row voting gives 3
+    // two round-1 votes (mode = 3), while the distinct-set collapse
+    // would give min(neighbor) = 2 — the boundary the parameter pins
+    val dup = Seq((1L, 2L), (1L, 3L), (1L, 3L), (2L, 1L), (3L, 1L), (3L, 1L))
+      .toDF("src", "dst")
+    val multi = GraphOps.labelPropagation(dup, iters = 1, distinctEdges = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(multi(1L) == 3L, s"multigraph voting must count edge rows: $multi")
+    val asSet = GraphOps.labelPropagation(dup, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(asSet(1L) == 2L, s"distinct-set collapse takes min neighbor: $asSet")
+    // on an actually-distinct edge set the two paths are identical
+    val clean = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val a = GraphOps.labelPropagation(clean, iters = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = GraphOps.labelPropagation(clean, iters = 1, distinctEdges = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
   test("label propagation spark loop equals brute synchronous min-mode on random graphs; SQL twin agrees") {
     def brute(edges: Set[(Long, Long)], iters: Int): Map[Long, Long] = {
       val nodes = edges.map(_._1)

@@ -102,6 +102,57 @@ class ServeCacheSpec extends AnyFunSuite {
     assert(cache.range(Some("2024-01-01"), Some("2024-01-04")) === viaSpark)
   }
 
+  test("concurrent readers during refresh swaps: every read is one whole snapshot, never a mix") {
+    // writer commits day k with value k then refreshes; 8 reader
+    // threads hammer the full span. The snapshot swap is a single
+    // volatile write, so every response must expose a version PREFIX:
+    // appended days present = exactly {1..k} for some k, each with its
+    // own value — a gap or a value/day mismatch is a torn read.
+    val base = graft.TestTmp.dir("serve-cache-conc")
+    val (sRoot, gRoot) = (s"$base/silver", s"$base/gold")
+    val (silver, gold) = mkFrames()
+    TxTable.commit(spark, sRoot, silver, "reading_date")
+    TxTable.commit(spark, gRoot, gold, "reading_date")
+    val cache = ServeCache.fromTxTables(spark, sRoot, gRoot)
+
+    val nDays = 12
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    @volatile var writing = true
+    val readers = (1 to 8).map { _ =>
+      new Thread(() => {
+        while (writing) {
+          cache.range(Some("2025-03-01"), Some("2025-03-28")) match {
+            case Left(msg) => failures.add(s"reject mid-swap: $msg"); ()
+            case Right(rows) =>
+              val days = rows.map(_._1.substring(8, 10).toInt)
+              val vals = rows.map(_._3)
+              if (days != (1 to days.size).toSeq)
+                failures.add(s"non-prefix day set: $days")
+              else if (vals != days.map(_.toDouble))
+                failures.add(s"value/day mismatch: ${days.zip(vals)}")
+              ()
+          }
+        }
+      })
+    }
+    readers.foreach(_.start())
+    (1 to nDays).foreach { day =>
+      val d = f"2025-03-$day%02d"
+      TxTable.appendCommit(spark, sRoot,
+        Seq((d, s"$d 00:00:01", "click", day.toDouble))
+          .toDF("reading_date", "ts", "metric_name", "metric_value")
+          .select(col("reading_date"), to_timestamp(col("ts")).as("reading_time"),
+            col("metric_name"), col("metric_value")),
+        "reading_date")
+      assert(cache.refreshIfStale(), s"refresh must observe day $day's commit")
+    }
+    writing = false
+    readers.foreach(_.join())
+    assert(failures.isEmpty, s"torn reads: ${failures.toArray.take(3).mkString("; ")}")
+    val fin = cache.range(Some("2025-03-01"), Some("2025-03-28")).toOption.get
+    assert(fin.size == nDays && fin.map(_._3) == (1 to nDays).map(_.toDouble))
+  }
+
   test("bounded collect: a store above maxRows refuses to build; a date/time mismatch fails loudly") {
     val (silver, gold) = mkFrames()
     val e1 = intercept[IllegalArgumentException] {

@@ -102,6 +102,42 @@ class ShardFeedSpec extends AnyFunSuite {
     assert(rowSet(PretrainExport.shardTableAt(spark, root, v1)) === pinned)
   }
 
+  test("a poller thread tailing newShardsSince during live appends reconstructs the table exactly") {
+    // the serving shape: a training job polls the feed while the
+    // producer appends. Every poll must land on a whole committed
+    // version (manifests are atomic), so the union of polled deltas
+    // from 0 must equal the final table — no dropped, torn, or
+    // double-counted rows, and no errors mid-append.
+    val root = freshExport("concpoll")
+    val acc = scala.collection.mutable.Set.empty[String]
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    @volatile var producing = true
+    val poller = new Thread(() => {
+      var since = 0L
+      def pollOnce(): Unit =
+        try PretrainExport.newShardsSince(spark, root, since).foreach {
+          case (v, delta) =>
+            val rows = rowSet(delta)
+            if (rows.exists(acc.contains))
+              errors.add(s"double-counted rows polling ($since, $v]"); ()
+            acc ++= rows
+            since = v
+        }
+        catch { case e: Throwable => errors.add(s"poll threw: ${e.getMessage}"); () }
+      while (producing) pollOnce()
+      pollOnce() // drain whatever committed after the last in-loop poll
+    })
+    poller.start()
+    PretrainExport.append(spark, root, mkDocs(b1))
+    PretrainExport.append(spark, root, mkDocs(b2))
+    PretrainExport.append(spark, root, mkDocs(b3))
+    producing = false
+    poller.join()
+    assert(errors.isEmpty, s"poller errors: ${errors.toArray.take(3).mkString("; ")}")
+    assert(acc.toSet === rowSet(PretrainExport.shardTable(spark, root)),
+      "polled deltas must reconstruct the final table exactly")
+  }
+
   test("a rewriting commit in the poll window is refused loudly, never served") {
     val root = freshExport("compact")
     PretrainExport.append(spark, root, mkDocs(b1))
