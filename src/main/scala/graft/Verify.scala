@@ -18,6 +18,10 @@ object Verify {
     * the trained values are seeded-deterministic per SF. */
   def canonicalPlan(explain: String): String = explain
     .replaceAll("#\\d+L?", "")
+    // lambda variable names (x_175, lambda y_53) carry a process-global
+    // counter exactly like exprIds — single-letter base + _N, so real
+    // column names (n_chars, band_id) are never touched
+    .replaceAll("\\b[a-z]_\\d+\\b", "lv")
     .replaceAll("\\[plan_id=\\d+\\]", "")
     .replaceAll("\\*\\(\\d+\\)", "*")
     .replaceAll("(file:)?/[A-Za-z0-9_./-]*(tmp|testdata|repo)[A-Za-z0-9_./-]*", "PATH")

@@ -393,8 +393,13 @@ object PretrainExportOps {
       PretrainExport.initPinned(incr, root, model)
       val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).collect()(0)
       val split = (r.getLong(0) + r.getLong(1)) / 2
-      PretrainExport.append(incr, root, docs.filter(col("doc_id") <= split))
-      PretrainExport.append(incr, root, docs.filter(col("doc_id") > split))
+      // the prepared tier: per-doc artifacts (quality, band signatures,
+      // rendering stats) signed ONCE for both batches, appends pay only
+      // the state-dependent work — spec-pinned identical to two plain
+      // append() calls (PretrainExportPipelineSpec)
+      val prep = PretrainExport.prepare(incr, root, docs)
+      PretrainExport.appendPrepared(incr, root, prep, r.getLong(0), split)
+      PretrainExport.appendPrepared(incr, root, prep, split + 1, r.getLong(1))
       // the dump: re-render the ACCEPTED set with the pinned model —
       // deterministic Viterbi, identical to what the appends rendered
       val accepted = docs.join(

@@ -73,8 +73,14 @@ object ProfileIncr {
     time("initPinned")(PretrainExport.initPinned(incr, root, model))
     val r = time("split agg")(docs.agg(min(col("doc_id")), max(col("doc_id"))).collect()(0))
     val split = (r.getLong(0) + r.getLong(1)) / 2
-    time("append b1")(PretrainExport.append(incr, root, docs.filter(col("doc_id") <= split)))
-    time("append b2")(PretrainExport.append(incr, root, docs.filter(col("doc_id") > split)))
+    if (sys.env.get("SPARK_GRAFT_PROF_PLAIN").contains("1")) {
+      time("append b1")(PretrainExport.append(incr, root, docs.filter(col("doc_id") <= split)))
+      time("append b2")(PretrainExport.append(incr, root, docs.filter(col("doc_id") > split)))
+    } else {
+      val prep = time("prepare")(PretrainExport.prepare(incr, root, docs))
+      time("append b1")(PretrainExport.appendPrepared(incr, root, prep, r.getLong(0), split))
+      time("append b2")(PretrainExport.appendPrepared(incr, root, prep, split + 1, r.getLong(1)))
+    }
     val accepted = docs.join(
       PretrainExport.shardTable(incr, root).select("doc_id"), Seq("doc_id"), "left_semi")
     time("dump tokenize")(graft.ops.UnigramLmOps.tokenize(accepted, model, maxLen = 4)

@@ -200,9 +200,19 @@ object DedupIndex {
     * shuffle-join broadcast build the size of the increment). The
     * verdicts frame remains the per-doc API; both views are derived
     * from the same materialization.
+    *
+    * `precomputedBands`: band rows for EXACTLY `newDocs`, already
+    * materialized by the caller (the [[PretrainExport.prepare]] path —
+    * signing is per-doc deterministic and index-independent, so a
+    * producer can sign a multi-batch corpus once and ingest slices).
+    * The caller owns geometry consistency: the frame must be
+    * [[bandRows]] output under THIS index's pinned params — the pin
+    * check here still validates the params object, but cannot inspect
+    * a foreign frame's provenance.
     */
   private[pipeline] def ingestFull(spark: SparkSession, root: String, newDocs: DataFrame,
-      p: Params = Params()): (DataFrame, DataFrame) = {
+      p: Params = Params(),
+      precomputedBands: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     pinParams(spark, root, p)
     // EAGER localCheckpoint, not lazy persist(): the first consumer of
     // a lazily-cached frame here is a self-JOIN, whose two shuffle-map
@@ -220,8 +230,10 @@ object DedupIndex {
     // verdicts long-lived should copy them out promptly either way.
     // non-eager checkpoint + count as the materializing action: the cut
     // and the band-row count cost one job, and the count doubles as the
-    // prefilter's regime bound below
-    val newBands = bandRows(newDocs, p).localCheckpoint(false)
+    // prefilter's regime bound below. A precomputed frame is already
+    // backed by its producer's materialization — a lazy slice of cached
+    // blocks, no signing compute and no second cut.
+    val newBands = precomputedBands.getOrElse(bandRows(newDocs, p).localCheckpoint(false))
     val nBandRows = newBands.count()
     val hasIndex = TxTable.latest(spark, root)._1 > 0
     // every index consumer below (probe, bucket counts, replay

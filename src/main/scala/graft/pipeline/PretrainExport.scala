@@ -372,6 +372,100 @@ object PretrainExport {
     AppendStats(docsIn, keptN, acceptedN, n)
   }
 
+  /** Per-doc artifacts signed ONCE for a multi-batch corpus — see
+    * [[prepare]]. All frames are backed by eager materializations, so
+    * per-append slices are lazy filters over cached blocks. */
+  final case class Prepared private[pipeline] (
+      docs: DataFrame, kept: DataFrame, bands: DataFrame, perDoc: DataFrame,
+      params: Params, tokVersion: Long)
+
+  /** Sign and render a multi-batch corpus ONCE: quality gate, LSH band
+    * signatures, pinned-vocab rendering stats — every per-doc artifact
+    * [[append]] derives is a pure function of the doc and the export's
+    * pinned params, independent of index state and batch boundaries. A
+    * producer landing K batches can therefore pay the heavy per-doc
+    * compute once and drive [[appendPrepared]] per id-range slice; each
+    * append then pays only the state-dependent work (index probe,
+    * replay guard, offset-continued pack, commits). Verdicts, offsets,
+    * and shard contents are IDENTICAL to K plain [[append]] calls
+    * (spec-pinned — the slice of a deterministic per-doc map equals the
+    * map of the slice). */
+  def prepare(spark: SparkSession, root: String, docs: DataFrame): Prepared = {
+    val (p, tokVersion) = readParams(spark, root)
+    val model = TokenizerStore.loadUnigramAt(spark, tokRoot(root), tokVersion)
+    val docsCk = docs.select(col("doc_id"), col("text")).localCheckpoint(false)
+    docsCk.count()
+    val kept = PretrainExportOps.qualityKept(docsCk) // lazy over cached blocks
+    val bands = DedupIndex.bandRows(kept, p.dedup).localCheckpoint(false)
+    bands.count()
+    val seg = UnigramLmOps.tokenize(kept, model, maxLen = p.maxLen)
+    val perDoc = PretrainExportOps.perDocStats(kept, seg, "").localCheckpoint(false)
+    perDoc.count()
+    Prepared(docsCk, kept, bands, perDoc, p, tokVersion)
+  }
+
+  /** [[append]] of the id-range slice [lo, hi] of a [[prepare]]d
+    * corpus: same gates, same commits, same stats — the per-doc compute
+    * is a cached-block slice instead of a recompute. The id-ordered
+    * batch contract and replay idempotence carry over unchanged. */
+  def appendPrepared(
+      spark: SparkSession, root: String, prep: Prepared,
+      lo: Long, hi: Long): AppendStats = {
+    val (p, tokVersion) = readParams(spark, root)
+    require(p == prep.params && tokVersion == prep.tokVersion,
+      s"prepared corpus was signed under different export params — " +
+        "prepare() against this root")
+    val inRange = col("doc_id") >= lo && col("doc_id") <= hi
+    val docsIn = prep.docs.filter(inRange).count()
+    val kr = prep.kept.filter(inRange)
+    val ka = kr.agg(count(lit(1)), min(col("doc_id"))).collect()(0)
+    val keptN = ka.getLong(0)
+    val mnKept = if (ka.isNullAt(1)) None else Some(ka.getLong(1))
+
+    val (_, dups) = DedupIndex.ingestFull(
+      spark, dedupRoot(root), kr, p.dedup,
+      precomputedBands = Some(prep.bands.filter(inRange)))
+    val nDups = dups.count() // bounded checkpointed frame
+    val acceptedN = keptN - nDups
+
+    val sRoot = shardsRoot(root)
+    val storedVersion = TxTable.latest(spark, sRoot)._1
+    val hasShards = storedVersion > 0
+    val (tokenBase, rowBase, maxStored) = baseCounters(spark, root, storedVersion)
+    // fresh-batch check on min(kept) — a lower bound of min(novel), so
+    // passing it proves the guard; failing it just takes the replay
+    // path (same conservative direction as append's canon-min check)
+    val fresh = mnKept.isEmpty || maxStored.forall(mx => mnKept.get > mx)
+    val perDocR = prep.perDoc.filter(inRange)
+      .join(dups.select("doc_id"), Seq("doc_id"), "left_anti")
+    val novelStats =
+      if (!hasShards || fresh) perDocR
+      else
+        perDocR.join(
+          TxTable.read(spark, sRoot).select("doc_id")
+            .filter(col("doc_id") >= mnKept.get),
+          Seq("doc_id"), "left_anti")
+          .localCheckpoint(true)
+    if (!fresh) maxStored.foreach { mx =>
+      val minNew = novelStats.agg(min(col("doc_id"))).collect()(0)
+      if (!minNew.isNullAt(0))
+        require(minNew.getLong(0) > mx,
+          s"append violates the append-only doc_id contract: new doc " +
+            s"${minNew.getLong(0)} <= stored max $mx")
+    }
+    val rows = PretrainExportOps.packAndStripe(
+      novelStats, p.windowBudget, p.stripeShards, tokenBase, rowBase)
+    val cut = rows.localCheckpoint(false)
+    val n = cut.count()
+    if (n > 0) {
+      val v = TxTable.appendCommit(spark, sRoot, cut, "shard")
+      val d = cut.agg(sum(col("n_tokens")), max(col("doc_id"))).collect()(0)
+      writeCounters(spark, root, v, tokenBase + d.getLong(0), rowBase + n,
+        math.max(maxStored.getOrElse(Long.MinValue), d.getLong(1)))
+    }
+    AppendStats(docsIn, keptN, acceptedN, n)
+  }
+
   /** Streaming front end: a file-source stream of (doc_id, text)
     * batches driven through [[append]] per micro-batch (AvailableNow)
     * — raw landed files to training-ready shards with no batch driver

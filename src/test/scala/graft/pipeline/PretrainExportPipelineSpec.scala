@@ -90,6 +90,46 @@ class PretrainExportPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("prepare + appendPrepared slices equal plain appends exactly (stats, table, manifest, replay)") {
+    val plainRoot = freshRoot("prep-plain")
+    val prepRoot = freshRoot("prep-sliced")
+    initAt(plainRoot); initAt(prepRoot)
+
+    val p1 = PretrainExport.append(spark, plainRoot, mkDocs(b1))
+    val p2 = PretrainExport.append(spark, plainRoot, mkDocs(b2))
+
+    val prep = PretrainExport.prepare(spark, prepRoot, mkDocs(b1 ++ b2))
+    val s1 = PretrainExport.appendPrepared(spark, prepRoot, prep, 1L, 6L)
+    val s2 = PretrainExport.appendPrepared(spark, prepRoot, prep, 11L, 15L)
+    assert(s1 == p1, s"batch-1 stats diverged: prepared=$s1 plain=$p1")
+    assert(s2 == p2, s"batch-2 stats diverged: prepared=$s2 plain=$p2")
+    assert(tableRows(prepRoot) == tableRows(plainRoot),
+      "prepared-slice shard table != plain-append shard table")
+    assert(
+      PretrainExport.manifest(spark, prepRoot).collect().map(_.toString).toSeq ==
+        PretrainExport.manifest(spark, plainRoot).collect().map(_.toString).toSeq)
+
+    // a replayed prepared slice is the same no-op as a replayed append
+    val before = tableRows(prepRoot)
+    val replay = PretrainExport.appendPrepared(spark, prepRoot, prep, 11L, 15L)
+    assert(replay.appended == 0, s"replayed slice appended rows: $replay")
+    assert(tableRows(prepRoot) == before)
+
+    // an empty slice is a zero-stat no-op, not an error
+    val empty = PretrainExport.appendPrepared(spark, prepRoot, prep, 100L, 200L)
+    assert(empty == PretrainExport.AppendStats(0, 0, 0, 0), s"empty slice: $empty")
+
+    // a prepared corpus from a DIFFERENTLY-parameterized export is refused
+    val otherRoot = freshRoot("prep-other")
+    PretrainExport.init(spark, otherRoot, tokCorpus,
+      p = PretrainExport.Params(windowBudget = 128L),
+      vocabSize = 200, seedSize = 500, emIters = 1, pruneFrac = 0.5)
+    val e = intercept[IllegalArgumentException] {
+      PretrainExport.appendPrepared(spark, otherRoot, prep, 1L, 6L)
+    }
+    assert(e.getMessage.contains("different export params"))
+  }
+
   test("replay of a committed batch is a pure no-op") {
     val root = freshRoot("replay")
     initAt(root)
