@@ -104,14 +104,23 @@ object ServeLatency {
     // deployment runs. The snapshot swap is one volatile write, so
     // reader latency must not degrade beyond scheduler noise and no
     // call may error mid-swap.
-    def concurrentReport(tier: String, threads: Int, cacheCall: Int => (Double, Long)): Unit = {
+    def concurrentReport(tier: String, threads: Int, cacheCall: Int => (Double, Long),
+        minWallSec: Double = 0.0): Unit = {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
       val all = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
       val t0 = System.nanoTime()
+      // duration mode (minWallSec > 0): loop until the wall passes —
+      // the churn sections must SPAN several ~1.5 s commit+swap cycles,
+      // which a fixed call count at ~40k calls/s never does
+      val deadline = t0 + (minWallSec * 1e9).toLong
       val futures = (0 until threads).map { th =>
         pool.submit(new Runnable {
-          def run(): Unit = (1 to calls).foreach { i =>
-            all.add(cacheCall(th * calls + i)._1); ()
+          def run(): Unit = {
+            var i = 0
+            while (i < calls || System.nanoTime() < deadline) {
+              all.add(cacheCall(th * calls + i)._1)
+              i += 1
+            }
           }
         })
       }
@@ -163,7 +172,8 @@ object ServeLatency {
     })
     writer.start()
     (1 to 20).foreach(churnCall)
-    for (threads <- Seq(8, 16)) concurrentReport("cached-churn", threads, churnCall)
+    for (threads <- Seq(8, 16))
+      concurrentReport("cached-churn", threads, churnCall, minWallSec = 8.0)
     writing = false
     writer.join()
     println(s"""{"metric":"serve_churn_swaps","swaps":$swaps}""")
