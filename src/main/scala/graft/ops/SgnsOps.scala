@@ -62,6 +62,12 @@ import org.apache.spark.sql.functions._
   */
 object SgnsOps {
 
+  /** Longest loop the lazy whole-batch regime may run (see the cut
+    * rationale in [[train]]): each lazy round ~3×es the BITS of the
+    * carried size estimate, so 8 rounds ≈ 63·3^8 ≈ 400k-bit stats —
+    * still cheap to multiply; rounds beyond this use eager cuts. */
+  private[ops] val lazyMaxRounds = 8
+
   final case class SgnsParams(
       dim: Int = 16,
       negatives: Int = 3,
@@ -308,9 +314,30 @@ object SgnsOps {
           // per-batch cuts: eager above the gate (each batch its own
           // job, prior batches' shuffle files reclaimable — the r8
           // disk-model rule), lazy below it (the whole loop executes
-          // inside the final model checkpoints' jobs)
-          vin = applyGrad(vin, dIn).localCheckpoint(eager)
-          vout = applyGrad(vout, dOut).localCheckpoint(eager)
+          // inside the final model checkpoints' jobs).
+          // STATS-CARRY-FORWARD BUG, fixed structurally: a checkpoint
+          // (eager OR lazy) cuts lineage but propagates the OPTIMIZER'S
+          // size estimate of the pre-checkpoint plan
+          // (LogicalRDD.originStats) — and this loop's model frame
+          // feeds ~3 join branches per round, so the estimate's BITS
+          // triple per round (doubly-exponential sizeInBytes). Long
+          // runs sink Catalyst planning into megabit BigInteger
+          // multiplications (jstack: RUNNABLE in multiplyToomCook3)
+          // and die ~round 12 with "BigInteger would overflow
+          // supported range" (the 100k-node 30-epoch soak's failure —
+          // rank/LPA loops never hit this because their state feeds
+          // ONE branch per round: linear bit growth).
+          // resetCheckpointStats severs the carried estimate at every
+          // per-round cut; every model join here is explicitly hinted
+          // (broadcast / repartition), so the optimizer loses nothing.
+          // The round gate keeps LONG loops on eager cuts regardless
+          // of the size gate (per-round shuffle release + bounded RDD
+          // lineage). Values are unchanged (a checkpoint is a
+          // materialization barrier; stats are estimates, never data).
+          val cutEager = eager || p.epochs * p.batches > lazyMaxRounds
+          import org.apache.spark.sql.graftbridge.DatasetBridge.resetCheckpointStats
+          vin = resetCheckpointStats(applyGrad(vin, dIn).localCheckpoint(cutEager))
+          vout = resetCheckpointStats(applyGrad(vout, dOut).localCheckpoint(cutEager))
         } finally { if (p.trackLoss) { scoredP.unpersist(); () } }
       }
       // the returned model is ALWAYS an eager checkpoint — the

@@ -416,11 +416,17 @@ object PretrainExport {
       s"prepared corpus was signed under different export params — " +
         "prepare() against this root")
     val inRange = col("doc_id") >= lo && col("doc_id") <= hi
-    val docsIn = prep.docs.filter(inRange).count()
+    // one cached-blocks pass for all three slice stats: raw count,
+    // quality-kept count, min kept id (the quality flag re-evaluates on
+    // cached rows — cheaper than a second scan job)
+    val ka = graft.ops.CurationOps.withQuality(prep.docs.filter(inRange))
+      .agg(count(lit(1)),
+        count(when(col("keep"), lit(1))),
+        min(when(col("keep"), col("doc_id")))).collect()(0)
+    val docsIn = ka.getLong(0)
+    val keptN = ka.getLong(1)
+    val mnKept = if (ka.isNullAt(2)) None else Some(ka.getLong(2))
     val kr = prep.kept.filter(inRange)
-    val ka = kr.agg(count(lit(1)), min(col("doc_id"))).collect()(0)
-    val keptN = ka.getLong(0)
-    val mnKept = if (ka.isNullAt(1)) None else Some(ka.getLong(1))
 
     val (_, dups) = DedupIndex.ingestFull(
       spark, dedupRoot(root), kr, p.dedup,

@@ -202,6 +202,18 @@ class SgnsSpec extends AnyFunSuite {
     }
   }
 
+  test("lazy-regime lineage stays bounded over many rounds (BigInteger-overflow regression)") {
+    // 30 batch-rounds below the eager gate: without the periodic eager
+    // cut, each round's plan tree embeds the prior round's ~3×, and
+    // Catalyst's size-stat products overflow BigInteger at planning
+    // time around round 12 ("BigInteger would overflow supported
+    // range") — the exact failure of the 100k-node 30-epoch soak.
+    val params = SgnsOps.SgnsParams(dim = 4, negatives = 2, lr = 0.1,
+      epochs = 15, batches = 2, eagerCuts = Some(false), trackLoss = false)
+    val m = SgnsOps.train(trainingPairs(steps = 3, epochs = 1), params)
+    assert(m.inVecs.count() > 0)
+  }
+
   test("warm-start continuation with epochOffset replays the uninterrupted run; corpus growth keeps trained vectors and covers new vocab") {
     val params = SgnsOps.SgnsParams(dim = 8, negatives = 3, lr = 0.1, epochs = 4, batches = 2)
     val pairs = trainingPairs(steps = 5, epochs = 2)
