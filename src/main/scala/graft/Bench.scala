@@ -126,7 +126,7 @@ object Bench {
     // Queries newer than the freeze have no floor and are listed
     // separately, not failed. SPARK_GRAFT_FLOOR_STRICT=1 turns a
     // quiet-run violation into exit 1 for CI-style use.
-    val floorPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FLOOR", "bench_floor_r12.json")
+    val floorPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FLOOR", "bench_floor_r13.json")
     val floorReadable = java.nio.file.Files.isReadable(java.nio.file.Paths.get(floorPath))
     val floor: Map[String, Double] =
       if (floorReadable) {
