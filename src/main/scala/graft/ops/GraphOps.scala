@@ -661,6 +661,17 @@ object GraphOps {
     * `distinctEdges = false`; every caller in this repo (co-occurrence
     * edges, soak generators, the SQL twin's set-derived CTE) is
     * set-shaped, matching the brute-force spec's Set[(src,dst)] model.
+    *
+    * The collapse additionally requires the edge set to be SYMMETRIC
+    * (every dst also appears as src — true of all in-repo callers,
+    * whose graphs are undirected pair sets materialized both ways):
+    * on a distinct but DIRECTED graph, a src all of whose neighbors
+    * never appear as src gets NO vote from the general join path
+    * (its dsts carry no label) and is dropped from the label frame,
+    * while the collapse would hand it lbl=min(dst) — distinctness
+    * alone does not buy the equivalence. Directed-graph callers must
+    * pass `distinctEdges = false` too; the multigraph/directed
+    * boundary is spec-pinned in GraphOpsSpec.
     */
   def labelPropagation(edges: DataFrame, iters: Int = 5,
       oneExchange: Boolean = sys.env.get("SPARK_GRAFT_LPA_ONE_EXCHANGE").contains("1"),
