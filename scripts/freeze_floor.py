@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Freeze a bench floor as the per-query MAX of two committed quiet
+runs — the r11 envelope policy, reinstated after the r13 single-run
+freeze fired 7 false violations on a slow-but-quiet driver host.
+
+Also records `calibration_sec`: the FASTER run's median calibration
+probe (before + mid + after). graft.Bench divides the current run's
+median probe by it and stretches the 2x violation threshold by the
+ratio, clamped to [1.0, 1.6], so uniform host slowdown the probes can
+see doesn't trip sub-second floors.
+
+Refuses non-quiet inputs (any probe >= 2 s) and runs with failed
+queries: a floor must only ever be frozen from evidence-grade runs.
+
+Usage: freeze_floor.py <open_run.log> <close_run.log> <out_floor.json>
+"""
+import json
+import statistics
+import sys
+
+
+def load_run(path):
+    with open(path, errors="ignore") as f:
+        for line in f:
+            if '"queries"' in line and '"metric":"total"' in line:
+                d = json.loads(line[line.index('{"metric"'):])
+                probes = [d["calibration"]["before_sec"],
+                          d["calibration"]["after_sec"],
+                          *d["calibration"].get("mid_sec", [])]
+                if any(p >= 2.0 for p in probes):
+                    sys.exit(f"REFUSED: {path} is not quiet "
+                             f"(probe >= 2 s in {probes})")
+                if d.get("failed"):
+                    sys.exit(f"REFUSED: {path} has failed queries "
+                             f"{d['failed']}")
+                return d["queries"], statistics.median(probes)
+    sys.exit(f"no total-with-queries line found in {path}")
+
+
+open_path, close_path, out = sys.argv[1], sys.argv[2], sys.argv[3]
+oq, ocal = load_run(open_path)
+cq, ccal = load_run(close_path)
+if set(oq) != set(cq):
+    only_o = sorted(set(oq) - set(cq))
+    only_c = sorted(set(cq) - set(oq))
+    sys.exit(f"REFUSED: query sets differ — only in open: {only_o}, "
+             f"only in close: {only_c}")
+env = {k: max(oq[k], cq[k]) for k in sorted(oq)}
+floor = {
+    "frozen_from": (f"max({open_path}, {close_path}) — two-run envelope "
+                    "(r11 policy, reinstated r14); calibration_sec = "
+                    "faster run's median probe for Bench host-scaling"),
+    "calibration_sec": min(ocal, ccal),
+    "open_median_probe_sec": ocal,
+    "close_median_probe_sec": ccal,
+    "queries": env,
+}
+with open(out, "w") as f:
+    json.dump(floor, f, indent=1, sort_keys=False)
+    f.write("\n")
+print(f"froze {len(env)} envelope floors to {out} "
+      f"(calibration_sec={min(ocal, ccal):.3f}; "
+      f"open median probe {ocal:.3f}, close {ccal:.3f})")

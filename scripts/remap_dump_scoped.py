@@ -41,6 +41,13 @@ for k, v in j.items():
     if new != v:
         j[k] = new
         remapped.append(k)
+    elif re.search(rf"/tmp/graft_oracle/[A-Za-z0-9_]+_{re.escape(sf)}/", v):
+        # already carries the TARGET SF segment: a re-run on an
+        # already-remapped oracle_sql.json (manual retry, resumed sweep)
+        # is a no-op, not a failure (r13 advice — the hard-fail made the
+        # script non-idempotent). Counted as remapped for the summary;
+        # the dump existence/staleness checks below still run on it.
+        remapped.append(k)
     else:
         unrewritten.append(k)
     for d in re.findall(r"/tmp/graft_oracle/[A-Za-z0-9_.]+/", new):
@@ -63,10 +70,17 @@ if missing or stale:
     print("(re-run Verify at this SF with SPARK_GRAFT_DUMP_ALL_SF=1)",
           file=sys.stderr)
     sys.exit(1)
-tmp = p + ".tmp"
-with open(tmp, "w") as f:
-    json.dump(j, f)
-    f.flush()
-    os.fsync(f.fileno())
-os.replace(tmp, p)
-print(f"remapped {len(sorted(remapped))} dump-scoped to {sf}: {sorted(remapped)}")
+with open(p) as f:
+    unchanged = json.load(f) == j
+if unchanged:
+    # pure no-op re-run: leave the file (and its mtime — the staleness
+    # reference for any later run) untouched
+    print(f"already remapped to {sf} ({len(remapped)} dump-scoped): no-op")
+else:
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(j, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, p)
+    print(f"remapped {len(sorted(remapped))} dump-scoped to {sf}: {sorted(remapped)}")

@@ -31,4 +31,18 @@ for SF in sf0.001 sf0.01 sf0.1; do
   fi
   grep -n "FAIL\|ERR" "$OUT/check_$SF.log" && { echo "unexpected FAIL lines above"; exit 1; }
   tail -5 "$OUT/check_$SF.log"
+  # plan-fingerprint gate, wired into the sweep so it can't decay into a
+  # hand-run tool (r13 verdict item 6): the sf0.01 Verify run's
+  # fingerprints are diffed against the committed floor; a CHANGED or
+  # MISSING plan fails the sweep. Re-freeze only by deliberate commit
+  # (check_plans.py --freeze after reviewing diffs).
+  if [ "$SF" = "sf0.01" ]; then
+    if ! python3 scripts/check_plans.py "$OUT/$SF/plan_fingerprints.json" \
+        plans_floor.json > "$OUT/check_plans.log" 2>&1; then
+      echo "PLAN GATE FAIL — full log: $OUT/check_plans.log"
+      tail -20 "$OUT/check_plans.log"
+      exit 1
+    fi
+    tail -3 "$OUT/check_plans.log"
+  fi
 done

@@ -70,8 +70,19 @@ object Verify {
         val df = fn(spark, sfDir)
         val canon = canonicalPlan(df.queryExecution.explainString(
           org.apache.spark.sql.execution.SimpleMode))
-        fingerprints(name) = (md5hex(canon), canon)
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // record the fingerprint only AFTER the dump write succeeds: a
+        // query that plans fine but fails at runtime must not hand the
+        // plan gate an 'ok' entry while the oracle compare reports its
+        // dump missing (r13 advice). AQE caveat, documented here because
+        // this is the gate's capture point: the hash covers the
+        // PRE-EXECUTION plan (AdaptiveSparkPlan isFinalPlan=false), so
+        // planner-time flips (broadcast threshold, pushdown loss,
+        // strategy changes) are caught, but a RUNTIME re-plan AQE makes
+        // mid-query (e.g. demoting a broadcast at a data-size boundary
+        // it only learns while executing) is invisible — the time floor
+        // is the backstop for those.
+        fingerprints(name) = (md5hex(canon), canon)
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
