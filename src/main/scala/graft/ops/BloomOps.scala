@@ -94,7 +94,14 @@ object BloomOps {
         if (probe.isEmpty) df.filter(lit(false))
         else df.filter(dfKey.isin(probe.map(_.get(0)).toSeq: _*))
       } else {
-        val n = cached.count() // counted only in the big regime, to size the bloom
+        // bloom sizing: the caller's bound serves when present — an
+        // over-sized bloom only LOWERS the fpp (more bits for fewer
+        // items; ~1.2 MB at a 1M bound), while the count job it
+        // replaces is pure driver latency on increment-sized key sets.
+        // An actually-empty key frame under a positive bound still
+        // degrades safely: BloomFilterAggregate over zero rows returns
+        // null → None → filter(false), same as the counted path.
+        val n = if (keyRowBound >= 0) keyRowBound else cached.count()
         if (n == 0) df.filter(lit(false))
         else buildBloom(cached, col(cached.columns.head), n, fpp) match {
           case Some(bloom) => df.filter(mightContain(bloom, dfKey))

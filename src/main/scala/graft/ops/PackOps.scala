@@ -79,8 +79,14 @@ object PackOps {
     // need only (orderCol, valueCol), so the checkpoint stays rows x
     // 2 fields however wide the caller's frame is, and the returned
     // plan still consumes the caller's `df` lazily exactly once.
+    // NON-eager (r14): the sample collect below is always the first
+    // action and materializes the cut; the totals job then reads
+    // blocks — the dedicated eager job was pure per-job driver
+    // latency on increment-sized frames. (Both consumers reference
+    // `stats` once per job, so there is no intra-job race on the
+    // cache.)
     val stats = df.select((col(orderCol) +: vals.map(v => col(v._1))): _*)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // deterministic uniform sample: the sampleSize smallest xxhash64
     // values of orderCol (total order, data-dependent only)
     val sampleSize = nb * 64

@@ -137,18 +137,22 @@ object DedupIndex {
       .select(newBands.columns.map(col).toSeq: _*)
   }
 
-  /** Index maintenance: collapse the per-ingest append fragments into
-    * one version dir and reclaim superseded dirs — run when
-    * [[TxTable.history]] shows dir count far above partition count
-    * (every ingest adds one dir per touched band partition). Contents
-    * are unchanged, but the vacuum DELETES superseded version dirs: any
-    * still-unevaluated verdicts frame from an earlier [[ingest]] (whose
-    * plan pins the pre-ingest dir list) must be materialized first.
-    * Single-writer, like ingest itself.
+  /** Index maintenance: merge the per-ingest append fragments into
+    * bounded LEVELED runs ([[TxTable.compactLeveled]], r14 — the full
+    * [[TxTable.compactAll]] rewrite was O(index) per firing, the same
+    * scale-killer shape as the shard table's) and reclaim superseded
+    * dirs. Runs are clustered on band_hash within each band_id
+    * partition, so a future stats-pruned probe layout stays possible.
+    * Contents are unchanged, but the vacuum DELETES superseded version
+    * dirs: any still-unevaluated verdicts frame from an earlier
+    * [[ingest]] (whose plan pins the pre-ingest dir list) must be
+    * materialized first. Single-writer, like ingest itself. Returns
+    * whether any merge step ran.
     */
-  def compact(spark: SparkSession, root: String): Unit = {
-    TxTable.compactAll(spark, root, "band_id")
+  def compact(spark: SparkSession, root: String): Boolean = {
+    val steps = TxTable.compactLeveled(spark, root, "band_id", Seq("band_hash"))
     TxTable.vacuum(spark, root)
+    steps > 0
   }
 
   /** The index's band geometry is pinned at creation (`_graft_params`
@@ -212,7 +216,8 @@ object DedupIndex {
     */
   private[pipeline] def ingestFull(spark: SparkSession, root: String, newDocs: DataFrame,
       p: Params = Params(),
-      precomputedBands: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+      precomputedBands: Option[DataFrame] = None,
+      precomputedBandBound: Long = -1L): (DataFrame, DataFrame) = {
     pinParams(spark, root, p)
     // EAGER localCheckpoint, not lazy persist(): the first consumer of
     // a lazily-cached frame here is a self-JOIN, whose two shuffle-map
@@ -234,7 +239,15 @@ object DedupIndex {
     // backed by its producer's materialization — a lazy slice of cached
     // blocks, no signing compute and no second cut.
     val newBands = precomputedBands.getOrElse(bandRows(newDocs, p).localCheckpoint(false))
-    val nBandRows = newBands.count()
+    // the count has two duties: materialize the fresh cut (above) and
+    // bound the prefilter's regime probe. A precomputed frame is
+    // already materialized, and the caller usually knows an UPPER
+    // BOUND on its band rows for free (kept docs × bands/doc) —
+    // regime choice is performance-only (filterToKeySet doc), so the
+    // bound replaces the count job entirely on the prepared path.
+    val nBandRows =
+      if (precomputedBands.isDefined && precomputedBandBound >= 0L) precomputedBandBound
+      else newBands.count()
     val hasIndex = TxTable.latest(spark, root)._1 > 0
     // every index consumer below (probe, bucket counts, replay
     // anti-join) works on the bucket-prefiltered view — the full index
@@ -273,21 +286,26 @@ object DedupIndex {
       .withColumn("est", estJaccard(col("sig"), col("cand_sig")))
       .filter(col("est") >= p.threshold)
     // best match: highest estimate, ties to the smallest candidate id
-    // (the StreamingDedup rule). EAGER localCheckpoint: this is the
-    // apex of the expensive subtree (bucket self-join + index probe +
+    // (the StreamingDedup rule). localCheckpoint: this is the apex of
+    // the expensive subtree (bucket self-join + index probe +
     // signature compare + rank), and WITHOUT materialization every
     // downstream consumer — the verdict counts, the survivor-band
-    // broadcast, the admission isEmpty, the append itself, and the
-    // caller's lazy verdicts — re-runs the whole thing (profiled: ~5
-    // re-evaluations, the dominant ingest cost at 50k docs). The frame
-    // is one row per DUPLICATE doc, bounded by the increment, so the
-    // checkpoint is cheap at any scale.
+    // broadcast, the append itself, and the caller's lazy verdicts —
+    // re-runs the whole thing (profiled: ~5 re-evaluations, the
+    // dominant ingest cost at 50k docs). NON-eager (r14): every job
+    // below references `best` exactly once (no intra-job double
+    // evaluation to race the cache), so the survivor-band staging
+    // write doubles as the materializing action and the dedicated
+    // eager job disappears — per-job driver latency, not compute,
+    // dominates increment-sized ingests. The frame is one row per
+    // DUPLICATE doc, bounded by the increment, so the cut is cheap at
+    // any scale.
     val w = Window.partitionBy("doc_id").orderBy(col("est").desc, col("cand"))
     val best = cand
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .select(col("doc_id"), col("cand").as("dup_of"), col("est").as("est_jaccard"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     val verdicts = newDocs.select("doc_id")
       .join(best, Seq("doc_id"), "left")
@@ -312,14 +330,14 @@ object DedupIndex {
         Seq("band_id", "band_hash"), "leftsemi")
         .groupBy("band_id", "band_hash").agg(count(lit(1)).as("cnt"))
     }
-    // one materialization (non-eager cut + count) serves the emptiness
-    // probe AND the commit write — un-checkpointed, each would re-run
-    // the cap window + both joins; a separate eager cut + isEmpty was
-    // one job more
+    // ONE job commits the survivors: stage the admitted bands directly
+    // and publish only if any partition landed (appendCommitNonEmpty) —
+    // the former cut + count + write evaluated the cap window twice and
+    // paid an extra job for the emptiness probe; the staging write is
+    // now the single evaluation AND the materializing action of the
+    // non-eager `best` cut above.
     val admitted = admitWithCap(survivorBands, bucketCounts, p.maxBucket)
-      .localCheckpoint(false)
-    if (admitted.count() > 0)
-      TxTable.appendCommit(spark, root, admitted, "band_id")
+    TxTable.appendCommitNonEmpty(spark, root, admitted, "band_id")
     // (newBands/admitted checkpoint blocks are reclaimed by the
     // ContextCleaner once this frame's references drop; the returned
     // verdicts only reference the checkpointed `best`)

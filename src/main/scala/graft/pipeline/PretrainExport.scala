@@ -300,7 +300,10 @@ object PretrainExport {
     // the largest single job of an append).
     val canon = kept.join(dups.select("doc_id"), Seq("doc_id"), "left_anti")
       .localCheckpoint(false)
-    val acceptedN = canon.count()
+    // one materializing job for BOTH canon stats: the accepted count
+    // and the fresh-batch min id the guard below needs (was two jobs)
+    val ca = canon.agg(count(lit(1)), min(col("doc_id"))).collect()(0)
+    val acceptedN = ca.getLong(0)
 
     val sRoot = shardsRoot(root)
     val storedVersion = TxTable.latest(spark, sRoot)._1
@@ -319,9 +322,9 @@ object PretrainExport {
     // pruned anti-join + explicit guard unchanged. maxStored comes from
     // the counter cache, which is bit-identical to the derived
     // aggregate by construction (see baseCounters).
-    val mnCanon = canon.agg(min(col("doc_id"))).collect()(0)
-    val freshBatch = mnCanon.isNullAt(0) ||
-      maxStored.forall(mx => mnCanon.getLong(0) > mx)
+    val mnCanon: Option[Long] = if (ca.isNullAt(1)) None else Some(ca.getLong(1))
+    val freshBatch = mnCanon.isEmpty ||
+      maxStored.forall(mx => mnCanon.get > mx)
     val novel =
       if (!hasShards || freshBatch) canon
       else
@@ -336,7 +339,7 @@ object PretrainExport {
         // consumers (min-id guard, rendering, per-doc stats).
         canon.join(
           TxTable.read(spark, sRoot).select("doc_id")
-            .filter(col("doc_id") >= mnCanon.getLong(0)),
+            .filter(col("doc_id") >= mnCanon.get),
           Seq("doc_id"), "left_anti")
           .localCheckpoint(true)
     // the append-only id contract the incremental ≡ one-shot
@@ -359,15 +362,18 @@ object PretrainExport {
     val rows = PretrainExportOps.packAndStripe(
       perDoc, p.windowBudget, p.stripeShards, tokenBase, rowBase)
     val cut = rows.localCheckpoint(false)
-    val n = cut.count()
+    // ONE materializing agg gives the row count (the commit gate + the
+    // row-base continuation) AND the counter-checkpoint deltas — the
+    // former count-then-agg pair was two jobs over the same cut
+    val d = cut.agg(count(lit(1)), sum(col("n_tokens")), max(col("doc_id"))).collect()(0)
+    val n = d.getLong(0)
     if (n > 0) {
       val v = TxTable.appendCommit(spark, sRoot, cut, "shard")
-      // roll the counter checkpoint forward from the increment (one
-      // bounded agg over the just-committed batch). A crash before
-      // this write only widens the next append's readSince catch-up.
-      val d = cut.agg(sum(col("n_tokens")), max(col("doc_id"))).collect()(0)
-      writeCounters(spark, root, v, tokenBase + d.getLong(0), rowBase + n,
-        math.max(maxStored.getOrElse(Long.MinValue), d.getLong(1)))
+      // roll the counter checkpoint forward from the increment. A crash
+      // before this write only widens the next append's readSince
+      // catch-up.
+      writeCounters(spark, root, v, tokenBase + d.getLong(1), rowBase + n,
+        math.max(maxStored.getOrElse(Long.MinValue), d.getLong(2)))
     }
     AppendStats(docsIn, keptN, acceptedN, n)
   }
@@ -394,9 +400,11 @@ object PretrainExport {
     val (p, tokVersion) = readParams(spark, root)
     val model = TokenizerStore.loadUnigramAt(spark, tokRoot(root), tokVersion)
     val docsCk = docs.select(col("doc_id"), col("text")).localCheckpoint(false)
-    docsCk.count()
     val kept = PretrainExportOps.qualityKept(docsCk) // lazy over cached blocks
     val bands = DedupIndex.bandRows(kept, p.dedup).localCheckpoint(false)
+    // ONE materializing action for both cuts: the bands count evaluates
+    // through docsCk's (non-eager) checkpoint and caches it en route —
+    // a dedicated docsCk.count() was one extra scheduling round-trip
     bands.count()
     val seg = UnigramLmOps.tokenize(kept, model, maxLen = p.maxLen)
     val perDoc = PretrainExportOps.perDocStats(kept, seg, "").localCheckpoint(false)
@@ -430,7 +438,11 @@ object PretrainExport {
 
     val (_, dups) = DedupIndex.ingestFull(
       spark, dedupRoot(root), kr, p.dedup,
-      precomputedBands = Some(prep.bands.filter(inRange)))
+      precomputedBands = Some(prep.bands.filter(inRange)),
+      // free upper bound on the slice's band rows (≤ k/rowsPerBand
+      // bands per kept doc) — lets ingestFull skip its band-row count
+      // job; regime choice is performance-only (filterToKeySet doc)
+      precomputedBandBound = keptN * (p.dedup.k / p.dedup.rowsPerBand))
     val nDups = dups.count() // bounded checkpointed frame
     val acceptedN = keptN - nDups
 
@@ -462,12 +474,13 @@ object PretrainExport {
     val rows = PretrainExportOps.packAndStripe(
       novelStats, p.windowBudget, p.stripeShards, tokenBase, rowBase)
     val cut = rows.localCheckpoint(false)
-    val n = cut.count()
+    // one agg = commit gate + row base + counter deltas (see append)
+    val d = cut.agg(count(lit(1)), sum(col("n_tokens")), max(col("doc_id"))).collect()(0)
+    val n = d.getLong(0)
     if (n > 0) {
       val v = TxTable.appendCommit(spark, sRoot, cut, "shard")
-      val d = cut.agg(sum(col("n_tokens")), max(col("doc_id"))).collect()(0)
-      writeCounters(spark, root, v, tokenBase + d.getLong(0), rowBase + n,
-        math.max(maxStored.getOrElse(Long.MinValue), d.getLong(1)))
+      writeCounters(spark, root, v, tokenBase + d.getLong(1), rowBase + n,
+        math.max(maxStored.getOrElse(Long.MinValue), d.getLong(2)))
     }
     AppendStats(docsIn, keptN, acceptedN, n)
   }
@@ -577,32 +590,43 @@ object PretrainExport {
     * append adds one dir per touched partition to the shard AND band
     * tables, and per-append wall grows ~linearly in the accumulated
     * dir count as listings/scans fan out). When either table's
-    * [[TxTable.fragmentation]] crosses `maxDirsPerPartition`, compact
-    * it; the shard table compacts Z-ORDERED on doc_id
-    * ([[TxTable.compactZOrder]]) so the replay anti-join's
-    * `doc_id >= min(batch)` footer prune stays tight afterwards (a
-    * plain compaction would leave each file spanning the whole id
-    * domain and the prune would read everything). Returns whether
-    * anything was compacted.
+    * [[TxTable.fragmentation]] crosses `maxDirsPerPartition`, run one
+    * LEVELED compaction step set ([[TxTable.compactLeveled]]): merge
+    * only the level-0 append runs landed since the last firing into a
+    * doc_id-clustered level-1 run, promoting a level up only when it
+    * fills (fanout). This replaces the r13 full-table Z-order rewrite,
+    * whose measured cost was O(corpus) per firing (11–13 s @2M docs →
+    * 36–56 s @8M — the one named 100 TB scale-killer): a firing now
+    * reads and writes only the period's appends, the runs stay
+    * id-clustered so the replay anti-join's `doc_id >= min(batch)`
+    * footer prune stays tight (id-ordered ingest makes the runs
+    * id-DISJOINT, so pruning is per-run exact), and the full-corpus
+    * merge survives only as the rare top-level promotion. Returns
+    * whether anything was compacted.
     *
-    * Interactions, all by existing contract: the counter checkpoint's
-    * readSince catch-up refuses across the compaction and re-derives
-    * once (then re-checkpoints); [[newShardsSince]] pollers re-baseline
-    * (the loud refusal is the API); replay verdicts and offsets are
-    * unchanged — compaction is pure layout. Run [[TxTable.vacuum]]
+    * Interactions: the counter checkpoint is caught up BEFORE the
+    * compaction (O(delta)) and RE-HOMED to the compacted version after
+    * — compaction is pure layout, the totals carry over verbatim — so
+    * the next append never pays the O(corpus) full re-derive the
+    * broken dir-level delta would otherwise force; [[newShardsSince]]
+    * pollers re-baseline (the loud refusal is the API); replay
+    * verdicts and offsets are unchanged. Run [[TxTable.vacuum]]
     * afterwards (outside any reader's retention window) to reclaim the
-    * superseded dirs. */
+    * merged dirs. */
   def maintain(spark: SparkSession, root: String,
       maxDirsPerPartition: Double = 8.0): Boolean = {
     var compacted = false
     if (TxTable.fragmentation(spark, shardsRoot(root)) > maxDirsPerPartition) {
-      TxTable.compactZOrder(spark, shardsRoot(root), "shard", Seq("doc_id"))
-      compacted = true
+      val vPre = TxTable.latest(spark, shardsRoot(root))._1
+      val (tok, rws, mx) = baseCounters(spark, root, vPre)
+      if (TxTable.compactLeveled(spark, shardsRoot(root), "shard", Seq("doc_id")) > 0) {
+        val vPost = TxTable.latest(spark, shardsRoot(root))._1
+        mx.foreach(m => writeCounters(spark, root, vPost, tok, rws, m))
+        compacted = true
+      }
     }
-    if (TxTable.fragmentation(spark, dedupRoot(root)) > maxDirsPerPartition) {
-      DedupIndex.compact(spark, dedupRoot(root))
-      compacted = true
-    }
+    if (TxTable.fragmentation(spark, dedupRoot(root)) > maxDirsPerPartition)
+      compacted |= DedupIndex.compact(spark, dedupRoot(root))
     compacted
   }
 }
