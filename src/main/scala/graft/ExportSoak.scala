@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.PretrainExport
+import graft.pipeline.{PretrainExport, TxTable}
 
 /** Scale soak for the INCREMENTAL pretrain export ([[PretrainExport]]):
   * N synthetic documents arrive in K id-ordered batches through the
@@ -123,10 +123,39 @@ object ExportSoak {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("text",
           org.apache.spark.sql.types.StringType)))
+      // concurrent feed poller (r13 verdict item 5): the consumer a
+      // production export actually has — a training job tailing
+      // newShardsSince WHILE the stream commits. Polls on its own
+      // session-cloned thread every ~2 s; each poll's wall + row count
+      // prints inline so poll latency under live commit churn is in
+      // the log next to the micro-batch walls it overlaps.
+      val pollerStop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val poller = new Thread(() => {
+        var fv = 0L
+        while (!pollerStop.get()) {
+          try {
+            val tp = System.nanoTime()
+            val polled = PretrainExport.newShardsSince(spark, root, fv)
+              .map { case (pv, df) => fv = pv; df.count() }.getOrElse(0L)
+            val w = (System.nanoTime() - tp) / 1e9
+            if (polled > 0)
+              println(f"[esoak]   feed poll (live): $polled rows to v$fv wall=$w%6.2f s")
+          } catch {
+            // a version vacuumed/compacted mid-poll: re-baseline, like
+            // a production tailer
+            case _: Throwable => fv = PretrainExport.shardVersion(spark, root)
+          }
+          Thread.sleep(2000)
+        }
+      }, "esoak-feed-poller")
+      poller.setDaemon(true)
+      poller.start()
       val ts = System.nanoTime()
       PretrainExport.runAvailableNow(spark, landing, schema, root, ckpt,
         maxFilesPerTrigger = Some(1))
       val streamWall = (System.nanoTime() - ts) / 1e9
+      pollerStop.set(true)
+      poller.join(5000)
       Thread.sleep(500) // let the last progress event land
       import scala.jdk.CollectionConverters._
       walls.asScala.toSeq.sortBy(_._1).foreach { case (bid, rows, ms) =>
@@ -175,6 +204,13 @@ object ExportSoak {
           println(f"[esoak]   maintain: compacted (threshold $th) " +
             f"wall=${(System.nanoTime() - tc) / 1e9}%6.2f s")
           feedVersion = PretrainExport.shardVersion(spark, root) // re-baseline
+          // reclaim the merged runs immediately (single-process soak,
+          // no concurrent pinned readers): without the vacuum each
+          // leveled merge leaves its inputs on disk and the soak's
+          // footprint doubles per promotion — the 93 GB box budget
+          val tv = System.nanoTime()
+          TxTable.vacuum(spark, s"$root/shards", retainMs = 0L)
+          println(f"[esoak]   vacuum wall=${(System.nanoTime() - tv) / 1e9}%6.2f s")
         }
       }
     }
