@@ -152,7 +152,8 @@ object ExportSoak {
       poller.start()
       val ts = System.nanoTime()
       PretrainExport.runAvailableNow(spark, landing, schema, root, ckpt,
-        maxFilesPerTrigger = Some(1))
+        maxFilesPerTrigger = Some(1),
+        maintainThreshold = sys.env.get("SPARK_GRAFT_SOAK_MAINTAIN").map(_.toDouble))
       val streamWall = (System.nanoTime() - ts) / 1e9
       pollerStop.set(true)
       poller.join(5000)

@@ -514,7 +514,8 @@ object PretrainExport {
       spark: SparkSession, sourceDir: String,
       sourceSchema: org.apache.spark.sql.types.StructType,
       root: String, checkpointDir: String,
-      maxFilesPerTrigger: Option[Int] = None): Unit = {
+      maxFilesPerTrigger: Option[Int] = None,
+      maintainThreshold: Option[Double] = None): Unit = {
     val reader = spark.readStream.schema(sourceSchema)
     val src = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
@@ -529,6 +530,15 @@ object PretrainExport {
         // (measured: numInputRows = 2× the landed rows per trigger)
         append(batch.sparkSession, root,
           batch.select("doc_id", "text").localCheckpoint(false))
+        // in-stream maintenance (r14): without it a long-running stream
+        // accretes one dir per trigger and per-trigger wall grows
+        // linearly in the accumulated dir count (measured: 16 triggers,
+        // 21.8 → 37.6 s — the §14e fragmentation slope inside the
+        // stream). The leveled compaction keeps each firing O(period);
+        // polled consumers re-baseline across it by contract. Vacuum is
+        // NOT run here: a streaming driver doesn't know its readers'
+        // retention windows — schedule it outside.
+        maintainThreshold.foreach(th => maintain(batch.sparkSession, root, th))
         ()
       }
       .start()
