@@ -141,9 +141,15 @@ object ExportSoak {
             if (polled > 0)
               println(f"[esoak]   feed poll (live): $polled rows to v$fv wall=$w%6.2f s")
           } catch {
-            // a version vacuumed/compacted mid-poll: re-baseline, like
-            // a production tailer
-            case _: Throwable => fv = PretrainExport.shardVersion(spark, root)
+            // a compaction in the window: readSince REFUSES (the
+            // documented contract) — re-baseline, like a production
+            // tailer. Anything else is a real poller failure: print it
+            // so the soak log can't silently under-report polled rows.
+            case _: IllegalArgumentException =>
+              fv = PretrainExport.shardVersion(spark, root)
+              println(s"[esoak]   feed poll (live): re-baselined to v$fv (compaction in window)")
+            case e: Throwable =>
+              println(s"[esoak]   feed poll (live) ERROR: ${e.getMessage}")
           }
           Thread.sleep(2000)
         }
@@ -208,9 +214,12 @@ object ExportSoak {
           // reclaim the merged runs immediately (single-process soak,
           // no concurrent pinned readers): without the vacuum each
           // leveled merge leaves its inputs on disk and the soak's
-          // footprint doubles per promotion — the 93 GB box budget
+          // footprint doubles per promotion — the 93 GB box budget.
+          // BOTH tables: the band index compacts inside maintain too
+          // (with vacuum=false, the library-safe default)
           val tv = System.nanoTime()
           TxTable.vacuum(spark, s"$root/shards", retainMs = 0L)
+          TxTable.vacuum(spark, s"$root/dedup", retainMs = 0L)
           println(f"[esoak]   vacuum wall=${(System.nanoTime() - tv) / 1e9}%6.2f s")
         }
       }

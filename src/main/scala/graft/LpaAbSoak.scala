@@ -105,6 +105,11 @@ object LpaAbSoak {
     println(f"[lpab] A/B: OFF=$offW%.1f s ON=$onW%.1f s speedup=${offW / onW}%.3fx " +
       f"| calibration walls cal0=$cal0%.1f cal1=$cal1%.1f cal2=$cal2%.1f s " +
       f"(flat cals certify the A/B window was ambient-stable)")
+    // the A/B is evidence only if both arms computed the same thing —
+    // fail LOUDLY (nonzero exit) rather than print a speedup over an
+    // invalid comparison a log grep could adopt
+    require(offComms == onComms,
+      s"A/B INVALID: arms disagree on communities ($offComms vs $onComms)")
     round2Pairs(edges, e)
     spark.stop()
   }

@@ -90,6 +90,15 @@ object BloomOps {
       val probe =
         if (keyRowBound >= 0 && keyRowBound > maxInList) Array.empty[org.apache.spark.sql.Row]
         else cached.limit(maxInList + 1).collect()
+      // a small claimed bound is VERIFIABLE against the probe just
+      // collected — fail loudly on a lying bound instead of letting
+      // bound=0 with nonempty keys fall through to filter(false)
+      // below (which would silently drop every probe-side row; in the
+      // dedup prefilter that admits every duplicate as novel)
+      require(keyRowBound < 0 || keyRowBound > maxInList ||
+          probe.length <= keyRowBound,
+        s"keyRowBound=$keyRowBound is not an upper bound: the key frame " +
+          s"holds >= ${probe.length} rows — fix the caller's arithmetic")
       if ((keyRowBound < 0 || keyRowBound <= maxInList) && probe.length <= maxInList) {
         if (probe.isEmpty) df.filter(lit(false))
         else df.filter(dfKey.isin(probe.map(_.get(0)).toSeq: _*))

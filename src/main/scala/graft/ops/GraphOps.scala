@@ -662,16 +662,20 @@ object GraphOps {
     * edges, soak generators, the SQL twin's set-derived CTE) is
     * set-shaped, matching the brute-force spec's Set[(src,dst)] model.
     *
-    * The collapse additionally requires the edge set to be SYMMETRIC
-    * (every dst also appears as src — true of all in-repo callers,
-    * whose graphs are undirected pair sets materialized both ways):
-    * on a distinct but DIRECTED graph, a src all of whose neighbors
-    * never appear as src gets NO vote from the general join path
-    * (its dsts carry no label) and is dropped from the label frame,
-    * while the collapse would hand it lbl=min(dst) — distinctness
-    * alone does not buy the equivalence. Directed-graph callers must
-    * pass `distinctEdges = false` too; the multigraph/directed
-    * boundary is spec-pinned in GraphOpsSpec.
+    * The collapse additionally requires every dst to also appear as
+    * src (true of all in-repo callers, whose graphs are undirected
+    * pair sets materialized both ways): on a distinct but DIRECTED
+    * graph, a src all of whose neighbors never appear as src gets NO
+    * vote from the general join path (its dsts carry no label) and is
+    * dropped from the label frame, while the collapse would hand it
+    * lbl=min(dst) — distinctness alone does not buy the equivalence.
+    * That precondition is CHECKED, not doc-trusted (r14): one
+    * distinct-count over src ∪ dst proves dst-set ⊆ src-set
+    * (|src ∪ dst| = |src|), and when it fails the loop silently takes
+    * the general vote path for round 1 — correct for directed
+    * callers, at the cost of one extra counting pass per call (cheap
+    * next to one LPA round). The multigraph/directed boundaries are
+    * spec-pinned in GraphOpsSpec.
     */
   def labelPropagation(edges: DataFrame, iters: Int = 5,
       oneExchange: Boolean = sys.env.get("SPARK_GRAFT_LPA_ONE_EXCHANGE").contains("1"),
@@ -681,6 +685,16 @@ object GraphOps {
     val nEdges = e0.count()
     val nNodes = e0.select(col("src")).distinct().count()
     val small = nNodes <= broadcastRanksMaxNodes
+    // collapse precondition, checked (see Scaladoc): dst-set ⊆ src-set
+    // iff |src ∪ dst| = |src| — when a directed caller leaves
+    // distinctEdges at the default, the guard silently routes round 1
+    // through the general (correct) vote path instead of a wrong
+    // collapse. One distinct-count over 2E cached rows.
+    val collapseOk = distinctEdges && {
+      val nUnion = e0.select(col("src"))
+        .unionAll(e0.select(col("dst").as("src"))).distinct().count()
+      nUnion == nNodes
+    }
     // Pair-aware partitioning MEASURED OFF (SCALE.md §14a): §12j
     // attributed LPA's cost to (src,lbl) vote state at EDGE
     // cardinality, and the statePerPartRows knob sized tasks to ~1.5M
@@ -702,7 +716,7 @@ object GraphOps {
       var labels = e.select(col("src").as("node")).distinct()
         .withColumn("lbl", col("node"))
       for (i <- 1 to iters) {
-        if (i == 1 && distinctEdges) {
+        if (i == 1 && collapseOk) {
           // round 1 against identity labels: min(neighbor id), no join,
           // node-cardinality agg state (see the Scaladoc collapse note)
           labels = e.groupBy(col("src").as("node")).agg(min(col("dst")).as("lbl"))

@@ -148,10 +148,17 @@ object DedupIndex {
     * [[ingest]] (whose plan pins the pre-ingest dir list) must be
     * materialized first. Single-writer, like ingest itself. Returns
     * whether any merge step ran.
+    *
+    * `vacuum` defaults FALSE (r14): compact is reached from streaming
+    * maintenance ([[PretrainExport.runAvailableNow]]'s maintain hook),
+    * whose driver cannot know its readers' retention windows — an
+    * unconditional vacuum there could FileNotFound a reader pinned on
+    * a superseded version mid-scan. Batch callers that own the only
+    * readers opt in (or schedule [[TxTable.vacuum]] themselves).
     */
-  def compact(spark: SparkSession, root: String): Boolean = {
+  def compact(spark: SparkSession, root: String, vacuum: Boolean = false): Boolean = {
     val steps = TxTable.compactLeveled(spark, root, "band_id", Seq("band_hash"))
-    TxTable.vacuum(spark, root)
+    if (vacuum) TxTable.vacuum(spark, root)
     steps > 0
   }
 

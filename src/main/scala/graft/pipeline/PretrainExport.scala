@@ -625,8 +625,14 @@ object PretrainExport {
     * merged dirs. */
   def maintain(spark: SparkSession, root: String,
       maxDirsPerPartition: Double = 8.0): Boolean = {
+    // the trigger compares LEVEL-0 (uncompacted-append) runs per
+    // partition, not total runs: leveling keeps a structural floor of
+    // ~one run per accumulated level, so a total-dirs threshold would
+    // degenerate into firing on every append once two levels exist —
+    // this metric returns to zero after each firing, keeping the
+    // threshold's meaning "this many appends since the last firing"
     var compacted = false
-    if (TxTable.fragmentation(spark, shardsRoot(root)) > maxDirsPerPartition) {
+    if (TxTable.level0Fragmentation(spark, shardsRoot(root)) > maxDirsPerPartition) {
       val vPre = TxTable.latest(spark, shardsRoot(root))._1
       val (tok, rws, mx) = baseCounters(spark, root, vPre)
       if (TxTable.compactLeveled(spark, shardsRoot(root), "shard", Seq("doc_id")) > 0) {
@@ -635,7 +641,7 @@ object PretrainExport {
         compacted = true
       }
     }
-    if (TxTable.fragmentation(spark, dedupRoot(root)) > maxDirsPerPartition)
+    if (TxTable.level0Fragmentation(spark, dedupRoot(root)) > maxDirsPerPartition)
       compacted |= DedupIndex.compact(spark, dedupRoot(root))
     compacted
   }

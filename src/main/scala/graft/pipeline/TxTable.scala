@@ -731,11 +731,25 @@ object TxTable {
             if (ds.isEmpty) None else Some(k -> ds.mkString("\t"))
           }
           val data = readManifest(spark, root, sub)
+          // file count scales with the MERGED bytes (driver-side fs
+          // sizing, no job): a routine level-0 firing keeps the small
+          // default, while a top-level promotion that merges most of
+          // the corpus fans out to ~512 MiB output files instead of
+          // serializing the whole merge through `numFiles` range
+          // partitions (unbounded file sizes + a 16-way sort of the
+          // corpus at the 100 TB framing)
+          val mergedBytes = toMerge.toSeq.map { d =>
+            try f.getContentSummary(new Path(s"$root/$d")).getLength
+            catch { case _: java.io.FileNotFoundException => 0L }
+          }.sum
+          val targetFileBytes = 512L * 1024 * 1024
+          val nf = math.min(4096L,
+            math.max(numFiles.toLong, mergedBytes / targetFileBytes + 1)).toInt
           val zkey = TableLayout.zValue(
             zorderCols.map(col), TableLayout.columnBounds(data, zorderCols), bits)
           val kc = graft.ops.SkewOps.freshName(data, "_z")
           val clustered = data.withColumn(kc, zkey)
-            .repartitionByRange(numFiles, col(partitionCol), col(kc))
+            .repartitionByRange(nf, col(partitionCol), col(kc))
             .sortWithinPartitions(partitionCol, kc)
             .drop(kc)
           val next = v + 1
@@ -801,6 +815,23 @@ object TxTable {
     val (v, entries) = latest(spark, root)
     if (v == 0 || entries.isEmpty) 0.0
     else entries.values.map(dirsOf(_).size).sum.toDouble / entries.size
+  }
+
+  /** UNCOMPACTED (level-0) append runs per live partition — the
+    * trigger a LEVELED maintenance cadence compares its threshold
+    * against. [[fragmentation]] counts ALL runs, which under leveling
+    * has a structural floor of roughly one run per accumulated level
+    * (up to fanout−1 per level), so a threshold compared against the
+    * total degenerates into firing on every commit once two levels
+    * exist — while this metric returns to ZERO after each firing and
+    * the threshold keeps meaning "this many appends since the last
+    * compaction". */
+  def level0Fragmentation(spark: SparkSession, root: String): Double = {
+    val (v, entries) = latest(spark, root)
+    if (v == 0 || entries.isEmpty) 0.0
+    else entries.values
+      .map(dirsOf(_).count(d => runLevel(d.takeWhile(_ != '/')) == 0))
+      .sum.toDouble / entries.size
   }
 
   /** Default reader-retention horizon for [[vacuum]]: a reader that

@@ -492,6 +492,24 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("label propagation round-1 collapse: directed guard routes to the general path (r14)") {
+    import spark.implicits._
+    // DISTINCT but DIRECTED: dst 9 never appears as src, so the
+    // general round-1 vote path drops node 2 (its only neighbor 9
+    // carries no label) and labels node 1 from its labeled neighbor 2
+    // — while an unguarded collapse would hand 2 the label min(9)=9.
+    // The checked precondition (dst-set ⊆ src-set) must detect this
+    // and make the DEFAULT call equal the general path exactly.
+    val directed = Seq((1L, 2L), (2L, 9L)).toDF("src", "dst")
+    val guarded = GraphOps.labelPropagation(directed, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val general = GraphOps.labelPropagation(directed, iters = 1, distinctEdges = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(guarded == general,
+      s"directed graph must take the general path: $guarded vs $general")
+    assert(guarded == Map(1L -> 2L), s"node 2 has no labeled neighbor: $guarded")
+  }
+
   test("label propagation spark loop equals brute synchronous min-mode on random graphs; SQL twin agrees") {
     def brute(edges: Set[(Long, Long)], iters: Int): Map[Long, Long] = {
       val nodes = edges.map(_._1)
