@@ -804,6 +804,26 @@ object TxTable {
       }.toSeq
   }
 
+  /** Total bytes of the live version dirs at the latest committed
+    * version — a driver-side fs walk (no Spark job), the cheap size
+    * signal a probe-regime gate reads ([[DedupIndex]]'s scan-vs-prune
+    * decision). Dir-granular: a version dir that is only PARTIALLY
+    * live (some partitions superseded by a later rewrite) counts in
+    * full, so this is an upper bound — exactly the safe direction for
+    * a "is the table big enough to bother pruning" gate. 0 when
+    * nothing is committed. */
+  def liveBytes(spark: SparkSession, root: String): Long = {
+    val f = fs(spark, root)
+    val (v, entries) = latest(spark, root)
+    if (v == 0) return 0L
+    val dirs: Seq[String] =
+      entries.values.flatMap(dirsOf).map(_.takeWhile(_ != '/')).toSet.toSeq
+    dirs.map { d =>
+      try f.getContentSummary(new Path(s"$root/$d")).getLength
+      catch { case _: java.io.FileNotFoundException => 0L }
+    }.sum
+  }
+
   /** Append-fragmentation signal: data dirs per live partition at the
     * latest version (1.0 = perfectly compacted; each blind append adds
     * one dir to every partition it touches, so a pure appender's value
