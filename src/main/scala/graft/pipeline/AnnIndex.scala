@@ -549,11 +549,23 @@ object AnnIndex {
   }
 
   /** Many small appends fragment the postings table (one file set per
-    * commit); compact cells back to one file each. Pure layout — query
-    * answers are unchanged (spec-pinned) — and atomic, same as every
-    * TxTable commit. */
-  def compact(spark: SparkSession, root: String): Unit =
-    TxTable.compactAll(spark, postingsRoot(root), "cluster")
+    * commit); merge the accumulated append runs back into bounded
+    * LEVELED runs ([[TxTable.compactLeveled]], r15 — this was
+    * [[TxTable.compactAll]], the O(corpus) full rewrite the r13/r14
+    * maintenance work retired everywhere else: a cadenced compact that
+    * re-reads and re-writes the whole postings table per firing is not
+    * runnable at 100 TB, while a leveled firing touches only the
+    * appends landed since the last one, promoting a level only when it
+    * fills). Runs are clustered on vec_id within each cluster
+    * partition, so the append path's vec_id anti-join and a takedown's
+    * id predicate keep pruning by parquet footer stats. Pure layout —
+    * query answers are unchanged (spec-pinned) — and each merge step is
+    * atomic, same as every TxTable commit. Returns the number of merge
+    * steps (0 = nothing to merge). Run [[TxTable.vacuum]] on the
+    * postings root afterwards — outside any reader's retention window —
+    * to reclaim the superseded dirs. */
+  def compact(spark: SparkSession, root: String): Int =
+    TxTable.compactLeveled(spark, postingsRoot(root), "cluster", Seq("vec_id"))
 
   /** Embedding stream → per-batch [[append]] (AvailableNow): the
     * growing-index ingest tier ([[CorpusIngest.runAvailableNow]]
