@@ -20,21 +20,35 @@ import sys
 
 
 def load_run(path):
+    # collect ALL total lines: a log file appended with >> across re-runs
+    # holds several, and silently freezing from the FIRST would pin the
+    # floor to a stale run. Taking the last is what a re-run means, but
+    # multiple runs in one artifact is unusual enough to surface loudly.
+    matches = []
     with open(path, errors="ignore") as f:
         for line in f:
             if '"queries"' in line and '"metric":"total"' in line:
-                d = json.loads(line[line.index('{"metric"'):])
-                probes = [d["calibration"]["before_sec"],
-                          d["calibration"]["after_sec"],
-                          *d["calibration"].get("mid_sec", [])]
-                if any(p >= 2.0 for p in probes):
-                    sys.exit(f"REFUSED: {path} is not quiet "
-                             f"(probe >= 2 s in {probes})")
-                if d.get("failed"):
-                    sys.exit(f"REFUSED: {path} has failed queries "
-                             f"{d['failed']}")
-                return d["queries"], statistics.median(probes)
-    sys.exit(f"no total-with-queries line found in {path}")
+                matches.append(json.loads(line[line.index('{"metric"'):]))
+    if not matches:
+        sys.exit(f"no total-with-queries line found in {path}")
+    if len(matches) > 1:
+        print(f"WARNING: {path} holds {len(matches)} total lines "
+              f"(appended re-runs?) — freezing from the LAST",
+              file=sys.stderr)
+    d = matches[-1]
+    probes = [d["calibration"]["before_sec"],
+              d["calibration"]["after_sec"],
+              *d["calibration"].get("mid_sec", [])]
+    if any(p >= 2.0 for p in probes):
+        sys.exit(f"REFUSED: {path} is not quiet "
+                 f"(probe >= 2 s in {probes})")
+    if d.get("failed"):
+        sys.exit(f"REFUSED: {path} has failed queries "
+                 f"{d['failed']}")
+    if d.get("selftest"):
+        sys.exit(f"REFUSED: {path} is a floor-gate SELF-TEST artifact "
+                 "(injected slowdown / simulated host) — never a floor source")
+    return d["queries"], statistics.median(probes)
 
 
 open_path, close_path, out = sys.argv[1], sys.argv[2], sys.argv[3]

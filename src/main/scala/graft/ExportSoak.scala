@@ -132,24 +132,37 @@ object ExportSoak {
       val pollerStop = new java.util.concurrent.atomic.AtomicBoolean(false)
       val poller = new Thread(() => {
         var fv = 0L
+        var consecFailures = 0
         while (!pollerStop.get()) {
           try {
             val tp = System.nanoTime()
             val polled = PretrainExport.newShardsSince(spark, root, fv)
               .map { case (pv, df) => fv = pv; df.count() }.getOrElse(0L)
             val w = (System.nanoTime() - tp) / 1e9
+            consecFailures = 0
             if (polled > 0)
               println(f"[esoak]   feed poll (live): $polled rows to v$fv wall=$w%6.2f s")
           } catch {
             // a compaction in the window: readSince REFUSES (the
             // documented contract) — re-baseline, like a production
-            // tailer. Anything else is a real poller failure: print it
-            // so the soak log can't silently under-report polled rows.
+            // tailer. Other NonFatal failures print and count: a DEAD
+            // session fails every poll, and spinning on it for the rest
+            // of the stream would only fill the log — stop after a few
+            // in a row (the count resets on any success, so transient
+            // churn never kills the poller). Fatal errors and interrupts
+            // propagate: swallowing an OOM or the stop interrupt here
+            // would leave a zombie thread pinning a broken JVM.
             case _: IllegalArgumentException =>
+              consecFailures = 0
               fv = PretrainExport.shardVersion(spark, root)
               println(s"[esoak]   feed poll (live): re-baselined to v$fv (compaction in window)")
-            case e: Throwable =>
-              println(s"[esoak]   feed poll (live) ERROR: ${e.getMessage}")
+            case scala.util.control.NonFatal(e) =>
+              consecFailures += 1
+              println(s"[esoak]   feed poll (live) ERROR ($consecFailures consecutive): $e")
+              if (consecFailures >= 5) {
+                println("[esoak]   feed poll (live): 5 consecutive failures — poller stopping")
+                pollerStop.set(true)
+              }
           }
           Thread.sleep(2000)
         }

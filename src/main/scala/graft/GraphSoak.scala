@@ -116,7 +116,7 @@ object GraphSoak {
       }
       if (ops("lpa")) {
         val comms = t(s"label-prop 5 rounds @$e") {
-          GraphOps.labelPropagation(edges, iters = 5)
+          GraphOps.labelPropagation(edges, iters = 5, symmetricEdges = true)
             .agg(countDistinct(col("community"))).collect()(0).getLong(0)
         }
         println(s"[gsoak] label-prop communities: $comms")

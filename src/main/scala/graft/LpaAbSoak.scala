@@ -62,7 +62,11 @@ object LpaAbSoak {
     }
     def t[T](name: String)(body: => T): T = tw(name)(body)._1
     def lpa(edges: org.apache.spark.sql.DataFrame, collapse: Boolean): Long =
-      GraphOps.labelPropagation(edges, iters = 5, distinctEdges = collapse)
+      // symmetricEdges: the soak generator materializes each pair both
+      // ways, so the symmetry probe would only re-prove the generator's
+      // postcondition with an extra 2E-distinct pass inside the timed arm
+      GraphOps.labelPropagation(edges, iters = 5, distinctEdges = collapse,
+          symmetricEdges = true)
         .agg(countDistinct(col("community"))).collect()(0).getLong(0)
 
     // round-2 vote-state instrumentation: after the round-1 collapse

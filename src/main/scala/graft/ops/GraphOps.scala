@@ -674,12 +674,20 @@ object GraphOps {
     * (|src ∪ dst| = |src|), and when it fails the loop silently takes
     * the general vote path for round 1 — correct for directed
     * callers, at the cost of one extra counting pass per call (cheap
-    * next to one LPA round). The multigraph/directed boundaries are
-    * spec-pinned in GraphOpsSpec.
+    * next to one LPA round). Callers whose graphs are symmetric BY
+    * CONSTRUCTION (an undirected pair set materialized both ways —
+    * every in-repo caller) assert it with `symmetricEdges = true` and
+    * skip the probe: at 400M edges the probe is a full extra
+    * 2E-distinct shuffle pass per call that proves what the edge
+    * builder already guarantees. The checked probe stays the DEFAULT —
+    * an external caller who merely believes their graph is symmetric
+    * gets the guard, not a wrong collapse. The multigraph/directed
+    * boundaries are spec-pinned in GraphOpsSpec.
     */
   def labelPropagation(edges: DataFrame, iters: Int = 5,
       oneExchange: Boolean = sys.env.get("SPARK_GRAFT_LPA_ONE_EXCHANGE").contains("1"),
-      distinctEdges: Boolean = true): DataFrame = {
+      distinctEdges: Boolean = true,
+      symmetricEdges: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     val e0 = edges.repartition(col("dst")).localCheckpoint(false)
     val nEdges = e0.count()
@@ -689,12 +697,15 @@ object GraphOps {
     // iff |src ∪ dst| = |src| — when a directed caller leaves
     // distinctEdges at the default, the guard silently routes round 1
     // through the general (correct) vote path instead of a wrong
-    // collapse. One distinct-count over 2E cached rows.
-    val collapseOk = distinctEdges && {
+    // collapse. One distinct-count over 2E cached rows — skipped when
+    // the caller ASSERTS symmetry (symmetricEdges): known-undirected
+    // callers shouldn't pay a full extra shuffle pass to prove their
+    // own edge builder's postcondition.
+    val collapseOk = distinctEdges && (symmetricEdges || {
       val nUnion = e0.select(col("src"))
         .unionAll(e0.select(col("dst").as("src"))).distinct().count()
       nUnion == nNodes
-    }
+    })
     // Pair-aware partitioning MEASURED OFF (SCALE.md §14a): §12j
     // attributed LPA's cost to (src,lbl) vote state at EDGE
     // cardinality, and the statePerPartRows knob sized tasks to ~1.5M
@@ -1371,7 +1382,11 @@ object GraphOps {
     // slice: co-purchase communities, per-node assignment hash-exact
     // (integer-only state — see labelPropagation)
     QueryDef("q_label_prop", labelPropagationSql(edgeCteYearSql, iters = 5)) { (s, d) =>
-      labelPropagation(coOrderEdges(s, d, yearSlice = true), iters = 5)
+      // symmetricEdges: coOrderEdges double-explodes the per-order set
+      // with src =!= dst, so every pair materializes both ways — the
+      // symmetry probe would re-prove that with an extra 2E-distinct pass
+      labelPropagation(coOrderEdges(s, d, yearSlice = true), iters = 5,
+          symmetricEdges = true)
         .orderBy("node")
     },
 

@@ -510,6 +510,29 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(guarded == Map(1L -> 2L), s"node 2 has no labeled neighbor: $guarded")
   }
 
+  test("label propagation symmetricEdges assertion skips the probe; contract pinned (r15)") {
+    import spark.implicits._
+    // on a genuinely symmetric graph the assertion is a pure shortcut:
+    // identical communities, one fewer counting pass
+    val cliqueA = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val g = sym((cliqueA :+ (4L, 10L)) :+ (10L, 11L): _*)
+    val probed = GraphOps.labelPropagation(g, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val asserted = GraphOps.labelPropagation(g, iters = 3, symmetricEdges = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(probed == asserted,
+      s"symmetricEdges on a symmetric graph must be a pure shortcut: $probed vs $asserted")
+    // the flag is an ASSERTION, not a hint: a false assertion on a
+    // directed graph takes the collapse and diverges from the general
+    // path — pinned so the contract ("caller owns symmetry") is
+    // load-bearing, not decorative
+    val directed = Seq((1L, 2L), (2L, 9L)).toDF("src", "dst")
+    val lied = GraphOps.labelPropagation(directed, iters = 1, symmetricEdges = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lied == Map(1L -> 2L, 2L -> 9L),
+      s"a false symmetry assertion takes the (wrong-for-directed) collapse: $lied")
+  }
+
   test("label propagation spark loop equals brute synchronous min-mode on random graphs; SQL twin agrees") {
     def brute(edges: Set[(Long, Long)], iters: Int): Map[Long, Long] = {
       val nodes = edges.map(_._1)
