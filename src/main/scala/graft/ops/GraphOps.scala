@@ -46,7 +46,13 @@ object GraphOps {
     * estimation (each round's ranks is a fresh derived plan whose size
     * Spark estimates from the full lineage, not the ~n rows it has).
     */
-  private[graft] val broadcastRanksMaxNodes = 4000000L
+  /** Broadcast-vs-shuffle gate for the rank loops' per-round node
+    * frames. Env-overridable for cluster tuning; the default was
+    * re-A/B'd r15 on sf0.1 (broadcast: pagerank/hits/ppr warm
+    * 3.2/4.0/3.3 s; shuffle-join forced via =0: 3.7/5.2/4.1 s) —
+    * broadcast stands, its per-round build jobs are cheaper than two
+    * extra exchanges per round at every measured size below the gate. */
+  private[graft] val broadcastRanksMaxNodes = sys.env.get("SPARK_GRAFT_RANKS_BCAST_MAX").map(_.toLong).getOrElse(4000000L)
 
   /** The shared fixed-iteration mass-push loop behind [[pagerank]] and
     * [[personalizedPagerank]]. `base0` carries (node, deg, …constants)
@@ -95,6 +101,22 @@ object GraphOps {
     * session default. Sum-shaped loops keep the cap: their state
     * collapses to node cardinality map-side and extra partitions are
     * pure scheduling overhead. */
+  /** Loop-session cache (r15): the rank family resolves to the SAME
+    * effective config (loopParts, codegen gate) for a given graph
+    * size, and a Verify/Bench process runs pagerank + hits + ppr +
+    * lpa back-to-back — one clone per distinct config amortizes the
+    * per-query SessionState build (analyzer/optimizer/planner rule
+    * stacks, conf copy) across the family. Keyed by the PARENT
+    * session too: a cloned conf snapshot must never leak across
+    * parents (tests spin up differently-configured sessions). Safe
+    * because every loop communicates through global temp views (shared
+    * across sessions by construction) and sets nothing session-local
+    * beyond the keyed confs. Callers must not mutate the returned
+    * session's conf. */
+  private val loopSessionCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, Long, Boolean),
+    org.apache.spark.sql.SparkSession]()
+
   private[ops] def loopSession(
       spark: org.apache.spark.sql.SparkSession, workingRows: Long,
       statePerPartRows: Long = 0L) = {
@@ -104,16 +126,18 @@ object GraphOps {
         math.max(sessionParts, workingRows / statePerPartRows)
       else sessionParts
     val loopParts = math.max(1L, math.min(cap, workingRows / 250000L))
-    val loop = spark.newSession()
-    spark.conf.getAll.foreach { case (k, v) =>
-      try loop.conf.set(k, v)
-      catch { case scala.util.control.NonFatal(_) => () }
-    }
-    loop.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
-    loop.conf.set("spark.sql.adaptive.enabled", "false")
-    if (workingRows < loopCodegenMinRows)
-      loop.conf.set("spark.sql.codegen.wholeStage", "false")
-    loop
+    val codegenOff = workingRows < loopCodegenMinRows
+    loopSessionCache.computeIfAbsent((spark, loopParts, codegenOff), { key =>
+      val loop = spark.newSession()
+      spark.conf.getAll.foreach { case (k, v) =>
+        try loop.conf.set(k, v)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+      loop.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+      loop.conf.set("spark.sql.adaptive.enabled", "false")
+      if (codegenOff) loop.conf.set("spark.sql.codegen.wholeStage", "false")
+      loop
+    })
   }
 
   private def rankLoop(

@@ -298,8 +298,10 @@ object DedupIndex {
     * a superseded version mid-scan. Batch callers that own the only
     * readers opt in (or schedule [[TxTable.vacuum]] themselves).
     */
-  def compact(spark: SparkSession, root: String, vacuum: Boolean = false): Boolean = {
-    val steps = TxTable.compactLeveled(spark, root, "band_id", Seq("band_hash"))
+  def compact(spark: SparkSession, root: String, vacuum: Boolean = false,
+      minMergeLevel: Int = 0, maxMergeLevel: Int = Int.MaxValue): Boolean = {
+    val steps = TxTable.compactLeveled(spark, root, "band_id", Seq("band_hash"),
+      minMergeLevel = minMergeLevel, maxMergeLevel = maxMergeLevel)
     if (vacuum) TxTable.vacuum(spark, root)
     steps > 0
   }

@@ -515,11 +515,37 @@ object PretrainExport {
       sourceSchema: org.apache.spark.sql.types.StructType,
       root: String, checkpointDir: String,
       maxFilesPerTrigger: Option[Int] = None,
-      maintainThreshold: Option[Double] = None): Unit = {
+      maintainThreshold: Option[Double] = None,
+      vacuumEveryFirings: Option[Int] = None,
+      vacuumRetainMs: Long = 10L * 60 * 1000): Unit = {
     val reader = spark.readStream.schema(sourceSchema)
     val src = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
       .parquet(sourceDir)
+    // level promotions run OFF the trigger path (r15): a promotion
+    // merges ~fanout^k periods (measured 36–58 s at 16M docs), and
+    // inline it blocked the trigger and stalled ingest (§16e/§16g
+    // spikes). One daemon thread polls [[promotePending]] between
+    // triggers; its publishes rebase over the stream's appends on the
+    // manifest CAS, and it never touches the level-0 runs the
+    // trigger-path maintain owns.
+    val promoStop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val promoter = new Thread(() => {
+      while (!promoStop.get()) {
+        try { promotePending(spark, root); () }
+        catch {
+          // a lost source run (e.g. a vacuum sweeping a superseded dir
+          // mid-merge) aborts THIS promotion attempt; the next poll
+          // re-reads fresh state. Fatal errors propagate.
+          case scala.util.control.NonFatal(e) =>
+            println(s"[export-promoter] promotion attempt failed (will retry): $e")
+        }
+        Thread.sleep(2000)
+      }
+    }, "graft-export-promoter")
+    promoter.setDaemon(true)
+    if (maintainThreshold.isDefined) promoter.start()
+    var firingsSinceVacuum = 0
     val q = src.writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
@@ -534,15 +560,43 @@ object PretrainExport {
         // accretes one dir per trigger and per-trigger wall grows
         // linearly in the accumulated dir count (measured: 16 triggers,
         // 21.8 → 37.6 s — the §14e fragmentation slope inside the
-        // stream). The leveled compaction keeps each firing O(period);
-        // polled consumers re-baseline across it by contract. Vacuum is
-        // NOT run here: a streaming driver doesn't know its readers'
-        // retention windows — schedule it outside.
-        maintainThreshold.foreach(th => maintain(batch.sparkSession, root, th))
+        // stream). BOUNDED to the level-0 merge (r15, maxMergeLevel=0):
+        // the firing's cost is O(appends since the last firing) by
+        // construction, never a level promotion. Polled consumers
+        // re-baseline across it by contract.
+        maintainThreshold.foreach { th =>
+          maintain(batch.sparkSession, root, th, maxMergeLevel = 0)
+          // opt-in retention-window vacuum: without it a long-running
+          // stream's superseded run dirs accrete unboundedly (~2× the
+          // live footprint per promotion wave). The retention window
+          // still honors readers — a poller pinned on a version
+          // younger than vacuumRetainMs keeps its files — so this is
+          // the bounded-disk configuration for a stream whose readers
+          // are known to tail (the feed contract); deployments with
+          // long-pinned readers leave it off and schedule
+          // [[TxTable.vacuum]] out-of-band as before.
+          firingsSinceVacuum += 1
+          vacuumEveryFirings.foreach { n =>
+            if (firingsSinceVacuum >= n) {
+              firingsSinceVacuum = 0
+              TxTable.vacuum(batch.sparkSession, shardsRoot(root), retainMs = vacuumRetainMs)
+              TxTable.vacuum(batch.sparkSession, dedupRoot(root), retainMs = vacuumRetainMs)
+            }
+          }
+        }
         ()
       }
       .start()
-    q.awaitTermination()
+    try q.awaitTermination()
+    finally {
+      promoStop.set(true)
+      promoter.join(300000)
+    }
+    // an AvailableNow stream is BOUNDED: finish any promotions its
+    // appends earned so the end state matches what a batch owner's
+    // full maintain would leave (pure layout — data identical either
+    // way; spec-pinned)
+    if (maintainThreshold.isDefined) { promotePending(spark, root); () }
   }
 
   /** The packed shard table (all rows, all stripes). */
@@ -624,25 +678,74 @@ object PretrainExport {
     * afterwards (outside any reader's retention window) to reclaim the
     * merged dirs. */
   def maintain(spark: SparkSession, root: String,
-      maxDirsPerPartition: Double = 8.0): Boolean = {
+      maxDirsPerPartition: Double = 8.0,
+      maxMergeLevel: Int = Int.MaxValue): Boolean = {
     // the trigger compares LEVEL-0 (uncompacted-append) runs per
     // partition, not total runs: leveling keeps a structural floor of
     // ~one run per accumulated level, so a total-dirs threshold would
     // degenerate into firing on every append once two levels exist —
     // this metric returns to zero after each firing, keeping the
-    // threshold's meaning "this many appends since the last firing"
+    // threshold's meaning "this many appends since the last firing".
+    // `maxMergeLevel = 0` is the BOUNDED-latency mode a stream's
+    // trigger path runs (r15): only the routine level-0 merge — cost
+    // O(appends since the last firing) — with level promotions left
+    // to [[promotePending]] (an out-of-band owner or the promotion
+    // thread [[runAvailableNow]] starts).
     var compacted = false
     if (TxTable.level0Fragmentation(spark, shardsRoot(root)) > maxDirsPerPartition) {
       val vPre = TxTable.latest(spark, shardsRoot(root))._1
       val (tok, rws, mx) = baseCounters(spark, root, vPre)
-      if (TxTable.compactLeveled(spark, shardsRoot(root), "shard", Seq("doc_id")) > 0) {
+      if (TxTable.compactLeveled(spark, shardsRoot(root), "shard", Seq("doc_id"),
+          maxMergeLevel = maxMergeLevel) > 0) {
         val vPost = TxTable.latest(spark, shardsRoot(root))._1
+        // re-home the counters verbatim: compaction is pure layout, so
+        // the totals carry. Valid because maintain may not race
+        // APPENDS (the pre-existing single-appender contract — the
+        // trigger path calls it from the same thread as append); a
+        // concurrent PROMOTION ([[promotePending]]'s thread) publishing
+        // inside (vPre, vPost] is content-neutral and leaves the
+        // totals exact.
         mx.foreach(m => writeCounters(spark, root, vPost, tok, rws, m))
         compacted = true
       }
     }
     if (TxTable.level0Fragmentation(spark, dedupRoot(root)) > maxDirsPerPartition)
-      compacted |= DedupIndex.compact(spark, dedupRoot(root))
+      compacted |= DedupIndex.compact(spark, dedupRoot(root), maxMergeLevel = maxMergeLevel)
     compacted
+  }
+
+  /** Run any PENDING level promotions (levels >= 1 that reached
+    * fanout) on the shard and dedup tables — the out-of-band half of
+    * leveled maintenance (r15). A promotion merges ~fanout^k periods
+    * (measured 36–58 s at 16M docs), which is exactly the work that
+    * must NOT run on a stream's trigger path; [[runAvailableNow]]
+    * starts a daemon thread that calls this between triggers, and a
+    * batch deployment can run it from any separate process.
+    *
+    * Safe to race the stream's appends and its trigger-path level-0
+    * merges: promotions touch only level >= 1 runs (disjoint from the
+    * trigger's level-0 set), and [[TxTable.compactLeveled]]'s publish
+    * rebases over concurrent appends on a lost CAS. After a shard
+    * promotion the counter checkpoint is re-derived at the new
+    * version — promotions break the dir-level delta, and without a
+    * fresh checkpoint the NEXT append would pay the O(corpus)
+    * re-derive on the trigger path; paying it here keeps it
+    * off-latency (there remains a benign race window — an append that
+    * reads its counters after the promotion published but before this
+    * re-checkpoint lands pays one re-derive — bounded at once per
+    * promotion, worst case).
+    *
+    * Returns whether any promotion ran.
+    */
+  def promotePending(spark: SparkSession, root: String, fanout: Int = 8): Boolean = {
+    val sRoot = shardsRoot(root)
+    var did = false
+    if (TxTable.compactLeveled(spark, sRoot, "shard", Seq("doc_id"),
+        fanout = fanout, minMergeLevel = 1) > 0) {
+      baseCounters(spark, root, TxTable.latest(spark, sRoot)._1)
+      did = true
+    }
+    did |= DedupIndex.compact(spark, dedupRoot(root), minMergeLevel = 1)
+    did
   }
 }

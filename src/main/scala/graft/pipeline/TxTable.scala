@@ -702,12 +702,44 @@ object TxTable {
     * Returns the number of merge steps performed (0 = fewer than
     * `minLevel0` level-0 runs and nothing promotable — call again
     * after more appends).
+    *
+    * `minMergeLevel`/`maxMergeLevel` bound WHICH levels may merge —
+    * the split a bounded-latency maintenance cadence needs (r15):
+    * a stream's trigger path runs `maxMergeLevel = 0` (only the
+    * routine level-0 merge, cost O(appends since the last firing) by
+    * construction), while the level promotions — whose cost is
+    * ~fanout^k periods and whose measured wall blocked triggers for
+    * 40–58 s when run inline — move to an out-of-band owner running
+    * `minMergeLevel = 1`.
+    *
+    * CONCURRENCY (r15): the merge publish REBASES over concurrent
+    * blind appends instead of failing — leveled maintenance is pure
+    * layout, so it composes with appenders the way appends compose
+    * with each other. On a lost manifest CAS the publisher re-reads
+    * the log; appends only ADD dirs, so as long as every merged run
+    * is still live verbatim, the fresh entries are recomputed around
+    * the staged run and the CAS retried at the next version. A merged
+    * run that VANISHED means a concurrent rewrite (another compactor,
+    * a deleteWhere, a vacuum sweep) owned it — that is a real
+    * single-owner violation and still fails loudly. Do not run TWO
+    * compactors over the same LEVELS; appenders are free.
     */
+  /** Test-only injection points for [[compactLeveled]]'s rebase publish:
+    * deterministic lost-CAS coverage without a real thread race.
+    * `Publish` fires immediately before every CAS attempt (a spec makes
+    * it append once to steal the version); `Rebase` fires at the start
+    * of every retry. Production never sets these. */
+  private[pipeline] var testHookCompactPublish: () => Unit = () => ()
+  private[pipeline] var testHookCompactRebase: () => Unit = () => ()
+
   def compactLeveled(spark: SparkSession, root: String, partitionCol: String,
       zorderCols: Seq[String], fanout: Int = 8, bits: Int = 16,
-      numFiles: Int = 16, minLevel0: Int = 2): Int = {
+      numFiles: Int = 16, minLevel0: Int = 2,
+      minMergeLevel: Int = 0, maxMergeLevel: Int = Int.MaxValue): Int = {
     import org.apache.spark.sql.functions.col
     require(fanout >= 2, s"fanout must be >= 2, got $fanout")
+    require(minMergeLevel <= maxMergeLevel,
+      s"minMergeLevel=$minMergeLevel > maxMergeLevel=$maxMergeLevel")
     val f = fs(spark, root)
     var steps = 0
     var continue = true
@@ -717,10 +749,13 @@ object TxTable {
       val byLevel = entries.values.flatMap(dirsOf).map(_.takeWhile(_ != '/'))
         .toSet.groupBy(runLevel)
       // lowest level first: merge l0 whenever >= minLevel0 runs (the
-      // routine firing), promote level k>=1 only at fanout
+      // routine firing), promote level k>=1 only at fanout — within
+      // the caller's [minMergeLevel, maxMergeLevel] window
       val mergeable = byLevel.collect {
-        case (0, ds) if ds.size >= minLevel0 => (0, ds)
-        case (k, ds) if k >= 1 && ds.size >= fanout => (k, ds)
+        case (0, ds) if minMergeLevel <= 0 && 0 <= maxMergeLevel &&
+          ds.size >= minLevel0 => (0, ds)
+        case (k, ds) if k >= 1 && k >= minMergeLevel && k <= maxMergeLevel &&
+          ds.size >= fanout => (k, ds)
       }.toSeq.sortBy(_._1)
       mergeable.headOption match {
         case None => continue = false
@@ -762,15 +797,42 @@ object TxTable {
           require(staged.nonEmpty,
             s"leveled merge of ${toMerge.size} level-$lv runs staged no partitions " +
               s"at $root/$dir — merged runs cannot be empty")
-          val newEntries = (entries.keySet ++ staged.keySet).flatMap { k =>
-            val keep = entries.get(k)
-              .map(dirsOf(_).filterNot(d => toMerge(d.takeWhile(_ != '/'))))
-              .getOrElse(Seq.empty)
-            val ds = keep ++ staged.get(k)
-            if (ds.isEmpty) None else Some(k -> ds.mkString("\t"))
-          }.toMap
-          writeManifest(f, root, next, newEntries,
-            s"staged run remains at $root/$dir")
+          // rebase-over-appends publish (see Scaladoc): recompute the
+          // entries around the ALREADY-STAGED run on each lost CAS —
+          // the expensive merge is never re-done, only the cheap
+          // manifest math. The `vN` prefix in the staged dir's name can
+          // go stale across a rebase; it is forensic, never parsed.
+          var curV = v
+          var curEntries = entries
+          var published = false
+          var attempt = 0
+          while (!published) {
+            attempt += 1
+            if (attempt > 1) {
+              testHookCompactRebase()
+              val (v2, e2) = latest(spark, root)
+              val live = e2.values.flatMap(dirsOf)
+                .map(_.takeWhile(_ != '/')).toSet
+              val missing = toMerge.filterNot(live)
+              if (missing.nonEmpty) throw new java.io.IOException(
+                s"leveled merge lost its source runs [${missing.mkString(", ")}] to a " +
+                  s"concurrent rewrite at $root — two compactors (or a compactor and a " +
+                  s"deleteWhere/vacuum) ran over the same runs; staged run remains at $root/$dir")
+              curV = v2; curEntries = e2
+            }
+            if (attempt > 20) throw new java.io.IOException(
+              s"leveled merge could not publish after 20 attempts at $root — " +
+                s"log too contended; staged run remains at $root/$dir")
+            val newEntries = (curEntries.keySet ++ staged.keySet).flatMap { k =>
+              val keep = curEntries.get(k)
+                .map(dirsOf(_).filterNot(d => toMerge(d.takeWhile(_ != '/'))))
+                .getOrElse(Seq.empty)
+              val ds = keep ++ staged.get(k)
+              if (ds.isEmpty) None else Some(k -> ds.mkString("\t"))
+            }.toMap
+            testHookCompactPublish()
+            published = casManifest(f, root, curV + 1, newEntries)
+          }
           steps += 1
       }
     }

@@ -111,6 +111,84 @@ class LeveledCompactSpec extends AnyFunSuite {
     assert(snap.count() === 20 && snap.dropDuplicates("id").count() === 20)
   }
 
+  test("level window (r15): maxMergeLevel=0 merges l0 only and never promotes; minMergeLevel=1 promotes only") {
+    val root = graft.TestTmp.dir("lvlcmp6") + "/t"
+    // build two l1 runs at fanout=2 (promotable), plus fresh l0 appends
+    TxTable.appendCommit(spark, root, rows(0 until 10, "a"), "p")
+    TxTable.appendCommit(spark, root, rows(10 until 20, "a"), "p")
+    assert(TxTable.compactLeveled(spark, root, "p", Seq("id"), fanout = 2,
+      maxMergeLevel = 0) === 1)
+    TxTable.appendCommit(spark, root, rows(20 until 30, "a"), "p")
+    TxTable.appendCommit(spark, root, rows(30 until 40, "a"), "p")
+    // TRIGGER-PATH mode: l1 holds 2 runs (= fanout, promotable) but the
+    // bounded firing must only merge the two l0s — no promotion
+    assert(TxTable.compactLeveled(spark, root, "p", Seq("id"), fanout = 2,
+      maxMergeLevel = 0) === 1)
+    assert(levels(root) === Map(1 -> 2), s"promotion leaked onto the bounded path: ${levels(root)}")
+    val before = snapshot(root)
+    // PROMOTION-OWNER mode: a fresh l0 append must be IGNORED
+    // (minMergeLevel=1), while the two l1s promote to one l2
+    TxTable.appendCommit(spark, root, rows(40 until 50, "a"), "p")
+    assert(TxTable.compactLeveled(spark, root, "p", Seq("id"), fanout = 2,
+      minMergeLevel = 1) === 1)
+    assert(levels(root) === Map(0 -> 1, 2 -> 1),
+      s"promotion must leave l0 alone and merge the l1s: ${levels(root)}")
+    assert(snapshot(root) === before ++ (40 until 50).map(i => (i.toLong, "a")))
+  }
+
+  test("lost-CAS rebase (r15): a concurrent append between stage and publish is rebased, never lost") {
+    val root = graft.TestTmp.dir("lvlcmp7") + "/t"
+    TxTable.appendCommit(spark, root, rows(0 until 10, "a"), "p")
+    TxTable.appendCommit(spark, root, rows(10 until 20, "b"), "p")
+    // steal the version exactly once, right before the merge's CAS —
+    // deterministic stand-in for an appender racing the promotion thread
+    var stole = false
+    TxTable.testHookCompactPublish = () => {
+      if (!stole) {
+        stole = true
+        TxTable.appendCommit(spark, root, rows(100 until 110, "a"), "p"); ()
+      }
+    }
+    var rebased = false
+    TxTable.testHookCompactRebase = () => { rebased = true }
+    try {
+      assert(TxTable.compactLeveled(spark, root, "p", Seq("id")) === 1)
+    } finally {
+      TxTable.testHookCompactPublish = () => ()
+      TxTable.testHookCompactRebase = () => ()
+    }
+    assert(stole && rebased, "the hook must have stolen the CAS and forced a rebase")
+    // the stolen append's rows AND the merged rows all survive
+    assert(snapshot(root) ===
+      ((0 until 10).map(i => (i.toLong, "a")) ++
+        (10 until 20).map(i => (i.toLong, "b")) ++
+        (100 until 110).map(i => (i.toLong, "a"))).toSet)
+    // the stolen append arrived AFTER the merge read its inputs, so it
+    // must still be live as its own level-0 run beside the merged l1
+    assert(levels(root) === Map(0 -> 1, 1 -> 1), s"${levels(root)}")
+  }
+
+  test("lost-CAS with vanished source runs (r15): a concurrent REWRITE aborts the merge loudly") {
+    val root = graft.TestTmp.dir("lvlcmp8") + "/t"
+    TxTable.appendCommit(spark, root, rows(0 until 10, "a"), "p")
+    TxTable.appendCommit(spark, root, rows(10 until 20, "a"), "p")
+    var fired = false
+    TxTable.testHookCompactPublish = () => {
+      if (!fired) {
+        fired = true
+        // another owner full-rewrites the table: the merge's source
+        // runs are no longer live — rebasing would resurrect them
+        TxTable.compactAll(spark, root, "p")
+      }
+    }
+    val e = try intercept[java.io.IOException] {
+      TxTable.compactLeveled(spark, root, "p", Seq("id"))
+    } finally TxTable.testHookCompactPublish = () => ()
+    assert(e.getMessage.contains("lost its source runs"), e.getMessage)
+    // the loser's staged dir is debris; the winner's table is intact
+    assert(snapshot(root) === (0 until 20).map(i => (i.toLong, "a")).toSet)
+  }
+
   test("runs stay id-clustered: parquet footers prune an id-range scan to the touched run") {
     val root = graft.TestTmp.dir("lvlcmp5") + "/t"
     // two id-disjoint periods, each merged into its own run

@@ -106,4 +106,45 @@ class StreamingExportSpec extends AnyFunSuite {
     assert(PretrainExport.shardTable(spark, root).collect()
       .map(_.mkString("|")).toSet === snapNow)
   }
+
+  test("bounded trigger maintenance + async promotions + opt-in vacuum ≡ one-shot (r15)") {
+    val base = graft.TestTmp.dir("stream-export-maint")
+    val (src, root, ck) = (s"$base/src", s"$base/export", s"$base/ck")
+    val f4 = Seq(31L -> text(31), 32L -> text(32))
+    val tokCorpus = mkDocs(f1 ++ f2 ++ f3 ++ f4)
+    PretrainExport.init(spark, root, tokCorpus,
+      vocabSize = 200, seedSize = 500, emIters = 1, pruneFrac = 0.5)
+    val schema = mkDocs(Seq.empty).schema
+    land(src, f1, "part1"); Thread.sleep(1100)
+    land(src, f2, "part2"); Thread.sleep(1100)
+    land(src, f3, "part3"); Thread.sleep(1100)
+    land(src, f4, "part4")
+    // threshold 0.5: every trigger fires the (level-0-only) maintain;
+    // vacuum every firing at zero retention exercises the bounded-disk
+    // configuration while the promoter thread races it
+    PretrainExport.runAvailableNow(spark, src, schema, root, ck,
+      maxFilesPerTrigger = Some(1),
+      maintainThreshold = Some(0.5),
+      vacuumEveryFirings = Some(1), vacuumRetainMs = 0L)
+
+    // data parity with the one-shot twin — maintenance is pure layout
+    val oneRoot = s"$base/oneshot"
+    PretrainExport.init(spark, oneRoot, tokCorpus,
+      vocabSize = 200, seedSize = 500, emIters = 1, pruneFrac = 0.5)
+    PretrainExport.append(spark, oneRoot, mkDocs(f1 ++ f2 ++ f3 ++ f4))
+    assert(PretrainExport.shardTable(spark, root).collect().map(_.mkString("|")).toSet ===
+      PretrainExport.shardTable(spark, oneRoot).collect().map(_.mkString("|")).toSet)
+
+    // the in-stream vacuum bounded the version-dir sprawl: on disk the
+    // shard root holds the live manifest dirs plus at most the tail the
+    // final promotion superseded after the last in-stream vacuum
+    val sRoot = s"$root/shards"
+    val live = TxTable.latest(spark, sRoot)._2.values
+      .flatMap(_.split("\t")).map(_.takeWhile(_ != '/')).toSet
+    val onDisk = new java.io.File(sRoot).listFiles().map(_.getName)
+      .filter(_.startsWith("v")).toSet
+    assert(live.subsetOf(onDisk), s"live dirs missing from disk: ${live -- onDisk}")
+    assert(onDisk.size <= live.size + 4,
+      s"vacuum did not bound the sprawl: disk=${onDisk.size} live=${live.size}")
+  }
 }
