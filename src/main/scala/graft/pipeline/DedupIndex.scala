@@ -66,13 +66,10 @@ object DedupIndex {
     *    lesson, SCALE.md §16c); above it the stats-pruned two-phase
     *    probe engages.
     *  - `maxPointBuckets`: the largest driver-collected band_hash
-    *    point set the range builder accepts; beyond it the probe
-    *    falls back to the bloom scan (a matched set that large means
-    *    the ranges would cover most of the domain anyway — the scan
-    *    IS O(matched) there).
-    *  - `maxRanges`: how many [lo, hi] ranges the point set coalesces
-    *    into — bounds both the pushed predicate's size (codegen and
-    *    per-row-group eval stay cheap) and the spurious gap coverage.
+    *    point set the pushed In-predicate accepts; beyond it the
+    *    probe falls back to the bloom scan (a matched set that large
+    *    means the scan IS O(matched) there, and it also bounds the
+    *    parquet-side OR-of-eq tree depth).
     */
   final case class Params(
       n: Int = 3,
@@ -81,8 +78,7 @@ object DedupIndex {
       threshold: Double = 0.5,
       maxBucket: Int = 64,
       probeScanBytesMin: Long = 512L * 1024 * 1024,
-      maxPointBuckets: Int = 8192,
-      maxRanges: Int = 256)
+      maxPointBuckets: Int = 4096)
 
   /** (band_id, band_hash, doc_id, sig) rows for every doc with at least
     * one shingle. Docs shorter than n words shingle to ONE all-tokens
@@ -142,8 +138,14 @@ object DedupIndex {
     * (maxRanges - 1) LARGEST gaps between consecutive points as range
     * splits, so the ranges hug the points and the spurious coverage
     * (gap interiors a pushed range predicate also admits) is the
-    * minimum possible for that range budget. Driver-side, O(n log n)
-    * on a set already bounded by maxPointBuckets.
+    * minimum possible for that range budget. Driver-side, O(n log n).
+    *
+    * NOT on the probe's hot path (r15, measured via ProbeAbSoak): a
+    * fresh OR-of-ranges Column per ingest recompiles superlinearly in
+    * the leaf count (14 s first-eval at 96 leaves, paid per consumer
+    * per batch) — the probe pushes an In point set instead, whose
+    * InSet form compiles once per JVM. Kept as the range toolkit for
+    * stable (compile-once) predicates and for the A/B instrument.
     */
   private[pipeline] def coalesceRanges(
       sortedPoints: Array[Long], maxRanges: Int): Seq[(Long, Long)] = {
@@ -188,17 +190,58 @@ object DedupIndex {
     if (ranges.isEmpty) lit(false) else build(ranges)
   }
 
+  /** Probe-session cache: one config clone per parent session, holding
+    * the raised parquet In-pushdown threshold the pruned probe needs
+    * (default 10 would collapse a 100-point predicate to a useless
+    * [min, max] range at the parquet layer). Session-scoped so the
+    * caller's own queries NEVER see the raised threshold — their plan
+    * fingerprints must not move — while frames built here compose with
+    * caller-session frames zero-copy (the loopSession precedent: a
+    * HadoopFsRelation carries its creating session, so the pushdown
+    * translation reads THIS session's conf at every later evaluation,
+    * whichever session runs the action). */
+  private val probeSessionCache = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, SparkSession]()
+
+  private def probeSession(spark: SparkSession): SparkSession =
+    probeSessionCache.computeIfAbsent(spark, { parent =>
+      val s = parent.newSession()
+      parent.conf.getAll.foreach { case (k, v) =>
+        try s.conf.set(k, v)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+      s.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", (1 << 20).toString)
+      s
+    })
+
   /** The r15 two-phase STATS-PRUNED probe view — the fix for the r14
-    * weak mark ("the index SCAN remains O(index) per ingest",
-    * the old comment in [[prefilterIndex]]): instead of reading the
-    * full stored band table (all columns, including the ~k·8-byte sig
+    * weak mark ("the index SCAN remains O(index) per ingest", the old
+    * comment in [[prefilterIndex]]): instead of reading the full
+    * stored band table (all columns, including the ~k·8-byte sig
     * payload on every row) and filtering it row-by-row, resolve the
     * increment's matched band_hash POINT SET first and re-read the
-    * index under a pushed OR-of-ranges predicate that parquet footer
-    * min/max prunes against the band_hash-clustered leveled layout
-    * ([[compact]] clusters runs on band_hash within band_id exactly so
-    * this probe can exist). Full-width IO is then O(matched row
-    * groups), not O(index).
+    * index under a pushed `band_hash IN (points)` predicate. Parquet
+    * evaluates the pushed In as OR-of-eq against footer min/max on the
+    * band_hash-clustered leveled layout ([[compact]] clusters runs on
+    * band_hash within band_id exactly so this probe can exist), so
+    * full-width IO — the sig pages are ~90% of the table's bytes — is
+    * O(matched row groups), not O(index). Level-0 append runs are
+    * unsorted and read in full; they are bounded by the maintenance
+    * cadence, never by the corpus.
+    *
+    * WHY In-points and not OR-of-ranges (measured, ProbeAbSoak r15):
+    * a fresh OR-of-N-ranges Column per ingest is new generated source
+    * per batch, and whole-stage compile cost is superlinear in the
+    * leaf count — first evaluation measured 0.33 s at 8 leaves, 1.1 s
+    * at 16, 4.2 s at 32, 14 s at 96 — paid PER CONSUMER PER BATCH
+    * (~42 s/ingest at 96 matched buckets, 5× the old full scan: the
+    * cure was worse than the disease). The In form optimizes to
+    * `InSet`, whose generated source is stable across batches (values
+    * live in the references array, not the source text), so janino
+    * compiles once per JVM; the parquet-side OR-of-eq FilterPredicate
+    * is plain object construction. The actual IO was never the
+    * problem — a cold stats-pruned read of this table measured
+    * sub-second against 14–19 s first-evaluation compile walls.
     *
     * Point-set resolution, by increment size:
     *  - increment's distinct buckets <= maxPointBuckets: the points
@@ -207,39 +250,42 @@ object DedupIndex {
     *    fast path: true O(matched) probe IO);
     *  - larger increments: one NARROW pass over the index reading ONLY
     *    (band_id, band_hash) — columnar projection leaves the sig
-    *    pages untouched, ~20-30× less IO than the full-width scan —
-    *    bloom-prefiltered and exact-semi-joined down to the STORED ∩
-    *    increment (matched) keys, whose distinct hashes are collected
-    *    if they fit. This leaves one corpus-linear term: the narrow
-    *    key-column read (~8-10 B/row — at the 100 TB framing, the
-    *    band-key columns of a 10^10-doc index are ~2 TB across the
-    *    cluster, seconds of scan; the honest floor for a
-    *    uniformly-hashed key set, where no stats layout can prune a
-    *    corpus-spread probe below its key column).
+    *    pages untouched; measured 0.2 s where the full-width read paid
+    *    seconds — bloom-prefiltered and exact-semi-joined down to the
+    *    STORED ∩ increment (matched) keys, collected if they fit.
+    *    This leaves one corpus-linear term: the narrow key-column
+    *    read (~8-10 B/row — at the 100 TB framing, the band-key
+    *    columns of a 10^10-doc index are ~2 TB across the cluster,
+    *    seconds of scan; the honest floor for a uniformly-hashed key
+    *    set, where no stats layout can prune a corpus-spread probe
+    *    below its key column).
     *  - matched set still larger than maxPointBuckets (dup-heavy
-    *    increment): fall back to [[prefilterIndex]]'s single bloom
-    *    scan — matched is a large fraction of the index there, so the
-    *    full scan IS O(matched).
+    *    increment, e.g. a full replay): fall back to
+    *    [[prefilterIndex]]'s single bloom scan — matched is a large
+    *    fraction of the index there, so the full scan IS O(matched).
     *
-    * The returned frame is a SUPERSET of the matched buckets' rows
-    * (range gap interiors and cross-band hash coincidences ride
-    * along), exactly like the bloom view it replaces: every consumer
-    * in [[ingestFull]] re-joins on the exact keys, so verdicts are
-    * bit-identical across all regimes (spec-pinned).
+    * The pruned view is lazily checkpointed: it is small by
+    * construction (matched buckets × the [[Params.maxBucket]] cap),
+    * and [[ingestFull]] drives three consumers over it — without the
+    * cut each would re-run the probe scan. On the In path the view is
+    * EXACTLY the matched buckets' stored rows (cross-band hash
+    * coincidences ride along; the bloom fallback stays a superset) —
+    * every consumer re-joins on the exact keys either way, so
+    * verdicts are bit-identical across all regimes (spec-pinned).
     */
   private[pipeline] def probeIndexPruned(spark: SparkSession, root: String,
-      newBands: DataFrame, bandRowBound: Long, p: Params): DataFrame = {
-    val full = TxTable.read(spark, root)
+      newBands: DataFrame, bandRowBound: Long, p: Params,
+      cut: Boolean = true): DataFrame = {
     val points: Option[Array[Long]] =
       if (bandRowBound >= 0 && bandRowBound <= p.maxPointBuckets) {
         // tiny increment: its band-row bound already caps the distinct
         // bucket count — collect its own hashes, skip the index pass
         Some(newBands.select(col("band_hash")).distinct()
-          .collect().map(_.getLong(0)).sorted)
+          .collect().map(_.getLong(0)))
       } else {
         val bucketKey = xxhash64(col("band_id"), col("band_hash"))
         val buckets = newBands.select(bucketKey.as("bk")).distinct()
-        val narrow = full.select(col("band_id"), col("band_hash"))
+        val narrow = TxTable.read(spark, root).select(col("band_id"), col("band_hash"))
         // bloom kills the shuffle (only ~matched + fpp·index rows move),
         // the exact semi-join kills the bloom's false positives
         val matched = graft.ops.BloomOps
@@ -247,12 +293,23 @@ object DedupIndex {
           .join(buckets, xxhash64(col("band_id"), col("band_hash")) === col("bk"), "leftsemi")
           .select(col("band_hash")).distinct()
         val pts = matched.limit(p.maxPointBuckets + 1).collect().map(_.getLong(0))
-        if (pts.length <= p.maxPointBuckets) Some(pts.sorted) else None
+        if (pts.length <= p.maxPointBuckets) Some(pts) else None
       }
     points match {
+      case Some(pts) if pts.isEmpty =>
+        // nothing matched (and the narrow pass PROVED it): an explicit
+        // false folds to an empty relation — In(attr, Nil) would not,
+        // and its unpushable scan would read the table to drop it all
+        TxTable.read(spark, root).filter(lit(false))
       case Some(pts) =>
-        full.filter(rangePredicate(col("band_hash"), coalesceRanges(pts, p.maxRanges)))
-      case None => prefilterIndex(full, newBands, bandRowBound = bandRowBound)
+        val pruned = TxTable.read(probeSession(spark), root)
+          .filter(col("band_hash").isin(pts.toSeq: _*))
+        // `cut = false` is spec-only: the checkpoint wraps the plan as
+        // a LogicalRDD, hiding the pushed-filter evidence a plan
+        // assertion needs
+        if (cut) pruned.localCheckpoint(false) else pruned
+      case None =>
+        prefilterIndex(TxTable.read(spark, root), newBands, bandRowBound = bandRowBound)
     }
   }
 

@@ -182,9 +182,7 @@ class DedupIndexSpec extends AnyFunSuite {
       "narrow-matched" -> DedupIndex.Params(probeScanBytesMin = 0L, maxPointBuckets = 8),
       // narrow pass whose matched set overflows a zero budget -> falls
       // back to the bloom scan inside the two-phase path
-      "fallback" -> DedupIndex.Params(probeScanBytesMin = 0L, maxPointBuckets = 0),
-      // single-range coalescing: every point folded into one [lo, hi]
-      "one-range" -> DedupIndex.Params(probeScanBytesMin = 0L, maxRanges = 1))
+      "fallback" -> DedupIndex.Params(probeScanBytesMin = 0L, maxPointBuckets = 0))
     val results = regimes.map { case (label, p) =>
       val root = graft.TestTmp.dir(s"dedupidx-regime-$label") + "/idx"
       val v1 = verdictMap(DedupIndex.ingest(spark, root, docs(1L -> docA, 2L -> docA2, 3L -> docB), p))
@@ -203,23 +201,27 @@ class DedupIndexSpec extends AnyFunSuite {
     }
   }
 
-  test("pruned probe pushes the band_hash ranges into the parquet scan (PushedFilters)") {
-    // the whole point of the two-phase probe is that phase B's ranges
-    // reach the scan node as parquet-pushable filters — footer min/max
-    // pruning happens below Spark, so the only plan-visible evidence
-    // is the PushedFilters list on the FileScan
+  test("pruned probe pushes the band_hash point set into the parquet scan (PushedFilters In)") {
+    // the whole point of the two-phase probe is that phase B's point
+    // set reaches the scan node as a parquet-pushable In — footer
+    // min/max pruning happens below Spark, so the only plan-visible
+    // evidence is the PushedFilters list on the FileScan. The probe
+    // session raises the parquet In threshold so a point set larger
+    // than the default 10 still pushes as OR-of-eq, never a collapsed
+    // [min, max] range — pinned here with > 10 points.
     val root = graft.TestTmp.dir("dedupidx-pushdown") + "/idx"
     val p = DedupIndex.Params(probeScanBytesMin = 0L)
-    DedupIndex.ingest(spark, root, docs(1L -> docA, 2L -> docB, 3L -> docC), p)
-    val inc = docs(9L -> docA2)
+    DedupIndex.ingest(spark, root,
+      docs((1L to 6L).map(i => i -> (docA + s" tail$i")): _*), p)
+    val inc = docs(9L -> docA2, 10L -> docB)
     val bands = DedupIndex.bandRows(inc, p).localCheckpoint(false)
-    val pruned = DedupIndex.probeIndexPruned(spark, root, bands, bands.count(), p)
+    val pruned = DedupIndex.probeIndexPruned(spark, root, bands, bands.count(), p, cut = false)
     val plan = pruned.queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters: [Or("),
-      s"range predicate must reach the scan as a pushed filter:\n$plan")
-    assert(plan.contains("GreaterThanOrEqual(band_hash") ||
-      plan.contains("EqualTo(band_hash"),
-      s"pushed filter must be on band_hash:\n$plan")
+    assert(plan.contains("PushedFilters: [In(band_hash"),
+      s"point set must reach the scan as a pushed In on band_hash:\n$plan")
+    // and the caller session's own threshold is untouched (plan
+    // fingerprints of unrelated queries must not move)
+    assert(spark.conf.get("spark.sql.parquet.pushdown.inFilterThreshold") != (1 << 20).toString)
   }
 
   test("admitWithCap: bucket fills to maxBucket across existing+new, hash-ranked, and stops") {
