@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.AnnIndex
+import graft.pipeline.{AnnIndex, TxTable}
 
 /** Scale soak for the persisted ANN index ([[graft.pipeline.AnnIndex]]):
   * build on half a synthetic embedding corpus, grow to full size in two
@@ -67,6 +67,50 @@ object AnnSoak {
     // scatter across cells and IVF recall measures nothing — the
     // mixture is the shape real embedding corpora have and the shape
     // the cell-pruned probe is built for.
+    // ---- frag mode: `runMain graft.AnnSoak n dim nlist frag` ----
+    // The r15 verdict soak row for AnnIndex.compact -> compactLeveled:
+    // many SMALL appends fragment the postings table (one file set per
+    // commit, the streaming-ingest shape), and a maintenance CADENCE
+    // of repeated compacts must stay flat per firing — the retired
+    // compactAll paid O(corpus) per firing, so its series would grow
+    // linearly with the accumulated index. Layout-only is re-checked
+    // live: query answers hash-identical before/after each firing.
+    if (args.length > 3 && args(3) == "frag") {
+      val per = math.max(1L, n / 64)
+      t(s"build (train nlist=$nlist + assign $per)") {
+        AnnIndex.build(spark, root, synth(0, per), nlist = nlist)
+      }
+      val queries = synth(0, 100)
+      def answerHash(): Long = AnnIndex.query(spark, root, queries, k = 10, nprobe = 8)
+        .agg(sum(xxhash64(col("q_id"), col("vec_id"), col("rank")))).collect()(0).getLong(0)
+      var landed = per
+      var firing = 0
+      while (landed < n) {
+        for (_ <- 1 to 4 if landed < n) {
+          t(s"append ${per} (to ${landed + per})") {
+            AnnIndex.append(spark, root, synth(landed, landed + per))
+          }
+          landed += per
+        }
+        firing += 1
+        val before = answerHash()
+        val frag = TxTable.level0Fragmentation(spark, s"$root/postings")
+        val steps = t(f"compact firing #$firing%2d (l0frag=$frag%.1f)") {
+          AnnIndex.compact(spark, root)
+        }
+        val tv = System.nanoTime()
+        TxTable.vacuum(spark, s"$root/postings", retainMs = 0L)
+        println(f"[asoak]   steps=$steps vacuum=${(System.nanoTime() - tv) / 1e9}%5.2f s " +
+          f"postingsBytes=${AnnIndex.postingsBytes(spark, root) / 1e6}%.0f MB")
+        require(answerHash() == before,
+          s"compaction firing #$firing changed query answers — layout-only contract broken")
+      }
+      println(s"[asoak] frag soak complete: $landed vectors, $firing firings, answers stable")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      spark.stop()
+      return
+    }
+
     if (args.length > 3 && Set("recall", "recall-adc", "recall-opq")(args(3))) {
       val nGroups = 512
       // noise-to-center amplitude ratio (arg 5): at small ratios every
