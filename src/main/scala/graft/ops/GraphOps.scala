@@ -117,15 +117,27 @@ object GraphOps {
     (org.apache.spark.sql.SparkSession, Long, Boolean),
     org.apache.spark.sql.SparkSession]()
 
-  private[ops] def loopSession(
+  /** The loop's shuffle-partition count for a working set of
+    * `workingRows` — scale-adaptive (guide §2.2): ~250k rows per
+    * partition, floored at 1, capped at the session default unless
+    * `statePerPartRows` lifts the cap (pair-shaped agg state, LPA).
+    * Shared by [[loopSession]] and the small-graph edge-pin coalesce
+    * so both read the same geometry. */
+  private[ops] def loopPartsFor(
       spark: org.apache.spark.sql.SparkSession, workingRows: Long,
-      statePerPartRows: Long = 0L) = {
+      statePerPartRows: Long = 0L): Long = {
     val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toLong
     val cap =
       if (statePerPartRows > 0L)
         math.max(sessionParts, workingRows / statePerPartRows)
       else sessionParts
-    val loopParts = math.max(1L, math.min(cap, workingRows / 250000L))
+    math.max(1L, math.min(cap, workingRows / 250000L))
+  }
+
+  private[ops] def loopSession(
+      spark: org.apache.spark.sql.SparkSession, workingRows: Long,
+      statePerPartRows: Long = 0L) = {
+    val loopParts = loopPartsFor(spark, workingRows, statePerPartRows)
     val codegenOff = workingRows < loopCodegenMinRows
     loopSessionCache.computeIfAbsent((spark, loopParts, codegenOff), { key =>
       val loop = spark.newSession()
@@ -139,6 +151,13 @@ object GraphOps {
       loop
     })
   }
+
+  /** A/B knobs for the r15 small-graph loop-shape experiment — flipped
+    * ONLY by ProfileRank (interleaved within one JVM so ambient host
+    * drift cancels); production code never touches them. Defaults are
+    * the shipped configuration. */
+  private[ops] var rankLoopCoalesceE = true
+  private[ops] var rankLoopMergeMassJoin = true
 
   private def rankLoop(
       e0: DataFrame, base0: DataFrame,
@@ -160,7 +179,22 @@ object GraphOps {
     try {
       e0.createOrReplaceGlobalTempView(ev)
       base0.createOrReplaceGlobalTempView(bv)
-      val e = loop.table(s"global_temp.$ev")
+      // Small-graph edge pin: the caller pinned e at the SESSION
+      // partition count (32 locally); the per-round e-pass then
+      // schedules a full task wave per round for a few MB of cached
+      // blocks — at 10 rounds that task-count overhead is most of the
+      // loop's job wall (ProfileRank r15: ~30 jobs of 0.13–0.3 s,
+      // jobWall ≈ wall). Coalesce the cached blocks to the loop's own
+      // scale-adaptive geometry (narrow dependency — no shuffle, no
+      // re-materialization; floor 4 keeps a compute wave for the
+      // interpreted-eval rounds). Broadcast joins don't read the lost
+      // hash-partitioning metadata; the big-graph shuffle path (which
+      // does) keeps the caller's pre-partitioned pin untouched.
+      val eParts = math.max(4L, loopPartsFor(spark, nEdges)).toInt
+      val e = {
+        val t = loop.table(s"global_temp.$ev")
+        if (small && rankLoopCoalesceE) t.coalesce(eParts) else t
+      }
       val base = loop.table(s"global_temp.$bv")
       var ranks = base.withColumn("pr", init)
       for (i <- 1 to iters) {
@@ -171,8 +205,19 @@ object GraphOps {
             col("src") === col("m_src"))
           .groupBy(col("dst"))
           .agg(sum(col("w")).as("mass"))
+        // mass ⋈ base stays a SHUFFLE join on both paths (r15): on the
+        // small path both sides are node-cardinality frames, and a
+        // broadcast here costs a separate broadcast-build JOB per
+        // round — the second of two, ProfileRank measured the pair at
+        // ~2/3 of the query's job wall — where the merge join is two
+        // tiny in-job exchanges. The hint pins the strategy against
+        // auto-broadcast so the loop's job count is deterministic.
+        val massJ =
+          if (!small) mass
+          else if (rankLoopMergeMassJoin) mass.hint("merge")
+          else broadcast(mass)
         val next = base
-          .join(if (small) broadcast(mass) else mass, col("node") === col("dst"))
+          .join(massJ, col("node") === col("dst"))
           .withColumn("pr", update)
           .drop("mass", "dst")
         // Lineage-cut policy gated on measured edge volume. Small
@@ -576,7 +621,16 @@ object GraphOps {
     val (ev, ov) = (s"graft_ht_e_$tag", s"graft_ht_o_$tag")
     try {
       e0.createOrReplaceGlobalTempView(ev)
-      val e = loop.table(s"global_temp.$ev")
+      // small-graph edge-pin coalesce, the rankLoop rationale: the
+      // broadcast half-rounds don't read e's hash-partitioning, and a
+      // full session-width task wave per half-round is the dominant
+      // job wall at sf-scale graphs
+      val e = {
+        val t = loop.table(s"global_temp.$ev")
+        if (small && rankLoopCoalesceE)
+          t.coalesce(math.max(4L, loopPartsFor(spark, nEdges)).toInt)
+        else t
+      }
       // eager per-half-round cuts above the size gate (the rankLoop
       // disk rationale: lazy cuts leave every round's shuffle live in
       // the one final action); lazy below it
