@@ -188,7 +188,19 @@ object Bench {
           "\"calibration_sec\"\\s*:\\s*([0-9.eE+-]+)".r.findFirstMatchIn(s)
             .map(_.group(1).toDouble))
       } else (Map.empty[String, Double], None)
-    val allProbes = (midProbes :+ calBefore :+ calAfter).sorted
+    // WARM probes only (r15 measurement fix): the FIRST calibration is
+    // JIT-cold and measures the JVM, not the host — it reads 1.5–2.0 s
+    // on provably quiet hosts (every committed run's before_sec vs its
+    // 0.5–0.8 s warm probes; r14's driver run flipped quiet=false on a
+    // 2.0016 s cold probe while its mid-probes sat at 0.61–0.83).
+    // Folding it into the quiet bound and the host-scale median made
+    // 'quiet' a coin-flip at the 2.0 boundary and inflated host_scale
+    // on short runs. calBefore stays in the artifact's calibration
+    // block (the old number is still printed); it just no longer
+    // gates. This is what let the floor-gate self-test's simulated-
+    // slow-host scenario deterministically read INCONCLUSIVE: cold
+    // probe × 1.5 always crossed the 2.0 absolute bound.
+    val allProbes = (midProbes :+ calAfter).sorted
     val quiet = allProbes.forall(_ < 2.0)
     val medianProbe =
       if (allProbes.isEmpty) 0.0
