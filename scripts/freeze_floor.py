@@ -36,12 +36,15 @@ def load_run(path):
               f"(appended re-runs?) — freezing from the LAST",
               file=sys.stderr)
     d = matches[-1]
-    probes = [d["calibration"]["before_sec"],
-              d["calibration"]["after_sec"],
+    # WARM probes only (matching Bench's r15 quiet definition): the
+    # first calibration is JIT-cold and measures the JVM, not the host
+    # — it reads 1.5-2.0 s on provably quiet hosts. calibration_sec
+    # (the host-scale denominator) must be warm for the same reason.
+    probes = [d["calibration"]["after_sec"],
               *d["calibration"].get("mid_sec", [])]
     if any(p >= 2.0 for p in probes):
         sys.exit(f"REFUSED: {path} is not quiet "
-                 f"(probe >= 2 s in {probes})")
+                 f"(warm probe >= 2 s in {probes})")
     if d.get("failed"):
         sys.exit(f"REFUSED: {path} has failed queries "
                  f"{d['failed']}")

@@ -944,7 +944,7 @@ object GraphOps {
       hopHash: Int => Column): DataFrame = {
     val wOrd = Window.partitionBy(col("src")).orderBy(col("dst"))
     val wAll = Window.partitionBy(col("src"))
-    val adj = edges.select(
+    val adj0 = edges.select(
         col("src"), col("dst"),
         row_number().over(wOrd).as("nbr_rank"),
         count(lit(1)).over(wAll).as("deg"))
@@ -959,7 +959,17 @@ object GraphOps {
     // as the rank loops.
     val nSeeds = seeds.count()
     val small = nSeeds <= broadcastRanksMaxNodes
-    val eager = { val n = adj.count(); n > loopCodegenMinRows }
+    val nAdj = adj0.count()
+    val eager = nAdj > loopCodegenMinRows
+    // small-frontier adjacency coalesce, the rankLoop edge-pin
+    // rationale (r15): each of the `steps` hop passes schedules a full
+    // session-width task wave over a few MB of cached blocks; the
+    // broadcast hop join never reads the lost hash-partitioning. The
+    // big-frontier co-partitioned path keeps the src-partitioned pin.
+    val adj =
+      if (small && rankLoopCoalesceE)
+        adj0.coalesce(math.max(4L, loopPartsFor(edges.sparkSession, nAdj)).toInt)
+      else adj0
     var frontier = seeds.select(col("node").as("seed"), col("node"))
     var acc = List(frontier.withColumn("step", lit(0)))
     for (t <- 1 to steps) {
@@ -1052,10 +1062,18 @@ object GraphOps {
   private def node2vecWalkLoop(
       edges: DataFrame, seeds: DataFrame, steps: Int,
       p: Double, q: Double, hopU: Int => Column, cap: Int = 0): DataFrame = {
-    val adj = edges.repartition(col("src")).localCheckpoint(false)
+    val adj0 = edges.repartition(col("src")).localCheckpoint(false)
     val nSeeds = seeds.count()
     val small = nSeeds <= broadcastRanksMaxNodes
-    val eager = adj.count() > loopCodegenMinRows
+    val nAdj = adj0.count()
+    val eager = nAdj > loopCodegenMinRows
+    // small-frontier adjacency coalesce (r15) — see uniformWalkLoop;
+    // the candidate fan-out and the prev-mark join both re-pass the
+    // pinned adjacency every hop
+    val adj =
+      if (small && rankLoopCoalesceE)
+        adj0.coalesce(math.max(4L, loopPartsFor(edges.sparkSession, nAdj)).toInt)
+      else adj0
     var frontier = seeds.select(
       col("node").as("seed"), col("node"), lit(null).cast("long").as("prev"))
     var acc = List(frontier.select(col("seed"), lit(0).as("step"), col("node")))

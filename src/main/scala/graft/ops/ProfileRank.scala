@@ -67,11 +67,13 @@ object ProfileRank {
       ("coalesceE (bcast mass,  few-part e)", true, false),
       ("merge     (SMJ mass,   32-part e)", false, true),
       ("both      (SMJ mass,    few-part e)", true, true))
+    val queries = sys.env.getOrElse(
+      "SPARK_GRAFT_PROF_QUERIES", "q_pagerank,q_hits,q_ppr_seed").split(",").toSeq
     for (rep <- 1 to sys.env.getOrElse("SPARK_GRAFT_PROF_REPS", "3").toInt) {
       for ((label, ce, mm) <- variants) {
         GraphOps.rankLoopCoalesceE = ce
         GraphOps.rankLoopMergeMassJoin = mm
-        for (q <- Seq("q_pagerank", "q_hits", "q_ppr_seed")) {
+        for (q <- queries) {
           time(f"$q%-12s rep$rep $label") {
             graft.SparkEntry.queries(q)(spark, d)
               .write.format("noop").mode("overwrite").save()
