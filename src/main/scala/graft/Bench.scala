@@ -176,7 +176,7 @@ object Bench {
     //      The clamp keeps a genuinely slow host from legitimizing a
     //      real >3.2× regression; the plan gate + per-round quiet A/B
     //      remain the precision instruments.
-    val floorPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FLOOR", "bench_floor_r14.json")
+    val floorPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FLOOR", "bench_floor_r15.json")
     val floorReadable = java.nio.file.Files.isReadable(java.nio.file.Paths.get(floorPath))
     val (floor: Map[String, Double], floorCal: Option[Double]) =
       if (floorReadable) {
