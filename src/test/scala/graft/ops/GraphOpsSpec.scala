@@ -611,4 +611,31 @@ class GraphOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(viaSql === viaLoop)
   }
+
+  test("r15 loop-shape knobs are pure layout: identical rank and walk output under every combination") {
+    // the small-graph edge-pin coalesce and the mass-side merge join
+    // change job structure only; rank values and walk paths must be
+    // BIT-identical across all four knob combinations (the shipped
+    // default is (true, true))
+    val edges = sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L), (4L, 5L))
+    val seeds = Seq(1L, 3L).toDF("node")
+    val (ce0, mm0) = (GraphOps.rankLoopCoalesceE, GraphOps.rankLoopMergeMassJoin)
+    try {
+      val outs = for (ce <- Seq(true, false); mm <- Seq(true, false)) yield {
+        GraphOps.rankLoopCoalesceE = ce
+        GraphOps.rankLoopMergeMassJoin = mm
+        (GraphOps.pagerank(edges).collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq,
+         GraphOps.hits(edges.toDF("hub", "auth")).collect()
+           .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted.toSeq,
+         GraphOps.randomWalksXx(edges, seeds, steps = 3).collect()
+           .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq,
+         GraphOps.node2vecWalks(edges, seeds, steps = 3).collect()
+           .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq)
+      }
+      outs.tail.foreach(o => assert(o === outs.head))
+    } finally {
+      GraphOps.rankLoopCoalesceE = ce0
+      GraphOps.rankLoopMergeMassJoin = mm0
+    }
+  }
 }
